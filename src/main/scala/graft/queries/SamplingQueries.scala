@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.{Determinism, Splits, SplitRatios, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Deterministic split assignment and sliding-window chunking, expressed as
+  * pure column pipelines over the `documents` table so the DuckDB oracle can
+  * replay them bit-for-bit.
+  *
+  * The chunk query is the column-expression twin of [[graft.operators.Chunker]]
+  * (same window layout math) — `sequence`+`explode` generates window indexes,
+  * `slice` carves token arrays. It is a narrow plan: scan → project →
+  * generate, no shuffle, so it scales linearly with input splits.
+  */
+object SamplingQueries extends QueryModule {
+
+  private val Seed = "42"
+  // Small window parameters so the ~300-char synthetic docs produce
+  // multi-window layouts (the library default is 1024/64/512).
+  private val W = 32   // max_window_tokens
+  private val OV = 8   // overlap
+  private val ST = W - OV // stride
+  private val SUM = 16 // summary_fallback_tokens
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q10_split_assign",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Splits.splitCol(col("doc_id"), Seed).as("split"))
+      },
+      Some(s"""SELECT doc_id, ${Splits.duckSplitSql("doc_id", Seed)} AS split FROM documents""")),
+
+    QueryDef("q11_split_counts",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(Splits.splitCol(col("doc_id"), Seed, SplitRatios(0.5, 0.5, 0.0)).as("split"))
+          .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      },
+      // zero-ratio label must never appear (reference: src/splits.rs:827-850)
+      Some(s"""SELECT ${Splits.duckSplitSql("doc_id", Seed, SplitRatios(0.5, 0.5, 0.0))} AS split,
+        CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1""")),
+
+    QueryDef("q12_chunk_windows",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+          .withColumn("span", least(lit(W), col("n")))
+          .withColumn("k", when(col("n") <= W, lit(1))
+            .otherwise(floor((col("n") - col("span") + lit(ST - 1)) / lit(ST)).cast("int") + 1))
+        val windows = base
+          .withColumn("widx", explode(sequence(lit(0), col("k") - 1)))
+          .withColumn("wtoks", expr(s"slice(toks, widx * $ST + 1, least(span, n - widx * $ST))"))
+          .select(
+            col("doc_id"),
+            col("widx").cast("long").as("widx"),
+            col("span").cast("long").as("span"),
+            size(col("wtoks")).cast("long").as("wtokens"),
+            array_join(col("wtoks"), " ").as("wtext"),
+            floor(lit(1000000) / (col("widx") + 1)).cast("long").as("weight_e6"))
+        val fallback = base.filter(col("n") > W)
+          .withColumn("ftoks", expr(s"slice(toks, 1, least(n, $SUM))"))
+          .select(
+            col("doc_id"),
+            lit(-1L).as("widx"),
+            col("span").cast("long").as("span"),
+            size(col("ftoks")).cast("long").as("wtokens"),
+            array_join(col("ftoks"), " ").as("wtext"),
+            lit(350000L).as("weight_e6"))
+        windows.unionByName(fallback)
+          .withColumn("whash", Determinism.portableHash(col("wtext")))
+          .drop("wtext")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+        ), p AS (
+          SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+        ), q AS (
+          SELECT doc_id, toks, n, LEAST($W, n) AS span,
+            CASE WHEN n <= $W THEN 1
+                 ELSE CAST(floor((n - LEAST($W, n) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
+          FROM p
+        ), w AS (
+          SELECT doc_id, toks, n, span, unnest(generate_series(0, k - 1)) AS i FROM q
+        ), wins AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS widx, CAST(span AS BIGINT) AS span,
+            CAST(LEAST(span, n - i * $ST) AS BIGINT) AS wtokens,
+            array_to_string(list_slice(toks, i * $ST + 1, i * $ST + LEAST(span, n - i * $ST)), ' ') AS wtext,
+            CAST(1000000 // (i + 1) AS BIGINT) AS weight_e6
+          FROM w
+        ), fb AS (
+          SELECT doc_id, CAST(-1 AS BIGINT) AS widx, CAST(span AS BIGINT) AS span,
+            CAST(LEAST(n, $SUM) AS BIGINT) AS wtokens,
+            array_to_string(list_slice(toks, 1, LEAST(n, $SUM)), ' ') AS wtext,
+            CAST(350000 AS BIGINT) AS weight_e6
+          FROM q WHERE n > $W
+        ), allrows AS (
+          SELECT * FROM wins UNION ALL SELECT * FROM fb
+        )
+        SELECT doc_id, widx, span, wtokens, weight_e6,
+          ${Determinism.duckHash("wtext")} AS whash
+        FROM allrows"""))
+  )
+}

@@ -13,7 +13,10 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    SamplingQueries)
+    SamplingQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.core.Determinism
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: broadcast the (small) query set against the
+  *     corpus — one narrow pass + per-query top-k, no all-pairs shuffle.
+  *     This is the correctness baseline;
+  *   - LSH random-hyperplane bucketing: 1 sign bit per hyperplane → bucket
+  *     id; near-dup search joins only within buckets. At 100 TB the bucket
+  *     join replaces the O(n²) pair space with per-bucket blocks, and the
+  *     bucket assignment itself is a narrow map fused into the scan.
+  *
+  * Exactness doctrine: dot products are computed over per-element
+  * **scaled integers** (`round(x * 1000)`), so the sums are exact integers
+  * regardless of summation order — bit-identical across partitionings and
+  * in the DuckDB oracle. The final cosine is one deterministic double
+  * division+sqrt, floored at e6 scale. Hyperplane components are centered
+  * portable hashes (integers), so bucket ids are likewise exact.
+  */
+object Similarity {
+
+  /** Per-element scaled-integer value: round(x * 1000) as long. */
+  private def e3(x: Column): Column = round(x.cast("double") * 1000).cast("long")
+
+  /** Exact scaled dot product of two float arrays. */
+  def dotE3(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => e3(x) * e3(y)), lit(0L), (acc, v) => acc + v)
+
+  /** Exact scaled self dot (squared norm). */
+  def normE3(a: Column): Column =
+    aggregate(transform(a, x => e3(x) * e3(x)), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine at e6 integer scale from exact ints: floor(1e6*dot/(|a||b|)). */
+  def cosE6(dot: Column, na: Column, nb: Column): Column =
+    floor(dot.cast("double") * 1000000.0 / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))).cast("long")
+
+  def duckDotE3(aExpr: String, bExpr: String, dim: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> " +
+      s"CAST(round(CAST($aExpr[i] AS DOUBLE) * 1000) AS BIGINT) * " +
+      s"CAST(round(CAST($bExpr[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)"
+
+  def duckCosE6(dotExpr: String, naExpr: String, nbExpr: String): String =
+    s"CAST(floor(CAST($dotExpr AS DOUBLE) * 1000000.0 / " +
+      s"(sqrt(CAST($naExpr AS DOUBLE)) * sqrt(CAST($nbExpr AS DOUBLE)))) AS BIGINT)"
+
+  /** Deterministic hyperplane component j,i as a centered integer
+    * (portable hash minus 2^31). */
+  private def plane(j: Int, i: Column): Column =
+    Determinism.portableHash(concat(lit(s"rp:$j:"), i.cast("string"))) - lit(2147483648L)
+
+  /** Sign-bit bucket id over `numPlanes` random hyperplanes. Exact ints. */
+  def lshBucket(emb: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { j =>
+      val dot = aggregate(
+        transform(sequence(lit(1), lit(dim)),
+          i => e3(element_at(emb, i)) * plane(j, i)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  def duckLshBucket(embExpr: String, dim: Int, numPlanes: Int): String = {
+    val bits = (0 until numPlanes).map { j =>
+      val h = Determinism.duckHash(s"'rp:$j:' || CAST(i AS VARCHAR)")
+      val dot = s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> " +
+        s"CAST(round(CAST($embExpr[i] AS DOUBLE) * 1000) AS BIGINT) * ($h - 2147483648))) AS BIGINT)"
+      s"CASE WHEN $dot > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }
+    s"(${bits.mkString(" + ")})"
+  }
+
+  /** Squared-norm table `(id, nrm)` for a corpus. */
+  def norms(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), normE3(col(embCol)).as("nrm"))
+}

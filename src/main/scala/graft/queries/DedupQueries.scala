@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.{Determinism, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator demonstrations over `documents`, each with a DuckDB
+  * oracle. See [[graft.operators.Dedup]] for the scale rationale.
+  */
+object DedupQueries extends QueryModule {
+
+  private val Perms = 8
+  private val Bands = 4
+  private val RowsPerBand = 2
+  private val ShingleK = 3
+
+  // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
+  private val duckToks = TextFunctions.duckTokens("text")
+  private def duckSigs(perms: Int): String = {
+    val mhs = (0 until perms).map(j => s"${Dedup.duckMinhash("sh", j)} AS mh$j").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        s AS (SELECT doc_id, ${Dedup.duckShingles("toks", ShingleK)} AS sh FROM t WHERE len(toks) > 0),
+        sigs AS (SELECT doc_id, $mhs FROM s WHERE len(sh) > 0)"""
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q20_dedup_exact",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"),
+            Determinism.portableHash(TextFunctions.normalizeWs(col("text"))).as("content_hash"))
+          .groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      },
+      Some(s"""SELECT ${Determinism.duckHash(TextFunctions.duckNormalizeWs("text"))} AS content_hash,
+        min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size
+        FROM documents GROUP BY 1""")),
+
+    QueryDef("q21_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 4, ShingleK),
+      Some(s"""${duckSigs(4)} SELECT * FROM sigs""")),
+
+    QueryDef("q22_lsh_candidate_pairs",
+      (s, dir) => {
+        val sigs = Dedup.minhashSignatures(
+          Tables.load(s, dir, "documents"), "doc_id", "text", Perms, ShingleK).cache()
+        val bands = Dedup.bandKeys(Bands, RowsPerBand).map { case (b, key) =>
+          sigs.select(col("doc_id"), lit(b).as("band"), key.as("key"))
+        }.reduce(_ unionByName _)
+        val l = bands.as("l"); val r = bands.as("r")
+        val pairs = l.join(r,
+            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+        val sa = col("doc_id").as("aid") +: sigs.columns.filter(_.startsWith("mh")).toSeq.map(c => sigs(c).as(s"a_$c"))
+        val sb = col("doc_id").as("bid") +: sigs.columns.filter(_.startsWith("mh")).toSeq.map(c => sigs(c).as(s"b_$c"))
+        val agree = (0 until Perms).map(j =>
+          when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L)).reduce(_ + _)
+        pairs
+          .join(sigs.select(sa: _*), col("a") === col("aid"))
+          .join(sigs.select(sb: _*), col("b") === col("bid"))
+          .select(col("a"), col("b"), agree.as("n_agree"))
+      },
+      Some {
+        val bandSelects = (0 until Bands).map { b =>
+          val parts = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, 'b$b' || ',' || $parts AS key FROM sigs"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until Perms).map(j =>
+          s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""${duckSigs(Perms)},
+          bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+          SELECT a, b, CAST($agree AS BIGINT) AS n_agree
+          FROM pairs JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id"""
+      }),
+
+    QueryDef("q23_simhash",
+      (s, dir) => Dedup.simhashSignature(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 16),
+      Some {
+        val votes = (0 until 16).map(i =>
+          s"${Dedup.duckSimhashBitVote("hs", i)} AS v$i").mkString(", ")
+        val sig = (0 until 16).map(i =>
+          s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          h AS (SELECT doc_id, list_transform(toks, tk -> ${Determinism.duckHash("'sh:' || tk")}) AS hs
+                FROM t WHERE len(toks) > 0),
+          v AS (SELECT doc_id, $votes FROM h)
+          SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v"""
+      }),
+
+    QueryDef("q24_ngram_jaccard_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = TextFunctions.tokens(col("text"))
+        val sh = docs.select(col("doc_id"),
+            explode(Dedup.shingles(toks, ShingleK)).as("shingle")).distinct()
+        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val l = sh.as("l"); val r = sh.as("r")
+        val inter = l.join(r, col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+          .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(counts.select(col("doc_id").as("a2"), col("n_sh").as("na")), col("a") === col("a2"))
+          .join(counts.select(col("doc_id").as("b2"), col("n_sh").as("nb")), col("b") === col("b2"))
+          // jaccard >= 1/8 by integer cross-multiplication: 8*inter >= union
+          .filter(lit(8) * col("inter") >= col("na") + col("nb") - col("inter"))
+          .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        u AS (SELECT doc_id, unnest(${Dedup.duckShingles("toks", ShingleK)}) AS shingle FROM t),
+        s AS (SELECT DISTINCT doc_id, shingle FROM u),
+        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY doc_id),
+        i AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+              FROM s l JOIN s r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id)
+        SELECT a, b, inter, ca.n_sh AS na, cb.n_sh AS nb
+        FROM i JOIN c ca ON a = ca.doc_id JOIN c cb ON b = cb.doc_id
+        WHERE 8 * inter >= ca.n_sh + cb.n_sh - inter"""))
+  )
+}

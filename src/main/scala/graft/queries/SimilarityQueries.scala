@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ANN / embedding-similarity demonstrations over `embeddings` (64-dim
+  * float vectors). See [[graft.operators.Similarity]].
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val Dim = 64
+  private val Planes = 8
+  private val TopK = 5
+  private val NQueries = 10
+
+  private def duckNorms =
+    s"""norms AS (SELECT vec_id, ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
+        FROM embeddings)"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q25_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val joined = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosE6(
+              Similarity.dotE3(col("qemb"), col("embedding")),
+              Similarity.normE3(col("qemb")),
+              Similarity.normE3(col("embedding"))).as("cos_e6"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("vec_id"))
+        joined.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < $NQueries),
+        scored AS (
+          SELECT qid, vec_id,
+            ${Similarity.duckCosE6(
+              Similarity.duckDotE3("qemb", "embedding", Dim),
+              Similarity.duckDotE3("qemb", "qemb", Dim),
+              Similarity.duckDotE3("embedding", "embedding", Dim))} AS cos_e6
+          FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+        ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, cos_e6, rank FROM ranked WHERE rank <= $TopK""")),
+
+    QueryDef("q26_ann_lsh_buckets",
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.lshBucket(col("embedding"), Dim, Planes).as("bucket"))
+      },
+      Some(s"""SELECT vec_id, ${Similarity.duckLshBucket("embedding", Dim, Planes)} AS bucket
+        FROM embeddings""")),
+
+    QueryDef("q27_neardup_same_bucket",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            Similarity.lshBucket(col("embedding"), Dim, Planes).as("bucket"),
+            Similarity.normE3(col("embedding")).as("nrm"))
+        val l = emb.as("l"); val r = emb.as("r")
+        l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+            Similarity.cosE6(
+              Similarity.dotE3(col("l.embedding"), col("r.embedding")),
+              col("l.nrm"), col("r.nrm")).as("cos_e6"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+          ${Similarity.duckLshBucket("embedding", Dim, Planes)} AS bucket,
+          ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
+          FROM embeddings)
+        SELECT l.vec_id AS a, r.vec_id AS b,
+          ${Similarity.duckCosE6(Similarity.duckDotE3("l.embedding", "r.embedding", Dim), "l.nrm", "r.nrm")} AS cos_e6
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"""))
+  )
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.{Determinism, Tables}
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator demonstrations over `documents`:
+  * token/char statistics, quality scoring, language ID, fingerprints.
+  * All narrow column pipelines (scan-fused, shuffle only for the final
+  * aggregates where present).
+  */
+object TextQueries extends QueryModule {
+
+  private val duckToks = TextFunctions.duckTokens("text")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q30_token_stats",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextFunctions.alphaCount(col("text")).cast("long").as("n_alpha"),
+          TextFunctions.digitCount(col("text")).cast("long").as("n_digit"),
+          TextFunctions.sentenceMarkCount(col("text")).cast("long").as("n_sent_marks"),
+          size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+      },
+      Some(s"""SELECT doc_id,
+        CAST(${TextFunctions.duckTokenCount("text")} AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(${TextFunctions.duckAlphaCount("text")} AS BIGINT) AS n_alpha,
+        CAST(${TextFunctions.duckDigitCount("text")} AS BIGINT) AS n_digit,
+        CAST(${TextFunctions.duckSentenceMarkCount("text")} AS BIGINT) AS n_sent_marks,
+        CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_unique_tokens
+        FROM documents""")),
+
+    QueryDef("q31_quality_score",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val nAlpha = TextFunctions.alphaCount(col("text")).cast("long")
+        val nDigit = TextFunctions.digitCount(col("text")).cast("long")
+        val stops = TextAnalysis.stopwordHits(toks, TextAnalysis.LangProfiles.head._2).cast("long")
+        val uniq = size(array_distinct(toks)).cast("long")
+        // quality components at e6 scale, all exact integer ratios
+        val stopRatio = TextAnalysis.ratioE6(stops, nTok)
+        val digitRatio = TextAnalysis.ratioE6(nDigit, nAlpha + nDigit)
+        val uniqRatio = TextAnalysis.ratioE6(uniq, nTok)
+        // composite: mean of (stopword presence, 1-digitiness, lexical diversity)
+        val score = floor((stopRatio + (lit(1000000L) - digitRatio) + uniqRatio) / 3).cast("long")
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"), nTok.as("n_tokens"), stopRatio.as("stop_ratio_e6"),
+          digitRatio.as("digit_ratio_e6"), uniqRatio.as("uniq_ratio_e6"),
+          score.as("quality_e6"))
+      },
+      Some {
+        val toks = duckToks
+        val nTok = s"len($toks)"
+        val nAlpha = TextFunctions.duckAlphaCount("text")
+        val nDigit = TextFunctions.duckDigitCount("text")
+        val stops = TextAnalysis.duckStopwordHits(toks, TextAnalysis.LangProfiles.head._2)
+        val uniq = s"len(list_distinct($toks))"
+        val stopRatio = TextAnalysis.duckRatioE6(stops, nTok)
+        val digitRatio = TextAnalysis.duckRatioE6(nDigit, s"($nAlpha + $nDigit)")
+        val uniqRatio = TextAnalysis.duckRatioE6(uniq, nTok)
+        s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
+          $stopRatio AS stop_ratio_e6, $digitRatio AS digit_ratio_e6,
+          $uniqRatio AS uniq_ratio_e6,
+          CAST(floor(($stopRatio + (1000000 - $digitRatio) + $uniqRatio) / 3) AS BIGINT) AS quality_e6
+          FROM documents"""
+      }),
+
+    QueryDef("q32_lang_id",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            TextAnalysis.langId(toks).as("pred_lang"))
+      },
+      Some(s"""SELECT doc_id, lang AS labeled_lang,
+        ${TextAnalysis.duckLangId(duckToks)} AS pred_lang FROM documents""")),
+
+    QueryDef("q33_fingerprints",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprintFull(col("text")).as("fp_full"),
+          TextAnalysis.fingerprintHead(col("text"), 16).as("fp_head16"))
+      },
+      Some(s"""SELECT doc_id,
+        ${Determinism.duckHash(TextFunctions.duckNormalizeWs("text"))} AS fp_full,
+        ${Determinism.duckHash(s"array_to_string(list_slice($duckToks, 1, 16), ' ')")} AS fp_head16
+        FROM documents"""))
+  )
+}

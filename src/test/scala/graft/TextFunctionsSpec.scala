@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).collect()(0).get(0)
+
+  test("normalizeWs collapses runs and trims") {
+    assert(eval1(TextFunctions.normalizeWs(lit("  a \t b\n\nc "))) == "a b c")
+  }
+
+  test("tokens of blank text is empty; tokenCount matches") {
+    assert(eval1(size(TextFunctions.tokens(lit("   ")))) == 0)
+    assert(eval1(TextFunctions.tokenCount(lit("one  two\tthree"))) == 3)
+  }
+
+  test("digit/alpha counts and ratio") {
+    assert(eval1(TextFunctions.digitCount(lit("a1b22"))) == 3)
+    assert(eval1(TextFunctions.alphaCount(lit("a1b22"))) == 2)
+    assert(eval1(TextFunctions.digitRatio(lit("!!!"))) == 0.0)
+    assert(eval1(TextFunctions.digitRatio(lit("a1"))) == 0.5)
+  }
+
+  test("sentence mark count") {
+    assert(eval1(TextFunctions.sentenceMarkCount(lit("Hi. There! Ok? end."))) == 4)
+  }
+
+  test("shingles: 3-grams, or whole text when short") {
+    val toks = TextFunctions.tokens(lit("a b c d"))
+    assert(eval1(Dedup.shingles(toks, 3)) == Seq("a b c", "b c d"))
+    val short = TextFunctions.tokens(lit("a b"))
+    assert(eval1(Dedup.shingles(short, 3)) == Seq("a b"))
+  }
+
+  test("langId picks dominant stopword profile, first profile wins ties") {
+    assert(eval1(TextAnalysis.langId(TextFunctions.tokens(lit("the cat and the dog")))) == "en")
+    assert(eval1(TextAnalysis.langId(TextFunctions.tokens(lit("der hund ist nicht da")))) == "de")
+    assert(eval1(TextAnalysis.langId(TextFunctions.tokens(lit("zzz qqq www")))) == "und")
+  }
+
+  test("cosine of identical vectors is ~1e6 and symmetric bounds hold") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.125f)), (2L, Array(0.5f, -0.25f, 0.125f)),
+      (3L, Array(-0.5f, 0.25f, -0.125f))).toDF("id", "emb")
+    val a = df.filter(col("id") === 1).select(col("emb").as("a"))
+    val b = df.filter(col("id") === 2).select(col("emb").as("b"))
+    val c = df.filter(col("id") === 3).select(col("emb").as("c"))
+    val cosSame = a.crossJoin(b).select(
+      Similarity.cosE6(Similarity.dotE3(col("a"), col("b")),
+        Similarity.normE3(col("a")), Similarity.normE3(col("b"))).as("v"))
+      .collect()(0).getLong(0)
+    assert(cosSame >= 999999L && cosSame <= 1000000L)
+    val cosOpp = a.crossJoin(c).select(
+      Similarity.cosE6(Similarity.dotE3(col("a"), col("c")),
+        Similarity.normE3(col("a")), Similarity.normE3(col("c"))).as("v"))
+      .collect()(0).getLong(0)
+    assert(cosOpp <= -999999L)
+  }
+
+  test("simhash and minhash signatures are partition-invariant") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, (1 to 20).map(j => s"tok${(i * j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = {
+      val sig = Dedup.simhashSignature(docs.repartition(parts), "doc_id", "text", 16)
+      val mh = Dedup.minhashSignatures(docs.repartition(parts), "doc_id", "text", 4, 3)
+      (sig.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq,
+        mh.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
+    }
+    assert(run(1) == run(7))
+  }
+}

@@ -16,7 +16,8 @@ object SparkEntry {
     SamplingQueries,
     DedupQueries,
     SimilarityQueries,
-    TextQueries)
+    TextQueries,
+    TripletQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)
@@ -24,9 +25,10 @@ object SparkEntry {
     qs
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * a full train-split triplet batch. */
   def entry(spark: SparkSession): DataFrame =
-    all.head.fn(spark, "/root/testdata/sf0.001")
+    queries("q80_triplet_batch")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.core.{Determinism, Splits, SplitRatios}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic triplet/pair/text sampling — the reference's flagship
+  * capability (reference: src/sampler/mod.rs:125-156, 2460-2626) re-thought
+  * for distributed execution.
+  *
+  * The reference walks mutable cursors through a single-process record pool
+  * (sequential phase 1/3, rayon phase 2). Here every choice is a pure
+  * function of `(seed, stable id)` so the whole batch is ONE declarative
+  * plan:
+  *
+  *   - anchor section  = head tokens of the document (role=Anchor);
+  *     positive        = hash-picked sliding window of the context section
+  *     (same record — the reference's same-record A/P draw,
+  *     src/sampler/mod.rs:1162-1211);
+  *   - negative (WrongArticle, src/sampler/mod.rs:994-1053) = a different
+  *     record of the SAME source and SAME split. Selection is a rank-pick:
+  *     candidates get a per-(source,split) dense rank by seeded hash
+  *     (`row_number` window), the anchor picks `hash(neg:id) mod (gs-1)`
+  *     with a +1 skip over its own rank, and a single equi-join on
+  *     (source, split, rank) fetches it. That is O(n) with one shuffle —
+  *     NOT an O(n²) theta-join — and survives 100 TB; split isolation is
+  *     structural (join key includes split);
+  *   - 50% anchor/positive swap kills positional shortcuts
+  *     (reference: src/sampler/mod.rs:1329-1405): seeded coin per anchor;
+  *   - identical-text rejection (src/sampler/mod.rs:1372-1387);
+  *   - weight = recipe_weight × mean(anchor_w, positive_w, negative_w),
+  *     window weight `max(floor, 1/(idx+1))` (src/sampler/mod.rs:106-122),
+  *     emitted at exact e6 integer scale.
+  *
+  * Every step has a DuckDB mirror (duckTripletCtes) so the oracle replays
+  * the full pipeline.
+  */
+case class TripletConfig(
+    seed: String = "42",
+    windowTokens: Int = 32,
+    overlap: Int = 8,
+    anchorTokens: Int = 8,
+    minTokens: Int = 12,
+    ratios: SplitRatios = SplitRatios.Default,
+    recipeName: String = "role_anchor_context_wrong_article") {
+  def stride: Int = math.max(windowTokens - overlap, 1)
+}
+
+object Triplets {
+
+  /** Record prep: split label, anchor head section, context tokens, window
+    * count `k` per the chunker layout math. */
+  def prepare(docs: DataFrame, cfg: TripletConfig): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select(col("doc_id"), col("source"),
+        Splits.splitCol(col("doc_id"), cfg.seed, cfg.ratios).as("split"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= cfg.minTokens)
+      .withColumn("atoks", expr(s"slice(toks, 1, ${cfg.anchorTokens})"))
+      .withColumn("ctoks", expr(s"slice(toks, ${cfg.anchorTokens + 1}, n - ${cfg.anchorTokens})"))
+      .withColumn("atext", array_join(col("atoks"), " "))
+      .withColumn("cn", size(col("ctoks")))
+      .withColumn("span", least(lit(cfg.windowTokens), col("cn")))
+      .withColumn("k", when(col("cn") <= cfg.windowTokens, lit(1))
+        .otherwise(floor((col("cn") - col("span") + lit(cfg.stride - 1)) / lit(cfg.stride)).cast("int") + 1))
+      .drop("toks", "atoks", "n")
+  }
+
+  /** Full triplet table (pre-projection; carries texts for downstream). */
+  def triplets(docs: DataFrame, cfg: TripletConfig): DataFrame = {
+    val st = cfg.stride
+    val prepared = prepare(docs, cfg)
+    val wOrd = Window.partitionBy(col("source"), col("split"))
+      .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))
+    val wGrp = Window.partitionBy(col("source"), col("split"))
+    val ranked = prepared
+      .withColumn("rnk", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("gs", count(lit(1)).over(wGrp).cast("long"))
+    val anch = ranked.filter(col("gs") >= 2)
+      .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))
+      .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
+      .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+        col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+        col("k").as("ak"), col("pick"))
+    val negSide = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
+      col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
+      col("span").as("nspan"), col("k").as("nk"), col("rnk").as("nrnk"))
+    val joined = anch.join(negSide,
+      col("source") === col("nsource") && col("split") === col("nsplit") &&
+        col("nrnk") === col("pick"))
+    joined
+      .withColumn("pidx", pmod(Determinism.seeded("pos", col("aid")), col("ak")))
+      .withColumn("nidx", pmod(Determinism.seeded("negc",
+        concat(col("aid").cast("string"), lit(":"), col("nid").cast("string"))), col("nk")))
+      .withColumn("ptext", array_join(
+        expr(s"slice(actoks, pidx * $st + 1, least(aspan, acn - pidx * $st))"), " "))
+      .withColumn("ntext", array_join(
+        expr(s"slice(nctoks, nidx * $st + 1, least(nspan, ncn - nidx * $st))"), " "))
+      .withColumn("swapped", pmod(Determinism.seeded("swap", col("aid")), lit(2)) === 0)
+      .withColumn("pw_e6", greatest(lit(100000L), floor(lit(1000000) / (col("pidx") + 1)).cast("long")))
+      .withColumn("nw_e6", greatest(lit(100000L), floor(lit(1000000) / (col("nidx") + 1)).cast("long")))
+      .withColumn("weight_e6",
+        floor((lit(1000000L) + col("pw_e6") + col("nw_e6")) / lit(3.0)).cast("long"))
+      .filter(col("atext") =!= col("ptext") &&
+        col("ntext") =!= col("atext") && col("ntext") =!= col("ptext"))
+  }
+
+  /** Projected triplet rows with swap applied; text carried as portable
+    * content hashes (the texts themselves stay available upstream). */
+  def tripletRows(docs: DataFrame, cfg: TripletConfig): DataFrame =
+    triplets(docs, cfg).select(
+      col("aid"), col("nid"), col("split"), lit(cfg.recipeName).as("recipe"),
+      when(col("swapped"), Determinism.portableHash(col("ptext")))
+        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
+      when(col("swapped"), Determinism.portableHash(col("atext")))
+        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
+      Determinism.portableHash(col("ntext")).as("n_hash"),
+      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+
+  /** Pair derivation: each triplet yields a positive and a negative pair
+    * (reference: src/sampler/mod.rs:2062-2101). */
+  def pairRows(docs: DataFrame, cfg: TripletConfig): DataFrame = {
+    val t = tripletRows(docs, cfg)
+    val pos = t.select(col("aid"), col("nid"), col("split"), lit("positive").as("label"),
+      col("a_hash").as("l_hash"), col("p_hash").as("r_hash"),
+      lit("wrong_article").as("reason"), col("weight_e6"))
+    val neg = t.select(col("aid"), col("nid"), col("split"), lit("negative").as("label"),
+      col("a_hash").as("l_hash"), col("n_hash").as("r_hash"),
+      lit("wrong_article").as("reason"), col("weight_e6"))
+    pos.unionByName(neg)
+  }
+
+  /** Text samples: `draws` hash-picked context windows per record, deduped
+    * by (record, window) keeping the earliest draw
+    * (reference text path: src/sampler/mod.rs:2210-2364, dedup 3080-3089). */
+  def textRows(docs: DataFrame, cfg: TripletConfig, draws: Int): DataFrame = {
+    val st = cfg.stride
+    val drawn = prepare(docs, cfg)
+      .withColumn("draw0", explode(sequence(lit(0), lit(draws - 1))))
+      .withColumn("draw", col("draw0").cast("long")).drop("draw0")
+      .withColumn("widx", pmod(Determinism.seeded("txt",
+        concat(col("doc_id").cast("string"), lit(":"), col("draw").cast("string"))), col("k")))
+    val dedup = drawn.groupBy(col("doc_id"), col("split"), col("widx"),
+        col("ctoks"), col("cn"), col("span"))
+      .agg(min(col("draw")).as("draw"))
+    dedup
+      .withColumn("wtext", array_join(
+        expr(s"slice(ctoks, widx * $st + 1, least(span, cn - widx * $st))"), " "))
+      .select(col("doc_id"), col("split"), col("draw"),
+        col("widx").cast("long").as("widx"),
+        Determinism.portableHash(col("wtext")).as("whash"),
+        greatest(lit(100000L), floor(lit(1000000) / (col("widx") + 1)).cast("long")).as("weight_e6"))
+  }
+
+  // -------------------------------------------------------------------
+  // DuckDB mirror
+  // -------------------------------------------------------------------
+
+  /** Shared CTE chain computing the `trip` relation in DuckDB. */
+  def duckTripletCtes(cfg: TripletConfig): String = {
+    val st = cfg.stride
+    val W = cfg.windowTokens
+    val at = cfg.anchorTokens
+    val h = Determinism.duckSeeded _
+    s"""WITH recs AS (
+      SELECT doc_id, source, ${Splits.duckSplitSql("doc_id", cfg.seed, cfg.ratios)} AS split,
+        ${TextFunctions.duckTokens("text")} AS toks
+      FROM documents
+    ), prepared AS (
+      SELECT doc_id, source, split,
+        array_to_string(list_slice(toks, 1, $at), ' ') AS atext,
+        list_slice(toks, ${at + 1}, len(toks)) AS ctoks,
+        len(toks) - $at AS cn,
+        LEAST($W, len(toks) - $at) AS span,
+        CASE WHEN len(toks) - $at <= $W THEN 1
+             ELSE CAST(floor((len(toks) - $at - LEAST($W, len(toks) - $at) + ${st - 1}) / $st.0) AS INT) + 1 END AS k
+      FROM recs WHERE len(toks) >= ${cfg.minTokens}
+    ), ranked AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
+        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS gs
+      FROM prepared
+    ), anch AS (
+      SELECT *,
+        CASE WHEN ${h("neg", "doc_id")} % (gs - 1) >= rnk
+             THEN ${h("neg", "doc_id")} % (gs - 1) + 1
+             ELSE ${h("neg", "doc_id")} % (gs - 1) END AS pick
+      FROM ranked WHERE gs >= 2
+    ), joined AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch a JOIN ranked n
+        ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
+    ), sel AS (
+      SELECT *,
+        ${h("pos", "aid")} % ak AS pidx,
+        ${h("negc", "CAST(aid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)")} % nk AS nidx
+      FROM joined
+    ), trip AS (
+      SELECT aid, nid, split, atext, pidx, nidx,
+        array_to_string(list_slice(actoks, pidx * $st + 1, pidx * $st + LEAST(aspan, acn - pidx * $st)), ' ') AS ptext,
+        array_to_string(list_slice(nctoks, nidx * $st + 1, nidx * $st + LEAST(nspan, ncn - nidx * $st)), ' ') AS ntext,
+        (${h("swap", "aid")} % 2 = 0) AS swapped,
+        GREATEST(100000, 1000000 // (pidx + 1)) AS pw_e6,
+        GREATEST(100000, 1000000 // (nidx + 1)) AS nw_e6
+      FROM sel
+    ), tripf AS (
+      SELECT *, CAST(floor((1000000 + pw_e6 + nw_e6) / 3.0) AS BIGINT) AS weight_e6
+      FROM trip
+      WHERE atext <> ptext AND ntext <> atext AND ntext <> ptext
+    )"""
+  }
+
+  def duckTripletSql(cfg: TripletConfig): String = {
+    val dh = Determinism.duckHash _
+    s"""${duckTripletCtes(cfg)}
+      SELECT aid, nid, split, '${cfg.recipeName}' AS recipe,
+        CASE WHEN swapped THEN ${dh("ptext")} ELSE ${dh("atext")} END AS a_hash,
+        CASE WHEN swapped THEN ${dh("atext")} ELSE ${dh("ptext")} END AS p_hash,
+        ${dh("ntext")} AS n_hash,
+        swapped, CAST(pidx AS BIGINT) AS pidx, CAST(nidx AS BIGINT) AS nidx, weight_e6
+      FROM tripf"""
+  }
+
+  def duckPairSql(cfg: TripletConfig): String = {
+    val dh = Determinism.duckHash _
+    s"""${duckTripletCtes(cfg)}, t AS (
+        SELECT aid, nid, split,
+          CASE WHEN swapped THEN ${dh("ptext")} ELSE ${dh("atext")} END AS a_hash,
+          CASE WHEN swapped THEN ${dh("atext")} ELSE ${dh("ptext")} END AS p_hash,
+          ${dh("ntext")} AS n_hash, weight_e6
+        FROM tripf)
+      SELECT aid, nid, split, 'positive' AS label, a_hash AS l_hash, p_hash AS r_hash,
+        'wrong_article' AS reason, weight_e6 FROM t
+      UNION ALL
+      SELECT aid, nid, split, 'negative' AS label, a_hash AS l_hash, n_hash AS r_hash,
+        'wrong_article' AS reason, weight_e6 FROM t"""
+  }
+
+  def duckTextSql(cfg: TripletConfig, draws: Int): String = {
+    val st = cfg.stride
+    s"""${duckTripletCtes(cfg)}, drawn AS (
+        SELECT doc_id, split, ctoks, cn, span, k,
+          unnest(generate_series(0, ${draws - 1})) AS draw
+        FROM prepared
+      ), picked AS (
+        SELECT doc_id, split, ctoks, cn, span, CAST(draw AS BIGINT) AS draw,
+          ${Determinism.duckSeeded("txt", "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)")} % k AS widx
+        FROM drawn
+      ), dd AS (
+        SELECT doc_id, split, widx, ctoks, cn, span, CAST(min(draw) AS BIGINT) AS draw
+        FROM picked GROUP BY doc_id, split, widx, ctoks, cn, span
+      )
+      SELECT doc_id, split, draw, CAST(widx AS BIGINT) AS widx,
+        ${Determinism.duckHash(s"array_to_string(list_slice(ctoks, widx * $st + 1, widx * $st + LEAST(span, cn - widx * $st)), ' ')")} AS whash,
+        GREATEST(100000, 1000000 // (widx + 1)) AS weight_e6
+      FROM dd"""
+  }
+}

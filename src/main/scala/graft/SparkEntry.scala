@@ -17,7 +17,10 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    TripletQueries)
+    TripletQueries,
+    Bm25Queries,
+    TemporalQueries,
+    MetricsQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

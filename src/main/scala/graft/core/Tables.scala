@@ -14,6 +14,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+      // (µs) refuses; read it as a raw nanosecond long instead. All event
+      // time math then stays in exact int64 nanos — no double roundtrip —
+      // and the DuckDB oracle mirrors it with epoch_ns(ts).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

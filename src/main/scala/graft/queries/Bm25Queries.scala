@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.Tables
+import graft.operators.Bm25
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking + hard-negative rotation demonstrations.
+  * See [[graft.operators.Bm25]].
+  */
+object Bm25Queries extends QueryModule {
+
+  private val Queries = Seq(
+    1 -> "spark join table scan",
+    2 -> "hash agg window batch",
+    3 -> "customer order line value")
+  private val TopK = 10
+  private val RotTopK = 3 // reference BM25_HARD_NEGATIVE_ROTATION_TOP_K
+  private val RotDraws = 6
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q50_bm25_topk",
+      (s, dir) => {
+        val scored = Bm25.scores(s, Tables.load(s, dir, "documents"), "doc_id", "text", Queries)
+        Bm25.topK(scored, TopK).select(col("qid").cast("long").as("qid"),
+          col("doc_id"), col("score_e6"), col("rank"))
+      },
+      Some(s"""${Bm25.duckScoresCtes(Queries)},
+        ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank FROM agg)
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_e6, rank
+        FROM ranked WHERE rank <= $TopK""")),
+
+    QueryDef("q51_bm25_rotation",
+      (s, dir) => {
+        // stateless top-3 rotation: draw d picks ranked[(d mod min(3, pool)) + 1]
+        val scored = Bm25.scores(s, Tables.load(s, dir, "documents"), "doc_id", "text", Queries)
+        val top = Bm25.topK(scored, RotTopK)
+          .withColumn("pool", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))))
+        val draws = s.range(RotDraws).select(col("id").as("draw"))
+        top.crossJoin(broadcast(draws))
+          .filter(col("rank") === pmod(col("draw"), col("pool")) + 1)
+          .select(col("qid").cast("long").as("qid"), col("draw"), col("doc_id"), col("rank"))
+      },
+      Some(s"""${Bm25.duckScoresCtes(Queries)},
+        ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank FROM agg),
+        top3 AS (SELECT *, CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS pool FROM ranked WHERE rank <= $RotTopK),
+        draws AS (SELECT unnest(generate_series(0, ${RotDraws - 1})) AS draw)
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(draw AS BIGINT) AS draw, doc_id, rank
+        FROM top3 CROSS JOIN draws WHERE rank = (draw % pool) + 1"""))
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.{Determinism, Splits, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus metrics, capacity heuristics, and the mixing/epoch machinery:
+  * source-skew report (reference: src/metrics.rs:42-90), capacity
+  * estimation (src/heuristics.rs:21-46), order-insensitive population
+  * checksum (src/epoch.rs:301-316), exact weighted allocation (the
+  * deterministic counterpart of the reference's smooth weighted
+  * round-robin drain, src/ingestion.rs:607-675), epoch-interleaved
+  * ordering (src/epoch.rs:34-83), and pad-with-reuse batch exactness
+  * (src/sampler/mod.rs:3091-3100).
+  *
+  * The mutable-cursor machinery of the reference dissolves into rank
+  * arithmetic: allocation = largest-remainder over integer weights;
+  * interleave position = record_rank * num_sources + source_rank; padding
+  * = index modulo pool size. All exact integers, all replayed by the
+  * oracle.
+  */
+object MetricsQueries extends QueryModule {
+
+  private val Seed = "42"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q40_source_skew",
+      (s, dir) => {
+        val all = Window.partitionBy()
+        Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("share_e6", TextAnalysis.ratioE6(col("n"), sum(col("n")).over(all)))
+          .withColumn("imbalance_e6", TextAnalysis.ratioE6(col("n"), min(col("n")).over(all)))
+      },
+      Some(s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
+        SELECT source, n,
+          ${TextAnalysis.duckRatioE6("n", "sum(n) OVER ()")} AS share_e6,
+          ${TextAnalysis.duckRatioE6("n", "min(n) OVER ()")} AS imbalance_e6
+        FROM c""")),
+
+    QueryDef("q41_capacity",
+      (s, dir) => {
+        // effective = n*P*K with P=1, K=4 (reference: src/constants.rs:61-66)
+        Tables.load(s, dir, "documents")
+          .select(col("source"), Splits.splitCol(col("doc_id"), Seed).as("split"))
+          .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
+          .withColumn("raw_pairs", col("n") * (col("n") - 1))
+          .withColumn("effective", col("n") * 4)
+      },
+      Some(s"""WITH c AS (
+          SELECT source, ${Splits.duckSplitSql("doc_id", Seed)} AS split,
+            CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2)
+        SELECT source, split, n, n * (n - 1) AS raw_pairs, n * 4 AS effective FROM c""")),
+
+    QueryDef("q42_population_checksum",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_records"),
+            sum(Determinism.seeded("pc", concat(col("doc_id").cast("string"),
+              lit(":"), col("source")))).as("checksum"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(${Determinism.duckSeeded("pc", "CAST(doc_id AS VARCHAR) || ':' || source")}) AS BIGINT) AS checksum
+        FROM documents""")),
+
+    QueryDef("q43_weighted_allocation",
+      (s, dir) => {
+        val B = 1000L
+        val all = Window.partitionBy()
+        val byRem = Window.partitionBy().orderBy(col("rem").desc, col("source"))
+        Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("w", pmod(Determinism.seeded("w", col("source")), lit(5)) + 1)
+          .withColumn("tw", sum(col("w")).over(all))
+          .withColumn("flo", expr(s"($B * w) div tw"))
+          .withColumn("rem", pmod(lit(B) * col("w"), col("tw")))
+          .withColumn("short", lit(B) - sum(col("flo")).over(all))
+          .withColumn("rr", row_number().over(byRem).cast("long"))
+          .withColumn("alloc", col("flo") + when(col("rr") <= col("short"), 1L).otherwise(0L))
+          .select(col("source"), col("w"), col("alloc"))
+      },
+      Some(s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT source, ${Determinism.duckSeeded("w", "source")} % 5 + 1 AS w FROM c),
+        t AS (SELECT source, w, sum(w) OVER () AS tw,
+          (1000 * w) // (sum(w) OVER ()) AS flo,
+          (1000 * w) % (sum(w) OVER ()) AS rem FROM w),
+        r AS (SELECT *, 1000 - sum(flo) OVER () AS short,
+          CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr FROM t)
+        SELECT source, CAST(w AS BIGINT) AS w,
+          CAST(flo + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        FROM r""")),
+
+    QueryDef("q44_epoch_interleave",
+      (s, dir) => {
+        val epoch = 0
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .filter(Splits.splitCol(col("doc_id"), Seed) === Splits.Train)
+        val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("srank", row_number().over(Window.partitionBy()
+            .orderBy(Determinism.seeded(s"so:$epoch", col("source")), col("source"))).cast("long") - 1)
+          .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+          .select(col("source"), col("srank"), col("ns"))
+        d.join(broadcast(srcs), "source")
+          .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(Determinism.seeded(s"ro:$epoch", col("doc_id")), col("doc_id"))).cast("long") - 1)
+          .withColumn("pos", col("r") * col("ns") + col("srank"))
+          .filter(col("pos") < 100)
+          .select(col("doc_id"), col("source"), col("pos"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, source FROM documents
+          WHERE ${Splits.duckSplitSql("doc_id", Seed)} = 'train'
+        ), srcs AS (
+          SELECT source,
+            CAST(row_number() OVER (ORDER BY ${Determinism.duckSeeded("so:0", "source")}, source) AS BIGINT) - 1 AS srank,
+            CAST(count(*) OVER () AS BIGINT) AS ns
+          FROM (SELECT DISTINCT source FROM d)
+        ), rr AS (
+          SELECT d.doc_id, d.source, srcs.srank, srcs.ns,
+            CAST(row_number() OVER (PARTITION BY d.source ORDER BY ${Determinism.duckSeeded("ro:0", "doc_id")}, doc_id) AS BIGINT) - 1 AS r
+          FROM d JOIN srcs ON d.source = srcs.source
+        )
+        SELECT doc_id, source, r * ns + srank AS pos FROM rr WHERE r * ns + srank < 100""")),
+
+    QueryDef("q45_pad_with_reuse",
+      (s, dir) => {
+        val B = 64
+        val cands = Tables.load(s, dir, "documents")
+          .select(col("doc_id"))
+          .filter(Splits.splitCol(col("doc_id"), Seed) === Splits.Validation)
+          .withColumn("rn", row_number().over(Window.partitionBy()
+            .orderBy(Determinism.seeded("pad", col("doc_id")), col("doc_id"))).cast("long") - 1)
+          .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
+        s.range(B).select(col("id").as("i"))
+          .join(broadcast(cands), pmod(col("i"), col("nc")) === col("rn"))
+          .select(col("i"), col("doc_id"))
+      },
+      Some(s"""WITH cands AS (
+          SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY ${Determinism.duckSeeded("pad", "doc_id")}, doc_id) AS BIGINT) - 1 AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS nc
+          FROM documents WHERE ${Splits.duckSplitSql("doc_id", Seed)} = 'validation'
+        )
+        SELECT CAST(i AS BIGINT) AS i, doc_id
+        FROM generate_series(0, 63) t(i) JOIN cands ON i % nc = rn"""))
+  )
+}

@@ -20,7 +20,8 @@ object SparkEntry {
     TripletQueries,
     Bm25Queries,
     TemporalQueries,
-    MetricsQueries)
+    MetricsQueries,
+    SourceQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, and batch feature extraction over partitions.
+  *
+  * The real engine treats image/audio/video as binary columns plus a typed
+  * metadata struct and runs decode/feature-extraction as partition-batched
+  * UDFs. The codec layer is NOT available in this container, so
+  * [[fakeDecode]] is a clearly-marked deterministic STUB — the Spark-side
+  * contract (schema, encoders, batch iteration shape, partition-parallel
+  * execution, no shuffle) is real and tested. Swapping in a true decoder
+  * means replacing exactly one pure function.
+  *
+  * Scale notes: media rows are large — the media column must stay OUT of
+  * every shuffle. Feature extraction is a narrow `mapPartitions`; anything
+  * downstream joins on `(doc_id)` against the small feature table, never
+  * the payload.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, mime: String, media: Array[Byte], width: Int, height: Int)
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
+      head_byte: Int, aspect_e3: Long, feature_version: String)
+
+  /** Wrap a text corpus as fake media rows (UTF-8 payload + synthetic
+    * dimensions derived from the portable hash — oracle-reproducible). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("application/octet-stream").as("mime"),
+      col("text").cast("binary").as("media"),
+      (lit(320) + pmod(Determinism.seeded("w", col("doc_id")), lit(320))).cast("int").as("width"),
+      (lit(240) + pmod(Determinism.seeded("h", col("doc_id")), lit(240))).cast("int").as("height"))
+
+  /** STUB decoder: a real build decodes `media` with an image/audio codec
+    * here; this deterministic fake computes byte statistics so the
+    * partition-batched plumbing is exercised end-to-end. */
+  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
+      MediaFeatures(r.doc_id, r.media.length.toLong, sum,
+        if (r.media.nonEmpty) r.media(0) & 0xff else -1,
+        math.floorDiv(r.width.toLong * 1000L, r.height.toLong),
+        "fake-v1")
+    }
+
+  /** Partition-batched feature extraction (narrow; media never shuffles). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(fakeDecode)
+  }
+
+  /** Frame-sampling stub: picks `n` deterministic offsets in [0, nBytes) —
+    * the real implementation samples video frames at these positions. */
+  def frameOffsets(docId: Long, nBytes: Long, n: Int): Seq[Long] =
+    if (nBytes <= 0) Nil
+    else (0 until n).map(i => (i.toLong * nBytes) / n)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.{Determinism, Tables}
+import graft.operators.Multimodal
+import graft.sources._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Source-layer and multimodal demonstrations. The CSV/file-corpus queries
+  * materialize tiny deterministic fixtures under /tmp and verify the full
+  * read→record mapping against literal VALUES oracles — exact expected
+  * rows, not just row counts.
+  */
+object SourceQueries extends QueryModule {
+
+  private val FixDir = "/tmp/graft_fixtures"
+
+  private def ensureCsvFixture(): String = {
+    val p = Paths.get(FixDir, "csv_role.csv")
+    Files.createDirectories(p.getParent)
+    val content =
+      """question,answer
+        |What is alpha?,Alpha measures  risk-adjusted outperformance.
+        |What is beta?,Beta compares volatility.
+        | ,no anchor here
+        |What is gamma?,
+        |""".stripMargin
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  private def ensureCorpusFixture(): String = {
+    val root = Paths.get(FixDir, "corpus")
+    def put(rel: String, body: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8"))
+    }
+    put("source_a/2025-01-01/article_a.txt", "Body of article a. It has two sentences.")
+    put("source_a/2025-01-02/article_b.txt", "Body of article b.")
+    put("source_b/2026/02-14--DRAFT/qa_alpha.txt", "Alpha question body.")
+    root.toString
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q70_csv_source",
+      (s, dir) => {
+        val path = ensureCsvFixture()
+        import s.implicits._
+        val ds = CsvSource.read(s, CsvSourceConfig("csvfix", path,
+          anchorColumn = Some("Question"), positiveColumn = Some("answer"), trust = 0.9f))
+        ds.flatMap(r => r.sections.map(sec =>
+          (r.id, r.source, sec.role, sec.heading.getOrElse(""), sec.text,
+            sec.sentences.size.toLong)))
+          .toDF("id", "source", "role", "heading", "text", "n_sentences")
+      },
+      // row 2 (blank anchor) and row 3 (configured-but-blank positive) drop
+      Some("""SELECT * FROM (VALUES
+        ('csvfix::row_0','csvfix','anchor','Question','What is alpha?', CAST(1 AS BIGINT)),
+        ('csvfix::row_0','csvfix','context','answer','Alpha measures risk-adjusted outperformance.', CAST(1 AS BIGINT)),
+        ('csvfix::row_1','csvfix','anchor','Question','What is beta?', CAST(1 AS BIGINT)),
+        ('csvfix::row_1','csvfix','context','answer','Beta compares volatility.', CAST(1 AS BIGINT))
+        ) t(id, source, role, heading, text, n_sentences)""")),
+
+    QueryDef("q71_file_source",
+      (s, dir) => {
+        val root = ensureCorpusFixture()
+        import s.implicits._
+        val ds = FileSource.read(s, FileSourceConfig("fs", root))
+        ds.map(r => (r.id, r.source,
+          r.sections.head.text,
+          r.taxonomy.find(_.startsWith("date=")).getOrElse(""),
+          r.sections.size.toLong))
+          .toDF("id", "source", "anchor_text", "date_tag", "n_sections")
+      },
+      Some("""SELECT * FROM (VALUES
+        ('fs::source_a/2025-01-01/article_a.txt','fs','article a','date=2025-01-01', CAST(2 AS BIGINT)),
+        ('fs::source_a/2025-01-02/article_b.txt','fs','article b','date=2025-01-02', CAST(2 AS BIGINT)),
+        ('fs::source_b/2026/02-14--DRAFT/qa_alpha.txt','fs','qa alpha','date=2026-02-14', CAST(2 AS BIGINT))
+        ) t(id, source, anchor_text, date_tag, n_sections)""")),
+
+    QueryDef("q72_hf_line_mapping",
+      (s, dir) => {
+        // parse a source-list line, then map the documents table through the
+        // HF column config (documents stands in for a landed shard)
+        val entry = HfSourceList.parseLine(
+          "hf://acme/docs/default/train anchor=text trust=0.7 source_id=hfdocs")
+          .toOption.flatten.get
+        import s.implicits._
+        val shard = Tables.load(s, dir, "documents").orderBy("doc_id").limit(5)
+        HfSourceList.toRecords(s, shard, entry)
+          .map(r => (r.id, r.source, math.round(r.trust * 1000).toLong,
+            r.sections.size.toLong, r.sections.head.role))
+          .toDF("id", "source", "trust_e3", "n_sections", "first_role")
+      },
+      // anchor-only mapping: positive falls back to anchor → 2 sections/row
+      Some("""SELECT 'hfdocs::row_' || CAST(doc_id AS VARCHAR) AS id, 'hfdocs' AS source,
+        CAST(700 AS BIGINT) AS trust_e3, CAST(2 AS BIGINT) AS n_sections, 'anchor' AS first_role
+        FROM documents WHERE doc_id < 5""")),
+
+    QueryDef("q73_multimodal_bytes",
+      (s, dir) => {
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("mime"),
+            length(col("media")).cast("long").as("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+      },
+      Some(s"""SELECT doc_id, 'application/octet-stream' AS mime,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        320 + ${Determinism.duckSeeded("w", "doc_id")} % 320 AS width,
+        240 + ${Determinism.duckSeeded("h", "doc_id")} % 240 AS height
+        FROM documents""")),
+
+    QueryDef("q74_multimodal_decode",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+        Multimodal.extractFeatures(s, media).toDF()
+      },
+      None) // fake-decoder features: rows-only check (codec layer is stubbed)
+  )
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.time.LocalDate
+import scala.util.Try
+
+/** Folder-name date parsing
+  * (reference: src/source/indexing/date_helpers.rs:6-95).
+  *
+  * Accepts `MM-DD-YYYY` / `YYYY-MM-DD` (with `-` or `_` separators), a year
+  * folder plus `MM-DD[-YYYY]` (with optional `--SUFFIX` stripped), and
+  * month-range folders like `Jan + Feb 2026` (last month token wins,
+  * anchored to day 1).
+  */
+object DateHelpers {
+
+  def parseFolderDate(folder: String): Option[LocalDate] = {
+    val n = folder.replace('_', '-')
+    parseMdy(n).orElse(parseYmd(n))
+  }
+
+  def parseYearFolderDate(yearStr: String, folder: String): Option[LocalDate] = {
+    for {
+      year <- Try(yearStr.trim.toInt).toOption
+      core = folder.split("--").headOption.getOrElse(folder).trim
+      n = core.replace('_', '-')
+      d <- parseMdy(n).orElse(parseYmd(n)).orElse(parseMonthDay(n, year))
+    } yield d
+  }
+
+  def parseMonthRangeFolder(yearStr: String, folder: String): Option[LocalDate] =
+    for {
+      year <- Try(yearStr.trim.toInt).toOption
+      month <- folder.split("[^A-Za-z0-9]+").toSeq
+        .filter(_.nonEmpty).map(_.toLowerCase)
+        .flatMap(monthToNumber).lastOption
+      d <- Try(LocalDate.of(year, month, 1)).toOption
+    } yield d
+
+  /** Best-effort date from a directory chain: try each dir standalone, then
+    * (yearDir, dateDir) and month-range pairs. */
+  def dateFromDirs(dirs: Seq[String]): Option[String] = {
+    val standalone = dirs.flatMap(parseFolderDate)
+    val paired = dirs.sliding(2).flatMap {
+      case Seq(y, f) => parseYearFolderDate(y, f).orElse(parseMonthRangeFolder(y, f))
+      case _ => None
+    }.toSeq
+    (standalone ++ paired).headOption.map(_.toString)
+  }
+
+  private def parseMdy(s: String): Option[LocalDate] = s.split('-') match {
+    case Array(m, d, y) if y.length == 4 =>
+      Try(LocalDate.of(y.toInt, m.toInt, d.toInt)).toOption
+    case _ => None
+  }
+
+  private def parseYmd(s: String): Option[LocalDate] = s.split('-') match {
+    case Array(y, m, d) if y.length == 4 =>
+      Try(LocalDate.of(y.toInt, m.toInt, d.toInt)).toOption
+    case _ => None
+  }
+
+  private def parseMonthDay(s: String, year: Int): Option[LocalDate] = s.split('-') match {
+    case Array(m, d) =>
+      for {
+        mm <- Try(m.toInt).toOption if mm >= 1 && mm <= 12
+        dd <- Try(d.toInt).toOption if dd >= 1 && dd <= 31
+        date <- Try(LocalDate.of(year, mm, dd)).toOption
+      } yield date
+    case _ => None
+  }
+
+  private def monthToNumber(token: String): Option[Int] = token match {
+    case "jan" | "january" => Some(1)
+    case "feb" | "february" => Some(2)
+    case "mar" | "march" => Some(3)
+    case "apr" | "april" => Some(4)
+    case "may" => Some(5)
+    case "jun" | "june" => Some(6)
+    case "jul" | "july" => Some(7)
+    case "aug" | "august" => Some(8)
+    case "sep" | "sept" | "september" => Some(9)
+    case "oct" | "october" => Some(10)
+    case "nov" | "november" => Some(11)
+    case "dec" | "december" => Some(12)
+    case _ => None
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.core.{DataRecord, RecordSection, SectionRole}
+import graft.functions.Sentences
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.sql.Timestamp
+
+/** Shared record-construction helpers for all sources. */
+object Sources {
+  /** Deterministic default timestamp: sources with no time metadata pin
+    * epoch 0 rather than wall-clock (reproducibility over recency). */
+  val EpochTs = new Timestamp(0L)
+
+  def makeSection(role: String, heading: Option[String], text: String): RecordSection =
+    RecordSection(role, heading, text, Sentences.sentences(text))
+}
+
+/** CSV corpus source (reference: src/source/backends/csv_source.rs:143-348).
+  *
+  * Role mode: `anchorColumn` → Anchor section, `positiveColumn` (fallback:
+  * anchor) → Context. Text mode: one column duplicated into both roles
+  * (SimCSE). Header row required; column match is case-insensitive; values
+  * whitespace-normalized; rows with empty required fields are skipped.
+  * Record id = `<sourceId>::row_<idx>` with `idx` the file row order
+  * (stable-id contract: ids must survive re-reads, reference
+  * src/config.rs:138-145 — zipWithIndex over the file read preserves file
+  * order).
+  */
+case class CsvSourceConfig(
+    sourceId: String,
+    path: String,
+    anchorColumn: Option[String] = None,
+    positiveColumn: Option[String] = None,
+    textColumn: Option[String] = None,
+    trust: Float = 0.5f) {
+  require(anchorColumn.nonEmpty || textColumn.nonEmpty,
+    "CSV source needs anchorColumn (role mode) or textColumn (text mode)")
+  def isRoleMode: Boolean = anchorColumn.nonEmpty
+}
+
+object CsvSource {
+
+  def read(spark: SparkSession, cfg: CsvSourceConfig): Dataset[DataRecord] = {
+    import spark.implicits._
+    val df = spark.read.option("header", "true").csv(cfg.path)
+    val headers = df.columns
+    def resolve(name: Option[String]): Option[Int] =
+      name.flatMap(n => headers.indexWhere(_.equalsIgnoreCase(n)) match {
+        case -1 => None
+        case i => Some(i)
+      })
+    val aIdx = resolve(cfg.anchorColumn)
+    val pIdx = resolve(cfg.positiveColumn)
+    val tIdx = resolve(cfg.textColumn)
+    val roleMode = cfg.isRoleMode
+    val (sourceId, trust) = (cfg.sourceId, cfg.trust)
+    val aHeading = cfg.anchorColumn
+    val pHeading = cfg.positiveColumn.orElse(cfg.anchorColumn)
+    val tHeading = cfg.textColumn
+
+    val rows = df.rdd.zipWithIndex().flatMap { case (row, idx) =>
+      def cell(i: Option[Int]): String = i.map(j =>
+        Option(row.getString(j)).getOrElse("")).getOrElse("")
+      def norm(s: String): String = Sentences.normalizeInlineWhitespace(s)
+      val id = s"$sourceId::row_$idx"
+      val sections: Option[Seq[RecordSection]] =
+        if (roleMode) {
+          val anchor = norm(cell(aIdx))
+          // positive column, when configured, is required; otherwise the
+          // anchor text doubles as positive
+          val positiveOpt =
+            if (pIdx.nonEmpty) Some(norm(cell(pIdx))).filter(_.nonEmpty)
+            else Some(anchor)
+          if (anchor.isEmpty) None
+          else positiveOpt.map(positive => Seq(
+            Sources.makeSection(SectionRole.Anchor, aHeading, anchor),
+            Sources.makeSection(SectionRole.Context, pHeading, positive)))
+        } else {
+          val text = norm(cell(tIdx))
+          if (text.isEmpty) None
+          else Some(Seq(
+            Sources.makeSection(SectionRole.Anchor, tHeading, text),
+            Sources.makeSection(SectionRole.Context, tHeading, text)))
+        }
+      sections.map(secs => DataRecord(id, sourceId, Sources.EpochTs, Sources.EpochTs,
+        trust, Seq(sourceId), secs, None))
+    }
+    spark.createDataset(rows)
+  }
+}
+
+/** In-memory source (reference: src/source/backends/in_memory_source.rs). */
+object InMemorySource {
+  def read(spark: SparkSession, records: Seq[DataRecord]): Dataset[DataRecord] = {
+    import spark.implicits._
+    spark.createDataset(records)
+  }
+}
+
+/** File-corpus source (reference: src/source/backends/file_source.rs:213-312,
+  * id format src/source/indexing/file_corpus.rs:276-282).
+  *
+  * Recursive `.txt` scan; filename stem (underscores → spaces) becomes the
+  * Anchor section, the body the Context. Taxonomy = [sourceId, parent dirs
+  * under the root]; a parseable dated folder adds a `date=YYYY-MM-DD`
+  * taxonomy entry (reference: src/metadata.rs:8-34). Record id =
+  * `<sourceId>::<relative path>`.
+  */
+case class FileSourceConfig(sourceId: String, rootPath: String, trust: Float = 0.5f)
+
+object FileSource {
+  def read(spark: SparkSession, cfg: FileSourceConfig): Dataset[DataRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val df = spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.txt")
+      .text(cfg.rootPath)
+      .select(input_file_name().as("path"), org.apache.spark.sql.functions.col("value"))
+    val (sourceId, trust) = (cfg.sourceId, cfg.trust)
+    val root = cfg.rootPath.stripSuffix("/")
+    df.as[(String, String)].map { case (fullPath, body) =>
+      val cleaned = fullPath.stripPrefix("file://").stripPrefix("file:")
+      val rel = cleaned.substring(cleaned.indexOf(root) + root.length).stripPrefix("/")
+      val parts = rel.split('/')
+      val stem = parts.last.stripSuffix(".txt")
+      val anchor = Sentences.normalizeInlineWhitespace(stem.replace('_', ' '))
+      val dirs = parts.dropRight(1).toSeq
+      val date = DateHelpers.dateFromDirs(dirs)
+      val taxonomy = (sourceId +: dirs) ++ date.map(d => s"date=$d")
+      DataRecord(s"$sourceId::$rel", sourceId, Sources.EpochTs, Sources.EpochTs,
+        trust, taxonomy,
+        Seq(Sources.makeSection(SectionRole.Anchor, None, anchor),
+          Sources.makeSection(SectionRole.Context, None, body)),
+        None)
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.functions.{Kvp, KvpField, KvpPrefixSampler, Sentences}
+import graft.core.RecordChunk
+import graft.operators.{Decoration, Multimodal}
+import graft.sources.{DateHelpers, HfSourceList}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+
+  // ---- sentence splitter (reference: src/utils.rs:37-121) ----
+
+  test("sentences: basic boundaries on .!? with trailing text") {
+    assert(Sentences.sentences("One. Two! Three? Four") ==
+      Seq("One.", "Two!", "Three?", "Four"))
+  }
+
+  test("sentences: decimal, ticker, and ellipsis guards") {
+    assert(Sentences.sentences("Pi is 3.14 exactly.") == Seq("Pi is 3.14 exactly."))
+    assert(Sentences.sentences("Buy BRK.A now.") == Seq("Buy BRK.A now."))
+    // ellipsis guard prevents breaks inside the run; the final dot still
+    // terminates (reference: is_dot_boundary, src/utils.rs:96-103)
+    assert(Sentences.sentences("Wait... done.") == Seq("Wait...", "done."))
+  }
+
+  test("sentences: paragraph blocks split on blank lines, whitespace normalized") {
+    assert(Sentences.sentences("First   para\n\nSecond  para") ==
+      Seq("First para", "Second para"))
+  }
+
+  // ---- date helpers (reference: date_helpers.rs:6-95) ----
+
+  test("folder dates: MM-DD-YYYY, YYYY-MM-DD, underscores") {
+    assert(DateHelpers.parseFolderDate("02-14-2026").get.toString == "2026-02-14")
+    assert(DateHelpers.parseFolderDate("2026-02-14").get.toString == "2026-02-14")
+    assert(DateHelpers.parseFolderDate("02_14_2026").get.toString == "2026-02-14")
+    assert(DateHelpers.parseFolderDate("nonsense").isEmpty)
+  }
+
+  test("year folder + MM-DD with --SUFFIX stripping") {
+    assert(DateHelpers.parseYearFolderDate("2026", "02-14").get.toString == "2026-02-14")
+    assert(DateHelpers.parseYearFolderDate("2026", "04-14-2025--INCOMPLETE").get.toString == "2025-04-14")
+    assert(DateHelpers.parseYearFolderDate("notyear", "02-14").isEmpty)
+  }
+
+  test("month-range folder uses last month token, day 1") {
+    assert(DateHelpers.parseMonthRangeFolder("2026", "Jan + Feb 2026").get.toString == "2026-02-01")
+    assert(DateHelpers.parseMonthRangeFolder("2026", "Dec 2025 + Jan 2026").get.toString == "2026-01-01")
+  }
+
+  // ---- HF source-list parser (reference: huggingface_source.rs:231-417) ----
+
+  test("hf line: full form parses") {
+    val e = HfSourceList.parseLine(
+      "hf://zeitgeist-ai/financial-rag-nvidia-sec/default/train anchor=question positive=answer context=context")
+      .toOption.flatten.get
+    assert(e.dataset == "zeitgeist-ai/financial-rag-nvidia-sec")
+    assert(e.config == "default" && e.split == "train")
+    assert(e.anchorColumns == Seq("question") && e.contextColumns == Seq("context"))
+  }
+
+  test("hf line: defaults, multi-column text, trust, source_id") {
+    val e = HfSourceList.parseLine(
+      "hf://labofsahil/hackernews-vector-search-dataset/default text=title,text trust=0.7 source_id=hn")
+      .toOption.flatten.get
+    assert(e.split == "train" && e.textColumns == Seq("title", "text"))
+    assert(e.trust.contains(0.7f) && e.resolvedSourceId == "hn")
+  }
+
+  test("hf line: comments/blank skipped; unknown keys, bad trust, no mapping are hard errors") {
+    assert(HfSourceList.parseLine("# comment") == Right(None))
+    assert(HfSourceList.parseLine("   ") == Right(None))
+    assert(HfSourceList.parseLine("hf://a/b anchor=x bogus=1").isLeft)
+    assert(HfSourceList.parseLine("hf://a/b anchor=x trust=1.5").isLeft)
+    assert(HfSourceList.parseLine("hf://a/b").isLeft)
+    assert(HfSourceList.parseLine("s3://a/b anchor=x").isLeft)
+  }
+
+  // ---- KVP prefix sampler (reference: src/kvp.rs) ----
+
+  private val sampler = KvpPrefixSampler(1.0f, Seq(
+    Seq(KvpField("source", Seq("alpha", "beta")), KvpField("year", Seq("2025"))),
+    Seq(KvpField("topic", Seq("ml")))))
+
+  test("kvp: deterministic per stream key, varies across keys") {
+    val a = sampler.sample("rec1:0")
+    assert(a == sampler.sample("rec1:0"))
+    val distinct = (0 until 50).map(d => sampler.sample(s"rec1:$d")).distinct
+    assert(distinct.size > 1)
+  }
+
+  test("kvp: format is 'meta: k=v | k2=v2'; zero dropout yields None") {
+    val s = sampler.sample("rec9:3").get
+    assert(s.startsWith("meta: "))
+    assert(s.split('|').forall(_.contains("=")))
+    assert(KvpPrefixSampler(0f, sampler.variants).sample("x:0").isEmpty)
+    assert(KvpPrefixSampler(1f, Nil).sample("x:0").isEmpty)
+  }
+
+  test("kvp: dropout rate approximately honored") {
+    val half = KvpPrefixSampler(0.5f, sampler.variants)
+    val hits = (0 until 1000).count(d => half.sample(s"r:$d").nonEmpty)
+    assert(hits > 380 && hits < 620, s"got $hits/1000")
+  }
+
+  test("kvp: allMetadata collects everything without rolls") {
+    val meta = sampler.allMetadata
+    assert(meta("source") == Seq("alpha", "beta"))
+    assert(meta("topic") == Seq("ml"))
+  }
+
+  test("kvp: blank/duplicate values dropped; empty fields removed") {
+    val f = KvpField("k", Seq("", "a", "a", "b")).normalized
+    assert(f.values == Seq("a", "b"))
+    assert(KvpPrefixSampler(1f, Seq(Seq(KvpField("k", Nil)))).normalized.variants.isEmpty)
+  }
+
+  // ---- decoration (reference: src/sampler/mod.rs:1470-1508) ----
+
+  private def chunk(text: String) = RecordChunk("r1", "src", 0, "context",
+    "window", 0, 0, 32, 0f, text, text.split(" ").length, 1f)
+
+  test("decoration: prefix prepended with newline; budget trims body, prefix wins") {
+    val always = KvpPrefixSampler(1f, Seq(Seq(KvpField("k", Seq("v")))))
+    val d = Decoration.decorate(chunk("a b c d e f"), Some(always), 0, maxWindowTokens = 4)
+    // prefix "meta: k=v" = 2 tokens -> body budget 2
+    assert(d.text == "meta: k=v\na b")
+    assert(d.tokens_estimate == 4)
+    val none = Decoration.decorate(chunk("a b c"), None, 0, 4)
+    assert(none.text == "a b c")
+  }
+
+  // ---- multimodal stubs ----
+
+  test("multimodal: fake decoder computes byte stats deterministically") {
+    val row = Multimodal.MediaRow(7L, "application/octet-stream", "abc".getBytes, 320, 240)
+    val f = Multimodal.fakeDecode(Iterator(row)).next()
+    assert(f.n_bytes == 3 && f.byte_sum == 'a' + 'b' + 'c' && f.head_byte == 'a')
+    assert(f.aspect_e3 == 1333L)
+    assert(Multimodal.frameOffsets(1, 100, 4) == Seq(0L, 25L, 50L, 75L))
+    assert(Multimodal.frameOffsets(1, 0, 4).isEmpty)
+  }
+
+  test("detrng shuffle is a permutation and deterministic") {
+    val rng1 = new Kvp.DetRng("s")
+    val rng2 = new Kvp.DetRng("s")
+    val xs = (1 to 20).toList
+    val a = rng1.shuffle(xs)
+    assert(a == rng2.shuffle(xs))
+    assert(a.sorted == xs)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.Kvp
+
+/** Recipe engine — the reference's "query language"
+  * (reference: src/config.rs:147-237, src/sampler/mod.rs:691-799,
+  * 1775-1799, 2761-2801).
+  *
+  * Recipes are pure config: the scheduling that the reference drives with
+  * mutable round-robin indices becomes stateless ticket arithmetic —
+  * `pick(draw) = plan[(rrIndex + draw) mod |plan|]` — so any executor can
+  * compute the recipe for any slot, and resume is "persist rrIndex".
+  */
+sealed trait Selector
+object Selector {
+  case object RoleAnchor extends Selector
+  case object RoleContext extends Selector
+  /** n-th section of the record. */
+  case class Paragraph(idx: Int) extends Selector
+  /** As-of neighbor by created_at + days (same split; same source or same
+    * leading taxonomy value) — see TemporalQueries.q61 for the join form. */
+  case class TemporalOffset(days: Int) extends Selector
+  case object Random extends Selector
+}
+
+sealed trait NegativeStrategy { def reason: String }
+object NegativeStrategy {
+  /** Different record, same source+split (date-preferring). */
+  case object WrongArticle extends NegativeStrategy { val reason = "wrong_article" }
+  /** Same source+split, different `date=` taxonomy value. */
+  case object WrongPublicationDate extends NegativeStrategy { val reason = "wrong_publication_date" }
+  /** Any other same-source same-split record (mismatched Q/A). */
+  case object QuestionAnswerMismatch extends NegativeStrategy { val reason = "wrong_qa_pairing" }
+}
+
+case class TripletRecipe(
+    name: String,
+    anchor: Selector,
+    positive: Selector,
+    negative: NegativeStrategy,
+    weight: Float = 1.0f,
+    instruction: Option[String] = None,
+    allowSameAnchorPositive: Boolean = false)
+
+case class TextRecipe(name: String, selector: Selector, weight: Float = 1.0f)
+
+object Recipes {
+
+  /** Ticket multiplier cap (reference: RECIPE_ORDER_MAX_WEIGHT_MULTIPLIER,
+    * src/constants.rs:111-118). */
+  val MaxWeightMultiplier = 16
+
+  /** Name of the auto-injected long-section recipe
+    * (reference: src/sampler/mod.rs:44-55, 691-723). */
+  val AutoLongSectionRecipe = "auto_injected_long_section_chunk_pair_wrong_article"
+
+  /** Suffix applied when a negative falls back to cross-source same-split
+    * (reference: src/sampler/mod.rs:1391-1395). */
+  val FallbackSuffix = "_fallback_same_split"
+
+  /** Weighted, seeded ticket order: recipes with weight <= 0 are disabled;
+    * tickets = clamp(round(w / w_min), 1, 16) per recipe; the ticket list
+    * is shuffled with the epoch-mixed seed
+    * (reference: src/sampler/mod.rs:2761-2784). */
+  def ticketOrder(recipes: Seq[TripletRecipe], seed: String, epoch: Long): Seq[String] = {
+    val active = recipes.filter(_.weight > 0f)
+    if (active.isEmpty) return Nil
+    val wMin = active.map(_.weight).min
+    val tickets = active.flatMap { r =>
+      val n = math.max(1, math.min(MaxWeightMultiplier, math.round(r.weight / wMin)))
+      Seq.fill(n)(r.name)
+    }
+    new Kvp.DetRng(s"recipe-order:$seed:$epoch").shuffle(tickets)
+  }
+
+  /** Stateless round-robin pick over the ticket order. */
+  def pick(plan: Seq[String], rrIndex: Long, draw: Long): String =
+    plan(((rrIndex + draw) % plan.size).toInt)
+
+  /** Triplet recipes expand to per-slot text recipes
+    * (reference: src/sampler/mod.rs:1775-1799, heuristics.rs:100-124). */
+  def derivedTextRecipes(recipes: Seq[TripletRecipe]): Seq[TextRecipe] =
+    recipes.filter(_.weight > 0f).flatMap { r =>
+      Seq(
+        TextRecipe(s"${r.name}_anchor", r.anchor, r.weight),
+        TextRecipe(s"${r.name}_positive", r.positive, r.weight),
+        TextRecipe(s"${r.name}_negative", Selector.Random, r.weight))
+    }
+
+  /** Stage-A eligibility for the auto-injected long-section recipe: some
+    * record in the source has a section exceeding the window
+    * (reference: src/sampler/mod.rs:1801-1835). */
+  def withAutoInjected(recipes: Seq[TripletRecipe], maxSectionTokens: Long,
+      maxWindowTokens: Int): Seq[TripletRecipe] =
+    if (maxSectionTokens > maxWindowTokens &&
+      !recipes.exists(_.name == AutoLongSectionRecipe))
+      recipes :+ TripletRecipe(AutoLongSectionRecipe,
+        Selector.RoleContext, Selector.RoleContext,
+        NegativeStrategy.WrongArticle, weight = 0.5f)
+    else recipes
+}

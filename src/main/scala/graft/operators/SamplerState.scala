@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.util.Try
+
+/** Restart-resume persistence.
+  *
+  * Because every sampling choice in this engine is a pure function of
+  * `(seed, epoch, id, draw counter)`, resumable state is just the counters
+  * — the distributed analogue of the reference's `PersistedSamplerState`
+  * (reference: src/splits.rs:100-117, save/load src/sampler/mod.rs:570-617),
+  * which persists cycle indices, cursors, and RNG words but never data.
+  *
+  * Files are written temp-then-publish (atomic rename), mirroring
+  * `FileSplitStore`'s never-partially-written contract
+  * (reference: src/splits.rs:571-611). The format is a flat,
+  * dependency-free JSON object.
+  */
+case class SamplerState(
+    seed: String,
+    epoch: Long,
+    counters: Map[String, Long]) {
+  def advanced(key: String, by: Long = 1L): SamplerState =
+    copy(counters = counters.updated(key, counters.getOrElse(key, 0L) + by))
+  def counter(key: String): Long = counters.getOrElse(key, 0L)
+}
+
+object SamplerState {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJson(st: SamplerState): String = {
+    val counters = st.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")
+    s"""{"seed": "${esc(st.seed)}", "epoch": ${st.epoch}, "counters": {$counters}}"""
+  }
+
+  /** Minimal parser for exactly the shape [[toJson]] emits. */
+  def fromJson(json: String): Option[SamplerState] = Try {
+    val seed = """"seed":\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).get.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val epoch = """"epoch":\s*(-?\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val body = """"counters":\s*\{([^}]*)\}""".r.findFirstMatchIn(json).get.group(1)
+    val counters = """"((?:[^"\\]|\\.)*)":\s*(-?\d+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong)
+      .toMap
+    SamplerState(seed, epoch, counters)
+  }.toOption
+
+  /** Temp-then-publish save; the target path is never partially written. */
+  def save(st: SamplerState, path: String): Unit = {
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp: Path = Paths.get(path + ".tmp")
+    Files.writeString(tmp, toJson(st))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(path: String): Option[SamplerState] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else fromJson(Files.readString(p))
+  }
+}

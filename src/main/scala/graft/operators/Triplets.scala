@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.{Determinism, Splits, SplitRatios}
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -70,7 +70,6 @@ object Triplets {
 
   /** Full triplet table (pre-projection; carries texts for downstream). */
   def triplets(docs: DataFrame, cfg: TripletConfig): DataFrame = {
-    val st = cfg.stride
     val prepared = prepare(docs, cfg)
     val wOrd = Window.partitionBy(col("source"), col("split"))
       .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))
@@ -90,6 +89,13 @@ object Triplets {
     val joined = anch.join(negSide,
       col("source") === col("nsource") && col("split") === col("nsplit") &&
         col("nrnk") === col("pick"))
+    finish(joined, cfg)
+  }
+
+  /** Chunk picks, swap, weights, and rejection — shared by every negative
+    * strategy; expects the anchor↔negative joined shape. */
+  private def finish(joined: DataFrame, cfg: TripletConfig): DataFrame = {
+    val st = cfg.stride
     joined
       .withColumn("pidx", pmod(Determinism.seeded("pos", col("aid")), col("ak")))
       .withColumn("nidx", pmod(Determinism.seeded("negc",
@@ -135,10 +141,16 @@ object Triplets {
   /** Text samples: `draws` hash-picked context windows per record, deduped
     * by (record, window) keeping the earliest draw
     * (reference text path: src/sampler/mod.rs:2210-2364, dedup 3080-3089). */
-  def textRows(docs: DataFrame, cfg: TripletConfig, draws: Int): DataFrame = {
+  def textRows(docs: DataFrame, cfg: TripletConfig, draws: Int): DataFrame =
+    textRowsRange(docs, cfg, 0, draws)
+
+  /** Draw-range form: because draws are stateless counters, a run resumed
+    * at draw `from` continues the exact uninterrupted sequence — this is
+    * the restart-resume contract (see operators.SamplerState). */
+  def textRowsRange(docs: DataFrame, cfg: TripletConfig, fromDraw: Long, untilDraw: Long): DataFrame = {
     val st = cfg.stride
     val drawn = prepare(docs, cfg)
-      .withColumn("draw0", explode(sequence(lit(0), lit(draws - 1))))
+      .withColumn("draw0", explode(sequence(lit(fromDraw), lit(untilDraw - 1))))
       .withColumn("draw", col("draw0").cast("long")).drop("draw0")
       .withColumn("widx", pmod(Determinism.seeded("txt",
         concat(col("doc_id").cast("string"), lit(":"), col("draw").cast("string"))), col("k")))
@@ -152,6 +164,114 @@ object Triplets {
         col("widx").cast("long").as("widx"),
         Determinism.portableHash(col("wtext")).as("whash"),
         greatest(lit(100000L), floor(lit(1000000) / (col("widx") + 1)).cast("long")).as("weight_e6"))
+  }
+
+  /** WrongPublicationDate negatives (reference: src/sampler/mod.rs:1054-1108):
+    * same source+split, *different* publication date. Two-level rank-pick:
+    * hash-pick a date group other than the anchor's, then hash-pick a
+    * record inside it — three equi-joins, no theta join, split/date
+    * isolation structural. `dateExpr` derives the date key from a document
+    * row (the synthetic corpus has no real dates, so callers supply one). */
+  def tripletsWrongDate(docs: DataFrame, cfg: TripletConfig, dateExpr: Column): DataFrame = {
+    val p = prepare(docs, cfg)
+    val withDate = docs.withColumn("pub_date", dateExpr.cast("string"))
+      .select(col("doc_id").as("did"), col("pub_date"))
+    val base = p.join(withDate, col("doc_id") === col("did")).drop("did")
+    val wDate = Window.partitionBy(col("source"), col("split"), col("pub_date"))
+    val dates = base.select(col("source"), col("split"), col("pub_date")).distinct()
+      .withColumn("drnk", row_number().over(Window.partitionBy(col("source"), col("split"))
+        .orderBy(Determinism.seeded("dord", col("pub_date")), col("pub_date"))).cast("long") - 1)
+      .withColumn("dcnt", count(lit(1)).over(Window.partitionBy(col("source"), col("split"))).cast("long"))
+    val cranked = base
+      .withColumn("crnk", row_number().over(wDate
+        .orderBy(Determinism.seeded("cord", col("doc_id")), col("doc_id"))).cast("long") - 1)
+      .withColumn("ccnt", count(lit(1)).over(wDate).cast("long"))
+    val anch = base.join(dates, Seq("source", "split", "pub_date"))
+      .filter(col("dcnt") >= 2)
+      .withColumn("dpick0", pmod(Determinism.seeded("dpick", col("doc_id")), col("dcnt") - 1))
+      .withColumn("dpick", when(col("dpick0") >= col("drnk"), col("dpick0") + 1).otherwise(col("dpick0")))
+      .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+        col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+        col("k").as("ak"), col("dpick"))
+    val tgt = dates.select(col("source").as("tsource"), col("split").as("tsplit"),
+      col("pub_date").as("tdate"), col("drnk").as("tdrnk"))
+    val withTarget = anch.join(tgt,
+      col("source") === col("tsource") && col("split") === col("tsplit") &&
+        col("tdrnk") === col("dpick"))
+    val negSide = cranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
+      col("split").as("nsplit"), col("pub_date").as("ndate"),
+      col("ctoks").as("nctoks"), col("cn").as("ncn"), col("span").as("nspan"),
+      col("k").as("nk"), col("crnk"), col("ccnt"))
+    val joined = withTarget.join(negSide,
+      col("source") === col("nsource") && col("split") === col("nsplit") &&
+        col("tdate") === col("ndate") &&
+        col("crnk") === pmod(Determinism.seeded("cpick", col("aid")), col("ccnt")))
+    finish(joined, cfg)
+  }
+
+  /** [[tripletsWrongDate]] projected as triplet rows. */
+  def tripletRowsWrongDate(docs: DataFrame, cfg: TripletConfig, dateExpr: Column,
+      recipeName: String): DataFrame =
+    tripletsWrongDate(docs, cfg, dateExpr).select(
+      col("aid"), col("nid"), col("split"), lit(recipeName).as("recipe"),
+      when(col("swapped"), Determinism.portableHash(col("ptext")))
+        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
+      when(col("swapped"), Determinism.portableHash(col("atext")))
+        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
+      Determinism.portableHash(col("ntext")).as("n_hash"),
+      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+
+  /** Cross-source same-split fallback lane: anchors whose (source, split)
+    * pool is a singleton draw their negative from the whole split instead;
+    * the recipe name gains the `_fallback_same_split` suffix
+    * (reference: src/sampler/mod.rs:994-1053, 1391-1395). */
+  def tripletRowsWithFallback(docs: DataFrame, cfg: TripletConfig): DataFrame = {
+    val prepared = prepare(docs, cfg)
+    val ranked = prepared
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"), col("split"))
+        .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))).cast("long") - 1)
+      .withColumn("gs", count(lit(1)).over(Window.partitionBy(col("source"), col("split"))).cast("long"))
+      .withColumn("frnk", row_number().over(Window.partitionBy(col("split"))
+        .orderBy(Determinism.seeded("ford", col("doc_id")), col("doc_id"))).cast("long") - 1)
+      .withColumn("fgs", count(lit(1)).over(Window.partitionBy(col("split"))).cast("long"))
+    val main = {
+      val anch = ranked.filter(col("gs") >= 2)
+        .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))
+        .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
+        .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+          col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+          col("k").as("ak"), col("pick"))
+      val negSide = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
+        col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
+        col("span").as("nspan"), col("k").as("nk"), col("rnk").as("nrnk"))
+      finish(anch.join(negSide,
+        col("source") === col("nsource") && col("split") === col("nsplit") &&
+          col("nrnk") === col("pick")), cfg)
+        .withColumn("recipe", lit(cfg.recipeName))
+    }
+    val fallback = {
+      val anch = ranked.filter(col("gs") < 2 && col("fgs") >= 2)
+        .withColumn("pick0", pmod(Determinism.seeded("fneg", col("doc_id")), col("fgs") - 1))
+        .withColumn("pick", when(col("pick0") >= col("frnk"), col("pick0") + 1).otherwise(col("pick0")))
+        .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+          col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+          col("k").as("ak"), col("pick"))
+      val negSide = ranked.select(col("doc_id").as("nid"),
+        col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
+        col("span").as("nspan"), col("k").as("nk"), col("frnk").as("nfrnk"))
+      finish(anch.join(negSide,
+        col("split") === col("nsplit") && col("nfrnk") === col("pick")), cfg)
+        .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
+    }
+    val project = (df: DataFrame) => df.select(
+      col("aid"), col("nid"), col("split"), col("recipe"),
+      when(col("swapped"), Determinism.portableHash(col("ptext")))
+        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
+      when(col("swapped"), Determinism.portableHash(col("atext")))
+        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
+      Determinism.portableHash(col("ntext")).as("n_hash"),
+      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+    project(main).unionByName(project(fallback))
   }
 
   // -------------------------------------------------------------------
@@ -258,5 +378,134 @@ object Triplets {
         ${Determinism.duckHash(s"array_to_string(list_slice(ctoks, widx * $st + 1, widx * $st + LEAST(span, cn - widx * $st)), ' ')")} AS whash,
         GREATEST(100000, 1000000 // (widx + 1)) AS weight_e6
       FROM dd"""
+  }
+
+  // --- composable fragments for the strategy variants ---
+
+  private def duckPreparedCtes(cfg: TripletConfig, where: String, dateExpr: Option[String]): String = {
+    val st = cfg.stride
+    val W = cfg.windowTokens
+    val at = cfg.anchorTokens
+    val dateIn = dateExpr.map(e => s", CAST(($e) AS VARCHAR) AS pub_date").getOrElse("")
+    val dateOut = dateExpr.map(_ => ", pub_date").getOrElse("")
+    s"""WITH recs AS (
+      SELECT doc_id, source, ${Splits.duckSplitSql("doc_id", cfg.seed, cfg.ratios)} AS split,
+        ${TextFunctions.duckTokens("text")} AS toks$dateIn
+      FROM documents WHERE $where
+    ), prepared AS (
+      SELECT doc_id, source, split$dateOut,
+        array_to_string(list_slice(toks, 1, $at), ' ') AS atext,
+        list_slice(toks, ${at + 1}, len(toks)) AS ctoks,
+        len(toks) - $at AS cn,
+        LEAST($W, len(toks) - $at) AS span,
+        CASE WHEN len(toks) - $at <= $W THEN 1
+             ELSE CAST(floor((len(toks) - $at - LEAST($W, len(toks) - $at) + ${st - 1}) / $st.0) AS INT) + 1 END AS k
+      FROM recs WHERE len(toks) >= ${cfg.minTokens}
+    )"""
+  }
+
+  private def duckTailCtes(cfg: TripletConfig, joinedName: String, sfx: String): String = {
+    val st = cfg.stride
+    val h = Determinism.duckSeeded _
+    s""", sel$sfx AS (
+      SELECT *,
+        ${h("pos", "aid")} % ak AS pidx,
+        ${h("negc", "CAST(aid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)")} % nk AS nidx
+      FROM $joinedName
+    ), trip$sfx AS (
+      SELECT aid, nid, split, atext, pidx, nidx,
+        array_to_string(list_slice(actoks, pidx * $st + 1, pidx * $st + LEAST(aspan, acn - pidx * $st)), ' ') AS ptext,
+        array_to_string(list_slice(nctoks, nidx * $st + 1, nidx * $st + LEAST(nspan, ncn - nidx * $st)), ' ') AS ntext,
+        (${h("swap", "aid")} % 2 = 0) AS swapped,
+        GREATEST(100000, 1000000 // (pidx + 1)) AS pw_e6,
+        GREATEST(100000, 1000000 // (nidx + 1)) AS nw_e6
+      FROM sel$sfx
+    ), tripf$sfx AS (
+      SELECT *, CAST(floor((1000000 + pw_e6 + nw_e6) / 3.0) AS BIGINT) AS weight_e6
+      FROM trip$sfx
+      WHERE atext <> ptext AND ntext <> atext AND ntext <> ptext
+    )"""
+  }
+
+  private def duckProjectSql(recipeSql: String, tripfName: String): String = {
+    val dh = Determinism.duckHash _
+    s"""SELECT aid, nid, split, $recipeSql AS recipe,
+        CASE WHEN swapped THEN ${dh("ptext")} ELSE ${dh("atext")} END AS a_hash,
+        CASE WHEN swapped THEN ${dh("atext")} ELSE ${dh("ptext")} END AS p_hash,
+        ${dh("ntext")} AS n_hash,
+        swapped, CAST(pidx AS BIGINT) AS pidx, CAST(nidx AS BIGINT) AS nidx, weight_e6
+      FROM $tripfName"""
+  }
+
+  /** Oracle for [[tripletsWrongDate]] projected as triplet rows. */
+  def duckWrongDateSql(cfg: TripletConfig, dateExpr: String, recipeName: String): String = {
+    val h = Determinism.duckSeeded _
+    s"""${duckPreparedCtes(cfg, "TRUE", Some(dateExpr))}, dates AS (
+      SELECT source, split, pub_date,
+        CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("dord", "pub_date")}, pub_date) AS BIGINT) - 1 AS drnk,
+        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS dcnt
+      FROM (SELECT DISTINCT source, split, pub_date FROM prepared)
+    ), cranked AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY source, split, pub_date ORDER BY ${h("cord", "doc_id")}, doc_id) AS BIGINT) - 1 AS crnk,
+        CAST(count(*) OVER (PARTITION BY source, split, pub_date) AS BIGINT) AS ccnt
+      FROM prepared
+    ), anch AS (
+      SELECT p.*, d.drnk, d.dcnt,
+        CASE WHEN ${h("dpick", "p.doc_id")} % (d.dcnt - 1) >= d.drnk
+             THEN ${h("dpick", "p.doc_id")} % (d.dcnt - 1) + 1
+             ELSE ${h("dpick", "p.doc_id")} % (d.dcnt - 1) END AS dpick
+      FROM prepared p JOIN dates d
+        ON p.source = d.source AND p.split = d.split AND p.pub_date = d.pub_date
+      WHERE d.dcnt >= 2
+    ), joined AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch a
+      JOIN dates t ON a.source = t.source AND a.split = t.split AND t.drnk = a.dpick
+      JOIN cranked n ON n.source = a.source AND n.split = a.split AND n.pub_date = t.pub_date
+        AND n.crnk = ${h("cpick", "a.doc_id")} % n.ccnt
+    )${duckTailCtes(cfg, "joined", "")}
+    ${duckProjectSql(s"'$recipeName'", "tripf")}"""
+  }
+
+  /** Oracle for [[tripletRowsWithFallback]] over a filtered corpus. */
+  def duckFallbackSql(cfg: TripletConfig, where: String): String = {
+    val h = Determinism.duckSeeded _
+    s"""${duckPreparedCtes(cfg, where, None)}, ranked AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
+        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS gs,
+        CAST(row_number() OVER (PARTITION BY split ORDER BY ${h("ford", "doc_id")}, doc_id) AS BIGINT) - 1 AS frnk,
+        CAST(count(*) OVER (PARTITION BY split) AS BIGINT) AS fgs
+      FROM prepared
+    ), anch_m AS (
+      SELECT *,
+        CASE WHEN ${h("neg", "doc_id")} % (gs - 1) >= rnk
+             THEN ${h("neg", "doc_id")} % (gs - 1) + 1
+             ELSE ${h("neg", "doc_id")} % (gs - 1) END AS pick
+      FROM ranked WHERE gs >= 2
+    ), joined_m AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch_m a JOIN ranked n
+        ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
+    )${duckTailCtes(cfg, "joined_m", "_m")}, anch_f AS (
+      SELECT *,
+        CASE WHEN ${h("fneg", "doc_id")} % (fgs - 1) >= frnk
+             THEN ${h("fneg", "doc_id")} % (fgs - 1) + 1
+             ELSE ${h("fneg", "doc_id")} % (fgs - 1) END AS pick
+      FROM ranked WHERE gs < 2 AND fgs >= 2
+    ), joined_f AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch_f a JOIN ranked n ON a.split = n.split AND n.frnk = a.pick
+    )${duckTailCtes(cfg, "joined_f", "_f")}
+    ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_m")}
+    UNION ALL
+    ${duckProjectSql(s"'${cfg.recipeName}${Recipes.FallbackSuffix}'", "tripf_f")}"""
   }
 }

@@ -26,6 +26,29 @@ object TripletQueries extends QueryModule {
 
     QueryDef("q82_text_batch",
       (s, dir) => Triplets.textRows(Tables.load(s, dir, "documents"), cfg, TextDraws),
-      Some(Triplets.duckTextSql(cfg, TextDraws)))
+      Some(Triplets.duckTextSql(cfg, TextDraws))),
+
+    QueryDef("q83_triplet_fallback_lane",
+      // a sparse corpus (1 in 50 docs) forces singleton (source, split)
+      // pools → those anchors take the cross-source same-split fallback
+      // with the recipe suffixed _fallback_same_split
+      (s, dir) => Triplets.tripletRowsWithFallback(
+        Tables.load(s, dir, "documents").filter(org.apache.spark.sql.functions.expr("doc_id % 50 = 0")), cfg),
+      Some(Triplets.duckFallbackSql(cfg, "doc_id % 50 = 0"))),
+
+    QueryDef("q84_triplet_wrong_date",
+      // synthetic publication date (docs carry none): hash-derived day so
+      // dates decorrelate from the source assignment pattern
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.core.Determinism
+        Triplets.tripletRowsWrongDate(Tables.load(s, dir, "documents"), cfg,
+          concat(lit("2025-01-0"),
+            (pmod(Determinism.seeded("day", col("doc_id")), lit(5)) + 1).cast("string")),
+          "wrong_publication_date")
+      },
+      Some(Triplets.duckWrongDateSql(cfg,
+        s"'2025-01-0' || CAST(${graft.core.Determinism.duckSeeded("day", "doc_id")} % 5 + 1 AS VARCHAR)",
+        "wrong_publication_date")))
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.core.Tables
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class StateAndRecipesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- sampler-state persistence (reference: FileSplitStore semantics) ----
+
+  test("sampler state: save/load roundtrip, temp-then-publish") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val path = s"$dir/state.json"
+    val st = SamplerState("seed-x", 3L, Map("text:train" -> 7L, "trip\"let" -> 2L))
+    SamplerState.save(st, path)
+    assert(SamplerState.load(path).contains(st))
+    assert(!Files.exists(Paths.get(path + ".tmp")))
+    // overwrite publishes atomically
+    SamplerState.save(st.advanced("text:train", 5), path)
+    assert(SamplerState.load(path).get.counter("text:train") == 12L)
+    assert(SamplerState.load(s"$dir/absent.json").isEmpty)
+  }
+
+  test("resume: draw-range batches continue the uninterrupted sequence") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cfg = TripletConfig()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val uninterrupted = canon(Triplets.textRowsRange(docs, cfg, 0, 4))
+    // run 0..2, persist the counter, restore, run 2..4
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val part1 = canon(Triplets.textRowsRange(docs, cfg, 0, 2))
+    SamplerState.save(SamplerState(cfg.seed, 0L, Map("text_draw" -> 2L)), s"$dir/st.json")
+    val restored = SamplerState.load(s"$dir/st.json").get
+    val part2 = canon(Triplets.textRowsRange(docs, cfg, restored.counter("text_draw"), 4))
+    // dedup keeps the earliest draw per (doc, window): union of the halves
+    // minus later-draw duplicates equals the uninterrupted run
+    val merged = (part1 ++ part2).groupBy(r => (r(0), r(3))) // (doc_id, widx)
+      .values.map(_.minBy(_(2).asInstanceOf[Long])).toSet   // min draw wins
+    assert(merged == uninterrupted)
+  }
+
+  // ---- recipe engine (reference: src/sampler/mod.rs:2761-2801) ----
+
+  private val recipes = Seq(
+    TripletRecipe("a", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.75f),
+    TripletRecipe("b", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongPublicationDate, weight = 0.25f),
+    TripletRecipe("off", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.QuestionAnswerMismatch, weight = 0f))
+
+  test("ticket order: weights to tickets, disabled excluded, deterministic") {
+    val plan = Recipes.ticketOrder(recipes, "s", 0L)
+    assert(plan.count(_ == "a") == 3) // round(0.75/0.25)=3
+    assert(plan.count(_ == "b") == 1)
+    assert(!plan.contains("off"))
+    assert(plan == Recipes.ticketOrder(recipes, "s", 0L))
+    assert(Recipes.ticketOrder(recipes, "s", 1L) != plan ||
+      Recipes.ticketOrder(recipes, "t", 0L) != plan) // seed/epoch reshuffles
+    // cap at 16 tickets
+    val extreme = Seq(recipes(0).copy(weight = 100f), recipes(1).copy(weight = 0.001f))
+    assert(Recipes.ticketOrder(extreme, "s", 0L).count(_ == "a") == 16)
+  }
+
+  test("stateless round-robin pick rotates through the plan") {
+    val plan = Recipes.ticketOrder(recipes, "s", 0L)
+    val picks = (0 until plan.size * 2).map(d => Recipes.pick(plan, 5L, d.toLong))
+    assert(picks.take(plan.size) == picks.drop(plan.size)) // full rotation
+  }
+
+  test("derived text recipes expand per slot") {
+    val derived = Recipes.derivedTextRecipes(recipes)
+    assert(derived.map(_.name).toSet ==
+      Set("a_anchor", "a_positive", "a_negative", "b_anchor", "b_positive", "b_negative"))
+  }
+
+  test("auto-injected long-section recipe appears only when a section exceeds the window") {
+    val r1 = Recipes.withAutoInjected(recipes, maxSectionTokens = 2000, maxWindowTokens = 1024)
+    assert(r1.exists(_.name == Recipes.AutoLongSectionRecipe))
+    val r2 = Recipes.withAutoInjected(recipes, maxSectionTokens = 500, maxWindowTokens = 1024)
+    assert(!r2.exists(_.name == Recipes.AutoLongSectionRecipe))
+    assert(Recipes.withAutoInjected(r1, 2000, 1024).size == r1.size) // idempotent
+  }
+
+  // ---- partition invariance for the flagship (SURVEY §7.4 hard part) ----
+
+  test("triplet batch is partition-count invariant") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cfg = TripletConfig()
+    val a = Triplets.tripletRows(docs.repartition(1), cfg).collect().map(_.toSeq).toSet
+    val b = Triplets.tripletRows(docs.repartition(13), cfg).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Batch/stream equivalence: the same transformations must produce the
+  * same results from a parquet-backed stream as from the batch frame. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def eventsFixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // 3 users, deterministic µs timestamps spread over 2 days
+    (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 37L * 60000L),
+        (i % 3).toLong, if (i % 5 == 0) "purchase" else "click", (i % 7) * 1.25)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("windowed agg: streaming over parquet == batch") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val df = eventsFixture()
+    df.write.mode("overwrite").parquet(dir)
+    val batch = EventStreams.windowedAgg(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+
+    val stream = EventStreams.windowedAgg(
+      spark.readStream.schema(df.schema).parquet(dir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg_test").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows: streaming over parquet == batch") {
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val df = eventsFixture()
+    df.write.mode("overwrite").parquet(dir)
+    val batch = EventStreams.sessionAgg(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+    val q = EventStreams.sessionAgg(spark.readStream.schema(df.schema).parquet(dir))
+      .writeStream.outputMode("complete").format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_test").collect().map(_.toSeq).toSet == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val totals = EventStreams.runningTotals(spark,
+      input.toDS(), OutputMode.Update())
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName("totals_test").start()
+    try {
+      input.addData(EventStreams.UserEvent(1L, 1L, 1.5), EventStreams.UserEvent(1L, 2L, 2.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.UserEvent(1L, 3L, 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("totals_test").as[EventStreams.UserTotal]
+        .collect().filter(_.user_id == 1L)
+      // last emitted state must reflect all 3 events
+      assert(rows.map(_.n_events).max == 3L)
+      assert(rows.map(_.value_e6).max == 3750000L)
+    } finally q.stop()
+  }
+}

@@ -20,16 +20,17 @@ object TextFunctions {
     s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
 
   /** Whitespace tokens; empty/blank text yields an empty array (the
-    * reference's `split_whitespace` drops empty spans). */
-  def tokens(c: Column): Column = {
-    val t = normalizeWs(c)
-    when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, " "))
-  }
+    * reference's `split_whitespace` drops empty spans). Single regex pass:
+    * split on the normalized text, then drop the one empty token a blank
+    * input produces — evaluating `normalizeWs` once, not twice (this
+    * expression gets inlined into lambdas/generators where Spark does no
+    * common-subexpression elimination, so every extra reference is a full
+    * regex pass per row). */
+  def tokens(c: Column): Column =
+    filter(split(normalizeWs(c), " "), t => t =!= "")
 
-  def duckTokens(e: String): String = {
-    val t = duckNormalizeWs(e)
-    s"(CASE WHEN length($t) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($t, ' ') END)"
-  }
+  def duckTokens(e: String): String =
+    s"list_filter(string_split(${duckNormalizeWs(e)}, ' '), t -> t <> '')"
 
   /** Structural token count (reference: src/tokenizer.rs:55-65). */
   def tokenCount(c: Column): Column = size(tokens(c))

@@ -39,8 +39,9 @@ object Bm25 {
   def scores(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)]): DataFrame = {
     import spark.implicits._
-    val terms = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val terms = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = docs.select(col(idCol).as("doc_id"),

@@ -38,13 +38,30 @@ object Dedup {
       s"[array_to_string(list_slice($toksExpr, i, i + ${k - 1}), ' ') FOR i IN generate_series(1, len($toksExpr) - ${k - 1})] " +
       s"ELSE [array_to_string($toksExpr, ' ')] END)"
 
-  /** j-th MinHash over a shingle array. */
-  def minhash(shingleCol: Column, j: Int): Column =
-    array_min(transform(shingleCol,
-      s => Determinism.portableHash(concat(lit(s"mh$j:"), s))))
+  /** Affine permutation constants for MinHash remixing: one md5 pass
+    * computes a base 31-bit hash per shingle; permutation j is the cheap
+    * bijective remix `(h * A_j + B_j) mod 2^31` (A_j odd). This replaces
+    * p md5 passes with one — ~8× less hashing on the scan — and stays
+    * bit-portable to the oracle (pure int64 arithmetic, no overflow:
+    * products < 2^62). */
+  private def mixA(j: Int): Long = 2654435761L + 2L * j
+  private def mixB(j: Int): Long = 40503L * (j + 1)
+  val MixMod: Long = 1L << 31
 
-  def duckMinhash(shinglesExpr: String, j: Int): String =
-    s"list_min(list_transform($shinglesExpr, s -> ${Determinism.duckHash(s"'mh$j:' || s")}))"
+  /** Base 31-bit shingle hashes (the single md5 pass). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(Determinism.portableHash(s), lit(MixMod)))
+
+  def duckShingleHashes(shinglesExpr: String): String =
+    s"list_transform($shinglesExpr, s -> ${Determinism.duckHash("s")} % $MixMod)"
+
+  /** j-th MinHash over precomputed base hashes. */
+  def minhashFromHashes(hashesCol: Column, j: Int): Column =
+    array_min(transform(hashesCol,
+      h => pmod(h * lit(mixA(j)) + lit(mixB(j)), lit(MixMod))))
+
+  def duckMinhashFromHashes(hashesExpr: String, j: Int): String =
+    s"list_min(list_transform($hashesExpr, h -> (h * ${mixA(j)} + ${mixB(j)}) % $MixMod))"
 
   /** SimHash bit-vote sum for bit `i` over token hashes (+1/-1 per token). */
   def simhashBitVote(tokenHashes: Column, bit: Int): Column =
@@ -54,26 +71,43 @@ object Dedup {
   def duckSimhashBitVote(hashesExpr: String, bit: Int): String =
     s"CAST(list_sum(list_transform($hashesExpr, h -> CASE WHEN (h // ${1L << bit}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)"
 
-  /** MinHash signatures, one row per doc, `mh0..mh{p-1}` columns. Narrow. */
+  /** MinHash signatures, one row per doc, `mh0..mh{p-1}` columns.
+    *
+    * Shape matters here: computing the signature with nested array lambdas
+    * looks narrow but `CollapseProject` inlines the shared hash array into
+    * every permutation's lambda — p full md5 passes. The explode+groupBy
+    * form hashes each shingle exactly once (plain column below the
+    * aggregate) and the p mins ride one map-side-combined aggregation —
+    * the scalable shape at 100 TB too (signature shuffle is p longs/doc).
+    * Duplicate shingles need no dedup: they cannot change a min. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numPerms: Int, shingleSize: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val base = df.select(col(idCol), shingles(toks, shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    (0 until numPerms).foldLeft(base)((d, j) =>
-      d.withColumn(s"mh$j", minhash(col("sh"), j))).drop("sh")
+    // project the token array BEFORE the generator: the Generate node is a
+    // barrier CollapseProject cannot inline tokenization through
+    val hashed = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shingles(col("toks"), shingleSize)).as("shingle"))
+      .select(col(idCol), pmod(Determinism.portableHash(col("shingle")), lit(MixMod)).as("h"))
+    val aggs = (0 until numPerms).map(j =>
+      min(pmod(col("h") * lit(mixA(j)) + lit(mixB(j)), lit(MixMod))).as(s"mh$j"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** SimHash signature (`bits`-wide) per doc. Narrow. */
+  /** SimHash signature (`bits`-wide) per doc: one hash per token (plain
+    * column), bit votes as `bits` sums in one aggregation (same
+    * inlining-avoidance rationale as [[minhashSignatures]]). */
   def simhashSignature(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val hs = transform(TextFunctions.tokens(col(textCol)),
-      t => Determinism.portableHash(concat(lit("sh:"), t)))
-    val base = df.select(col(idCol), hs.as("hs")).filter(size(col("hs")) > 0)
-    val withVotes = (0 until bits).foldLeft(base)((d, i) =>
-      d.withColumn(s"v$i", simhashBitVote(col("hs"), i)))
+    val hashed = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .select(col(idCol), Determinism.portableHash(concat(lit("sh:"), col("tok"))).as("h"))
+    val votes = (0 until bits).map(i =>
+      sum(when(pmod(floor(col("h") / lit(1L << i)).cast("long"), lit(2)) === 1, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val agged = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val sig = (0 until bits).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    withVotes.select(col(idCol), sig.as("simhash"))
+    agged.select(col(idCol), sig.as("simhash"))
   }
 
   /** LSH band key columns for a signature row: `numBands` bands of

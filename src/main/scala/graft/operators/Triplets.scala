@@ -74,9 +74,12 @@ object Triplets {
     val wOrd = Window.partitionBy(col("source"), col("split"))
       .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))
     val wGrp = Window.partitionBy(col("source"), col("split"))
+    // the ranked pool feeds both join sides; materialize it once (the
+    // distributed analogue of the reference's synced record pool)
     val ranked = prepared
       .withColumn("rnk", row_number().over(wOrd).cast("long") - 1)
       .withColumn("gs", count(lit(1)).over(wGrp).cast("long"))
+      .cache()
     val anch = ranked.filter(col("gs") >= 2)
       .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))
       .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
@@ -176,7 +179,7 @@ object Triplets {
     val p = prepare(docs, cfg)
     val withDate = docs.withColumn("pub_date", dateExpr.cast("string"))
       .select(col("doc_id").as("did"), col("pub_date"))
-    val base = p.join(withDate, col("doc_id") === col("did")).drop("did")
+    val base = p.join(withDate, col("doc_id") === col("did")).drop("did").cache()
     val wDate = Window.partitionBy(col("source"), col("split"), col("pub_date"))
     val dates = base.select(col("source"), col("split"), col("pub_date")).distinct()
       .withColumn("drnk", row_number().over(Window.partitionBy(col("source"), col("split"))
@@ -234,6 +237,7 @@ object Triplets {
       .withColumn("frnk", row_number().over(Window.partitionBy(col("split"))
         .orderBy(Determinism.seeded("ford", col("doc_id")), col("doc_id"))).cast("long") - 1)
       .withColumn("fgs", count(lit(1)).over(Window.partitionBy(col("split"))).cast("long"))
+      .cache()
     val main = {
       val anch = ranked.filter(col("gs") >= 2)
         .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))

@@ -19,10 +19,11 @@ object DedupQueries extends QueryModule {
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
   private def duckSigs(perms: Int): String = {
-    val mhs = (0 until perms).map(j => s"${Dedup.duckMinhash("sh", j)} AS mh$j").mkString(", ")
+    val mhs = (0 until perms).map(j => s"${Dedup.duckMinhashFromHashes("hs", j)} AS mh$j").mkString(", ")
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
         s AS (SELECT doc_id, ${Dedup.duckShingles("toks", ShingleK)} AS sh FROM t WHERE len(toks) > 0),
-        sigs AS (SELECT doc_id, $mhs FROM s WHERE len(sh) > 0)"""
+        sh AS (SELECT doc_id, ${Dedup.duckShingleHashes("sh")} AS hs FROM s WHERE len(sh) > 0),
+        sigs AS (SELECT doc_id, $mhs FROM sh)"""
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -48,9 +49,13 @@ object DedupQueries extends QueryModule {
       (s, dir) => {
         val sigs = Dedup.minhashSignatures(
           Tables.load(s, dir, "documents"), "doc_id", "text", Perms, ShingleK).cache()
-        val bands = Dedup.bandKeys(Bands, RowsPerBand).map { case (b, key) =>
-          sigs.select(col("doc_id"), lit(b).as("band"), key.as("key"))
-        }.reduce(_ unionByName _)
+        // one pass: explode per-row band structs rather than unioning the
+        // (recomputed) signature plan once per band
+        val bandStructs = Dedup.bandKeys(Bands, RowsPerBand).map { case (b, key) =>
+          struct(lit(b).as("band"), key.as("key"))
+        }
+        val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
         val l = bands.as("l"); val r = bands.as("r")
         val pairs = l.join(r,
             col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -97,10 +102,18 @@ object DedupQueries extends QueryModule {
 
     QueryDef("q24_ngram_jaccard_pairs",
       (s, dir) => {
+        // shingles seen in > MaxDf docs are dropped before pairing: on a
+        // skewed corpus the hot-shingle join blocks are the O(n²) failure
+        // mode at scale, and ultra-common shingles carry no dedup signal
+        val MaxDf = 50
         val docs = Tables.load(s, dir, "documents")
-        val toks = TextFunctions.tokens(col("text"))
-        val sh = docs.select(col("doc_id"),
-            explode(Dedup.shingles(toks, ShingleK)).as("shingle")).distinct()
+        val all = docs
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(Dedup.shingles(col("toks"), ShingleK)).as("shingle"))
+          .distinct()
+        val rare = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxDf).select(col("shingle"))
+        val sh = all.join(rare, "shingle").cache()
         val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val l = sh.as("l"); val r = sh.as("r")
         val inter = l.join(r, col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
@@ -115,7 +128,9 @@ object DedupQueries extends QueryModule {
       },
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
         u AS (SELECT doc_id, unnest(${Dedup.duckShingles("toks", ShingleK)}) AS shingle FROM t),
-        s AS (SELECT DISTINCT doc_id, shingle FROM u),
+        s0 AS (SELECT DISTINCT doc_id, shingle FROM u),
+        rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
+        s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare ON s0.shingle = rare.shingle),
         c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY doc_id),
         i AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
               FROM s l JOIN s r ON l.shingle = r.shingle AND l.doc_id < r.doc_id

@@ -24,16 +24,18 @@ object SimilarityQueries extends QueryModule {
 
     QueryDef("q25_ann_bruteforce",
       (s, dir) => {
+        // norms are columns BELOW the join so each side's norm is computed
+        // once per vector, not once per pair
         val emb = Tables.load(s, dir, "embeddings")
+          .withColumn("nrm", Similarity.normE3(col("embedding")))
         val q = emb.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
         val joined = emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
             Similarity.cosE6(
               Similarity.dotE3(col("qemb"), col("embedding")),
-              Similarity.normE3(col("qemb")),
-              Similarity.normE3(col("embedding"))).as("cos_e6"))
+              col("qnrm"), col("nrm")).as("cos_e6"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("vec_id"))
         joined.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
@@ -61,10 +63,13 @@ object SimilarityQueries extends QueryModule {
 
     QueryDef("q27_neardup_same_bucket",
       (s, dir) => {
+        // materialize the (small) bucketed table once: both self-join sides
+        // would otherwise re-evaluate the 8-plane bucket expression
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             Similarity.lshBucket(col("embedding"), Dim, Planes).as("bucket"),
             Similarity.normE3(col("embedding")).as("nrm"))
+          .cache()
         val l = emb.as("l"); val r = emb.as("r")
         l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
           .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),

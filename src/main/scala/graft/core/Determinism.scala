@@ -25,8 +25,15 @@ object Determinism {
   /** Size of the portable hash space: 2^32. */
   val HashSpace: Long = 1L << 32
 
-  /** Portable 32-bit unsigned hash of a column (value in [0, 2^32)). */
+  /** Portable 32-bit unsigned hash of a column (value in [0, 2^32)),
+    * evaluated by the native codegen'd expression
+    * [[graft.plans.PortableHash32]]. */
   def portableHash(c: Column): Column =
+    graft.plans.PortableHash32(c.cast("string"))
+
+  /** Built-ins-only form of [[portableHash]] (same values; used to pin the
+    * native expression's semantics in tests). */
+  def portableHashComposed(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Seeded portable hash: hash of `"<seed>:<value>"`. */

@@ -50,8 +50,42 @@ case class TripletConfig(
 
 object Triplets {
 
-  /** Record prep: split label, anchor head section, context tokens, window
-    * count `k` per the chunker layout math. */
+  /** End-to-end bridge from typed source records
+    * ([[graft.core.DataRecord]], i.e. anything CsvSource / FileSource /
+    * HfSourceList / InMemorySource produced) into the sampler: the first
+    * Anchor-role section is the anchor text, the first Context-role
+    * section the chunkable body — the record's own section boundary is
+    * preserved (no re-splitting). String ids hash identically to numeric
+    * ones (`seeded` casts to string). */
+  def recordTriplets(records: org.apache.spark.sql.Dataset[graft.core.DataRecord],
+      cfg: TripletConfig): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val corpus = records.flatMap { r =>
+      for {
+        a <- r.sections.find(_.role == graft.core.SectionRole.Anchor)
+        c <- r.sections.find(_.role == graft.core.SectionRole.Context)
+      } yield (r.id, r.source, a.text, c.text)
+    }.toDF("doc_id", "source", "atext", "ctext")
+    val prepared = prepareSections(corpus, cfg)
+    projectRows(finish(joinWrongArticle(prepared), cfg), lit(cfg.recipeName))
+  }
+
+  /** Prep from explicit anchor/context texts: split label, normalized
+    * anchor, context tokens, window count `k` per the chunker layout. */
+  def prepareSections(corpus: DataFrame, cfg: TripletConfig): DataFrame =
+    corpus.select(col("doc_id"), col("source"),
+        Splits.splitCol(col("doc_id"), cfg.seed, cfg.ratios).as("split"),
+        TextFunctions.normalizeWs(col("atext")).as("atext"),
+        TextFunctions.tokens(col("ctext")).as("ctoks"))
+      .withColumn("cn", size(col("ctoks")))
+      .filter(length(col("atext")) > 0 && col("cn") > 0)
+      .withColumn("span", least(lit(cfg.windowTokens), col("cn")))
+      .withColumn("k", when(col("cn") <= cfg.windowTokens, lit(1))
+        .otherwise(floor((col("cn") - col("span") + lit(cfg.stride - 1)) / lit(cfg.stride)).cast("int") + 1))
+
+  /** Record prep from a single text column: head tokens become the anchor
+    * section, the rest the context (the table-corpus path). */
   def prepare(docs: DataFrame, cfg: TripletConfig): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     docs.select(col("doc_id"), col("source"),
@@ -68,14 +102,11 @@ object Triplets {
       .drop("toks", "atoks", "n")
   }
 
-  /** Full triplet table (pre-projection; carries texts for downstream). */
-  def triplets(docs: DataFrame, cfg: TripletConfig): DataFrame = {
-    val prepared = prepare(docs, cfg)
+  /** WrongArticle rank-pick join over a prepared pool. */
+  private def joinWrongArticle(prepared: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("source"), col("split"))
       .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))
     val wGrp = Window.partitionBy(col("source"), col("split"))
-    // the ranked pool feeds both join sides; materialize it once (the
-    // distributed analogue of the reference's synced record pool)
     val ranked = prepared
       .withColumn("rnk", row_number().over(wOrd).cast("long") - 1)
       .withColumn("gs", count(lit(1)).over(wGrp).cast("long"))
@@ -89,11 +120,27 @@ object Triplets {
     val negSide = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
       col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
       col("span").as("nspan"), col("k").as("nk"), col("rnk").as("nrnk"))
-    val joined = anch.join(negSide,
+    anch.join(negSide,
       col("source") === col("nsource") && col("split") === col("nsplit") &&
         col("nrnk") === col("pick"))
-    finish(joined, cfg)
   }
+
+  /** Standard triplet-row projection with swap applied. */
+  private def projectRows(df: DataFrame, recipe: Column): DataFrame =
+    df.select(
+      col("aid"), col("nid"), col("split"), recipe.as("recipe"),
+      when(col("swapped"), Determinism.portableHash(col("ptext")))
+        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
+      when(col("swapped"), Determinism.portableHash(col("atext")))
+        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
+      Determinism.portableHash(col("ntext")).as("n_hash"),
+      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+
+  /** Full triplet table (pre-projection; carries texts for downstream).
+    * The ranked pool inside [[joinWrongArticle]] is materialized once —
+    * the distributed analogue of the reference's synced record pool. */
+  def triplets(docs: DataFrame, cfg: TripletConfig): DataFrame =
+    finish(joinWrongArticle(prepare(docs, cfg)), cfg)
 
   /** Chunk picks, swap, weights, and rejection — shared by every negative
     * strategy; expects the anchor↔negative joined shape. */
@@ -119,14 +166,7 @@ object Triplets {
   /** Projected triplet rows with swap applied; text carried as portable
     * content hashes (the texts themselves stay available upstream). */
   def tripletRows(docs: DataFrame, cfg: TripletConfig): DataFrame =
-    triplets(docs, cfg).select(
-      col("aid"), col("nid"), col("split"), lit(cfg.recipeName).as("recipe"),
-      when(col("swapped"), Determinism.portableHash(col("ptext")))
-        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
-      when(col("swapped"), Determinism.portableHash(col("atext")))
-        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
-      Determinism.portableHash(col("ntext")).as("n_hash"),
-      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+    projectRows(triplets(docs, cfg), lit(cfg.recipeName))
 
   /** Pair derivation: each triplet yields a positive and a negative pair
     * (reference: src/sampler/mod.rs:2062-2101). */
@@ -215,14 +255,7 @@ object Triplets {
   /** [[tripletsWrongDate]] projected as triplet rows. */
   def tripletRowsWrongDate(docs: DataFrame, cfg: TripletConfig, dateExpr: Column,
       recipeName: String): DataFrame =
-    tripletsWrongDate(docs, cfg, dateExpr).select(
-      col("aid"), col("nid"), col("split"), lit(recipeName).as("recipe"),
-      when(col("swapped"), Determinism.portableHash(col("ptext")))
-        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
-      when(col("swapped"), Determinism.portableHash(col("atext")))
-        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
-      Determinism.portableHash(col("ntext")).as("n_hash"),
-      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+    projectRows(tripletsWrongDate(docs, cfg, dateExpr), lit(recipeName))
 
   /** Cross-source same-split fallback lane: anchors whose (source, split)
     * pool is a singleton draw their negative from the whole split instead;
@@ -267,15 +300,7 @@ object Triplets {
         col("split") === col("nsplit") && col("nfrnk") === col("pick")), cfg)
         .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
     }
-    val project = (df: DataFrame) => df.select(
-      col("aid"), col("nid"), col("split"), col("recipe"),
-      when(col("swapped"), Determinism.portableHash(col("ptext")))
-        .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
-      when(col("swapped"), Determinism.portableHash(col("atext")))
-        .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
-      Determinism.portableHash(col("ntext")).as("n_hash"),
-      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
-    project(main).unionByName(project(fallback))
+    projectRows(main, col("recipe")).unionByName(projectRows(fallback, col("recipe")))
   }
 
   // -------------------------------------------------------------------

@@ -74,6 +74,27 @@ class InvariantsSpec extends AnyFunSuite {
     assert(Recipes.ticketOrder(recipes, "seed", 0L) == orders.head) // stable
   }
 
+  test("end-to-end: CSV source records flow into the triplet sampler") {
+    import graft.sources.{CsvSource, CsvSourceConfig}
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e")
+    val csv = dir.resolve("qa.csv")
+    val rows = (0 until 40).map(i =>
+      s"q$i what is topic$i about really,answer body for topic$i " +
+        (0 until 20).map(j => s"w${i}_$j").mkString(" "))
+    java.nio.file.Files.writeString(csv, "question,answer\n" + rows.mkString("\n"))
+    val records = CsvSource.read(spark,
+      CsvSourceConfig("e2e", csv.toString, anchorColumn = Some("question"),
+        positiveColumn = Some("answer")))
+    val trips = Triplets.recordTriplets(records, TripletConfig())
+    val out = trips.collect()
+    assert(out.nonEmpty)
+    // deterministic across runs and partitionings
+    val out2 = Triplets.recordTriplets(records.repartition(5), TripletConfig()).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+    // ids are the CSV stable ids
+    assert(out.forall(_.getString(0).startsWith("e2e::row_")))
+  }
+
   test("observe(): ingest telemetry rides the scan (refresh-stats analogue)") {
     // reference emits per-source refresh rows/ms (src/ingestion.rs:204-217);
     // the Spark-native form is observe() — metrics computed by the running

@@ -1,0 +1,40 @@
+package graft
+
+import graft.core.Tables
+import graft.ml._
+import graft.operators.{TripletConfig, Triplets}
+import org.apache.spark.ml.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MLlib-pipeline composition path: stages chain as a standard
+  * `Pipeline` and produce exactly what the operator kit produces. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("corpus -> stats -> quality gate -> split -> triplets as one Pipeline") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pipeline = new Pipeline().setStages(Array(
+      new TextStats(),
+      new QualityFilter(minTokens = 12),
+      new SplitAssigner(),
+      new TripletSamplerStage()))
+    val out = pipeline.fit(docs).transform(docs)
+    assert(out.columns.contains("a_hash") && out.columns.contains("weight_e6"))
+    val n = out.count()
+    assert(n > 0)
+    // pipeline result == direct operator result (the quality gate at
+    // minTokens matches TripletConfig.minTokens, digit-free corpus)
+    val direct = Triplets.tripletRows(docs, TripletConfig()).count()
+    assert(n == direct)
+  }
+
+  test("transformSchema declares the stage outputs") {
+    val schema = new TextStats().transformSchema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(schema.fieldNames.contains("n_tokens"))
+    assert(schema.fieldNames.contains("digit_ratio"))
+  }
+}

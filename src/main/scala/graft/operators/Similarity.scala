@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Determinism
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -78,4 +78,30 @@ object Similarity {
   /** Squared-norm table `(id, nrm)` for a corpus. */
   def norms(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol), normE3(col(embCol)).as("nrm"))
+
+  /** Bucket table `(id, bucket)` in the codegen-friendly shape:
+    * posexplode elements → broadcast-join the (tiny) plane-component table
+    * → two map-side-combined aggregations. Identical values to
+    * [[lshBucket]] (exact integer sums are order-free), but no
+    * higher-order lambdas — the whole plan stays inside whole-stage
+    * codegen, and at scale the per-element rows shuffle nothing (partial
+    * aggregation collapses them before the exchange). */
+  def lshBucketTable(spark: SparkSession, df: DataFrame, idCol: String,
+      embCol: String, dim: Int, numPlanes: Int): DataFrame = {
+    import spark.implicits._
+    val planes = (for { j <- 0 until numPlanes; i <- 1 to dim } yield {
+      val h = graft.plans.PortableHash32.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp:$j:$i"))
+      (j, i, h - 2147483648L)
+    }).toDF("j", "i", "r")
+    val elems = df
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("i0", "x")))
+      .select(col(idCol), (col("i0") + 1).as("i"),
+        round(col("x").cast("double") * 1000).cast("long").as("e"))
+    elems.join(broadcast(planes), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("e") * col("r")).as("dot"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("bucket"))
+  }
 }

@@ -53,22 +53,21 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, vec_id, cos_e6, rank FROM ranked WHERE rank <= $TopK""")),
 
     QueryDef("q26_ann_lsh_buckets",
-      (s, dir) => {
-        Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"),
-            Similarity.lshBucket(col("embedding"), Dim, Planes).as("bucket"))
-      },
+      (s, dir) => Similarity.lshBucketTable(
+        s, Tables.load(s, dir, "embeddings"), "vec_id", "embedding", Dim, Planes),
       Some(s"""SELECT vec_id, ${Similarity.duckLshBucket("embedding", Dim, Planes)} AS bucket
         FROM embeddings""")),
 
     QueryDef("q27_neardup_same_bucket",
       (s, dir) => {
         // materialize the (small) bucketed table once: both self-join sides
-        // would otherwise re-evaluate the 8-plane bucket expression
-        val emb = Tables.load(s, dir, "embeddings")
+        // would otherwise re-evaluate the bucket plan
+        val base = Tables.load(s, dir, "embeddings")
+        val buckets = Similarity.lshBucketTable(s, base, "vec_id", "embedding", Dim, Planes)
+        val emb = base
           .select(col("vec_id"), col("embedding"),
-            Similarity.lshBucket(col("embedding"), Dim, Planes).as("bucket"),
             Similarity.normE3(col("embedding")).as("nrm"))
+          .join(buckets, "vec_id")
           .cache()
         val l = emb.as("l"); val r = emb.as("r")
         l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))

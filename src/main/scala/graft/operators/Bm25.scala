@@ -39,13 +39,14 @@ object Bm25 {
   def scores(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)]): DataFrame = {
     import spark.implicits._
+    // one tokenization pass feeds tf, and tf feeds df, dl, and the corpus
+    // stats — no re-scan of the text column
     val terms = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = queries.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.take(QueryTokenLimit).map(t => (qid, t))
@@ -87,7 +88,9 @@ object Bm25 {
       ), df AS (
         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
       ), dl AS (
-        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+        -- empty docs carry no terms and are outside the corpus stats
+        -- (mirrors the Spark side deriving dl from tf)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks WHERE len(tk) > 0
       ), stats AS (
         SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
       ), qterms(qid, term) AS (VALUES $qvals),

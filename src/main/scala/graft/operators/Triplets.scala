@@ -44,7 +44,10 @@ case class TripletConfig(
     anchorTokens: Int = 8,
     minTokens: Int = 12,
     ratios: SplitRatios = SplitRatios.Default,
-    recipeName: String = "role_anchor_context_wrong_article") {
+    recipeName: String = "role_anchor_context_wrong_article",
+    /** Recipe's static instruction, copied verbatim onto every sample
+      * (reference: src/config.rs:170, src/sampler/mod.rs:1403). */
+    instruction: Option[String] = None) {
   def stride: Int = math.max(windowTokens - overlap, 1)
 }
 
@@ -164,9 +167,12 @@ object Triplets {
   }
 
   /** Projected triplet rows with swap applied; text carried as portable
-    * content hashes (the texts themselves stay available upstream). */
-  def tripletRows(docs: DataFrame, cfg: TripletConfig): DataFrame =
-    projectRows(triplets(docs, cfg), lit(cfg.recipeName))
+    * content hashes (the texts themselves stay available upstream). An
+    * `instruction` column is appended when the recipe configures one. */
+  def tripletRows(docs: DataFrame, cfg: TripletConfig): DataFrame = {
+    val base = projectRows(triplets(docs, cfg), lit(cfg.recipeName))
+    cfg.instruction.fold(base)(i => base.withColumn("instruction", lit(i)))
+  }
 
   /** Pair derivation: each triplet yields a positive and a negative pair
     * (reference: src/sampler/mod.rs:2062-2101). */

@@ -95,6 +95,17 @@ class InvariantsSpec extends AnyFunSuite {
     assert(out.forall(_.getString(0).startsWith("e2e::row_")))
   }
 
+  test("instruction tuning: recipe instruction copied verbatim onto samples") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cfg = TripletConfig(instruction = Some("Find the matching passage."))
+    val t = Triplets.tripletRows(docs, cfg)
+    assert(t.columns.contains("instruction"))
+    assert(t.select("instruction").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("Find the matching passage."))
+    // absent by default
+    assert(!Triplets.tripletRows(docs, TripletConfig()).columns.contains("instruction"))
+  }
+
   test("observe(): ingest telemetry rides the scan (refresh-stats analogue)") {
     // reference emits per-source refresh rows/ms (src/ingestion.rs:204-217);
     // the Spark-native form is observe() — metrics computed by the running

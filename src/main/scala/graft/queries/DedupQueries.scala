@@ -100,6 +100,38 @@ object DedupQueries extends QueryModule {
           SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v"""
       }),
 
+    QueryDef("q28_simhash_neardup_pairs",
+      (s, dir) => {
+        // near-dups = signatures within hamming distance 1 (the synthetic
+        // corpus has a tiny vocabulary, so signatures cluster hard); candidate
+        // blocking on the top byte keeps the self-join linear-ish (the
+        // 100 TB shape: bucket by prefix, pair within buckets)
+        val sig = Dedup.simhashSignature(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 16).cache()
+        val withBucket = sig.withColumn("hi", expr("simhash div 256"))
+        val l = withBucket.as("l"); val r = withBucket.as("r")
+        l.join(r, col("l.hi") === col("r.hi") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+            expr("CAST(bit_count(l.simhash ^ r.simhash) AS BIGINT)").as("hamming"))
+          .filter(col("hamming") <= 1)
+      },
+      Some {
+        val votes = (0 until 16).map(i =>
+          s"${Dedup.duckSimhashBitVote("hs", i)} AS v$i").mkString(", ")
+        val sig = (0 until 16).map(i =>
+          s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          h AS (SELECT doc_id, list_transform(toks, tk -> ${graft.core.Determinism.duckHash("'sh:' || tk")}) AS hs
+                FROM t WHERE len(toks) > 0),
+          v AS (SELECT doc_id, $votes FROM h),
+          sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+          b AS (SELECT doc_id, simhash, simhash // 256 AS hi FROM sg)
+          SELECT l.doc_id AS a, r.doc_id AS b,
+            CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+          FROM b l JOIN b r ON l.hi = r.hi AND l.doc_id < r.doc_id
+          WHERE bit_count(xor(l.simhash, r.simhash)) <= 1"""
+      }),
+
     QueryDef("q24_ngram_jaccard_pairs",
       (s, dir) => {
         // shingles seen in > MaxDf docs are dropped before pairing: on a

@@ -26,6 +26,58 @@ object SamplingQueries extends QueryModule {
 
   val queries: Seq[QueryDef] = Seq(
 
+    QueryDef("q13_chunker_typed",
+      // the typed flatMap chunker (operators.Chunker over Dataset[DataRecord])
+      // must produce exactly the column-pipeline window layout — same oracle
+      // family as q12, proving typed path == column path == oracle
+      (s, dir) => {
+        import s.implicits._
+        import graft.core.{DataRecord, RecordSection}
+        import graft.operators.{Chunker, ChunkingStrategy}
+        val ts = new java.sql.Timestamp(0L)
+        val records = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")).as[(Long, String, String)]
+          .map { t: (Long, String, String) =>
+            DataRecord(t._1.toString, t._2, ts, ts, 1.0f, Seq(t._2),
+              Seq(RecordSection("context", None,
+                graft.functions.Sentences.normalizeInlineWhitespace(t._3), Nil)), None)
+          }
+        implicit val spark: org.apache.spark.sql.SparkSession = s
+        Chunker.chunkRecords(records,
+            ChunkingStrategy(maxWindowTokens = W, overlapTokens = Seq(OV),
+              summaryFallbackWeight = 0.35f, summaryFallbackTokens = SUM))
+          .toDF()
+          .select(col("record_id").cast("long").as("doc_id"),
+            col("window_index").cast("long").as("widx"),
+            col("span").cast("long").as("span"),
+            col("tokens_estimate").cast("long").as("wtokens"),
+            graft.core.Determinism.portableHash(col("text")).as("whash"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+        ), p AS (
+          SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+        ), q AS (
+          SELECT doc_id, toks, n, LEAST($W, n) AS span,
+            CASE WHEN n <= $W THEN 1
+                 ELSE CAST(floor((n - LEAST($W, n) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
+          FROM p
+        ), w AS (
+          SELECT doc_id, toks, n, span, unnest(generate_series(0, k - 1)) AS i FROM q
+        ), wins AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS widx, CAST(span AS BIGINT) AS span,
+            CAST(LEAST(span, n - i * $ST) AS BIGINT) AS wtokens,
+            array_to_string(list_slice(toks, i * $ST + 1, i * $ST + LEAST(span, n - i * $ST)), ' ') AS wtext
+          FROM w
+        ), fb AS (
+          SELECT doc_id, CAST(-1 AS BIGINT) AS widx, CAST(span AS BIGINT) AS span,
+            CAST(LEAST(n, $SUM) AS BIGINT) AS wtokens,
+            array_to_string(list_slice(toks, 1, LEAST(n, $SUM)), ' ') AS wtext
+          FROM q WHERE n > $W
+        ), allrows AS (SELECT * FROM wins UNION ALL SELECT * FROM fb)
+        SELECT doc_id, widx, span, wtokens, ${Determinism.duckHash("wtext")} AS whash
+        FROM allrows""")),
+
     QueryDef("q10_split_assign",
       (s, dir) => {
         Tables.load(s, dir, "documents")

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.core.Determinism
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Multi-source mixing, epoch ordering, and batch exactness — the
+  * reference's ingestion/epoch machinery (reference: src/ingestion.rs
+  * weighted drain 607-675, src/epoch.rs interleave 34-83,
+  * pad_with_reuse src/sampler/mod.rs:3091-3100) as reusable rank
+  * arithmetic. Mutable cursors become window ranks; "which record comes
+  * next" is answerable on any executor.
+  */
+object Mixing {
+
+  /** Exact largest-remainder allocation of `batch` slots across groups by
+    * integer weight — the deterministic counterpart of smooth weighted
+    * round-robin (same long-run shares, no drain state). Input must carry
+    * `group` and `w` columns; emits `alloc` per group. */
+  def weightedAllocation(groups: DataFrame, batch: Long): DataFrame = {
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy().orderBy(col("rem").desc, col("group"))
+    groups
+      .withColumn("tw", sum(col("w")).over(all))
+      .withColumn("flo", expr(s"($batch * w) div tw"))
+      .withColumn("rem", pmod(lit(batch) * col("w"), col("tw")))
+      .withColumn("short", lit(batch) - sum(col("flo")).over(all))
+      .withColumn("rr", row_number().over(byRem).cast("long"))
+      .withColumn("alloc", col("flo") + when(col("rr") <= col("short"), 1L).otherwise(0L))
+      .select(col("group"), col("w"), col("alloc"))
+  }
+
+  /** Epoch-interleaved global position: sources shuffle per epoch, records
+    * shuffle per (source, epoch), position = record_rank * n_sources +
+    * source_rank. Input needs `id` and `source`; emits `pos`. */
+  def epochInterleave(df: DataFrame, epoch: Long): DataFrame = {
+    val srcs = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("srank", row_number().over(Window.partitionBy()
+        .orderBy(Determinism.seeded(s"so:$epoch", col("source")), col("source"))).cast("long") - 1)
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+      .select(col("source"), col("srank"), col("ns"))
+    df.join(broadcast(srcs), "source")
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(Determinism.seeded(s"ro:$epoch", col("id")), col("id"))).cast("long") - 1)
+      .withColumn("pos", col("r") * col("ns") + col("srank"))
+      .drop("srank", "ns", "r")
+  }
+
+  /** Pad (or trim) a candidate pool to exactly `batch` rows by cycling the
+    * seeded-ordered pool (`pad_with_reuse`). Input needs `id`; emits
+    * (`i`, `id`) for i in [0, batch). */
+  def padToBatch(spark: SparkSession, cands: DataFrame, batch: Int, seed: String): DataFrame = {
+    val ranked = cands
+      .withColumn("rn", row_number().over(Window.partitionBy()
+        .orderBy(Determinism.seeded(seed, col("id")), col("id"))).cast("long") - 1)
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
+    spark.range(batch).select(col("id").as("i"))
+      .join(broadcast(ranked), pmod(col("i"), col("nc")) === col("rn"))
+      .select(col("i"), ranked("id"))
+  }
+}

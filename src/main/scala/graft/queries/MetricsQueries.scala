@@ -69,19 +69,11 @@ object MetricsQueries extends QueryModule {
 
     QueryDef("q43_weighted_allocation",
       (s, dir) => {
-        val B = 1000L
-        val all = Window.partitionBy()
-        val byRem = Window.partitionBy().orderBy(col("rem").desc, col("source"))
-        Tables.load(s, dir, "documents")
-          .groupBy(col("source")).agg(count(lit(1)).as("n"))
-          .withColumn("w", pmod(Determinism.seeded("w", col("source")), lit(5)) + 1)
-          .withColumn("tw", sum(col("w")).over(all))
-          .withColumn("flo", expr(s"($B * w) div tw"))
-          .withColumn("rem", pmod(lit(B) * col("w"), col("tw")))
-          .withColumn("short", lit(B) - sum(col("flo")).over(all))
-          .withColumn("rr", row_number().over(byRem).cast("long"))
-          .withColumn("alloc", col("flo") + when(col("rr") <= col("short"), 1L).otherwise(0L))
-          .select(col("source"), col("w"), col("alloc"))
+        val groups = Tables.load(s, dir, "documents")
+          .groupBy(col("source").as("group")).agg(count(lit(1)).as("n"))
+          .withColumn("w", pmod(Determinism.seeded("w", col("group")), lit(5)) + 1)
+        graft.operators.Mixing.weightedAllocation(groups, 1000L)
+          .select(col("group").as("source"), col("w"), col("alloc"))
       },
       Some(s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         w AS (SELECT source, ${Determinism.duckSeeded("w", "source")} % 5 + 1 AS w FROM c),
@@ -96,21 +88,12 @@ object MetricsQueries extends QueryModule {
 
     QueryDef("q44_epoch_interleave",
       (s, dir) => {
-        val epoch = 0
         val d = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"))
-          .filter(Splits.splitCol(col("doc_id"), Seed) === Splits.Train)
-        val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
-          .withColumn("srank", row_number().over(Window.partitionBy()
-            .orderBy(Determinism.seeded(s"so:$epoch", col("source")), col("source"))).cast("long") - 1)
-          .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
-          .select(col("source"), col("srank"), col("ns"))
-        d.join(broadcast(srcs), "source")
-          .withColumn("r", row_number().over(Window.partitionBy(col("source"))
-            .orderBy(Determinism.seeded(s"ro:$epoch", col("doc_id")), col("doc_id"))).cast("long") - 1)
-          .withColumn("pos", col("r") * col("ns") + col("srank"))
+          .select(col("doc_id").as("id"), col("source"))
+          .filter(Splits.splitCol(col("id"), Seed) === Splits.Train)
+        graft.operators.Mixing.epochInterleave(d, epoch = 0L)
           .filter(col("pos") < 100)
-          .select(col("doc_id"), col("source"), col("pos"))
+          .select(col("id").as("doc_id"), col("source"), col("pos"))
       },
       Some(s"""WITH d AS (
           SELECT doc_id, source FROM documents
@@ -129,16 +112,11 @@ object MetricsQueries extends QueryModule {
 
     QueryDef("q45_pad_with_reuse",
       (s, dir) => {
-        val B = 64
         val cands = Tables.load(s, dir, "documents")
-          .select(col("doc_id"))
-          .filter(Splits.splitCol(col("doc_id"), Seed) === Splits.Validation)
-          .withColumn("rn", row_number().over(Window.partitionBy()
-            .orderBy(Determinism.seeded("pad", col("doc_id")), col("doc_id"))).cast("long") - 1)
-          .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
-        s.range(B).select(col("id").as("i"))
-          .join(broadcast(cands), pmod(col("i"), col("nc")) === col("rn"))
-          .select(col("i"), col("doc_id"))
+          .select(col("doc_id").as("id"))
+          .filter(Splits.splitCol(col("id"), Seed) === Splits.Validation)
+        graft.operators.Mixing.padToBatch(s, cands, 64, "pad")
+          .select(col("i"), col("id").as("doc_id"))
       },
       Some(s"""WITH cands AS (
           SELECT doc_id,

@@ -47,6 +47,23 @@ object DateHelpers {
     (standalone ++ paired).headOption.map(_.toString)
   }
 
+  /** Common date renderings for metadata prefixes, sorted + deduped
+    * (reference: src/metadata.rs:38-50 — ISO, "Oct. 15, 2024",
+    * "October 15, 2024", "15.10.2024", "10/15/2024", "Oct 15, 2024"). */
+  def dateMetaValues(date: LocalDate): Seq[String] = {
+    import java.time.format.DateTimeFormatter
+    import java.util.Locale
+    def f(p: String) = DateTimeFormatter.ofPattern(p, Locale.US).format(date)
+    Seq(
+      f("yyyy-MM-dd"),
+      s"${f("MMM")}. ${date.getDayOfMonth}, ${date.getYear}",
+      s"${f("MMMM")} ${date.getDayOfMonth}, ${date.getYear}",
+      f("dd.MM.yyyy"),
+      f("MM/dd/yyyy"),
+      s"${f("MMM")} ${date.getDayOfMonth}, ${date.getYear}"
+    ).sorted.distinct
+  }
+
   private def parseMdy(s: String): Option[LocalDate] = s.split('-') match {
     case Array(m, d, y) if y.length == 4 =>
       Try(LocalDate.of(y.toInt, m.toInt, d.toInt)).toOption

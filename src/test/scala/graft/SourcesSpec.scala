@@ -43,6 +43,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(DateHelpers.parseYearFolderDate("notyear", "02-14").isEmpty)
   }
 
+  test("date meta values: six US renderings, sorted, deduped") {
+    val vals = DateHelpers.dateMetaValues(java.time.LocalDate.of(2024, 10, 15))
+    assert(vals.contains("2024-10-15"))
+    assert(vals.contains("Oct. 15, 2024"))
+    assert(vals.contains("October 15, 2024"))
+    assert(vals.contains("15.10.2024"))
+    assert(vals.contains("10/15/2024"))
+    assert(vals.contains("Oct 15, 2024"))
+    assert(vals == vals.sorted && vals.size == 6)
+  }
+
   test("month-range folder uses last month token, day 1") {
     assert(DateHelpers.parseMonthRangeFolder("2026", "Jan + Feb 2026").get.toString == "2026-02-01")
     assert(DateHelpers.parseMonthRangeFolder("2026", "Dec 2025 + Jan 2026").get.toString == "2026-01-01")

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{Dedup, TripletConfig, Triplets}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 40×-the-bench-corpus stress: the dedup signatures and the flagship
+  * sampler must complete on 200k synthetic documents with the same plans
+  * that run the 5k-row testdata — no collect-driven steps, no per-group
+  * blowup. This is a smoke-level scale check (minutes would indicate a
+  * plan regression; it runs in seconds).
+  */
+class ScaleStressSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(200)).cast("string")).as("source"),
+      // ~40 tokens of varying, overlapping vocabulary
+      concat_ws(" ", (0 until 40).map(j =>
+        concat(lit(s"w"), pmod(col("id") * (j + 7) + j, lit(997)).cast("string"))): _*).as("text"))
+  }
+
+  test("minhash + simhash signatures complete at 200k docs") {
+    val docs = corpus(200000)
+    assert(Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3).count() == 200000L)
+    assert(Dedup.simhashSignature(docs, "doc_id", "text", 16).count() == 200000L)
+  }
+
+  test("flagship triplet batch completes at 200k docs, split isolation holds") {
+    val docs = corpus(200000)
+    val t = Triplets.triplets(docs, TripletConfig()).cache()
+    val n = t.count()
+    assert(n > 150000L, s"unexpectedly few triplets: $n") // most anchors survive
+    assert(t.filter(col("split") =!= col("nsplit")).count() == 0)
+    t.unpersist()
+  }
+}

@@ -98,4 +98,34 @@ object Recipes {
         Selector.RoleContext, Selector.RoleContext,
         NegativeStrategy.WrongArticle, weight = 0.5f)
     else recipes
+
+  /** Execute a [[Selector]] against a chunk table (the columns of
+    * [[graft.core.RecordChunk]]): keep each record's matching chunks,
+    * deterministically hash-pick one per record per draw
+    * (reference selector contract: src/config.rs:201-215; role/chunk
+    * cursor rotation becomes the stateless hash pick, SURVEY §2.5).
+    * Returns one row per (record_id, draw) that has any eligible chunk. */
+  def selectChunk(chunks: org.apache.spark.sql.DataFrame, selector: Selector,
+      seed: String, draw: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Determinism
+    val eligible = selector match {
+      case Selector.RoleAnchor => chunks.filter(col("role") === graft.core.SectionRole.Anchor)
+      case Selector.RoleContext => chunks.filter(col("role") === graft.core.SectionRole.Context)
+      case Selector.Paragraph(idx) => chunks.filter(col("section_idx") === idx)
+      case Selector.Random => chunks
+      case Selector.TemporalOffset(_) =>
+        throw new IllegalArgumentException(
+          "TemporalOffset selects a neighboring record, not a chunk — use the as-of join (TemporalQueries.q61 pattern)")
+    }
+    val w = Window.partitionBy(col("record_id"))
+      .orderBy(col("section_idx"), col("view_kind"), col("window_index"), col("overlap"))
+    eligible
+      .withColumn("crnk", row_number().over(w).cast("long") - 1)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("record_id"))))
+      .filter(col("crnk") === pmod(
+        Determinism.seeded(s"sel:$seed:$draw", col("record_id")), col("csize")))
+      .drop("crnk", "csize")
+  }
 }

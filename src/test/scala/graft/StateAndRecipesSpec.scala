@@ -87,6 +87,35 @@ class StateAndRecipesSpec extends AnyFunSuite {
     assert(Recipes.withAutoInjected(r1, 2000, 1024).size == r1.size) // idempotent
   }
 
+  test("selectChunk executes every selector deterministically") {
+    import graft.core.{DataRecord, RecordSection}
+    import graft.operators.{Chunker, ChunkingStrategy, Selector}
+    implicit val sp = spark
+    import sp.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val recs = (1 to 30).map(i => DataRecord(s"r$i", "src", ts, ts, 1.0f, Seq("src"),
+      Seq(RecordSection("anchor", None, s"title $i", Nil),
+        RecordSection("context", None, (1 to 60).map(j => s"w${i}_$j").mkString(" "), Nil)), None))
+    val chunks = Chunker.chunkRecords(recs.toDS(),
+      ChunkingStrategy(maxWindowTokens = 16, overlapTokens = Seq(4))).toDF().cache()
+
+    val anchors = Recipes.selectChunk(chunks, Selector.RoleAnchor, "s", 0)
+    assert(anchors.count() == 30)
+    assert(anchors.filter(org.apache.spark.sql.functions.col("role") =!= "anchor").count() == 0)
+
+    val para1 = Recipes.selectChunk(chunks, Selector.Paragraph(1), "s", 0)
+    assert(para1.count() == 30)
+    assert(para1.filter(org.apache.spark.sql.functions.col("section_idx") =!= 1).count() == 0)
+
+    val rnd0 = Recipes.selectChunk(chunks, Selector.Random, "s", 0).collect().map(_.toSeq)
+    val rnd0b = Recipes.selectChunk(chunks, Selector.Random, "s", 0).collect().map(_.toSeq)
+    val rnd1 = Recipes.selectChunk(chunks, Selector.Random, "s", 1).collect().map(_.toSeq)
+    assert(rnd0.toSet == rnd0b.toSet)       // deterministic per draw
+    assert(rnd0.toSet != rnd1.toSet)        // rotates across draws
+    assertThrows[IllegalArgumentException](
+      Recipes.selectChunk(chunks, Selector.TemporalOffset(30), "s", 0))
+  }
+
   // ---- partition invariance for the flagship (SURVEY §7.4 hard part) ----
 
   test("triplet batch is partition-count invariant") {

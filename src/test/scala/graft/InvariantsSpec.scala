@@ -95,6 +95,19 @@ class InvariantsSpec extends AnyFunSuite {
     assert(out.forall(_.getString(0).startsWith("e2e::row_")))
   }
 
+  test("seed sensitivity: same seed reproduces, different seed reshuffles") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def run(seed: String) = Triplets.tripletRows(docs, TripletConfig(seed = seed))
+      .collect().map(_.toSeq).toSet
+    val a = run("42")
+    assert(a == run("42"))
+    val b = run("43")
+    assert(a != b)
+    // seed 43 is a full reshuffle, not a perturbation: most triplets differ
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap < 0.5, s"suspiciously high overlap across seeds: $overlap")
+  }
+
   test("instruction tuning: recipe instruction copied verbatim onto samples") {
     val docs = Tables.load(spark, sfDir, "documents")
     val cfg = TripletConfig(instruction = Some("Find the matching passage."))

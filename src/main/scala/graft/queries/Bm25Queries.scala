@@ -31,6 +31,31 @@ object Bm25Queries extends QueryModule {
         SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_e6, rank
         FROM ranked WHERE rank <= $TopK""")),
 
+    QueryDef("q52_bm25_per_source",
+      // the reference keeps per-source inverted indexes to bound rebuild
+      // scope (bm25_backend.rs:42-47); distributed, "per-source index" is
+      // just a partition key: identical scoring, ranks within
+      // (query, source)
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val scored = Bm25.scores(s, docs, "doc_id", "text", Queries)
+        val bySource = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"), col("source"))
+          .orderBy(col("score_e6").desc, col("doc_id"))
+        bySource.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 2)
+          .select(col("qid").cast("long").as("qid"), col("source"),
+            col("doc_id"), col("score_e6"), col("rank"))
+      },
+      Some(s"""${Bm25.duckScoresCtes(Queries)},
+        wsrc AS (SELECT agg.qid, d.source, agg.doc_id, agg.score_e6 FROM agg
+                 JOIN documents d ON agg.doc_id = d.doc_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid, source ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+                   FROM wsrc)
+        SELECT CAST(qid AS BIGINT) AS qid, source, doc_id, score_e6, rank
+        FROM ranked WHERE rank <= 2""")),
+
     QueryDef("q51_bm25_rotation",
       (s, dir) => {
         // stateless top-3 rotation: draw d picks ranked[(d mod min(3, pool)) + 1]

@@ -78,6 +78,26 @@ object SamplingQueries extends QueryModule {
         SELECT doc_id, widx, span, wtokens, ${Determinism.duckHash("wtext")} AS whash
         FROM allrows""")),
 
+    QueryDef("q14_group_refresh_caps",
+      // per-group refresh caps against dominant directories/sources
+      // (reference: file_corpus.rs:546-571, grouping.rs:27-33): cap each
+      // source at 5 records per refresh cycle, seeded-rank selection
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(Determinism.seeded("grpcap", col("doc_id")), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+      },
+      Some(s"""SELECT doc_id, source, rn FROM (
+          SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY ${Determinism.duckSeeded("grpcap", "doc_id")}, doc_id) AS BIGINT) AS rn
+          FROM documents)
+        WHERE rn <= 5""")),
+
     QueryDef("q10_split_assign",
       (s, dir) => {
         Tables.load(s, dir, "documents")

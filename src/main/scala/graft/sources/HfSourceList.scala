@@ -112,6 +112,20 @@ object HfSourceList {
     }
   }
 
+  /** ClassLabel resolution: HF datasets store categorical columns as
+    * integer codes with a names list in the dataset info
+    * (reference: huggingface_source.rs ClassLabel handling; SURVEY maps it
+    * to a labels dim join). The labels list is tiny → literal map column,
+    * no join, fused into the scan. Unknown codes keep their integer form. */
+  def resolveClassLabels(df: DataFrame, colName: String, labels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mapping = map(labels.zipWithIndex.flatMap { case (name, i) =>
+      Seq(lit(i), lit(name))
+    }: _*)
+    df.withColumn(colName,
+      coalesce(element_at(mapping, col(colName).cast("int")), col(colName).cast("string")))
+  }
+
   /** Map landed shard rows to records per the entry's column config. */
   def toRecords(spark: SparkSession, shard: DataFrame, entry: HfSourceEntry): Dataset[DataRecord] = {
     import spark.implicits._

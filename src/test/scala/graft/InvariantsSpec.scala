@@ -29,18 +29,26 @@ class InvariantsSpec extends AnyFunSuite {
     assert(one >= 0L && one < (1L << 32))
   }
 
-  test("golden sequence hash: flagship triplet batch is pinned per seed") {
-    // the analogue of the reference's golden FNV pins: any behavioral
-    // drift in the sampling pipeline fails this loudly. Re-pin ONLY for an
-    // intentional semantic change.
-    val docs = Tables.load(spark, sfDir, "documents")
-    val rows = Triplets.tripletRows(docs, TripletConfig()).collect()
-      .map(r => r.toSeq.mkString("|")).sorted
-    val digest = java.security.MessageDigest.getInstance("MD5")
+  private def goldenDigest(df: org.apache.spark.sql.DataFrame): String = {
+    val rows = df.collect().map(_.toSeq.mkString("|")).sorted
+    assert(rows.nonEmpty)
+    java.security.MessageDigest.getInstance("MD5")
       .digest(rows.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    assert(rows.nonEmpty)
-    assert(digest == "2a7a4584650d5bace063fdc271f8174f", s"golden drift: $digest")
+  }
+
+  test("golden sequence hashes: triplet/pair/text batches pinned per seed") {
+    // the analogue of the reference's golden FNV pins
+    // (src/sampler/tests.rs:17-50): any behavioral drift in the sampling
+    // pipelines fails loudly. Re-pin ONLY for an intentional semantic change.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cfg = TripletConfig()
+    assert(goldenDigest(Triplets.tripletRows(docs, cfg))
+      == "2a7a4584650d5bace063fdc271f8174f", "triplet drift")
+    assert(goldenDigest(Triplets.pairRows(docs, cfg))
+      == "f5db5ed0aefa2b776f35fe50a7a487fa", "pair drift")
+    assert(goldenDigest(Triplets.textRows(docs, cfg, 4))
+      == "9eac657abc766db1f77e556058e47cc9", "text drift")
   }
 
   test("swap rate is ~50% and weights appear in both swap branches") {

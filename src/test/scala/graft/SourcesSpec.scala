@@ -87,6 +87,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(HfSourceList.parseLine("s3://a/b anchor=x").isLeft)
   }
 
+  test("hf ClassLabel codes resolve to names, unknown codes pass through") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((0L, 0), (1L, 1), (2L, 7)).toDF("id", "label")
+    val out = HfSourceList.resolveClassLabels(df, "label", Seq("negative", "positive"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "negative", 1L -> "positive", 2L -> "7"))
+  }
+
   // ---- KVP prefix sampler (reference: src/kvp.rs) ----
 
   private val sampler = KvpPrefixSampler(1.0f, Seq(

@@ -1,11 +1,32 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
+/** Benchmark main. One JSON line on stdout:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * plus diagnostic fields: per-query `gc` seconds, an `errors` object
+  * (query → exception class; a failing query must surface, not record a
+  * fast time), and `failed` count.
+  *
+  * Reproducibility: 50 queries in one long-lived context accumulate
+  * broadcast blocks, generated classes, and GC pressure that inflated a
+  * ~41 s suite to 318 s in round 1. Countermeasures: deterministic warmup
+  * (always the first sorted query), `System.gc()` after every query so the
+  * ContextCleaner can drop out-of-scope broadcasts, and a full SparkSession
+  * recycle every [[SessionChunk]] queries (janino's codegen cache is
+  * JVM-static, so recycling is cheap but resets executor/block-manager
+  * state).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private val SessionChunk = 10
+
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,22 +35,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query isn't inflated
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var spark = newSession(cpus)
+    // JVM/codegen warmup on a FIXED query (Map ordering is arbitrary;
+    // run-to-run comparability needs the same warm state every time)
+    try names.headOption.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     catch { case _: Throwable => }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = names.zipWithIndex.map { case (name, idx) =>
+      if (idx > 0 && idx % SessionChunk == 0) {
+        spark.stop()
+        spark = newSession(cpus)
+      }
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.getClass.getName) }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query cached pools so successive queries measure clean
+      val gcDt = (gcMillis - gc0) / 1e3
+      // drop per-query cached pools, then let the ContextCleaner reclaim
+      // the query's broadcasts before the next timing starts
       spark.catalog.clearCache()
-      name -> dt
+      System.gc()
+      (name, dt, gcDt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failed = results.count(_._4.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

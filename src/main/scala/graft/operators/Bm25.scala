@@ -44,16 +44,25 @@ object Bm25 {
     val terms = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // no cache: both consumers (dl and the query-restricted tf) sit on the
+    // same (doc_id, term) aggregate, so its shuffle is shared via
+    // ReusedExchange — nothing persists past the query, no unpersist leak
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = queries.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.take(QueryTokenLimit).map(t => (qid, t))
     }.toDF("qid", "term")
+    // only query-side terms ever need df: restrict tf to the query
+    // vocabulary FIRST so the df broadcast is bounded by |queries| × 64
+    // terms, never by corpus vocabulary (full-vocab broadcast would OOM
+    // the driver at scale)
+    val qvocab = qterms.select(col("term")).distinct()
+    val tfq = tf.join(broadcast(qvocab), "term")
+    val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = broadcast(qterms)
-      .join(tf, "term")
-      .join(broadcast(df_), "term")
+      .join(tfq, "term")
+      .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))

@@ -49,14 +49,31 @@ object Mixing {
 
   /** Pad (or trim) a candidate pool to exactly `batch` rows by cycling the
     * seeded-ordered pool (`pad_with_reuse`). Input needs `id`; emits
-    * (`i`, `id`) for i in [0, batch). */
+    * (`i`, `id`) for i in [0, batch).
+    *
+    * Scale shape: when the pool covers the batch (the normal case) only the
+    * first `batch` rows in seeded order matter — `orderBy(..).limit(batch)`
+    * is a distributed per-partition top-k (TakeOrderedAndProject), no
+    * global window, no pool-sized broadcast. The cycling path only runs
+    * when the pool is SMALLER than one batch, i.e. trivially tiny. */
   def padToBatch(spark: SparkSession, cands: DataFrame, batch: Int, seed: String): DataFrame = {
-    val ranked = cands
-      .withColumn("rn", row_number().over(Window.partitionBy()
-        .orderBy(Determinism.seeded(seed, col("id")), col("id"))).cast("long") - 1)
-      .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
-    spark.range(batch).select(col("id").as("i"))
-      .join(broadcast(ranked), pmod(col("i"), col("nc")) === col("rn"))
-      .select(col("i"), ranked("id"))
+    val nc = cands.count()
+    if (nc >= batch) {
+      // the unpartitioned window here ranks only the `batch` surviving rows
+      // (bounded by a user constant), not the pool
+      val top = cands
+        .select(col("id"), Determinism.seeded(seed, col("id")).as("sk"))
+        .orderBy(col("sk"), col("id")).limit(batch)
+      top.withColumn("i", row_number().over(Window.partitionBy()
+          .orderBy(col("sk"), col("id"))).cast("long") - 1)
+        .select(col("i"), col("id"))
+    } else {
+      val ranked = cands
+        .withColumn("rn", row_number().over(Window.partitionBy()
+          .orderBy(Determinism.seeded(seed, col("id")), col("id"))).cast("long") - 1)
+      spark.range(batch).select(col("id").as("i"))
+        .join(broadcast(ranked), pmod(col("i"), lit(nc)) === col("rn"))
+        .select(col("i"), ranked("id"))
+    }
   }
 }

@@ -105,39 +105,84 @@ object Triplets {
       .drop("toks", "atoks", "n")
   }
 
-  /** WrongArticle rank-pick join over a prepared pool. */
-  private def joinWrongArticle(prepared: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy(col("source"), col("split"))
-      .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))
-    val wGrp = Window.partitionBy(col("source"), col("split"))
-    val ranked = prepared
-      .withColumn("rnk", row_number().over(wOrd).cast("long") - 1)
-      .withColumn("gs", count(lit(1)).over(wGrp).cast("long"))
-      .cache()
-    val anch = ranked.filter(col("gs") >= 2)
+  /** Seeded rank + pool size within (source, split) — the shared pool
+    * shape every negative lane picks from. */
+  private def rankBySourceSplit(prepared: DataFrame): DataFrame =
+    prepared
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"), col("split"))
+        .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))).cast("long") - 1)
+      .withColumn("gs", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("split"))).cast("long"))
+
+  /** Negative-candidate projection of a ranked pool. */
+  private def negSide(ranked: DataFrame): DataFrame =
+    ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
+      col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
+      col("span").as("nspan"), col("k").as("nk"), col("rnk").as("nrnk"))
+
+  /** Same-source same-split rank-pick: each anchor picks
+    * `hash(neg:id) mod (gs-1)` with a +1 skip over its own rank; one
+    * equi-join on (source, split, rank) fetches the negative. `anchors`
+    * must be a subset of `ranked` (carries rnk/gs). */
+  private def sameSourceJoin(ranked: DataFrame, anchors: DataFrame): DataFrame = {
+    val anch = anchors
       .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))
       .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
         col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
         col("k").as("ak"), col("pick"))
-    val negSide = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
-      col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
-      col("span").as("nspan"), col("k").as("nk"), col("rnk").as("nrnk"))
-    anch.join(negSide,
+    anch.join(negSide(ranked),
       col("source") === col("nsource") && col("split") === col("nsplit") &&
         col("nrnk") === col("pick"))
   }
 
-  /** Standard triplet-row projection with swap applied. */
-  private def projectRows(df: DataFrame, recipe: Column): DataFrame =
-    df.select(
+  /** Cross-source same-split pick, two-level (split→source→record): the
+    * anchor hash-picks a source rank (excluding its own source), then a
+    * record rank inside that source's (source, split) pool. Ranks live at
+    * source cardinality (broadcast-sized) and inside single-source pools —
+    * no record-grained window keyed only by `split`, which would collapse
+    * the corpus into #splits partitions at scale. */
+  private def crossSourceJoin(ranked: DataFrame, anchors: DataFrame): DataFrame = {
+    val srcs = ranked.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).cast("long").as("ccnt"))
+      .withColumn("srnk", row_number().over(Window.partitionBy(col("split"))
+        .orderBy(Determinism.seeded("fsord", col("source")), col("source"))).cast("long") - 1)
+      .withColumn("scnt", count(lit(1)).over(Window.partitionBy(col("split"))).cast("long"))
+    val anch = anchors
+      .join(broadcast(srcs.select(col("split"), col("source"), col("srnk"), col("scnt"))),
+        Seq("split", "source"))
+      .filter(col("scnt") >= 2)
+      .withColumn("spick0", pmod(Determinism.seeded("fsrc", col("doc_id")), col("scnt") - 1))
+      .withColumn("spick", when(col("spick0") >= col("srnk"), col("spick0") + 1).otherwise(col("spick0")))
+      .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+        col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+        col("k").as("ak"), col("spick"))
+    val tgt = srcs.select(col("split").as("tsplit"), col("source").as("tsource"),
+      col("srnk").as("tsrnk"), col("ccnt").as("tccnt"))
+    anch.join(broadcast(tgt), col("split") === col("tsplit") && col("tsrnk") === col("spick"))
+      .withColumn("rpick", pmod(Determinism.seeded("frec", col("aid")), col("tccnt")))
+      .join(negSide(ranked),
+        col("split") === col("nsplit") && col("tsource") === col("nsource") &&
+          col("nrnk") === col("rpick"))
+  }
+
+  /** WrongArticle rank-pick join over a prepared pool. */
+  private def joinWrongArticle(prepared: DataFrame): DataFrame = {
+    val ranked = rankBySourceSplit(prepared).cache()
+    sameSourceJoin(ranked, ranked.filter(col("gs") >= 2))
+  }
+
+  /** Standard triplet-row projection with swap applied; `extra` columns
+    * (e.g. a lane marker) are carried through verbatim. */
+  private def projectRows(df: DataFrame, recipe: Column, extra: Seq[String] = Nil): DataFrame =
+    df.select(Seq(
       col("aid"), col("nid"), col("split"), recipe.as("recipe"),
       when(col("swapped"), Determinism.portableHash(col("ptext")))
         .otherwise(Determinism.portableHash(col("atext"))).as("a_hash"),
       when(col("swapped"), Determinism.portableHash(col("atext")))
         .otherwise(Determinism.portableHash(col("ptext"))).as("p_hash"),
       Determinism.portableHash(col("ntext")).as("n_hash"),
-      col("swapped"), col("pidx"), col("nidx"), col("weight_e6"))
+      col("swapped"), col("pidx"), col("nidx"), col("weight_e6")) ++ extra.map(col): _*)
 
   /** Full triplet table (pre-projection; carries texts for downstream).
     * The ranked pool inside [[joinWrongArticle]] is materialized once —
@@ -264,49 +309,62 @@ object Triplets {
     projectRows(tripletsWrongDate(docs, cfg, dateExpr), lit(recipeName))
 
   /** Cross-source same-split fallback lane: anchors whose (source, split)
-    * pool is a singleton draw their negative from the whole split instead;
-    * the recipe name gains the `_fallback_same_split` suffix
+    * pool is a singleton draw their negative from another source of the
+    * same split via the two-level [[crossSourceJoin]] pick; the recipe
+    * name gains the `_fallback_same_split` suffix
     * (reference: src/sampler/mod.rs:994-1053, 1391-1395). */
   def tripletRowsWithFallback(docs: DataFrame, cfg: TripletConfig): DataFrame = {
-    val prepared = prepare(docs, cfg)
-    val ranked = prepared
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"), col("split"))
-        .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))).cast("long") - 1)
-      .withColumn("gs", count(lit(1)).over(Window.partitionBy(col("source"), col("split"))).cast("long"))
-      .withColumn("frnk", row_number().over(Window.partitionBy(col("split"))
-        .orderBy(Determinism.seeded("ford", col("doc_id")), col("doc_id"))).cast("long") - 1)
-      .withColumn("fgs", count(lit(1)).over(Window.partitionBy(col("split"))).cast("long"))
+    val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
+    val main = finish(sameSourceJoin(ranked, ranked.filter(col("gs") >= 2)), cfg)
+      .withColumn("recipe", lit(cfg.recipeName))
+    val fallback = finish(crossSourceJoin(ranked, ranked.filter(col("gs") < 2)), cfg)
+      .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
+    projectRows(main, col("recipe")).unionByName(projectRows(fallback, col("recipe")))
+  }
+
+  /** WrongArticle with the reference's date-preference staging
+    * (reference: src/sampler/mod.rs:994-1053, 1391-1395): stage 1 draws
+    * the negative among same-source same-split SAME-publication-date
+    * candidates; anchors whose date pool is a singleton fall to stage 2
+    * (same source, any date); anchors whose whole (source, split) pool is
+    * a singleton take the cross-source same-split lane (recipe suffixed
+    * `_fallback_same_split`). A `lane` column marks the stage each triplet
+    * came from. All three lanes are rank-picks — keyed windows + equi-joins,
+    * no theta join. */
+  def tripletRowsDatePreferred(docs: DataFrame, cfg: TripletConfig, dateExpr: Column): DataFrame = {
+    val withDate = docs.select(col("doc_id").as("did"), dateExpr.cast("string").as("pub_date"))
+    val prepared = prepare(docs, cfg).join(withDate, col("doc_id") === col("did")).drop("did")
+    val wD = Window.partitionBy(col("source"), col("split"), col("pub_date"))
+    val ranked = rankBySourceSplit(prepared)
+      .withColumn("drnk", row_number().over(wD
+        .orderBy(Determinism.seeded("dord2", col("doc_id")), col("doc_id"))).cast("long") - 1)
+      .withColumn("dgs", count(lit(1)).over(wD).cast("long"))
       .cache()
-    val main = {
-      val anch = ranked.filter(col("gs") >= 2)
-        .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))
-        .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
-        .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+    val sameDate = {
+      val anch = ranked.filter(col("dgs") >= 2)
+        .withColumn("pick0", pmod(Determinism.seeded("dneg", col("doc_id")), col("dgs") - 1))
+        .withColumn("pick", when(col("pick0") >= col("drnk"), col("pick0") + 1).otherwise(col("pick0")))
+        .select(col("doc_id").as("aid"), col("source"), col("split"), col("pub_date"), col("atext"),
           col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
           col("k").as("ak"), col("pick"))
-      val negSide = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
-        col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
-        col("span").as("nspan"), col("k").as("nk"), col("rnk").as("nrnk"))
-      finish(anch.join(negSide,
+      val ns = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
+        col("split").as("nsplit"), col("pub_date").as("ndate"), col("ctoks").as("nctoks"),
+        col("cn").as("ncn"), col("span").as("nspan"), col("k").as("nk"), col("drnk").as("ndrnk"))
+      finish(anch.join(ns,
         col("source") === col("nsource") && col("split") === col("nsplit") &&
-          col("nrnk") === col("pick")), cfg)
+          col("pub_date") === col("ndate") && col("ndrnk") === col("pick")), cfg)
+        .withColumn("lane", lit("same_date"))
         .withColumn("recipe", lit(cfg.recipeName))
     }
-    val fallback = {
-      val anch = ranked.filter(col("gs") < 2 && col("fgs") >= 2)
-        .withColumn("pick0", pmod(Determinism.seeded("fneg", col("doc_id")), col("fgs") - 1))
-        .withColumn("pick", when(col("pick0") >= col("frnk"), col("pick0") + 1).otherwise(col("pick0")))
-        .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
-          col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
-          col("k").as("ak"), col("pick"))
-      val negSide = ranked.select(col("doc_id").as("nid"),
-        col("split").as("nsplit"), col("ctoks").as("nctoks"), col("cn").as("ncn"),
-        col("span").as("nspan"), col("k").as("nk"), col("frnk").as("nfrnk"))
-      finish(anch.join(negSide,
-        col("split") === col("nsplit") && col("nfrnk") === col("pick")), cfg)
-        .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
-    }
-    projectRows(main, col("recipe")).unionByName(projectRows(fallback, col("recipe")))
+    val anyDate = finish(sameSourceJoin(ranked, ranked.filter(col("dgs") < 2 && col("gs") >= 2)), cfg)
+      .withColumn("lane", lit("any_date"))
+      .withColumn("recipe", lit(cfg.recipeName))
+    val fallback = finish(crossSourceJoin(ranked, ranked.filter(col("gs") < 2)), cfg)
+      .withColumn("lane", lit("fallback_same_split"))
+      .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
+    Seq(sameDate, anyDate, fallback)
+      .map(d => projectRows(d, col("recipe"), Seq("lane")))
+      .reduce(_.unionByName(_))
   }
 
   // -------------------------------------------------------------------
@@ -462,14 +520,44 @@ object Triplets {
     )"""
   }
 
-  private def duckProjectSql(recipeSql: String, tripfName: String): String = {
+  private def duckProjectSql(recipeSql: String, tripfName: String, extraSql: String = ""): String = {
     val dh = Determinism.duckHash _
     s"""SELECT aid, nid, split, $recipeSql AS recipe,
         CASE WHEN swapped THEN ${dh("ptext")} ELSE ${dh("atext")} END AS a_hash,
         CASE WHEN swapped THEN ${dh("atext")} ELSE ${dh("ptext")} END AS p_hash,
         ${dh("ntext")} AS n_hash,
-        swapped, CAST(pidx AS BIGINT) AS pidx, CAST(nidx AS BIGINT) AS nidx, weight_e6
+        swapped, CAST(pidx AS BIGINT) AS pidx, CAST(nidx AS BIGINT) AS nidx, weight_e6$extraSql
       FROM $tripfName"""
+  }
+
+  /** Mirror of [[crossSourceJoin]]: two-level split→source→record pick for
+    * anchors satisfying `anchorWhere` (over alias `r`). Expects a `ranked`
+    * CTE with rnk/gs; emits `srcs`, `anch_f`, `joined_f`. */
+  private def duckCrossLaneCtes(anchorWhere: String): String = {
+    val h = Determinism.duckSeeded _
+    s""", srcs0 AS (
+      SELECT split, source, CAST(count(*) AS BIGINT) AS ccnt FROM ranked GROUP BY split, source
+    ), srcs AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY split ORDER BY ${h("fsord", "source")}, source) AS BIGINT) - 1 AS srnk,
+        CAST(count(*) OVER (PARTITION BY split) AS BIGINT) AS scnt
+      FROM srcs0
+    ), anch_f AS (
+      SELECT r.*, s.srnk, s.scnt,
+        CASE WHEN ${h("fsrc", "r.doc_id")} % (s.scnt - 1) >= s.srnk
+             THEN ${h("fsrc", "r.doc_id")} % (s.scnt - 1) + 1
+             ELSE ${h("fsrc", "r.doc_id")} % (s.scnt - 1) END AS spick
+      FROM ranked r JOIN srcs s ON r.split = s.split AND r.source = s.source
+      WHERE $anchorWhere AND s.scnt >= 2
+    ), joined_f AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch_f a
+      JOIN srcs t ON t.split = a.split AND t.srnk = a.spick
+      JOIN ranked n ON n.split = a.split AND n.source = t.source
+        AND n.rnk = ${h("frec", "a.doc_id")} % t.ccnt
+    )"""
   }
 
   /** Oracle for [[tripletsWrongDate]] projected as triplet rows. */
@@ -511,9 +599,7 @@ object Triplets {
     s"""${duckPreparedCtes(cfg, where, None)}, ranked AS (
       SELECT *,
         CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
-        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS gs,
-        CAST(row_number() OVER (PARTITION BY split ORDER BY ${h("ford", "doc_id")}, doc_id) AS BIGINT) - 1 AS frnk,
-        CAST(count(*) OVER (PARTITION BY split) AS BIGINT) AS fgs
+        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS gs
       FROM prepared
     ), anch_m AS (
       SELECT *,
@@ -527,20 +613,52 @@ object Triplets {
         n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
       FROM anch_m a JOIN ranked n
         ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
-    )${duckTailCtes(cfg, "joined_m", "_m")}, anch_f AS (
-      SELECT *,
-        CASE WHEN ${h("fneg", "doc_id")} % (fgs - 1) >= frnk
-             THEN ${h("fneg", "doc_id")} % (fgs - 1) + 1
-             ELSE ${h("fneg", "doc_id")} % (fgs - 1) END AS pick
-      FROM ranked WHERE gs < 2 AND fgs >= 2
-    ), joined_f AS (
-      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
-        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
-        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
-      FROM anch_f a JOIN ranked n ON a.split = n.split AND n.frnk = a.pick
-    )${duckTailCtes(cfg, "joined_f", "_f")}
+    )${duckTailCtes(cfg, "joined_m", "_m")}${duckCrossLaneCtes("r.gs < 2")}${duckTailCtes(cfg, "joined_f", "_f")}
     ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_m")}
     UNION ALL
     ${duckProjectSql(s"'${cfg.recipeName}${Recipes.FallbackSuffix}'", "tripf_f")}"""
+  }
+
+  /** Oracle for [[tripletRowsDatePreferred]] over a filtered corpus. */
+  def duckDatePreferredSql(cfg: TripletConfig, where: String, dateExpr: String): String = {
+    val h = Determinism.duckSeeded _
+    s"""${duckPreparedCtes(cfg, where, Some(dateExpr))}, ranked AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
+        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS gs,
+        CAST(row_number() OVER (PARTITION BY source, split, pub_date ORDER BY ${h("dord2", "doc_id")}, doc_id) AS BIGINT) - 1 AS drnk,
+        CAST(count(*) OVER (PARTITION BY source, split, pub_date) AS BIGINT) AS dgs
+      FROM prepared
+    ), anch_d AS (
+      SELECT *,
+        CASE WHEN ${h("dneg", "doc_id")} % (dgs - 1) >= drnk
+             THEN ${h("dneg", "doc_id")} % (dgs - 1) + 1
+             ELSE ${h("dneg", "doc_id")} % (dgs - 1) END AS pick
+      FROM ranked WHERE dgs >= 2
+    ), joined_d AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch_d a JOIN ranked n
+        ON a.source = n.source AND a.split = n.split AND a.pub_date = n.pub_date
+          AND n.drnk = a.pick
+    )${duckTailCtes(cfg, "joined_d", "_d")}, anch_m AS (
+      SELECT *,
+        CASE WHEN ${h("neg", "doc_id")} % (gs - 1) >= rnk
+             THEN ${h("neg", "doc_id")} % (gs - 1) + 1
+             ELSE ${h("neg", "doc_id")} % (gs - 1) END AS pick
+      FROM ranked WHERE dgs < 2 AND gs >= 2
+    ), joined_m AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch_m a JOIN ranked n
+        ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
+    )${duckTailCtes(cfg, "joined_m", "_m")}${duckCrossLaneCtes("r.gs < 2")}${duckTailCtes(cfg, "joined_f", "_f")}
+    ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_d", ", 'same_date' AS lane")}
+    UNION ALL
+    ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_m", ", 'any_date' AS lane")}
+    UNION ALL
+    ${duckProjectSql(s"'${cfg.recipeName}${Recipes.FallbackSuffix}'", "tripf_f", ", 'fallback_same_split' AS lane")}"""
   }
 }

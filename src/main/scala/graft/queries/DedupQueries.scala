@@ -102,18 +102,28 @@ object DedupQueries extends QueryModule {
 
     QueryDef("q28_simhash_neardup_pairs",
       (s, dir) => {
-        // near-dups = signatures within hamming distance 1 (the synthetic
-        // corpus has a tiny vocabulary, so signatures cluster hard); candidate
-        // blocking on the top byte keeps the self-join linear-ish (the
-        // 100 TB shape: bucket by prefix, pair within buckets)
+        // near-dups = signatures within hamming distance 1. Blocking is
+        // 2-band OR-blocking (the standard k+1-bands-for-hamming-k scheme):
+        // a pair differing in at most 1 bit differs in at most one of the
+        // two 8-bit bands, so it MUST collide on the other band — recall is
+        // guaranteed by construction. (Top-byte-only blocking silently
+        // dropped pairs whose flipped bit was in the top byte.) Join stays
+        // bucketed — pair space = in-bucket collisions; a tiny-vocabulary
+        // corpus collapsing into few buckets is re-split by AQE skew-join.
         val sig = Dedup.simhashSignature(
           Tables.load(s, dir, "documents"), "doc_id", "text", 16).cache()
-        val withBucket = sig.withColumn("hi", expr("simhash div 256"))
-        val l = withBucket.as("l"); val r = withBucket.as("r")
-        l.join(r, col("l.hi") === col("r.hi") && col("l.doc_id") < col("r.doc_id"))
+        val banded = sig.select(col("doc_id"), col("simhash"), explode(array(
+            struct(lit(0).as("band"), expr("simhash div 256").as("key")),
+            struct(lit(1).as("band"), expr("simhash % 256").as("key")))).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val l = banded.as("l"); val r = banded.as("r")
+        l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
             expr("CAST(bit_count(l.simhash ^ r.simhash) AS BIGINT)").as("hamming"))
           .filter(col("hamming") <= 1)
+          .distinct()
       },
       Some {
         val votes = (0 until 16).map(i =>
@@ -125,10 +135,14 @@ object DedupQueries extends QueryModule {
                 FROM t WHERE len(toks) > 0),
           v AS (SELECT doc_id, $votes FROM h),
           sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
-          b AS (SELECT doc_id, simhash, simhash // 256 AS hi FROM sg)
-          SELECT l.doc_id AS a, r.doc_id AS b,
+          b AS (
+            SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM sg
+            UNION ALL
+            SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM sg
+          )
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
             CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-          FROM b l JOIN b r ON l.hi = r.hi AND l.doc_id < r.doc_id
+          FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
           WHERE bit_count(xor(l.simhash, r.simhash)) <= 1"""
       }),
 

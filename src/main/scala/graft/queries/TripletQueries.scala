@@ -49,6 +49,23 @@ object TripletQueries extends QueryModule {
       },
       Some(Triplets.duckWrongDateSql(cfg,
         s"'2025-01-0' || CAST(${graft.core.Determinism.duckSeeded("day", "doc_id")} % 5 + 1 AS VARCHAR)",
-        "wrong_publication_date")))
+        "wrong_publication_date"))),
+
+    QueryDef("q86_triplet_date_preference",
+      // WrongArticle date-preference staging: a thinned corpus (1 in 5)
+      // with 2 synthetic publication dates makes all three lanes non-empty
+      // — same-source+same-date pools of >=2 (lane 1), source pools whose
+      // date groups are singletons (lane 2), and singleton source pools
+      // that cross sources (lane 3)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.core.Determinism
+        Triplets.tripletRowsDatePreferred(
+          Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 0")), cfg,
+          concat(lit("2025-02-0"),
+            (pmod(Determinism.seeded("day2", col("doc_id")), lit(2)) + 1).cast("string")))
+      },
+      Some(Triplets.duckDatePreferredSql(cfg, "doc_id % 5 = 0",
+        s"'2025-02-0' || CAST(${graft.core.Determinism.duckSeeded("day2", "doc_id")} % 2 + 1 AS VARCHAR)")))
   )
 }

@@ -260,6 +260,77 @@ object Triplets {
         greatest(lit(100000L), floor(lit(1000000) / (col("widx") + 1)).cast("long")).as("weight_e6"))
   }
 
+  /** BM25 hard negatives wired into the sampler — the reference's
+    * `NegativeBackend::choose` (reference:
+    * src/sampler/backends/bm25_backend.rs:131-172, trait contract
+    * backends/mod.rs:37-102): each anchor queries its own (source, split)
+    * candidate pool with its anchor-section tokens; the negative is the
+    * stateless top-3 rotation pick over exact-integer BM25 scores
+    * (rank = `hash(bmpick:aid) mod min(3, pool)`, mirroring
+    * BM25_HARD_NEGATIVE_ROTATION_TOP_K); anchors whose query shares no
+    * term with any candidate fall back to the deterministic-random
+    * rank-pick. A `lane` column marks `bm25` vs `random_fallback`.
+    *
+    * Scale shape: tf/df/stats are per-(source, split) shuffled aggregates
+    * over the already-tokenized context arrays (dl = cn, no re-scan); the
+    * query↔tf join shuffles on (source, split, term) so the pair space is
+    * in-pool term collisions, never a cross join; top-3 is a keyed window
+    * on the anchor id. */
+  def tripletRowsBm25(docs: DataFrame, cfg: TripletConfig, recipeName: String): DataFrame = {
+    val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
+    val tf = ranked.select(col("source"), col("split"), col("doc_id"),
+        explode(col("ctoks")).as("term"))
+      .groupBy(col("source"), col("split"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = ranked.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cn")).as("sum_dl"))
+    val dfq = tf.groupBy(col("source"), col("split"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val qterms = ranked.filter(col("gs") >= 2)
+      .select(col("doc_id").as("aid"), col("source"), col("split"),
+        explode(array_distinct(TextFunctions.tokens(col("atext")))).as("term"))
+    val scored = qterms
+      .join(tf.withColumnRenamed("doc_id", "cand"), Seq("source", "split", "term"))
+      .filter(col("cand") =!= col("aid"))
+      .join(dfq, Seq("source", "split", "term"))
+      .join(ranked.select(col("source"), col("split"), col("doc_id").as("cand"),
+        col("cn").as("dl")), Seq("source", "split", "cand"))
+      .join(stats, Seq("source", "split"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("tfpart",
+        (col("tf") * lit(Bm25.K1 + 1)) /
+          (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
+      .withColumn("term_e6", floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long"))
+      .groupBy(col("aid"), col("cand"))
+      .agg(sum(col("term_e6")).as("score_e6"))
+    val top3 = scored
+      .withColumn("brnk", row_number().over(Window.partitionBy(col("aid"))
+        .orderBy(col("score_e6").desc, col("cand"))).cast("long"))
+      .filter(col("brnk") <= 3)
+      .withColumn("c3", count(lit(1)).over(Window.partitionBy(col("aid"))).cast("long"))
+    val picked = top3
+      .filter(col("brnk") - 1 === pmod(Determinism.seeded("bmpick", col("aid")), col("c3")))
+      .select(col("aid").as("baid"), col("cand").as("bnid"))
+    val anchSel = ranked.filter(col("gs") >= 2)
+      .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+        col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+        col("k").as("ak"))
+    val bm = finish(anchSel
+        .join(picked, col("aid") === col("baid"))
+        .join(negSide(ranked).drop("nrnk"), col("bnid") === col("nid") &&
+          col("source") === col("nsource") && col("split") === col("nsplit")), cfg)
+      .withColumn("lane", lit("bm25"))
+    val fb = finish(sameSourceJoin(ranked,
+        ranked.filter(col("gs") >= 2)
+          .join(picked, col("doc_id") === col("baid"), "left_anti")), cfg)
+      .withColumn("lane", lit("random_fallback"))
+    Seq(bm, fb)
+      .map(d => projectRows(d.withColumn("recipe", lit(recipeName)), col("recipe"), Seq("lane")))
+      .reduce(_.unionByName(_))
+  }
+
   /** WrongPublicationDate negatives (reference: src/sampler/mod.rs:1054-1108):
     * same source+split, *different* publication date. Two-level rank-pick:
     * hash-pick a date group other than the anchor's, then hash-pick a
@@ -617,6 +688,74 @@ object Triplets {
     ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_m")}
     UNION ALL
     ${duckProjectSql(s"'${cfg.recipeName}${Recipes.FallbackSuffix}'", "tripf_f")}"""
+  }
+
+  /** Oracle for [[tripletRowsBm25]] over a filtered corpus. */
+  def duckBm25Sql(cfg: TripletConfig, where: String, recipeName: String): String = {
+    val h = Determinism.duckSeeded _
+    val K1 = Bm25.K1; val B = Bm25.B
+    s"""${duckPreparedCtes(cfg, where, None)}, ranked AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
+        CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT) AS gs
+      FROM prepared
+    ), tfq AS (
+      SELECT source, split, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT source, split, doc_id, unnest(ctoks) AS term FROM ranked) u
+      GROUP BY source, split, doc_id, term
+    ), stats AS (
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(cn) AS BIGINT) AS sum_dl
+      FROM ranked GROUP BY source, split
+    ), dfq AS (
+      SELECT source, split, term, CAST(count(*) AS BIGINT) AS df
+      FROM tfq GROUP BY source, split, term
+    ), qt AS (
+      SELECT doc_id AS aid, source, split,
+        unnest(list_distinct(${TextFunctions.duckTokens("atext")})) AS term
+      FROM ranked WHERE gs >= 2
+    ), sc AS (
+      SELECT q.aid, t.doc_id AS cand,
+        CAST(floor(1000000.0 *
+          ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+          ((t.tf * ${K1 + 1}) / (t.tf + $K1 * (${1 - B} + $B * r.cn / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+        ) AS BIGINT) AS term_e6
+      FROM qt q
+      JOIN tfq t ON t.source = q.source AND t.split = q.split AND t.term = q.term AND t.doc_id <> q.aid
+      JOIN dfq d ON d.source = q.source AND d.split = q.split AND d.term = q.term
+      JOIN ranked r ON r.doc_id = t.doc_id
+      JOIN stats s ON s.source = q.source AND s.split = q.split
+    ), agg AS (
+      SELECT aid, cand, CAST(sum(term_e6) AS BIGINT) AS score_e6 FROM sc GROUP BY aid, cand
+    ), top3 AS (
+      SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY aid ORDER BY score_e6 DESC, cand) AS BIGINT) AS brnk
+        FROM agg) sub WHERE brnk <= 3
+    ), top3c AS (
+      SELECT *, CAST(count(*) OVER (PARTITION BY aid) AS BIGINT) AS c3 FROM top3
+    ), picked AS (
+      SELECT aid AS baid, cand AS bnid FROM top3c WHERE brnk - 1 = ${h("bmpick", "aid")} % c3
+    ), joined_b AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM ranked a JOIN picked p ON a.doc_id = p.baid
+      JOIN ranked n ON n.doc_id = p.bnid
+    )${duckTailCtes(cfg, "joined_b", "_b")}, anch_r AS (
+      SELECT *,
+        CASE WHEN ${h("neg", "doc_id")} % (gs - 1) >= rnk
+             THEN ${h("neg", "doc_id")} % (gs - 1) + 1
+             ELSE ${h("neg", "doc_id")} % (gs - 1) END AS pick
+      FROM ranked WHERE gs >= 2 AND doc_id NOT IN (SELECT baid FROM picked)
+    ), joined_r AS (
+      SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+        a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+        n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+      FROM anch_r a JOIN ranked n
+        ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
+    )${duckTailCtes(cfg, "joined_r", "_r")}
+    ${duckProjectSql(s"'$recipeName'", "tripf_b", ", 'bm25' AS lane")}
+    UNION ALL
+    ${duckProjectSql(s"'$recipeName'", "tripf_r", ", 'random_fallback' AS lane")}"""
   }
 
   /** Oracle for [[tripletRowsDatePreferred]] over a filtered corpus. */

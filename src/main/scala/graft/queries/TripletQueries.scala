@@ -51,6 +51,18 @@ object TripletQueries extends QueryModule {
         s"'2025-01-0' || CAST(${graft.core.Determinism.duckSeeded("day", "doc_id")} % 5 + 1 AS VARCHAR)",
         "wrong_publication_date"))),
 
+    QueryDef("q85_triplet_bm25_negative",
+      // the BM25 negative backend on the sampler path: negatives are the
+      // top-3 rotation pick over per-pool BM25 scores of the anchor's own
+      // query tokens; anchors with an empty score intersection take the
+      // deterministic-random rank-pick (lane column marks which). The
+      // synthetic corpus has a 31-token vocabulary so the bm25 lane
+      // dominates here; the fallback lane's trigger is pinned by
+      // TripletSamplerSpec on a disjoint-vocabulary corpus.
+      (s, dir) => Triplets.tripletRowsBm25(
+        Tables.load(s, dir, "documents"), cfg, "bm25_wrong_article"),
+      Some(Triplets.duckBm25Sql(cfg, "TRUE", "bm25_wrong_article"))),
+
     QueryDef("q86_triplet_date_preference",
       // WrongArticle date-preference staging: a thinned corpus (1 in 5)
       // with 2 synthetic publication dates makes all three lanes non-empty

@@ -141,4 +141,28 @@ class InvariantsSpec extends AnyFunSuite {
     assert(metrics.contains("ingest"))
     assert(metrics("ingest").getAs[Long]("rows") == n.toLong)
   }
+
+  test("bm25 negative backend: empty intersection falls back to the random rank-pick") {
+    import spark.implicits._
+    val cfg = TripletConfig()
+    // 12 docs in one source with mutually disjoint vocabularies: no
+    // anchor's query tokens appear in any candidate, so every triplet must
+    // take the random_fallback lane (reference contract:
+    // bm25_backend.rs:131-172 — None from the index → random negative)
+    val disjoint = (0 until 12).map { i =>
+      (i.toLong, "srcA", (0 until 20).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val fb = Triplets.tripletRowsBm25(disjoint, cfg, "bm25_wrong_article")
+    assert(fb.count() > 0)
+    assert(fb.select("lane").distinct().collect().map(_.getString(0)).toSet
+      == Set("random_fallback"))
+    // shared vocabulary: every anchor scores its pool, the bm25 lane fires
+    val shared = (0 until 12).map { i =>
+      (i.toLong, "srcA", ((0 until 20).map(j => s"common${j % 5}") :+ s"rare$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val bm = Triplets.tripletRowsBm25(shared, cfg, "bm25_wrong_article")
+    assert(bm.count() > 0)
+    assert(bm.select("lane").distinct().collect().map(_.getString(0)).toSet
+      == Set("bm25"))
+  }
 }

@@ -18,6 +18,7 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     TripletQueries,
+    RecipeQueries,
     Bm25Queries,
     TemporalQueries,
     MetricsQueries,

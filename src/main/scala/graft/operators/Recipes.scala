@@ -40,7 +40,10 @@ case class TripletRecipe(
     negative: NegativeStrategy,
     weight: Float = 1.0f,
     instruction: Option[String] = None,
-    allowSameAnchorPositive: Boolean = false)
+    allowSameAnchorPositive: Boolean = false,
+    /** Which chunk of the negative record to use
+      * (reference `negative_selector`, src/config.rs:201-215). */
+    negativeSelector: Selector = Selector.RoleContext)
 
 case class TextRecipe(name: String, selector: Selector, weight: Float = 1.0f)
 
@@ -57,6 +60,62 @@ object Recipes {
   /** Suffix applied when a negative falls back to cross-source same-split
     * (reference: src/sampler/mod.rs:1391-1395). */
   val FallbackSuffix = "_fallback_same_split"
+
+  /** Source-default triplet recipes — what each backend installs when the
+    * config names none (reference: csv_source.rs:368-409,
+    * file_source.rs:156-210, huggingface_source.rs:4605-4650). Weights are
+    * the reference's intentional lane balance. */
+  def csvDefaults(roleMode: Boolean): Seq[TripletRecipe] =
+    if (!roleMode)
+      // text mode: SimCSE-style — anchor and positive may be identical
+      // text (dropout provides the variation); negative from another record
+      Seq(TripletRecipe("csv_text_simcse_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 1.0f, allowSameAnchorPositive = true))
+    else Seq(
+      TripletRecipe("csv_anchor_positive_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 0.75f),
+      TripletRecipe("csv_anchor_anchor_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 0.25f, negativeSelector = Selector.RoleAnchor))
+
+  def fileDefaults(includeDateAware: Boolean): Seq[TripletRecipe] = {
+    val dateLanes =
+      if (!includeDateAware) Nil
+      else Seq(
+        TripletRecipe("title_context_wrong_date",
+          Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongPublicationDate,
+          weight = 0.30f),
+        TripletRecipe("title_anchor_wrong_date",
+          Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongPublicationDate,
+          weight = 0.10f, negativeSelector = Selector.RoleAnchor))
+    dateLanes ++ Seq(
+      TripletRecipe("title_context_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = if (includeDateAware) 0.35f else 0.75f),
+      TripletRecipe("title_anchor_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 0.25f, negativeSelector = Selector.RoleAnchor))
+  }
+
+  def hfDefaults(hasAnchorColumns: Boolean): Seq[TripletRecipe] =
+    if (!hasAnchorColumns)
+      Seq(TripletRecipe("huggingface_text_simcse_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 1.0f, allowSameAnchorPositive = true))
+    else Seq(
+      TripletRecipe("huggingface_anchor_context_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 0.75f),
+      TripletRecipe("huggingface_anchor_anchor_wrong_article",
+        Selector.RoleAnchor, Selector.RoleContext, NegativeStrategy.WrongArticle,
+        weight = 0.25f, negativeSelector = Selector.RoleAnchor))
+
+  /** Configured recipes win; an empty config resolves to the source's
+    * defaults (reference: src/sampler/mod.rs:691-723 resolution order). */
+  def resolve(configured: Seq[TripletRecipe], defaults: => Seq[TripletRecipe]): Seq[TripletRecipe] =
+    if (configured.nonEmpty) configured else defaults
 
   /** Weighted, seeded ticket order: recipes with weight <= 0 are disabled;
     * tickets = clamp(round(w / w_min), 1, 16) per recipe; the ticket list

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.{Determinism, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{NegativeStrategy, Recipes, Selector, TripletRecipe}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The recipe engine on the oracle path: `ticketOrder`/`pick` decide which
+  * recipe governs each draw, and that recipe's anchor/positive [[Selector]]s
+  * pick concrete chunks via [[Recipes.selectChunk]] — i.e. recipe scheduling
+  * and selector execution are correctness-gated, not just spec-pinned
+  * (reference: src/config.rs:147-237 selector contract,
+  * src/sampler/mod.rs:2761-2801 ticket scheduling).
+  *
+  * The ticket plan is pure config (a deterministic function of the recipe
+  * weights and seed), so both engines receive it as a literal: Spark binds
+  * one selector pipeline per draw, DuckDB joins a VALUES table with the
+  * same (draw → recipe, selector) rows. What the oracle verifies is the
+  * per-draw chunk selection: eligibility filtering, the (section_idx,
+  * view_kind, window_index, overlap) ordering, and the seeded hash-pick.
+  *
+  * Two of the three recipes are the CSV source DEFAULTS
+  * ([[Recipes.csvDefaults]], reference csv_source.rs:368-409) — exercising
+  * the defaults-resolution lane; the third adds Paragraph/Random selectors.
+  */
+object RecipeQueries extends QueryModule {
+
+  private val Seed = "42"
+  private val W = 32; private val OV = 8; private val ST = W - OV
+  private val AT = 8        // anchor-section tokens
+  private val MinToks = 12
+  private val Draws = 12
+
+  /** CSV role-mode defaults (resolved as a source with no configured
+    * recipes would) + a Paragraph/Random lane. */
+  private[graft] val recipes: Seq[TripletRecipe] =
+    Recipes.resolve(Nil, Recipes.csvDefaults(roleMode = true)) :+
+      TripletRecipe("custom_paragraph_random", Selector.Paragraph(0), Selector.Random,
+        NegativeStrategy.WrongArticle, weight = 0.5f)
+  private[graft] val plan: Seq[String] = Recipes.ticketOrder(recipes, Seed, epoch = 0L)
+  private val byName = recipes.map(r => r.name -> r).toMap
+
+  /** Two-section chunk table: section 0 = anchor head tokens (one window),
+    * section 1 = context sliding windows (q12 layout). Narrow plan. */
+  private def chunkTable(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= MinToks)
+    val anchor = base.select(col("doc_id").as("record_id"),
+      lit(0).as("section_idx"), lit("anchor").as("role"), lit("window").as("view_kind"),
+      lit(0).as("window_index"), lit(OV).as("overlap"),
+      array_join(expr(s"slice(toks, 1, $AT)"), " ").as("wtext"))
+    val ctx = base
+      .withColumn("ctoks", expr(s"slice(toks, ${AT + 1}, n - $AT)"))
+      .withColumn("cn", size(col("ctoks")))
+      .withColumn("span", least(lit(W), col("cn")))
+      .withColumn("k", when(col("cn") <= W, lit(1))
+        .otherwise(floor((col("cn") - col("span") + lit(ST - 1)) / lit(ST)).cast("int") + 1))
+      .withColumn("i", explode(sequence(lit(0), col("k") - 1)))
+      .select(col("doc_id").as("record_id"),
+        lit(1).as("section_idx"), lit("context").as("role"), lit("window").as("view_kind"),
+        col("i").as("window_index"), lit(OV).as("overlap"),
+        array_join(expr(s"slice(ctoks, i * $ST + 1, least(span, cn - i * $ST))"), " ").as("wtext"))
+    anchor.unionByName(ctx)
+  }
+
+  private def selDesc(s: Selector): (String, String) = s match {
+    case Selector.RoleAnchor => ("role", "anchor")
+    case Selector.RoleContext => ("role", "context")
+    case Selector.Paragraph(i) => ("para", i.toString)
+    case Selector.Random => ("random", "")
+    case Selector.TemporalOffset(_) =>
+      throw new IllegalArgumentException("TemporalOffset is record-level, not chunk-level")
+  }
+
+  private def drawsValues: String = (0 until Draws).map { d =>
+    val r = byName(Recipes.pick(plan, 0L, d.toLong))
+    val (am, aa) = selDesc(r.anchor); val (pm, pa) = selDesc(r.positive)
+    s"($d, '${r.name}', '$am', '$aa', '$pm', '$pa')"
+  }.mkString(", ")
+
+  private def duckSlot(slot: String): String = {
+    val seedHash = Determinism.duckHash(
+      s"'sel:$slot:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
+    s"""elig_$slot AS (
+      SELECT dr.draw, dr.recipe, c.* FROM draws dr JOIN chunks c ON
+        CASE dr.${slot}_mode WHEN 'role' THEN c.role = dr.${slot}_arg
+             WHEN 'para' THEN c.section_idx = CAST(dr.${slot}_arg AS INT) ELSE TRUE END
+    ), rank_$slot AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY draw, record_id
+          ORDER BY section_idx, view_kind, window_index, overlap) AS BIGINT) - 1 AS crnk,
+        CAST(count(*) OVER (PARTITION BY draw, record_id) AS BIGINT) AS csize
+      FROM elig_$slot
+    ), pick_$slot AS (
+      SELECT draw, recipe, record_id, section_idx AS ${slot}_sidx,
+        window_index AS ${slot}_widx, wtext AS ${slot}_text
+      FROM rank_$slot WHERE crnk = $seedHash % csize
+    )"""
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q87_recipe_scheduled_selectors",
+      (s, dir) => {
+        val chunks = chunkTable(
+          Tables.load(s, dir, "documents").filter(expr("doc_id % 10 = 0"))).cache()
+        val slots = (0 until Draws).map { d =>
+          val r = byName(Recipes.pick(plan, 0L, d.toLong))
+          val a = Recipes.selectChunk(chunks, r.anchor, "a", d.toLong)
+            .select(col("record_id"), col("section_idx").cast("long").as("a_sidx"),
+              col("window_index").cast("long").as("a_widx"),
+              Determinism.portableHash(col("wtext")).as("a_hash"))
+          val p = Recipes.selectChunk(chunks, r.positive, "p", d.toLong)
+            .select(col("record_id"), col("section_idx").cast("long").as("p_sidx"),
+              col("window_index").cast("long").as("p_widx"),
+              Determinism.portableHash(col("wtext")).as("p_hash"))
+          a.join(p, "record_id")
+            .select(lit(d.toLong).as("draw"), lit(r.name).as("recipe"), col("record_id"),
+              col("a_sidx"), col("a_widx"), col("a_hash"),
+              col("p_sidx"), col("p_widx"), col("p_hash"))
+        }
+        slots.reduce(_.unionByName(_))
+      },
+      Some(s"""WITH d0 AS (
+          SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+          WHERE doc_id % 10 = 0
+        ), base AS (
+          SELECT doc_id, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
+        ), ach AS (
+          SELECT doc_id AS record_id, 0 AS section_idx, 'anchor' AS role,
+            'window' AS view_kind, 0 AS window_index, $OV AS overlap,
+            array_to_string(list_slice(toks, 1, $AT), ' ') AS wtext
+          FROM base
+        ), cq AS (
+          SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn FROM base
+        ), cq2 AS (
+          SELECT doc_id, ctoks, cn, LEAST($W, cn) AS span,
+            CASE WHEN cn <= $W THEN 1
+                 ELSE CAST(floor((cn - LEAST($W, cn) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
+          FROM cq
+        ), cwin AS (
+          SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM cq2
+        ), cch AS (
+          SELECT doc_id AS record_id, 1 AS section_idx, 'context' AS role,
+            'window' AS view_kind, CAST(i AS INT) AS window_index, $OV AS overlap,
+            array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
+          FROM cwin
+        ), chunks AS (SELECT * FROM ach UNION ALL SELECT * FROM cch),
+        draws(draw, recipe, a_mode, a_arg, p_mode, p_arg) AS (VALUES $drawsValues),
+        ${duckSlot("a")},
+        ${duckSlot("p")}
+        SELECT CAST(a.draw AS BIGINT) AS draw, a.recipe AS recipe, a.record_id AS record_id,
+          CAST(a.a_sidx AS BIGINT) AS a_sidx, CAST(a.a_widx AS BIGINT) AS a_widx,
+          ${Determinism.duckHash("a.a_text")} AS a_hash,
+          CAST(p.p_sidx AS BIGINT) AS p_sidx, CAST(p.p_widx AS BIGINT) AS p_widx,
+          ${Determinism.duckHash("p.p_text")} AS p_hash
+        FROM pick_a a JOIN pick_p p ON a.draw = p.draw AND a.record_id = p.record_id"""))
+  )
+}

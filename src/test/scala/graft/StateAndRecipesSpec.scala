@@ -126,4 +126,48 @@ class StateAndRecipesSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  // ---- source-default recipes (csv_source.rs:368-409, file_source.rs:156-210,
+  //      huggingface_source.rs:4605-4650) ----
+
+  test("source defaults resolve only when config names no recipes") {
+    val custom = Seq(TripletRecipe("mine", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle))
+    assert(Recipes.resolve(custom, Recipes.csvDefaults(roleMode = true)) == custom)
+    assert(Recipes.resolve(Nil, Recipes.csvDefaults(roleMode = true))
+      == Recipes.csvDefaults(roleMode = true))
+  }
+
+  test("csv defaults: SimCSE text lane vs 0.75/0.25 role lanes") {
+    val text = Recipes.csvDefaults(roleMode = false)
+    assert(text.map(_.name) == Seq("csv_text_simcse_wrong_article"))
+    assert(text.head.allowSameAnchorPositive && text.head.weight == 1.0f)
+    val role = Recipes.csvDefaults(roleMode = true)
+    assert(role.map(r => (r.name, r.weight)) == Seq(
+      ("csv_anchor_positive_wrong_article", 0.75f),
+      ("csv_anchor_anchor_wrong_article", 0.25f)))
+    assert(role(1).negativeSelector == Selector.RoleAnchor)
+  }
+
+  test("file defaults: date-aware lanes rebalance the wrong-article weight") {
+    val dated = Recipes.fileDefaults(includeDateAware = true)
+    assert(dated.map(r => (r.name, r.weight)) == Seq(
+      ("title_context_wrong_date", 0.30f),
+      ("title_anchor_wrong_date", 0.10f),
+      ("title_context_wrong_article", 0.35f),
+      ("title_anchor_wrong_article", 0.25f)))
+    assert(dated.take(2).forall(_.negative == NegativeStrategy.WrongPublicationDate))
+    val plain = Recipes.fileDefaults(includeDateAware = false)
+    assert(plain.map(r => (r.name, r.weight)) == Seq(
+      ("title_context_wrong_article", 0.75f),
+      ("title_anchor_wrong_article", 0.25f)))
+  }
+
+  test("hf defaults: SimCSE when no anchor columns, else 0.75/0.25 lanes") {
+    assert(Recipes.hfDefaults(hasAnchorColumns = false).map(_.name)
+      == Seq("huggingface_text_simcse_wrong_article"))
+    assert(Recipes.hfDefaults(hasAnchorColumns = true).map(r => (r.name, r.weight)) == Seq(
+      ("huggingface_anchor_context_wrong_article", 0.75f),
+      ("huggingface_anchor_anchor_wrong_article", 0.25f)))
+  }
 }

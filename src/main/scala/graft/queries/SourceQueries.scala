@@ -85,8 +85,10 @@ object SourceQueries extends QueryModule {
       (s, dir) => {
         // parse a source-list line, then map the documents table through the
         // HF column config (documents stands in for a landed shard)
+        // id=doc_id exercises the explicit id-column lane — the strongest
+        // stable-id form (survives re-sharding, reference id_column)
         val entry = HfSourceList.parseLine(
-          "hf://acme/docs/default/train anchor=text trust=0.7 source_id=hfdocs")
+          "hf://acme/docs/default/train anchor=text trust=0.7 source_id=hfdocs id=doc_id")
           .toOption.flatten.get
         import s.implicits._
         val shard = Tables.load(s, dir, "documents").orderBy("doc_id").limit(5)
@@ -96,7 +98,7 @@ object SourceQueries extends QueryModule {
           .toDF("id", "source", "trust_e3", "n_sections", "first_role")
       },
       // anchor-only mapping: positive falls back to anchor → 2 sections/row
-      Some("""SELECT 'hfdocs::row_' || CAST(doc_id AS VARCHAR) AS id, 'hfdocs' AS source,
+      Some("""SELECT 'hfdocs::' || CAST(doc_id AS VARCHAR) AS id, 'hfdocs' AS source,
         CAST(700 AS BIGINT) AS trust_e3, CAST(2 AS BIGINT) AS n_sections, 'anchor' AS first_role
         FROM documents WHERE doc_id < 5""")),
 

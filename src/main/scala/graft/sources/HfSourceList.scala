@@ -36,7 +36,11 @@ case class HfSourceEntry(
     contextColumns: Seq[String],
     textColumns: Seq[String],
     trust: Option[Float],
-    sourceId: Option[String]) {
+    sourceId: Option[String],
+    /** Explicit stable-id column (reference `id_column`,
+      * huggingface_source.rs:3844-4004) — the strongest id form: survives
+      * shard re-sharding, not just re-reads. */
+    idColumn: Option[String] = None) {
   /** Auto source id: dataset path slug (reference slug generation). */
   def resolvedSourceId: String =
     sourceId.getOrElse(dataset.replaceAll("[^A-Za-z0-9]+", "_").toLowerCase)
@@ -91,6 +95,9 @@ object HfSourceList {
               case "source_id" =>
                 if (value.isEmpty) Some("source_id must not be empty")
                 else { entry = entry.copy(sourceId = Some(value)); None }
+              case "id" | "id_column" =>
+                if (value.isEmpty) Some("id column must not be empty")
+                else { entry = entry.copy(idColumn = Some(value)); None }
               case _ => Some(s"unsupported mapping key '$rawKey'")
             }
           case _ => Some(s"invalid mapping token '$token' (expected key=value)")
@@ -126,6 +133,38 @@ object HfSourceList {
       coalesce(element_at(mapping, col(colName).cast("int")), col(colName).cast("string")))
   }
 
+  /** Stable-id column for a shard frame. Resolution order (reference
+    * stable-id contract src/config.rs:138-145, id forms
+    * huggingface_source.rs:3844-4004):
+    *   1. explicit id column (strongest — survives re-sharding);
+    *   2. file-backed shards: `(file name, in-file row index)` from the
+    *      scan's `_metadata` column — stable across partition counts,
+    *      scan-split config, and added shards, where a global zipWithIndex
+    *      renumbers wholesale (Spark bin-packs scan splits by size, not
+    *      dataset order);
+    *   3. in-memory frames (tests only): partition-order numbering.
+    */
+  private def withStableId(shard: DataFrame, sourceId: String,
+      idColumn: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    idColumn match {
+      case Some(c) =>
+        shard.withColumn("_graft_id", concat(lit(s"$sourceId::"), col(c).cast("string")))
+      case None =>
+        try shard.withColumn("_graft_id",
+          concat(lit(s"$sourceId::"), col("_metadata.file_name"), lit(":row_"),
+            col("_metadata.row_index").cast("string")))
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          val spark = shard.sparkSession
+          val schema = shard.schema.add("_graft_id", org.apache.spark.sql.types.StringType)
+          val rdd = shard.rdd.zipWithIndex().map { case (row, i) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s"$sourceId::row_$i")
+          }
+          spark.createDataFrame(rdd, schema)
+        }
+    }
+  }
+
   /** Map landed shard rows to records per the entry's column config. */
   def toRecords(spark: SparkSession, shard: DataFrame, entry: HfSourceEntry): Dataset[DataRecord] = {
     import spark.implicits._
@@ -144,11 +183,11 @@ object HfSourceList {
     val trust = entry.trust.getOrElse(0.5f)
     val textMode = tIdx.nonEmpty
 
-    val rows = shard.rdd.zipWithIndex().flatMap { case (row, i) =>
+    val rows = withStableId(shard, sourceId, entry.idColumn).rdd.flatMap { row =>
       def cell(j: Int): String =
         Option(row.get(j)).map(v => Sentences.normalizeInlineWhitespace(v.toString)).getOrElse("")
       def coalesce(ixs: Seq[Int]): String = ixs.map(cell).find(_.nonEmpty).getOrElse("")
-      val id = s"$sourceId::row_$i"
+      val id = row.getString(row.fieldIndex("_graft_id"))
       val secs =
         if (textMode) {
           val t = coalesce(tIdx)

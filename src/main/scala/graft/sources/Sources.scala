@@ -21,10 +21,10 @@ object Sources {
   * anchor) → Context. Text mode: one column duplicated into both roles
   * (SimCSE). Header row required; column match is case-insensitive; values
   * whitespace-normalized; rows with empty required fields are skipped.
-  * Record id = `<sourceId>::row_<idx>` with `idx` the file row order
-  * (stable-id contract: ids must survive re-reads, reference
-  * src/config.rs:138-145 — zipWithIndex over the file read preserves file
-  * order).
+  * Record id = `<sourceId>::row_<idx>` with `idx` the exact row order
+  * within the file — per-file window numbering over an unsplittable
+  * (multiLine) scan, so ids survive re-reads, partition-count changes,
+  * and added files (stable-id contract, reference src/config.rs:138-145).
   */
 case class CsvSourceConfig(
     sourceId: String,
@@ -42,8 +42,21 @@ object CsvSource {
 
   def read(spark: SparkSession, cfg: CsvSourceConfig): Dataset[DataRecord] = {
     import spark.implicits._
-    val df = spark.read.option("header", "true").csv(cfg.path)
-    val headers = df.columns
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // multiLine pins each file to a single scan partition (the whole-file
+    // parser is not splittable), so monotonically_increasing_id() is
+    // read-order within the file and the per-file window renumbers rows
+    // by exact file order — ids survive partition-count and scan-split
+    // changes, unlike a global zipWithIndex over bin-packed splits
+    // (stable-id contract, reference src/config.rs:138-145)
+    val df0 = spark.read.option("header", "true").option("multiLine", "true").csv(cfg.path)
+    val headers = df0.columns
+    val df = df0
+      .withColumn("_gfile", input_file_name())
+      .withColumn("_gmono", monotonically_increasing_id())
+      .withColumn("_gidx", row_number().over(
+        Window.partitionBy(col("_gfile")).orderBy(col("_gmono"))).cast("long") - 1)
     def resolve(name: Option[String]): Option[Int] =
       name.flatMap(n => headers.indexWhere(_.equalsIgnoreCase(n)) match {
         case -1 => None
@@ -58,11 +71,11 @@ object CsvSource {
     val pHeading = cfg.positiveColumn.orElse(cfg.anchorColumn)
     val tHeading = cfg.textColumn
 
-    val rows = df.rdd.zipWithIndex().flatMap { case (row, idx) =>
+    val rows = df.rdd.flatMap { row =>
       def cell(i: Option[Int]): String = i.map(j =>
         Option(row.getString(j)).getOrElse("")).getOrElse("")
       def norm(s: String): String = Sentences.normalizeInlineWhitespace(s)
-      val id = s"$sourceId::row_$idx"
+      val id = s"$sourceId::row_${row.getLong(row.fieldIndex("_gidx"))}"
       val sections: Option[Seq[RecordSection]] =
         if (roleMode) {
           val anchor = norm(cell(aIdx))

@@ -169,4 +169,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == rng2.shuffle(xs))
     assert(a.sorted == xs)
   }
+
+  // ---- stable record ids (reference: src/config.rs:138-145) ----
+
+  test("hf shard ids are per-file metadata ids, stable across scan config") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    // two parquet part-files in one landing dir (skewed sizes, so Spark's
+    // size-descending bin-packing visits them out of name order)
+    Seq.tabulate(120)(i => (i.toLong, s"alpha body text number $i with padding tokens"))
+      .toDF("rid", "text").repartition(2).write.mode("overwrite").parquet(dir)
+    val entry = HfSourceList.parseLine(
+      "hf://acme/stab/default/train anchor=text source_id=hfsrc")
+      .toOption.flatten.get
+    def readIds(maxBytes: String): Seq[String] = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
+      try HfSourceList.toRecords(spark, spark.read.parquet(dir), entry)
+        .collect().map(_.id).toSeq.sorted
+      finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    val a = readIds("134217728")
+    val b = readIds("65536")
+    assert(a == b, "ids must not depend on scan-split configuration")
+    assert(a.size == 120)
+    assert(a.forall(_.matches("hfsrc::.*\\.parquet:row_\\d+")))
+    // per-file numbering restarts at 0 in every file
+    val byFile = a.groupBy(_.split(":row_")(0))
+    assert(byFile.size == 2)
+    byFile.values.foreach { ids =>
+      val idxs = ids.map(_.split(":row_")(1).toLong).sorted
+      assert(idxs == (0L until idxs.size).toSeq)
+    }
+    // explicit id column wins over file metadata
+    val entryId = HfSourceList.parseLine(
+      "hf://acme/stab/default/train anchor=text source_id=hfsrc id=rid")
+      .toOption.flatten.get
+    val withIdCol = HfSourceList.toRecords(spark, spark.read.parquet(dir), entryId)
+      .collect().map(_.id).toSeq.sorted
+    assert(withIdCol == Seq.tabulate(120)(i => s"hfsrc::$i").sorted)
+  }
+
+  test("csv ids follow exact in-file row order across partition configs") {
+    val spark = TestSpark.spark
+    val p = java.nio.file.Files.createTempDirectory("graft_csv").resolve("rows.csv")
+    val body = "q,a\n" + (0 until 30).map(i => s"question $i,answer $i").mkString("\n") + "\n"
+    java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    val cfg = graft.sources.CsvSourceConfig("cs", p.toString,
+      anchorColumn = Some("q"), positiveColumn = Some("a"))
+    def pairs(): Seq[(String, String)] =
+      graft.sources.CsvSource.read(spark, cfg).collect()
+        .map(r => r.id -> r.sections.head.text).toSeq.sortBy(_._1)
+    val first = pairs()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    val second = try pairs() finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert(first == second)
+    // id index i must name the i-th row of the file
+    first.foreach { case (id, anchor) =>
+      val i = id.stripPrefix("cs::row_").toInt
+      assert(anchor == s"question $i")
+    }
+    assert(first.size == 30)
+  }
 }

@@ -86,6 +86,10 @@ object Dedup {
     // barrier CollapseProject cannot inline tokenization through
     val hashed = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      // blank docs emit NO signature row (shingles() yields [""] for an
+      // empty token array, which would otherwise fabricate one) — matches
+      // the oracle's len(toks) > 0 semantics
+      .filter(size(col("toks")) > 0)
       .select(col(idCol), explode(shingles(col("toks"), shingleSize)).as("shingle"))
       .select(col(idCol), pmod(Determinism.portableHash(col("shingle")), lit(MixMod)).as("h"))
     val aggs = (0 until numPerms).map(j =>

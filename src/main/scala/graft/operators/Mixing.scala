@@ -47,6 +47,47 @@ object Mixing {
       .drop("srank", "ns", "r")
   }
 
+  /** Unconsumed-first reorder after a population change
+    * (reference: src/epoch.rs:187-229): records whose ids were already
+    * consumed this epoch sort AFTER every unconsumed one, both sides
+    * keeping their interleave order. Input needs `id` and `pos` (from
+    * [[epochInterleave]]); emits a `consumed` flag. The CONTRACT is the
+    * (consumed, pos) sort order — materializing contiguous positions would
+    * be a global row_number (single partition), so it is left to bounded
+    * consumers (a batch head) or tests. */
+  def reconcile(ordered: DataFrame, consumedIds: DataFrame): DataFrame =
+    ordered.join(consumedIds.select(col("id")).distinct()
+        .withColumn("_seen", lit(true)), Seq("id"), "left")
+      .withColumn("consumed", coalesce(col("_seen"), lit(false)))
+      .drop("_seen")
+
+  /** Source-cursor wrap tracking with epoch auto-advance
+    * (reference: src/sampler/mod.rs:868-948): `cursor:<source>` counts
+    * draws; a completed cycle over the source's pool sets
+    * `wrapped:<source>`; when EVERY source has wrapped, the epoch advances
+    * and the per-source counters reset (reference advance_source_epoch,
+    * src/sampler/mod.rs:941-948). Pure counter arithmetic over
+    * [[SamplerState]] — resume-safe by construction. */
+  def drawAndTrack(st: SamplerState, source: String, poolSize: Long,
+      sources: Seq[String]): SamplerState = {
+    require(poolSize > 0, "poolSize must be > 0")
+    val advanced = st.advanced(s"cursor:$source")
+    val st2 =
+      if (advanced.counter(s"cursor:$source") % poolSize == 0)
+        advanced.copy(counters = advanced.counters.updated(s"wrapped:$source", 1L))
+      else advanced
+    if (sources.nonEmpty && sources.forall(s2 => st2.counter(s"wrapped:$s2") == 1L))
+      advanceEpoch(st2, sources)
+    else st2
+  }
+
+  /** Epoch advance: +1 epoch, per-source cursors and wrap flags cleared. */
+  def advanceEpoch(st: SamplerState, sources: Seq[String]): SamplerState =
+    st.copy(epoch = st.epoch + 1,
+      counters = st.counters
+        -- sources.map(s2 => s"cursor:$s2")
+        -- sources.map(s2 => s"wrapped:$s2"))
+
   /** Pad (or trim) a candidate pool to exactly `batch` rows by cycling the
     * seeded-ordered pool (`pad_with_reuse`). Input needs `id`; emits
     * (`i`, `id`) for i in [0, batch).

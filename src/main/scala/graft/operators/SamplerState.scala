@@ -41,15 +41,37 @@ object SamplerState {
     s"""{"seed": "${esc(st.seed)}", "epoch": ${st.epoch}, "counters": {$counters}}"""
   }
 
+  /** Exact inverse of [[esc]]: decodes \uXXXX (control chars), \" and \\.
+    * A lossy decode here would silently change seeds/counter keys on
+    * resume, shifting every downstream hash. */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' if i + 5 < s.length =>
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case '"' => sb.append('"'); i += 2
+        case '\\' => sb.append('\\'); i += 2
+        case other => sb.append(other); i += 2
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Minimal parser for exactly the shape [[toJson]] emits. */
   def fromJson(json: String): Option[SamplerState] = Try {
-    val seed = """"seed":\s*"((?:[^"\\]|\\.)*)"""".r
-      .findFirstMatchIn(json).get.group(1)
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val seed = unesc(""""seed":\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).get.group(1))
     val epoch = """"epoch":\s*(-?\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    val body = """"counters":\s*\{([^}]*)\}""".r.findFirstMatchIn(json).get.group(1)
+    // escape-aware body match: quoted keys may contain '}' — consume
+    // string literals atomically so the brace scan cannot end early
+    val body = """"counters":\s*\{((?:"(?:[^"\\]|\\.)*"|[^}"])*)\}""".r
+      .findFirstMatchIn(json).get.group(1)
     val counters = """"((?:[^"\\]|\\.)*)":\s*(-?\d+)""".r.findAllMatchIn(body)
-      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong)
+      .map(m => unesc(m.group(1)) -> m.group(2).toLong)
       .toMap
     SamplerState(seed, epoch, counters)
   }.toOption

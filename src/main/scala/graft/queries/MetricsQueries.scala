@@ -110,6 +110,62 @@ object MetricsQueries extends QueryModule {
         )
         SELECT doc_id, source, r * ns + srank AS pos FROM rr WHERE r * ns + srank < 100""")),
 
+    QueryDef("q46_epoch_reconcile",
+      // mid-epoch population refresh (reference: src/epoch.rs:187-229): 50
+      // records of a thinner epoch-1 population are consumed, then the
+      // population grows — consumed ids must sort AFTER every unconsumed
+      // one while both sides keep their interleave order. The final
+      // row_number runs on <=60 rows (bounded by the pos filter), not the
+      // corpus.
+      (s, dir) => {
+        import graft.operators.Mixing
+        val all = Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("source"))
+          .filter(Splits.splitCol(col("id"), Seed) === Splits.Train)
+        val pre = all.filter(expr("id % 7 != 0"))
+        val consumed = Mixing.epochInterleave(pre, 1L)
+          .filter(col("pos") < 50).select(col("id"))
+        val rec = Mixing.reconcile(Mixing.epochInterleave(all, 1L), consumed)
+        rec.filter(col("pos") < 60)
+          .withColumn("new_pos", row_number().over(Window.partitionBy()
+            .orderBy(col("consumed"), col("pos"))).cast("long") - 1)
+          .select(col("id").as("doc_id"), col("source"), col("consumed"),
+            col("pos"), col("new_pos"))
+      },
+      Some(s"""WITH d_all AS (
+          SELECT doc_id, source FROM documents
+          WHERE ${Splits.duckSplitSql("doc_id", Seed)} = 'train'
+        ), d_pre AS (
+          SELECT * FROM d_all WHERE doc_id % 7 != 0
+        ), srcs_pre AS (
+          SELECT source,
+            CAST(row_number() OVER (ORDER BY ${Determinism.duckSeeded("so:1", "source")}, source) AS BIGINT) - 1 AS srank,
+            CAST(count(*) OVER () AS BIGINT) AS ns
+          FROM (SELECT DISTINCT source FROM d_pre)
+        ), rr_pre AS (
+          SELECT d.doc_id,
+            (CAST(row_number() OVER (PARTITION BY d.source ORDER BY ${Determinism.duckSeeded("ro:1", "doc_id")}, doc_id) AS BIGINT) - 1) * s.ns + s.srank AS pos
+          FROM d_pre d JOIN srcs_pre s ON d.source = s.source
+        ), consumed AS (
+          SELECT doc_id FROM rr_pre WHERE pos < 50
+        ), srcs AS (
+          SELECT source,
+            CAST(row_number() OVER (ORDER BY ${Determinism.duckSeeded("so:1", "source")}, source) AS BIGINT) - 1 AS srank,
+            CAST(count(*) OVER () AS BIGINT) AS ns
+          FROM (SELECT DISTINCT source FROM d_all)
+        ), rr AS (
+          SELECT d.doc_id, d.source,
+            (CAST(row_number() OVER (PARTITION BY d.source ORDER BY ${Determinism.duckSeeded("ro:1", "doc_id")}, doc_id) AS BIGINT) - 1) * s.ns + s.srank AS pos
+          FROM d_all d JOIN srcs s ON d.source = s.source
+        ), rec AS (
+          SELECT rr.doc_id, rr.source, (c.doc_id IS NOT NULL) AS consumed, rr.pos
+          FROM rr LEFT JOIN consumed c ON rr.doc_id = c.doc_id
+          WHERE rr.pos < 60
+        )
+        SELECT doc_id, source, consumed, pos,
+          CAST(row_number() OVER (ORDER BY consumed, pos) AS BIGINT) - 1 AS new_pos
+        FROM rec""")),
+
     QueryDef("q45_pad_with_reuse",
       (s, dir) => {
         val cands = Tables.load(s, dir, "documents")

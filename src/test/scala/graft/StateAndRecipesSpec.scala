@@ -163,6 +163,46 @@ class StateAndRecipesSpec extends AnyFunSuite {
       ("title_anchor_wrong_article", 0.25f)))
   }
 
+  // ---- epoch wrap tracking + reconcile (src/sampler/mod.rs:868-948,
+  //      src/epoch.rs:187-229) ----
+
+  test("source wrap tracking auto-advances the epoch when all sources wrapped") {
+    val sources = Seq("a", "b")
+    var st = SamplerState("s", 0L, Map.empty)
+    st = Mixing.drawAndTrack(st, "a", 2, sources)
+    st = Mixing.drawAndTrack(st, "a", 2, sources) // a completed its cycle
+    assert(st.epoch == 0 && st.counter("wrapped:a") == 1)
+    st = Mixing.drawAndTrack(st, "b", 3, sources)
+    st = Mixing.drawAndTrack(st, "b", 3, sources)
+    assert(st.epoch == 0, "b not wrapped yet")
+    st = Mixing.drawAndTrack(st, "b", 3, sources) // all wrapped → auto-advance
+    assert(st.epoch == 1)
+    assert(st.counter("cursor:a") == 0 && st.counter("cursor:b") == 0)
+    assert(st.counter("wrapped:a") == 0 && st.counter("wrapped:b") == 0)
+    // resume mid-cycle continues the exact sequence (save/load at a draw)
+    val resumed = SamplerState.fromJson(SamplerState.toJson(st)).get
+    assert(Mixing.drawAndTrack(resumed, "a", 2, sources)
+      == Mixing.drawAndTrack(st, "a", 2, sources))
+  }
+
+  test("reconcile: consumed ids sort after all unconsumed, orders preserved") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ordered = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("id", "pos")
+    val consumed = Seq(1L, 3L).toDF("id")
+    val rec = Mixing.reconcile(ordered, consumed)
+      .orderBy(col("consumed"), col("pos")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("consumed")))
+    assert(rec.toSeq == Seq((2L, false), (4L, false), (1L, true), (3L, true)))
+  }
+
+  test("sampler-state json roundtrip survives control chars and braces in keys") {
+    val st = SamplerState("se\ned", 3L,
+      Map("k}v" -> 7L, "line\nbreak" -> 2L, "q\"uote\\" -> 1L))
+    assert(SamplerState.fromJson(SamplerState.toJson(st)).contains(st))
+  }
+
   test("hf defaults: SimCSE when no anchor columns, else 0.75/0.25 lanes") {
     assert(Recipes.hfDefaults(hasAnchorColumns = false).map(_.name)
       == Seq("huggingface_text_simcse_wrong_article"))

@@ -92,3 +92,32 @@ object SamplerState {
     else fromJson(Files.readString(p))
   }
 }
+
+/** Exhaustion-retry driver loop (reference: src/sampler/mod.rs:2846-2909):
+  * a batch producer that comes up empty triggers up to [[RetryLimit]]
+  * forced source refreshes before the exhaustion surfaces as an error —
+  * the Spark-native analogue of `force_ingest_refresh` + retry around the
+  * three `next_*_batch` entry points. */
+object Exhaustion {
+
+  /** reference EXHAUSTION_RETRY_LIMIT (src/constants.rs:81). */
+  val RetryLimit = 2
+
+  final case class Exhausted(label: String)
+    extends RuntimeException(s"sampler exhausted: $label")
+
+  /** Run `attempt` up to `retryLimit + 1` times, invoking `refresh`
+    * between failed attempts (but not after the last). */
+  def withRetry[T](label: String, retryLimit: Int = RetryLimit)(
+      attempt: () => Option[T])(refresh: () => Unit): T = {
+    var i = 0
+    while (i <= retryLimit) {
+      attempt() match {
+        case Some(t) => return t
+        case None => if (i < retryLimit) refresh()
+      }
+      i += 1
+    }
+    throw Exhausted(label)
+  }
+}

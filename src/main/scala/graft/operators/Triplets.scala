@@ -99,6 +99,11 @@ object Triplets {
       .withColumn("ctoks", expr(s"slice(toks, ${cfg.anchorTokens + 1}, n - ${cfg.anchorTokens})"))
       .withColumn("atext", array_join(col("atoks"), " "))
       .withColumn("cn", size(col("ctoks")))
+      // a record whose context (answer/body) is empty can serve as neither
+      // positive nor negative — it never enters the pool (only reachable
+      // when anchorTokens >= minTokens; also keeps the DuckDB mirror exact:
+      // list_slice out of range is NULL there, empty array here)
+      .filter(col("cn") > 0)
       .withColumn("span", least(lit(cfg.windowTokens), col("cn")))
       .withColumn("k", when(col("cn") <= cfg.windowTokens, lit(1))
         .otherwise(floor((col("cn") - col("span") + lit(cfg.stride - 1)) / lit(cfg.stride)).cast("int") + 1))
@@ -220,15 +225,19 @@ object Triplets {
   }
 
   /** Pair derivation: each triplet yields a positive and a negative pair
-    * (reference: src/sampler/mod.rs:2062-2101). */
-  def pairRows(docs: DataFrame, cfg: TripletConfig): DataFrame = {
+    * (reference: src/sampler/mod.rs:2062-2101). `reason` carries the
+    * negative strategy's label — `wrong_article`, `wrong_qa_pairing`
+    * (QuestionAnswerMismatch, src/sampler/mod.rs:1109-1151: same
+    * same-source same-split pool, QA semantics), etc. */
+  def pairRows(docs: DataFrame, cfg: TripletConfig,
+      reason: String = "wrong_article"): DataFrame = {
     val t = tripletRows(docs, cfg)
     val pos = t.select(col("aid"), col("nid"), col("split"), lit("positive").as("label"),
       col("a_hash").as("l_hash"), col("p_hash").as("r_hash"),
-      lit("wrong_article").as("reason"), col("weight_e6"))
+      lit(reason).as("reason"), col("weight_e6"))
     val neg = t.select(col("aid"), col("nid"), col("split"), lit("negative").as("label"),
       col("a_hash").as("l_hash"), col("n_hash").as("r_hash"),
-      lit("wrong_article").as("reason"), col("weight_e6"))
+      lit(reason).as("reason"), col("weight_e6"))
     pos.unionByName(neg)
   }
 
@@ -460,7 +469,7 @@ object Triplets {
         LEAST($W, len(toks) - $at) AS span,
         CASE WHEN len(toks) - $at <= $W THEN 1
              ELSE CAST(floor((len(toks) - $at - LEAST($W, len(toks) - $at) + ${st - 1}) / $st.0) AS INT) + 1 END AS k
-      FROM recs WHERE len(toks) >= ${cfg.minTokens}
+      FROM recs WHERE len(toks) >= ${cfg.minTokens} AND len(toks) > $at
     ), ranked AS (
       SELECT *,
         CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
@@ -509,7 +518,7 @@ object Triplets {
       FROM tripf"""
   }
 
-  def duckPairSql(cfg: TripletConfig): String = {
+  def duckPairSql(cfg: TripletConfig, reason: String = "wrong_article"): String = {
     val dh = Determinism.duckHash _
     s"""${duckTripletCtes(cfg)}, t AS (
         SELECT aid, nid, split,
@@ -518,10 +527,10 @@ object Triplets {
           ${dh("ntext")} AS n_hash, weight_e6
         FROM tripf)
       SELECT aid, nid, split, 'positive' AS label, a_hash AS l_hash, p_hash AS r_hash,
-        'wrong_article' AS reason, weight_e6 FROM t
+        '$reason' AS reason, weight_e6 FROM t
       UNION ALL
       SELECT aid, nid, split, 'negative' AS label, a_hash AS l_hash, n_hash AS r_hash,
-        'wrong_article' AS reason, weight_e6 FROM t"""
+        '$reason' AS reason, weight_e6 FROM t"""
   }
 
   def duckTextSql(cfg: TripletConfig, draws: Int): String = {
@@ -564,7 +573,7 @@ object Triplets {
         LEAST($W, len(toks) - $at) AS span,
         CASE WHEN len(toks) - $at <= $W THEN 1
              ELSE CAST(floor((len(toks) - $at - LEAST($W, len(toks) - $at) + ${st - 1}) / $st.0) AS INT) + 1 END AS k
-      FROM recs WHERE len(toks) >= ${cfg.minTokens}
+      FROM recs WHERE len(toks) >= ${cfg.minTokens} AND len(toks) > $at
     )"""
   }
 

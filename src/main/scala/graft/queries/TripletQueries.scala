@@ -12,6 +12,7 @@ import graft.operators.{TripletConfig, Triplets}
 object TripletQueries extends QueryModule {
 
   private val cfg = TripletConfig()
+  private val qaCfg = TripletConfig(anchorTokens = 12, recipeName = "qa_mismatch")
   private val TextDraws = 4
 
   val queries: Seq[QueryDef] = Seq(
@@ -78,6 +79,16 @@ object TripletQueries extends QueryModule {
             (pmod(Determinism.seeded("day2", col("doc_id")), lit(2)) + 1).cast("string")))
       },
       Some(Triplets.duckDatePreferredSql(cfg, "doc_id % 5 = 0",
-        s"'2025-02-0' || CAST(${graft.core.Determinism.duckSeeded("day2", "doc_id")} % 2 + 1 AS VARCHAR)")))
+        s"'2025-02-0' || CAST(${graft.core.Determinism.duckSeeded("day2", "doc_id")} % 2 + 1 AS VARCHAR)"))),
+
+    QueryDef("q88_qa_mismatch_pairs",
+      // QuestionAnswerMismatch (reference: src/sampler/mod.rs:1109-1151):
+      // the anchor is the question span, the negative the answer span of a
+      // DIFFERENT same-source same-split record, pairs labeled
+      // wrong_qa_pairing. A longer anchor (12 tokens — questions, not
+      // titles) gives the lane its own chunk layout and picks.
+      (s, dir) => Triplets.pairRows(Tables.load(s, dir, "documents"),
+        qaCfg, reason = "wrong_qa_pairing"),
+      Some(Triplets.duckPairSql(qaCfg, reason = "wrong_qa_pairing")))
   )
 }

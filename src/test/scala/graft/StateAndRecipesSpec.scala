@@ -197,6 +197,23 @@ class StateAndRecipesSpec extends AnyFunSuite {
     assert(rec.toSeq == Seq((2L, false), (4L, false), (1L, true), (3L, true)))
   }
 
+  test("exhaustion retry: <=2 forced refreshes, then the error surfaces") {
+    // success on the 3rd attempt consumes exactly 2 refreshes
+    var refreshes = 0
+    var attempts = 0
+    val got = Exhaustion.withRetry[String]("triplet_recipes") { () =>
+      attempts += 1
+      if (attempts == 3) Some("batch") else None
+    } { () => refreshes += 1 }
+    assert(got == "batch" && attempts == 3 && refreshes == 2)
+    // permanently exhausted: retries stop at the limit, no trailing refresh
+    refreshes = 0
+    val err = intercept[Exhaustion.Exhausted] {
+      Exhaustion.withRetry[String]("text_recipes") { () => None } { () => refreshes += 1 }
+    }
+    assert(err.label == "text_recipes" && refreshes == Exhaustion.RetryLimit)
+  }
+
   test("sampler-state json roundtrip survives control chars and braces in keys") {
     val st = SamplerState("se\ned", 3L,
       Map("k}v" -> 7L, "line\nbreak" -> 2L, "q\"uote\\" -> 1L))

@@ -20,7 +20,8 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
-  private val SessionChunk = 10
+  private val SessionChunk =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "10").toInt
 
   private def gcMillis: Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -35,6 +36,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb context/executor init outside the timed window
+    spark.range(1000).count()
     spark
   }
 

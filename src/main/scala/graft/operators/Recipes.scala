@@ -187,4 +187,33 @@ object Recipes {
         Determinism.seeded(s"sel:$seed:$draw", col("record_id")), col("csize")))
       .drop("crnk", "csize")
   }
+
+  /** Batched [[selectChunk]]: all draws in ONE plan. `draws` carries one
+    * row per draw — (`draw`, `mode`, `arg`) with mode ∈ role|para|random
+    * describing the slot's selector — and is broadcast onto the chunk
+    * table; a single (draw, record_id)-keyed window replaces one
+    * window+join per draw (the per-draw form compiles D windows and a
+    * D-way union — measurably slower at any D beyond a few). Selection is
+    * bit-identical to selectChunk: same ordering, same
+    * `hash(sel:<slot>:<draw>:<record_id>) mod csize` pick. */
+  def selectChunksBatch(chunks: org.apache.spark.sql.DataFrame,
+      draws: org.apache.spark.sql.DataFrame, slot: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Determinism
+    val elig = chunks.join(broadcast(draws),
+      (col("mode") === "role" && col("role") === col("arg")) ||
+        (col("mode") === "para" && col("section_idx") === col("arg").cast("int")) ||
+        (col("mode") === "random"))
+    val w = Window.partitionBy(col("draw"), col("record_id"))
+      .orderBy(col("section_idx"), col("view_kind"), col("window_index"), col("overlap"))
+    elig
+      .withColumn("crnk", row_number().over(w).cast("long") - 1)
+      .withColumn("csize", count(lit(1)).over(
+        Window.partitionBy(col("draw"), col("record_id"))))
+      .filter(col("crnk") === pmod(Determinism.portableHash(
+        concat(lit(s"sel:$slot:"), col("draw").cast("string"), lit(":"),
+          col("record_id").cast("string"))), col("csize")))
+      .drop("crnk", "csize", "mode", "arg")
+  }
 }

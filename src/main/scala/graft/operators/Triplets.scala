@@ -285,7 +285,10 @@ object Triplets {
     * query↔tf join shuffles on (source, split, term) so the pair space is
     * in-pool term collisions, never a cross join; top-3 is a keyed window
     * on the anchor id. */
-  def tripletRowsBm25(docs: DataFrame, cfg: TripletConfig, recipeName: String): DataFrame = {
+  def tripletRowsBm25(docs: DataFrame, cfg: TripletConfig, recipeName: String,
+      anchorFilter: Column = lit(true)): DataFrame = {
+    // anchors are a batch subset (the reference emits batch_size triplets
+    // per call, never the full corpus); candidates/tf/df stay full-pool
     val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
     val tf = ranked.select(col("source"), col("split"), col("doc_id"),
         explode(col("ctoks")).as("term"))
@@ -295,7 +298,7 @@ object Triplets {
       .agg(count(lit(1)).as("n_docs"), sum(col("cn")).as("sum_dl"))
     val dfq = tf.groupBy(col("source"), col("split"), col("term"))
       .agg(count(lit(1)).as("df"))
-    val qterms = ranked.filter(col("gs") >= 2)
+    val qterms = ranked.filter(col("gs") >= 2 && anchorFilter)
       .select(col("doc_id").as("aid"), col("source"), col("split"),
         explode(array_distinct(TextFunctions.tokens(col("atext")))).as("term"))
     val scored = qterms
@@ -322,7 +325,7 @@ object Triplets {
     val picked = top3
       .filter(col("brnk") - 1 === pmod(Determinism.seeded("bmpick", col("aid")), col("c3")))
       .select(col("aid").as("baid"), col("cand").as("bnid"))
-    val anchSel = ranked.filter(col("gs") >= 2)
+    val anchSel = ranked.filter(col("gs") >= 2 && anchorFilter)
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
         col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
         col("k").as("ak"))
@@ -332,7 +335,7 @@ object Triplets {
           col("source") === col("nsource") && col("split") === col("nsplit")), cfg)
       .withColumn("lane", lit("bm25"))
     val fb = finish(sameSourceJoin(ranked,
-        ranked.filter(col("gs") >= 2)
+        ranked.filter(col("gs") >= 2 && anchorFilter)
           .join(picked, col("doc_id") === col("baid"), "left_anti")), cfg)
       .withColumn("lane", lit("random_fallback"))
     Seq(bm, fb)
@@ -700,7 +703,8 @@ object Triplets {
   }
 
   /** Oracle for [[tripletRowsBm25]] over a filtered corpus. */
-  def duckBm25Sql(cfg: TripletConfig, where: String, recipeName: String): String = {
+  def duckBm25Sql(cfg: TripletConfig, where: String, recipeName: String,
+      anchorWhere: String = "TRUE"): String = {
     val h = Determinism.duckSeeded _
     val K1 = Bm25.K1; val B = Bm25.B
     s"""${duckPreparedCtes(cfg, where, None)}, ranked AS (
@@ -721,7 +725,7 @@ object Triplets {
     ), qt AS (
       SELECT doc_id AS aid, source, split,
         unnest(list_distinct(${TextFunctions.duckTokens("atext")})) AS term
-      FROM ranked WHERE gs >= 2
+      FROM ranked WHERE gs >= 2 AND ($anchorWhere)
     ), sc AS (
       SELECT q.aid, t.doc_id AS cand,
         CAST(floor(1000000.0 *
@@ -754,7 +758,8 @@ object Triplets {
         CASE WHEN ${h("neg", "doc_id")} % (gs - 1) >= rnk
              THEN ${h("neg", "doc_id")} % (gs - 1) + 1
              ELSE ${h("neg", "doc_id")} % (gs - 1) END AS pick
-      FROM ranked WHERE gs >= 2 AND doc_id NOT IN (SELECT baid FROM picked)
+      FROM ranked WHERE gs >= 2 AND ($anchorWhere)
+        AND doc_id NOT IN (SELECT baid FROM picked)
     ), joined_r AS (
       SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
         a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,

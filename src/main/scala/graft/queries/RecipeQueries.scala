@@ -105,24 +105,32 @@ object RecipeQueries extends QueryModule {
 
     QueryDef("q87_recipe_scheduled_selectors",
       (s, dir) => {
+        import s.implicits._
         val chunks = chunkTable(
           Tables.load(s, dir, "documents").filter(expr("doc_id % 10 = 0"))).cache()
-        val slots = (0 until Draws).map { d =>
-          val r = byName(Recipes.pick(plan, 0L, d.toLong))
-          val a = Recipes.selectChunk(chunks, r.anchor, "a", d.toLong)
-            .select(col("record_id"), col("section_idx").cast("long").as("a_sidx"),
-              col("window_index").cast("long").as("a_widx"),
-              Determinism.portableHash(col("wtext")).as("a_hash"))
-          val p = Recipes.selectChunk(chunks, r.positive, "p", d.toLong)
-            .select(col("record_id"), col("section_idx").cast("long").as("p_sidx"),
-              col("window_index").cast("long").as("p_widx"),
-              Determinism.portableHash(col("wtext")).as("p_hash"))
-          a.join(p, "record_id")
-            .select(lit(d.toLong).as("draw"), lit(r.name).as("recipe"), col("record_id"),
-              col("a_sidx"), col("a_widx"), col("a_hash"),
-              col("p_sidx"), col("p_widx"), col("p_hash"))
-        }
-        slots.reduce(_.unionByName(_))
+        // one (draw → recipe, selector) row per draw, broadcast onto the
+        // chunk table — the whole schedule is ONE plan with two keyed
+        // windows (selectChunksBatch), not a window+join per draw
+        def drawsDf(slotOf: TripletRecipe => Selector) =
+          (0 until Draws).map { d =>
+            val r = byName(Recipes.pick(plan, 0L, d.toLong))
+            val (m, arg) = selDesc(slotOf(r))
+            (d.toLong, r.name, m, arg)
+          }.toDF("draw", "recipe", "mode", "arg")
+        val a = Recipes.selectChunksBatch(chunks, drawsDf(_.anchor), "a")
+          .select(col("draw"), col("recipe"), col("record_id"),
+            col("section_idx").cast("long").as("a_sidx"),
+            col("window_index").cast("long").as("a_widx"),
+            Determinism.portableHash(col("wtext")).as("a_hash"))
+        val p = Recipes.selectChunksBatch(chunks, drawsDf(_.positive).drop("recipe"), "p")
+          .select(col("draw"), col("record_id"),
+            col("section_idx").cast("long").as("p_sidx"),
+            col("window_index").cast("long").as("p_widx"),
+            Determinism.portableHash(col("wtext")).as("p_hash"))
+        a.join(p, Seq("draw", "record_id"))
+          .select(col("draw"), col("recipe"), col("record_id"),
+            col("a_sidx"), col("a_widx"), col("a_hash"),
+            col("p_sidx"), col("p_widx"), col("p_hash"))
       },
       Some(s"""WITH d0 AS (
           SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents

@@ -60,9 +60,13 @@ object TripletQueries extends QueryModule {
       // synthetic corpus has a 31-token vocabulary so the bm25 lane
       // dominates here; the fallback lane's trigger is pinned by
       // TripletSamplerSpec on a disjoint-vocabulary corpus.
+      // anchors = 1-in-5 batch subset (the reference emits batches, not
+      // the full corpus); candidate pools and tf/df stats stay full
       (s, dir) => Triplets.tripletRowsBm25(
-        Tables.load(s, dir, "documents"), cfg, "bm25_wrong_article"),
-      Some(Triplets.duckBm25Sql(cfg, "TRUE", "bm25_wrong_article"))),
+        Tables.load(s, dir, "documents"), cfg, "bm25_wrong_article",
+        org.apache.spark.sql.functions.expr("doc_id % 5 = 0")),
+      Some(Triplets.duckBm25Sql(cfg, "TRUE", "bm25_wrong_article",
+        anchorWhere = "doc_id % 5 = 0"))),
 
     QueryDef("q86_triplet_date_preference",
       // WrongArticle date-preference staging: a thinned corpus (1 in 5)

@@ -46,4 +46,19 @@ object Splits {
       s"WHEN $u < ${r.train + r.validation} THEN '$Validation' " +
       s"ELSE '$Test' END)"
   }
+
+  /** Hash assignment with explicit overrides winning — the reference's
+    * persisted `SplitStore` upserts (src/splits.rs:122-131): `overrides`
+    * is an (id, split) assignments table; a record present there takes the
+    * stored label, everything else derives from the hash. The override
+    * table is operator-curated and tiny relative to the corpus → broadcast
+    * (the corpus never shuffles for this join). */
+  def withOverrides(docs: org.apache.spark.sql.DataFrame, idCol: Column, seed: String,
+      overrides: org.apache.spark.sql.DataFrame,
+      r: SplitRatios = SplitRatios.Default): org.apache.spark.sql.DataFrame =
+    docs.join(
+        broadcast(overrides.select(col("id").as("_ov_id"), col("split").as("_ov_split"))),
+        idCol === col("_ov_id"), "left")
+      .withColumn("split", coalesce(col("_ov_split"), splitCol(idCol, seed, r)))
+      .drop("_ov_id", "_ov_split")
 }

@@ -98,6 +98,23 @@ object SamplingQueries extends QueryModule {
           FROM documents)
         WHERE rn <= 5""")),
 
+    QueryDef("q15_split_overrides",
+      // persisted SplitStore upserts (reference src/splits.rs:122-131):
+      // an explicit (id, split) assignment wins over the hash derivation —
+      // here 1-in-37 docs are pinned to test; the override table is
+      // broadcast, the corpus never shuffles
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val overrides = docs.filter(expr("doc_id % 37 = 0"))
+          .select(col("doc_id").as("id"), lit("test").as("split"))
+        Splits.withOverrides(docs, col("doc_id"), Seed, overrides)
+      },
+      Some(s"""SELECT d.doc_id,
+          COALESCE(o.split, ${Splits.duckSplitSql("d.doc_id", Seed)}) AS split
+        FROM documents d
+        LEFT JOIN (SELECT doc_id AS id, 'test' AS split FROM documents WHERE doc_id % 37 = 0) o
+        ON d.doc_id = o.id""")),
+
     QueryDef("q10_split_assign",
       (s, dir) => {
         Tables.load(s, dir, "documents")

@@ -94,6 +94,56 @@ object TextQueries extends QueryModule {
       Some(s"""SELECT doc_id,
         ${Determinism.duckHash(TextFunctions.duckNormalizeWs("text"))} AS fp_full,
         ${Determinism.duckHash(s"array_to_string(list_slice($duckToks, 1, 16), ' ')")} AS fp_head16
-        FROM documents"""))
+        FROM documents""")),
+
+    QueryDef("q34_denoiser_gates",
+      // OCR-denoiser gates 1-2 as a pure column pipeline, oracle-replayed
+      // (reference: denoiser_preprocessor.rs:221-268): GFM pipe-table
+      // separator rows drop, table rows lose their pipes (cells joined by
+      // single spaces), zero-alphabetic lines drop. Gate 3's wave rescue
+      // is loop-carried → stays the spec-pinned Scala preprocessor
+      // (DenoiserSpec); noisy lines are appended deterministically so
+      // every gate fires on every document.
+      (s, dir) => {
+        val noisy = concat(col("text"),
+          lit("\n| alpha | beta |\n| --- | :-: |\n| cellA | vB |\n987 654"))
+        val lines = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(noisy, "\n")))
+          .toDF("doc_id", "line_idx", "line")
+        val isTable = expr("startswith(ltrim(line), '|')") &&
+          (length(col("line")) - length(expr("replace(line, '|', '')")) >= 2)
+        val isSep = isTable &&
+          (translate(trim(col("line")), "|-: \t", "") === "")
+        val eff = when(isSep, lit(null))
+          .when(isTable, expr(
+            "array_join(filter(transform(split(line, '\\\\|'), x -> trim(x)), x -> x != ''), ' ')"))
+          .otherwise(col("line"))
+        lines.withColumn("eff", eff)
+          .filter(col("eff").isNotNull && TextFunctions.alphaCount(col("eff")) > 0)
+          .select(col("doc_id"), col("line_idx").cast("long").as("line_idx"),
+            Determinism.portableHash(col("eff")).as("line_hash"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, text || chr(10) || '| alpha | beta |' || chr(10) || '| --- | :-: |'
+            || chr(10) || '| cellA | vB |' || chr(10) || '987 654' AS noisy
+          FROM documents
+        ), sp AS (SELECT doc_id, string_split(noisy, chr(10)) AS ls FROM t),
+        lines AS (
+          SELECT doc_id, CAST(generate_subscripts(ls, 1) AS BIGINT) - 1 AS line_idx,
+            unnest(ls) AS line
+          FROM sp
+        ), eff AS (
+          SELECT doc_id, line_idx,
+            CASE WHEN (starts_with(ltrim(line), '|') AND length(line) - length(replace(line, '|', '')) >= 2)
+                      AND (translate(trim(line), '|-: ' || chr(9), '') = '') THEN NULL
+                 WHEN (starts_with(ltrim(line), '|') AND length(line) - length(replace(line, '|', '')) >= 2)
+                      THEN array_to_string(list_filter(list_transform(string_split(line, '|'), x -> trim(x)), x -> x <> ''), ' ')
+                 ELSE line END AS eff
+          FROM lines
+        )
+        SELECT doc_id, line_idx, ${Determinism.duckHash("eff")} AS line_hash
+        FROM eff
+        WHERE eff IS NOT NULL
+          AND (length(eff) - length(regexp_replace(eff, '[A-Za-z]', '', 'g'))) > 0"""))
   )
 }

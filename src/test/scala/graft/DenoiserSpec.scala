@@ -60,4 +60,12 @@ class DenoiserSpec extends AnyFunSuite {
     val out = Denoiser.denoiseText("good text here\n1 2 3 4 5 6 7 8 9 x1", cfg).get
     assert(out == "good text here\nx1")
   }
+
+  test("q34 fixture parity: the column gates and denoiseText agree on gate-1/2 input") {
+    // the exact noisy suffix q34_denoiser_gates appends — keeps the
+    // oracle-checked column pipeline tied to the real preprocessor
+    val noisy = "Plain alpha line\n| alpha | beta |\n| --- | :-: |\n| cellA | vB |\n987 654"
+    assert(Denoiser.denoiseText(noisy, DenoiserConfig()) ==
+      Some("Plain alpha line\nalpha beta\ncellA vB"))
+  }
 }

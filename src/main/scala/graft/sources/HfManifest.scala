@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.functions.Kvp
+import java.nio.file.{Files, Path, Paths}
+
+/** Offline seam of the Hugging-Face shard pipeline — everything the
+  * reference's manifest machinery does EXCEPT the network calls
+  * (reference: manifest walk huggingface_source.rs:1735-1820, download
+  * ordering contract 860-900, background expansion 4354-4421, disk cap
+  * 567-569). The datasets-server fetch itself is a driver-side concern
+  * (zero-egress here); this object consumes an already-fetched manifest
+  * JSON and an on-disk landing directory, and owns the deterministic
+  * decisions:
+  *
+  *   - candidate extraction: `parquet_files[].url` filtered by accepted
+  *     extensions, sorted + deduped, with expected sizes — so position N
+  *     always maps to the same shard regardless of cache state;
+  *   - download order: a seed-derived permutation of the sorted manifest
+  *     (stable for a given (sourceId, seed, manifest), exactly the
+  *     reference's `remote_candidate_order` contract);
+  *   - cache reconciliation: the next position to download is the first
+  *     uncached one; a cached file whose size mismatches the manifest is
+  *     incomplete and must be re-fetched;
+  *   - disk cap: evict least-recently-modified shards until under cap.
+  *
+  * Landed shards are then read by Spark's parquet scan and mapped via
+  * [[HfSourceList.toRecords]] (stable per-file metadata ids).
+  */
+object HfManifest {
+
+  case class ShardCandidate(url: String, expectedSize: Option[Long]) {
+    def fileName: String = url.substring(url.lastIndexOf('/') + 1)
+  }
+
+  val DefaultExtensions: Set[String] = Set("parquet")
+
+  /** Extract shard candidates from a datasets-server parquet manifest.
+    * Entries are flat objects; non-matching extensions are skipped;
+    * result is sorted by url and deduped (first size wins) — the
+    * reference's exact normalization (candidates.sort(); dedup()). */
+  def parse(json: String, accepted: Set[String] = DefaultExtensions): Seq[ShardCandidate] = {
+    val arr = """"parquet_files"\s*:\s*\[(.*?)\]""".r
+      .findFirstMatchIn(json.replace("\n", " ")).map(_.group(1)).getOrElse("")
+    val objs = """\{[^{}]*\}""".r.findAllIn(arr).toSeq
+    val cands = objs.flatMap { o =>
+      val url = """"url"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(o).map(_.group(1))
+      val size = """"size"\s*:\s*(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toLong)
+      url.filter { u =>
+        val dot = u.lastIndexOf('.')
+        dot >= 0 && accepted.contains(u.substring(dot + 1).toLowerCase)
+      }.map(u => ShardCandidate(u, size))
+    }
+    cands.groupBy(_.url).map { case (_, g) => g.head }.toSeq.sortBy(_.url)
+  }
+
+  /** Seed-derived download order over the sorted manifest: position N for
+    * seed S always resolves to the same shard, independent of cache
+    * state (reference contract, huggingface_source.rs:860-866). */
+  def downloadOrder(cands: Seq[ShardCandidate], sourceId: String, seed: String): Seq[ShardCandidate] =
+    new Kvp.DetRng(s"hf-shards:$sourceId:$seed").shuffle(cands)
+
+  private def target(landingDir: String, c: ShardCandidate): Path =
+    Paths.get(landingDir, c.fileName)
+
+  /** First position in the download order whose shard is not yet landed —
+    * the reference's `first_uncached_order_position`. None = all landed. */
+  def firstUncached(order: Seq[ShardCandidate], landingDir: String): Option[Int] = {
+    val i = order.indexWhere(c => !Files.exists(target(landingDir, c)))
+    if (i < 0) None else Some(i)
+  }
+
+  /** Landed shards whose on-disk size mismatches the manifest — stale or
+    * incomplete downloads that must be deleted and re-fetched
+    * (reference: huggingface_source.rs:1786-1806). */
+  def incomplete(order: Seq[ShardCandidate], landingDir: String): Seq[ShardCandidate] =
+    order.filter { c =>
+      val t = target(landingDir, c)
+      Files.exists(t) && c.expectedSize.exists(_ != Files.size(t))
+    }
+
+  /** Shards to evict (least-recently-modified first) until the landing
+    * dir fits under `capBytes` (reference disk cap, :567-569). Pure
+    * decision — deletion is the caller's. */
+  def evictionPlan(landingDir: String, capBytes: Long): Seq[Path] = {
+    val dir = Paths.get(landingDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val files = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+      } finally s.close()
+    }
+    var total = files.map(Files.size).sum
+    val byAge = files.sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
+    val evict = Seq.newBuilder[Path]
+    val it = byAge.iterator
+    while (total > capBytes && it.hasNext) {
+      val p = it.next()
+      evict += p
+      total -= Files.size(p)
+    }
+    evict.result()
+  }
+
+  /** Read every landed shard of the directory and map to records —
+    * Spark's vectorized parquet scan + [[HfSourceList.toRecords]] (ids
+    * from (file, row_index) metadata, or the entry's id column). */
+  def readLanded(spark: org.apache.spark.sql.SparkSession, landingDir: String,
+      entry: HfSourceEntry): org.apache.spark.sql.Dataset[graft.core.DataRecord] =
+    HfSourceList.toRecords(spark, spark.read.parquet(landingDir), entry)
+}

@@ -170,6 +170,71 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sorted == xs)
   }
 
+  // ---- HF manifest offline seam (huggingface_source.rs:1735-1820,
+  //      860-900; network fetch is out of scope) ----
+
+  test("hf manifest: extension filter, sort+dedup, sizes, deterministic order") {
+    val json = """{
+      "parquet_files": [
+        {"dataset": "acme/d", "url": "https://host/x/b.parquet", "size": 200},
+        {"dataset": "acme/d", "url": "https://host/x/a.parquet", "size": 100},
+        {"dataset": "acme/d", "url": "https://host/x/skip.json", "size": 5},
+        {"dataset": "acme/d", "url": "https://host/x/b.parquet", "size": 999},
+        {"dataset": "acme/d", "url": "https://host/x/c.parquet"}
+      ]
+    }"""
+    val cands = graft.sources.HfManifest.parse(json)
+    assert(cands.map(_.fileName) == Seq("a.parquet", "b.parquet", "c.parquet"))
+    assert(cands.map(_.expectedSize) == Seq(Some(100L), Some(200L), None))
+    val o1 = graft.sources.HfManifest.downloadOrder(cands, "src", "42")
+    val o2 = graft.sources.HfManifest.downloadOrder(cands, "src", "42")
+    assert(o1 == o2, "order must be a pure function of (manifest, source, seed)")
+    assert(o1.toSet == cands.toSet)
+    assert(graft.sources.HfManifest.downloadOrder(cands, "src", "43") != o1 ||
+      cands.size < 3, "seed must matter (up to tiny-permutation collisions)")
+  }
+
+  test("hf manifest: cache reconciliation — first uncached, incomplete, eviction") {
+    import graft.sources.HfManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing")
+    val cands = Seq(
+      HfManifest.ShardCandidate("https://h/a.parquet", Some(3L)),
+      HfManifest.ShardCandidate("https://h/b.parquet", Some(4L)),
+      HfManifest.ShardCandidate("https://h/c.parquet", Some(5L)))
+    val order = HfManifest.downloadOrder(cands, "s", "42")
+    // land the first ordered shard with the RIGHT size, the second with a
+    // WRONG size (incomplete download)
+    java.nio.file.Files.write(dir.resolve(order(0).fileName),
+      Array.fill(order(0).expectedSize.get.toInt)('x'.toByte))
+    java.nio.file.Files.write(dir.resolve(order(1).fileName), Array[Byte]('x'))
+    assert(HfManifest.firstUncached(order, dir.toString).contains(2))
+    assert(HfManifest.incomplete(order, dir.toString) == Seq(order(1)))
+    // eviction: oldest-first until the directory fits under the cap
+    val sizes = Seq(order(0), order(1))
+      .map(c => java.nio.file.Files.size(dir.resolve(c.fileName))).sum
+    val plan = HfManifest.evictionPlan(dir.toString, 1L)
+    val evicted = plan.map(java.nio.file.Files.size).sum
+    assert(plan.nonEmpty && sizes - evicted <= 1L, "evicts until under cap")
+    assert(HfManifest.evictionPlan(dir.toString, 0L).size == 2,
+      "evicts everything when cap is 0")
+    assert(HfManifest.evictionPlan(dir.toString, sizes).isEmpty,
+      "no eviction when already under cap")
+  }
+
+  test("hf manifest: landed shards read through toRecords with stable ids") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_landed").toString
+    Seq.tabulate(10)(i => (i.toLong, s"landed text $i"))
+      .toDF("rid", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val entry = HfSourceList.parseLine(
+      "hf://acme/landed/default/train anchor=text source_id=landed id=rid")
+      .toOption.flatten.get
+    val recs = graft.sources.HfManifest.readLanded(spark, dir, entry).collect()
+    assert(recs.length == 10)
+    assert(recs.map(_.id).sorted.toSeq == Seq.tabulate(10)(i => s"landed::$i").sorted)
+  }
+
   // ---- stable record ids (reference: src/config.rs:138-145) ----
 
   test("hf shard ids are per-file metadata ids, stable across scan config") {

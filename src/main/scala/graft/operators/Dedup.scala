@@ -116,9 +116,17 @@ object Dedup {
 
   /** LSH band key columns for a signature row: `numBands` bands of
     * `rowsPerBand` minhashes each. */
+  /** Per-band bucket keys. For <=2 rows/band the minhashes (each < 2^31)
+    * pack EXACTLY into one long — the self-join shuffles and compares a
+    * fixed-width long instead of a concatenated string (collision-free,
+    * measurably cheaper at scale); wider bands fall back to the string
+    * form. The band id stays a separate join column. */
   def bandKeys(numBands: Int, rowsPerBand: Int): Seq[(Int, Column)] =
     (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
-      b -> concat_ws(",", (lit(s"b$b") +: parts): _*)
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      if (rowsPerBand <= 2)
+        b -> parts.reduce((a, x) => a * lit(MixMod) + x).cast("long")
+      else
+        b -> concat_ws(",", (lit(s"b$b") +: parts.map(_.cast("string"))): _*)
     }
 }

@@ -72,8 +72,10 @@ object DedupQueries extends QueryModule {
       },
       Some {
         val bandSelects = (0 until Bands).map { b =>
-          val parts = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)").mkString(" || ',' || ")
-          s"SELECT doc_id, $b AS band, 'b$b' || ',' || $parts AS key FROM sigs"
+          // exact long packing mirror of Dedup.bandKeys (rowsPerBand = 2)
+          val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+            .reduce((a, x) => s"($a * ${Dedup.MixMod} + $x)")
+          s"SELECT doc_id, $b AS band, CAST($key AS BIGINT) AS key FROM sigs"
         }.mkString(" UNION ALL ")
         val agree = (0 until Perms).map(j =>
           s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
@@ -153,16 +155,21 @@ object DedupQueries extends QueryModule {
         // mode at scale, and ultra-common shingles carry no dedup signal
         val MaxDf = 50
         val docs = Tables.load(s, dir, "documents")
+        // shingles carry only their 31-bit portable hash past the explode:
+        // the distinct, the df filter, and the inverted self-join all
+        // shuffle and compare fixed-width longs, never shingle strings
         val all = docs
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .select(col("doc_id"), explode(Dedup.shingles(col("toks"), ShingleK)).as("shingle"))
+          .select(col("doc_id"),
+            pmod(Determinism.portableHash(col("shingle")), lit(Dedup.MixMod)).as("shingle_h"))
           .distinct()
-        val rare = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxDf).select(col("shingle"))
-        val sh = all.join(rare, "shingle").cache()
+        val rare = all.groupBy(col("shingle_h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxDf).select(col("shingle_h"))
+        val sh = all.join(rare, "shingle_h").cache()
         val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val l = sh.as("l"); val r = sh.as("r")
-        val inter = l.join(r, col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+        val inter = l.join(r, col("l.shingle_h") === col("r.shingle_h") && col("l.doc_id") < col("r.doc_id"))
           .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
           .agg(count(lit(1)).as("inter"))
         inter
@@ -174,12 +181,12 @@ object DedupQueries extends QueryModule {
       },
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
         u AS (SELECT doc_id, unnest(${Dedup.duckShingles("toks", ShingleK)}) AS shingle FROM t),
-        s0 AS (SELECT DISTINCT doc_id, shingle FROM u),
-        rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 50),
-        s AS (SELECT s0.doc_id, s0.shingle FROM s0 JOIN rare ON s0.shingle = rare.shingle),
+        s0 AS (SELECT DISTINCT doc_id, ${Determinism.duckHash("shingle")} % ${Dedup.MixMod} AS shingle_h FROM u),
+        rare AS (SELECT shingle_h FROM s0 GROUP BY shingle_h HAVING count(*) <= 50),
+        s AS (SELECT s0.doc_id, s0.shingle_h FROM s0 JOIN rare ON s0.shingle_h = rare.shingle_h),
         c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY doc_id),
         i AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
-              FROM s l JOIN s r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              FROM s l JOIN s r ON l.shingle_h = r.shingle_h AND l.doc_id < r.doc_id
               GROUP BY l.doc_id, r.doc_id)
         SELECT a, b, inter, ca.n_sh AS na, cb.n_sh AS nb
         FROM i JOIN c ca ON a = ca.doc_id JOIN c cb ON b = cb.doc_id

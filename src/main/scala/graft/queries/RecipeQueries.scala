@@ -34,11 +34,18 @@ object RecipeQueries extends QueryModule {
   private val Draws = 12
 
   /** CSV role-mode defaults (resolved as a source with no configured
-    * recipes would) + a Paragraph/Random lane. */
+    * recipes would) + a Paragraph/Random lane, then Stage-A auto-injection
+    * of the long-section recipe: the synthetic corpus' context sections
+    * (~46 tokens) exceed the 32-token window, so the auto lane fires and
+    * competes for tickets like any configured recipe (reference:
+    * src/sampler/mod.rs:691-723, 1801-1835). */
+  private val CorpusMaxSectionTokens = 64L
   private[graft] val recipes: Seq[TripletRecipe] =
-    Recipes.resolve(Nil, Recipes.csvDefaults(roleMode = true)) :+
-      TripletRecipe("custom_paragraph_random", Selector.Paragraph(0), Selector.Random,
-        NegativeStrategy.WrongArticle, weight = 0.5f)
+    Recipes.withAutoInjected(
+      Recipes.resolve(Nil, Recipes.csvDefaults(roleMode = true)) :+
+        TripletRecipe("custom_paragraph_random", Selector.Paragraph(0), Selector.Random,
+          NegativeStrategy.WrongArticle, weight = 0.5f),
+      maxSectionTokens = CorpusMaxSectionTokens, maxWindowTokens = W)
   private[graft] val plan: Seq[String] = Recipes.ticketOrder(recipes, Seed, epoch = 0L)
   private val byName = recipes.map(r => r.name -> r).toMap
 

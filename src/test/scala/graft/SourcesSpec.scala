@@ -170,6 +170,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sorted == xs)
   }
 
+  // ---- refresh telemetry (src/ingestion.rs:204-217) ----
+
+  test("refresh telemetry: counters ride the refresh job via observe()") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val page = Seq.tabulate(37)(i => (i.toLong, s"row $i")).toDF("id", "text")
+    val (out, stats) = graft.sources.Telemetry.refresh(page, "srcA")
+    assert(out.length == 37)
+    assert(stats == graft.sources.RefreshStats("srcA", 37L, stats.millis))
+    assert(stats.rowsPerSec > 0.0)
+  }
+
   // ---- HF manifest offline seam (huggingface_source.rs:1735-1820,
   //      860-900; network fetch is out of scope) ----
 

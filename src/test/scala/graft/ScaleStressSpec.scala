@@ -38,4 +38,22 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(t.filter(col("split") =!= col("nsplit")).count() == 0)
     t.unpersist()
   }
+
+  test("bm25 negative backend completes at 200k docs (batch anchors, full pools)") {
+    // anchors are a 1-in-100 batch; candidate pools, tf/df/stats stay
+    // full-corpus — the production shape (never all-anchors-at-once)
+    val docs = corpus(200000)
+    val t = Triplets.tripletRowsBm25(docs, TripletConfig(), "bm25_wrong_article",
+      expr("doc_id % 100 = 0"))
+    val n = t.count()
+    assert(n > 1500L, s"unexpectedly few bm25 triplets: $n")
+  }
+
+  test("date-preference staging completes at 200k docs") {
+    val docs = corpus(200000)
+    val t = Triplets.tripletRowsDatePreferred(docs, TripletConfig(),
+      concat(lit("2025-03-0"), (pmod(col("doc_id"), lit(3)) + 1).cast("string")))
+    val n = t.count()
+    assert(n > 150000L, s"unexpectedly few date-preferred triplets: $n")
+  }
 }

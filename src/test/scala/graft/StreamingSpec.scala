@@ -76,4 +76,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.value_e6).max == 3750000L)
     } finally q.stop()
   }
+
+  test("streaming sampler: foreachBatch triplet batches == batch pipeline") {
+    // the reference's FileStream → sampler path (SURVEY §2.1 #7): new
+    // corpus files arrive as a stream, each micro-batch runs the SAME
+    // declarative triplet plan. Because every choice is a pure function
+    // of (seed, id), a micro-batch over file set F equals the batch run
+    // over F — no cross-batch state to reconcile for same-file draws.
+    import graft.operators.{TripletConfig, Triplets}
+    val dir = Files.createTempDirectory("graft_docs_stream").toString
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"src${i % 5}",
+        (0 until 30).map(j => s"tok${(i * 31 + j * 7) % 97}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val cfg = TripletConfig()
+    val expected = Triplets.tripletRows(spark.read.parquet(dir), cfg)
+      .collect().map(_.toSeq).toSet
+    val collected = scala.collection.mutable.Set[Seq[Any]]()
+    val q = spark.readStream.schema(docs.schema).parquet(dir)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Triplets.tripletRows(batch, cfg).collect().map(_.toSeq)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(collected.toSet == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
 }

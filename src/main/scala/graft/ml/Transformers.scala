@@ -61,19 +61,51 @@ class QualityFilter(
   override def transformSchema(schema: StructType): StructType = schema
 }
 
-/** Terminal stage: the corpus (doc_id, source, text) becomes triplet rows. */
-class TripletSamplerStage(cfg: TripletConfig = TripletConfig())
+/** Which negative lane the sampler stage runs — every strategy the engine
+  * implements is reachable from the MLlib facade. */
+sealed trait SamplerLane
+object SamplerLane {
+  /** Plain WrongArticle rank-pick (q80). */
+  case object WrongArticle extends SamplerLane
+  /** WrongArticle + two-level cross-source fallback (q83). */
+  case object WithFallback extends SamplerLane
+  /** BM25 hard negatives, top-3 rotation + random fallback (q85). */
+  case class Bm25(recipeName: String = "bm25_wrong_article") extends SamplerLane
+  /** Date-preference staging: same-date → any-date → cross-source (q86). */
+  case class DatePreferred(dateExpr: org.apache.spark.sql.Column) extends SamplerLane
+  /** WrongPublicationDate two-level date-group pick (q84). */
+  case class WrongDate(dateExpr: org.apache.spark.sql.Column,
+      recipeName: String = "wrong_publication_date") extends SamplerLane
+}
+
+/** Terminal stage: the corpus (doc_id, source, text) becomes triplet rows.
+  * The `lane` selects the negative strategy; lanes that mark their stage
+  * append a `lane` column. */
+class TripletSamplerStage(
+    cfg: TripletConfig = TripletConfig(),
+    lane: SamplerLane = SamplerLane.WrongArticle)
     extends GraftTransformer("triplet_sampler") {
 
-  override def transform(df: Dataset[_]): DataFrame =
-    Triplets.tripletRows(df.toDF(), cfg)
+  override def transform(df: Dataset[_]): DataFrame = lane match {
+    case SamplerLane.WrongArticle => Triplets.tripletRows(df.toDF(), cfg)
+    case SamplerLane.WithFallback => Triplets.tripletRowsWithFallback(df.toDF(), cfg)
+    case SamplerLane.Bm25(name) => Triplets.tripletRowsBm25(df.toDF(), cfg, name)
+    case SamplerLane.DatePreferred(d) => Triplets.tripletRowsDatePreferred(df.toDF(), cfg, d)
+    case SamplerLane.WrongDate(d, name) => Triplets.tripletRowsWrongDate(df.toDF(), cfg, d, name)
+  }
 
-  override def transformSchema(schema: StructType): StructType =
-    StructType(Seq(
+  override def transformSchema(schema: StructType): StructType = {
+    val base = StructType(Seq(
       StructField("aid", LongType), StructField("nid", LongType),
       StructField("split", StringType), StructField("recipe", StringType),
       StructField("a_hash", LongType), StructField("p_hash", LongType),
       StructField("n_hash", LongType), StructField("swapped", BooleanType),
       StructField("pidx", LongType), StructField("nidx", LongType),
       StructField("weight_e6", LongType)))
+    lane match {
+      case SamplerLane.Bm25(_) | SamplerLane.DatePreferred(_) =>
+        base.add(StructField("lane", StringType, nullable = false))
+      case _ => base
+    }
+  }
 }

@@ -29,6 +29,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == direct)
   }
 
+  test("every negative lane is reachable from the MLlib facade") {
+    import graft.ml.SamplerLane
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val date = concat(lit("2025-01-0"),
+      (pmod(graft.core.Determinism.seeded("day", col("doc_id")), lit(3)) + 1).cast("string"))
+    val bm = new TripletSamplerStage(lane = SamplerLane.Bm25()).transform(docs)
+    assert(bm.columns.contains("lane") && bm.count() > 0)
+    val dp = new TripletSamplerStage(lane = SamplerLane.DatePreferred(date)).transform(docs)
+    assert(dp.columns.contains("lane") && dp.count() > 0)
+    val wd = new TripletSamplerStage(lane = SamplerLane.WrongDate(date)).transform(docs)
+    assert(wd.count() > 0)
+    val fb = new TripletSamplerStage(lane = SamplerLane.WithFallback).transform(docs)
+    assert(fb.count() > 0)
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

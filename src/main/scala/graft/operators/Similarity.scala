@@ -79,6 +79,56 @@ object Similarity {
   def norms(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol), normE3(col(embCol)).as("nrm"))
 
+  // ----------------------------------------------------------------- //
+  // IVF coarse quantization — the second scale path for ANN beyond
+  // hyperplane buckets. K corpus vectors are hash-picked as the coarse
+  // codebook (the standard random-quantizer IVF-flat bootstrap; Lloyd
+  // refinement is a driver re-assignment loop, omitted so the contract
+  // stays exactly reproducible). Assignment is argmin of EXACT integer
+  // squared-L2 (|a|² + |c|² − 2·dot at e3 scale) via min-of-struct — a
+  // narrow n×K pass, no window, no shuffle beyond the final aggregate.
+  // Queries probe the nprobe nearest cells and run exact cosine only
+  // within them: the search shuffles probed cells, never the corpus.
+  // ----------------------------------------------------------------- //
+
+  /** Deterministic codebook: the K corpus vectors with the smallest
+    * seeded hash — distributed top-k (TakeOrderedAndProject), the tiny
+    * rank window runs over K rows only. */
+  def ivfCentroids(emb: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val top = emb.select(col(idCol).as("_id"), col(embCol).as("cemb"),
+        Determinism.seeded("ivf-cent", col(idCol)).as("sk"))
+      .orderBy(col("sk"), col("_id")).limit(k)
+    top.withColumn("cid", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("sk"), col("_id"))).cast("long") - 1)
+      .select(col("cid"), col("cemb"))
+  }
+
+  /** Cell assignment `(id, cell)`: nearest centroid by exact integer
+    * squared distance, ties to the lower cid (min-of-struct — no window). */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame =
+    emb.select(col(idCol), col(embCol), normE3(col(embCol)).as("nrm"))
+      .crossJoin(broadcast(centroids.withColumn("cnrm", normE3(col("cemb")))))
+      .withColumn("dist", col("nrm") + col("cnrm") - lit(2L) * dotE3(col(embCol), col("cemb")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col(idCol), col("m.cid").as("cell"))
+
+  /** The `nprobe` nearest cells per query vector (rank window over K
+    * centroid rows per query — bounded by the codebook size). */
+  def ivfProbes(queries: DataFrame, qidCol: String, qembCol: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("dist"), col("cid"))
+    queries.select(col(qidCol), col(qembCol), normE3(col(qembCol)).as("qnrm"))
+      .crossJoin(broadcast(centroids.withColumn("cnrm", normE3(col("cemb")))))
+      .withColumn("dist", col("qnrm") + col("cnrm") - lit(2L) * dotE3(col(qembCol), col("cemb")))
+      .withColumn("prnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("prnk") <= nprobe)
+      .select(col(qidCol), col(qembCol), col("qnrm"), col("cid").as("cell"))
+  }
+
   /** Bucket table `(id, bucket)` in the codegen-friendly shape:
     * posexplode elements → broadcast-join the (tiny) plane-component table
     * → two map-side-combined aggregations. Identical values to

@@ -15,6 +15,8 @@ object SimilarityQueries extends QueryModule {
   private val Planes = 8
   private val TopK = 5
   private val NQueries = 10
+  private val IvfK = 8
+  private val IvfProbe = 2
 
   private def duckNorms =
     s"""norms AS (SELECT vec_id, ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
@@ -82,6 +84,73 @@ object SimilarityQueries extends QueryModule {
           FROM embeddings)
         SELECT l.vec_id AS a, r.vec_id AS b,
           ${Similarity.duckCosE6(Similarity.duckDotE3("l.embedding", "r.embedding", Dim), "l.nrm", "r.nrm")} AS cos_e6
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"""))
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id""")),
+
+    QueryDef("q29_ann_ivf_probe",
+      // IVF-flat: hash-picked coarse codebook, exact-integer argmin cell
+      // assignment, nprobe=2 probed cells per query, exact cosine only
+      // within probed cells — the recall/cost dial of the scale path
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+        val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        val corpus = emb
+          .withColumn("nrm", Similarity.normE3(col("embedding")))
+          .join(assign, "vec_id")
+        val probes = Similarity.ivfProbes(
+          emb.filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+          "qid", "qemb", cents, IvfProbe)
+        val scored = corpus.join(probes, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("cell"),
+            Similarity.cosE6(
+              Similarity.dotE3(col("qemb"), col("embedding")),
+              col("qnrm"), col("nrm")).as("cos_e6"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some {
+        def dist(a: String, b: String) =
+          s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
+            s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
+        s"""WITH picked AS (
+          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+        ), cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
+            embedding AS cemb
+          FROM picked
+        ), asg0 AS (
+          SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
+          FROM embeddings e CROSS JOIN cents c
+        ), asg AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM asg0) t WHERE rn = 1
+        ), probes AS (
+          SELECT qid, cid AS cell FROM (
+            SELECT e.vec_id AS qid, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("e.embedding", "c.cemb")}, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries) t
+          WHERE rn <= $IvfProbe
+        ), scored AS (
+          SELECT p.qid, a.vec_id, a.cell,
+            ${Similarity.duckCosE6(
+              Similarity.duckDotE3("qe.embedding", "e2.embedding", Dim),
+              Similarity.duckDotE3("qe.embedding", "qe.embedding", Dim),
+              Similarity.duckDotE3("e2.embedding", "e2.embedding", Dim))} AS cos_e6
+          FROM probes p
+          JOIN asg a ON a.cell = p.cell
+          JOIN embeddings e2 ON e2.vec_id = a.vec_id
+          JOIN embeddings qe ON qe.vec_id = p.qid
+          WHERE a.vec_id <> p.qid
+        )
+        SELECT qid, vec_id, cell, cos_e6, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank
+          FROM scored) t
+        WHERE rank <= $TopK"""
+      })
   )
 }

@@ -148,6 +148,52 @@ object DedupQueries extends QueryModule {
           WHERE bit_count(xor(l.simhash, r.simhash)) <= 1"""
       }),
 
+    QueryDef("q36_winnowing_fingerprints",
+      // winnowing document fingerprints (the rolling-hash scheme behind
+      // MOSS-style near-dup detection): gram hashes = the one-md5-pass
+      // shingle hashes, exploded to rows BEFORE windowing (the Generate
+      // node is the inlining barrier — a lambda referencing the gram array
+      // would re-evaluate it per window), then each length-5 window keeps
+      // its minimum via a frame-bounded running min and the per-doc
+      // fingerprint SET is the sorted distinct mins. Narrow + one keyed
+      // window + one aggregate — scales like the signature queries.
+      (s, dir) => {
+        val Wn = 5
+        val grams = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            posexplode(Dedup.shingleHashes(Dedup.shingles(col("toks"), ShingleK))))
+          .toDF("doc_id", "pos", "h")
+        val wcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        val wmin = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos")).rowsBetween(0, Wn - 1)
+        grams
+          .withColumn("m", count(lit(1)).over(wcnt))
+          .withColumn("wmin", min(col("h")).over(wmin))
+          .filter(col("pos") <= col("m") - Wn)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_windows"),
+            sort_array(array_distinct(collect_list(col("wmin")))).as("fps"))
+          .select(col("doc_id"), col("n_windows"),
+            size(col("fps")).cast("long").as("n_fps"),
+            Determinism.portableHash(array_join(col("fps"), " ")).as("fp_hash"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        s AS (SELECT doc_id, ${Dedup.duckShingleHashes(Dedup.duckShingles("toks", ShingleK))} AS hs FROM t),
+        g AS (SELECT doc_id, CAST(generate_subscripts(hs, 1) AS BIGINT) - 1 AS pos,
+                unnest(hs) AS h, CAST(len(hs) AS BIGINT) AS m
+              FROM s),
+        w AS (SELECT doc_id, pos, m,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+              FROM g),
+        a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                list_sort(list_distinct(list(wmin))) AS fps
+              FROM w WHERE pos <= m - 5 GROUP BY doc_id)
+        SELECT doc_id, n_windows, CAST(len(fps) AS BIGINT) AS n_fps,
+          ${Determinism.duckHash("array_to_string(fps, ' ')")} AS fp_hash
+        FROM a""")),
+
     QueryDef("q24_ngram_jaccard_pairs",
       (s, dir) => {
         // shingles seen in > MaxDf docs are dropped before pairing: on a

@@ -96,6 +96,38 @@ object TextQueries extends QueryModule {
         ${Determinism.duckHash(s"array_to_string(list_slice($duckToks, 1, 16), ' ')")} AS fp_head16
         FROM documents""")),
 
+    QueryDef("q35_bpeish_tokens",
+      // sub-word-style piece counting: letter runs, digit runs, and single
+      // punctuation marks (the RE2-safe core of a BPE pre-tokenizer —
+      // lookaheads are not portable to the oracle's regex engine). A
+      // deterministic punctuation suffix makes all three classes fire on
+      // every document; whitespace-token count rides along for the ratio.
+      (s, dir) => {
+        val noisy = concat(col("text"),
+          lit(" x12,y34.z!"), col("doc_id").cast("string"))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(noisy, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_pieces"),
+          TextFunctions.tokenCount(noisy).cast("long").as("n_ws_tokens"),
+          Determinism.portableHash(array_join(
+            slice(regexp_extract_all(noisy, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)), 1, 12),
+            " ")).as("head_pieces_hash"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, text || ' x12,y34.z!' || CAST(doc_id AS VARCHAR) AS noisy
+          FROM documents
+        ), p AS (
+          SELECT doc_id, noisy,
+            regexp_extract_all(noisy, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pieces
+          FROM t
+        )
+        SELECT doc_id,
+          CAST(len(pieces) AS BIGINT) AS n_pieces,
+          ${TextFunctions.duckTokenCount("noisy")} AS n_ws_tokens,
+          ${Determinism.duckHash("array_to_string(list_slice(pieces, 1, 12), ' ')")} AS head_pieces_hash
+        FROM p""")),
+
     QueryDef("q34_denoiser_gates",
       // OCR-denoiser gates 1-2 as a pure column pipeline, oracle-replayed
       // (reference: denoiser_preprocessor.rs:221-268): GFM pipe-table

@@ -122,15 +122,12 @@ object InMemorySource {
 case class FileSourceConfig(sourceId: String, rootPath: String, trust: Float = 0.5f)
 
 object FileSource {
-  def read(spark: SparkSession, cfg: FileSourceConfig): Dataset[DataRecord] = {
+
+  /** Shared (path, body) → record mapping for the batch and streaming
+    * scans — identical semantics by construction. */
+  private def mapRecords(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, cfg: FileSourceConfig): Dataset[DataRecord] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.input_file_name
-    val df = spark.read
-      .option("wholetext", "true")
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.txt")
-      .text(cfg.rootPath)
-      .select(input_file_name().as("path"), org.apache.spark.sql.functions.col("value"))
     val (sourceId, trust) = (cfg.sourceId, cfg.trust)
     val root = cfg.rootPath.stripSuffix("/")
     df.as[(String, String)].map { case (fullPath, body) =>
@@ -148,5 +145,30 @@ object FileSource {
           Sources.makeSection(SectionRole.Context, None, body)),
         None)
     }
+  }
+
+  def read(spark: SparkSession, cfg: FileSourceConfig): Dataset[DataRecord] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    mapRecords(spark, spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.txt")
+      .text(cfg.rootPath)
+      .select(input_file_name().as("path"), col("value")), cfg)
+  }
+
+  /** Streaming twin — the reference's `FileStream` (SURVEY §2.1 #7):
+    * newly arriving corpus files become records incrementally; ids,
+    * taxonomy, and sections are byte-identical to [[read]] because both
+    * scans feed the same mapping. Checkpointing/exactly-once comes from
+    * Structured Streaming instead of the reference's mtime cursors. */
+  def stream(spark: SparkSession, cfg: FileSourceConfig): Dataset[DataRecord] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    mapRecords(spark, spark.readStream
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.txt")
+      .text(cfg.rootPath)
+      .select(input_file_name().as("path"), col("value")), cfg)
   }
 }

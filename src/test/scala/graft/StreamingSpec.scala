@@ -77,6 +77,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FileStream: streamed corpus files == batch FileSource records") {
+    import graft.sources.{FileSource, FileSourceConfig}
+    val root = Files.createTempDirectory("graft_fstream")
+    def put(rel: String, body: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8"))
+    }
+    put("src_a/2025-01-01/doc_one.txt", "Body one. Two sentences here.")
+    put("src_a/2025-01-02/doc_two.txt", "Body two.")
+    put("src_b/note_three.txt", "Body three.")
+    val cfg = FileSourceConfig("fstr", root.toString)
+    val batch = FileSource.read(spark, cfg).collect().map(_.id).toSet
+    val q = FileSource.stream(spark, cfg).toDF()
+      .writeStream.format("memory").queryName("fstream_test").start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      val streamed = spark.table("fstream_test").select("id").as[String].collect().toSet
+      assert(streamed == batch)
+      assert(batch.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming sampler: foreachBatch triplet batches == batch pipeline") {
     // the reference's FileStream → sampler path (SURVEY §2.1 #7): new
     // corpus files arrive as a stream, each micro-batch runs the SAME

@@ -62,4 +62,36 @@ object Multimodal {
   def frameOffsets(docId: Long, nBytes: Long, n: Int): Seq[Long] =
     if (nBytes <= 0) Nil
     else (0 until n).map(i => (i.toLong * nBytes) / n)
+
+  /** Column form of frame sampling — the metadata plane of the operator:
+    * sampling POSITIONS derive from `(n_bytes, n)` alone, so the plan
+    * explodes a tiny per-row offsets array computed from metadata and the
+    * media payload never enters the generate/shuffle (decoding the frame
+    * at each offset is the stubbed codec step). */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media
+      .select(col("doc_id"), length(col("media")).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("n_bytes"),
+        posexplode(expr(s"transform(sequence(0, ${n - 1}), i -> (CAST(i AS BIGINT) * n_bytes) div $n)")))
+      .toDF("doc_id", "n_bytes", "frame_idx", "offset")
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("offset"))
+
+  /** Aspect-preserving resize plan (fit into `maxW`×`maxH`, never
+    * upscale): pure integer floor arithmetic over the metadata struct —
+    * exact on any engine; the pixel resample itself is the stubbed codec
+    * step. Landscape fits the width, portrait the height. */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    media.select(col("doc_id"), col("width"), col("height"),
+      when(col("width") <= maxW && col("height") <= maxH,
+        struct(col("width").as("w"), col("height").as("h")))
+        .when(col("width") * maxH >= col("height") * maxW,
+          struct(lit(maxW).as("w"),
+            floor(col("height").cast("long") * maxW / col("width")).cast("int").as("h")))
+        .otherwise(
+          struct(floor(col("width").cast("long") * maxH / col("height")).cast("int").as("w"),
+            lit(maxH).as("h"))).as("out"))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("out.w").cast("long").as("out_w"), col("out.h").cast("long").as("out_h"))
 }

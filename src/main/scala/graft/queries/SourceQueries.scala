@@ -116,6 +116,38 @@ object SourceQueries extends QueryModule {
         240 + ${Determinism.duckSeeded("h", "doc_id")} % 240 AS height
         FROM documents""")),
 
+    QueryDef("q75_frame_offsets",
+      // frame sampling's metadata plane: 4 deterministic byte offsets per
+      // media row, computed WITHOUT touching the payload (the per-offset
+      // frame decode is the stubbed codec step)
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")), 4),
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          (i * CAST(octet_length(encode(text)) AS BIGINT)) // 4 AS offset
+        FROM documents, unnest(generate_series(0, 3)) AS g(i)
+        WHERE octet_length(encode(text)) > 0""")),
+
+    QueryDef("q76_resize_plan",
+      // aspect-preserving fit into 224x224, never upscaling — pure integer
+      // floor arithmetic over the metadata struct (the pixel resample is
+      // the stubbed codec step)
+      (s, dir) => Multimodal.resizePlan(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")), 224, 224),
+      Some(s"""WITH m AS (
+          SELECT doc_id,
+            320 + ${Determinism.duckSeeded("w", "doc_id")} % 320 AS width,
+            240 + ${Determinism.duckSeeded("h", "doc_id")} % 240 AS height
+          FROM documents
+        )
+        SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+          CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+                    WHEN width * 224 >= height * 224 THEN 224
+                    ELSE (width * 224) // height END AS BIGINT) AS out_w,
+          CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+                    WHEN width * 224 >= height * 224 THEN (height * 224) // width
+                    ELSE 224 END AS BIGINT) AS out_h
+        FROM m""")),
+
     QueryDef("q74_multimodal_decode",
       (s, dir) => {
         val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))

@@ -41,39 +41,57 @@ object SamplerState {
     s"""{"seed": "${esc(st.seed)}", "epoch": ${st.epoch}, "counters": {$counters}}"""
   }
 
-  /** Exact inverse of [[esc]]: decodes \uXXXX (control chars), \" and \\.
-    * A lossy decode here would silently change seeds/counter keys on
-    * resume, shifting every downstream hash. */
-  private def unesc(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
-        case 'u' if i + 5 < s.length =>
-          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-        case '"' => sb.append('"'); i += 2
-        case '\\' => sb.append('\\'); i += 2
-        case other => sb.append(other); i += 2
-      }
-      else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** Minimal parser for exactly the shape [[toJson]] emits. */
+  /** Minimal single-pass scanner for exactly the shape [[toJson]] emits —
+    * linear time and a lossless inverse of [[esc]] (a lossy or
+    * backtracking-prone decode would silently change seeds/counter keys
+    * on resume, shifting every downstream hash; the property suite hunts
+    * this with adversarial strings). */
   def fromJson(json: String): Option[SamplerState] = Try {
-    val seed = unesc(""""seed":\s*"((?:[^"\\]|\\.)*)"""".r
-      .findFirstMatchIn(json).get.group(1))
-    val epoch = """"epoch":\s*(-?\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    // escape-aware body match: quoted keys may contain '}' — consume
-    // string literals atomically so the brace scan cannot end early
-    val body = """"counters":\s*\{((?:"(?:[^"\\]|\\.)*"|[^}"])*)\}""".r
-      .findFirstMatchIn(json).get.group(1)
-    val counters = """"((?:[^"\\]|\\.)*)":\s*(-?\d+)""".r.findAllMatchIn(body)
-      .map(m => unesc(m.group(1)) -> m.group(2).toLong)
-      .toMap
-    SamplerState(seed, epoch, counters)
+    var i = 0
+    def ws(): Unit = while (i < json.length && json.charAt(i).isWhitespace) i += 1
+    def expect(s: String): Unit = {
+      ws(); require(json.startsWith(s, i), s"expected '$s' at $i"); i += s.length
+    }
+    def parseString(): String = {
+      ws(); require(json.charAt(i) == '"', s"expected string at $i"); i += 1
+      val sb = new StringBuilder
+      while (json.charAt(i) != '"') {
+        val c = json.charAt(i)
+        if (c == '\\') json.charAt(i + 1) match {
+          case 'u' => sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar); i += 6
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case other => sb.append(other); i += 2
+        }
+        else { sb.append(c); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    def parseLong(): Long = {
+      ws(); val start = i
+      if (json.charAt(i) == '-') i += 1
+      while (i < json.length && json.charAt(i).isDigit) i += 1
+      json.substring(start, i).toLong
+    }
+    expect("{"); expect("\"seed\""); expect(":")
+    val seed = parseString()
+    expect(","); expect("\"epoch\""); expect(":")
+    val epoch = parseLong()
+    expect(","); expect("\"counters\""); expect(":"); expect("{")
+    val counters = Map.newBuilder[String, Long]
+    ws()
+    if (json.charAt(i) != '}') {
+      var done = false
+      while (!done) {
+        val k = parseString(); expect(":")
+        counters += (k -> parseLong())
+        ws()
+        if (i < json.length && json.charAt(i) == ',') i += 1 else done = true
+      }
+    }
+    expect("}"); expect("}")
+    SamplerState(seed, epoch, counters.result())
   }.toOption
 
   /** Temp-then-publish save; the target path is never partially written. */

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.Kvp
+import graft.operators.{Exhaustion, NegativeStrategy, Recipes, SamplerState, Selector, TripletRecipe}
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws for the pure (driver-side) kit — the invariants
+  * the example-based specs can only sample. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val anyString: Gen[String] = Gen.listOf(Gen.choose(0.toChar, 0x2FF.toChar)).map(_.mkString)
+
+  test("sampler-state json roundtrip is lossless for arbitrary seeds and counter keys") {
+    check(Prop.forAll(anyString, Gen.long,
+      Gen.mapOf(Gen.zip(anyString, Gen.long))) { (seed, epoch, counters) =>
+      val st = SamplerState(seed, epoch, counters)
+      SamplerState.fromJson(SamplerState.toJson(st)).contains(st)
+    })
+  }
+
+  test("DetRng.shuffle is a deterministic permutation for any seed and list") {
+    check(Prop.forAll(anyString, Gen.listOf(Gen.choose(-1000, 1000))) { (seed, xs) =>
+      val a = new Kvp.DetRng(seed).shuffle(xs)
+      val b = new Kvp.DetRng(seed).shuffle(xs)
+      a == b && a.sorted == xs.sorted
+    })
+  }
+
+  test("ticketOrder: every active recipe gets 1..16 tickets, disabled get none") {
+    val genRecipe = for {
+      n <- Gen.identifier.map(_.take(12))
+      w <- Gen.choose(-1.0f, 4.0f)
+    } yield TripletRecipe(n, Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = w)
+    check(Prop.forAll(Gen.listOf(genRecipe), Gen.long) { (rs0, epoch) =>
+      val rs = rs0.distinctBy(_.name)
+      val plan = Recipes.ticketOrder(rs, "s", epoch)
+      val counts = plan.groupBy(identity).view.mapValues(_.size).toMap
+      val active = rs.filter(_.weight > 0f)
+      plan.forall(n => active.exists(_.name == n)) &&
+        active.forall(r => counts.get(r.name).exists(c => c >= 1 && c <= Recipes.MaxWeightMultiplier)) &&
+        rs.filterNot(_.weight > 0f).forall(r => !counts.contains(r.name))
+    })
+  }
+
+  test("exhaustion retry: refresh count == min(failures, limit), success passes through") {
+    check(Prop.forAll(Gen.choose(0, 6), Gen.choose(0, 4)) { (failures, limit) =>
+      var refreshes = 0
+      var calls = 0
+      val result =
+        try {
+          val v = Exhaustion.withRetry[Int]("lbl", limit) { () =>
+            calls += 1
+            if (calls > failures) Some(42) else None
+          } { () => refreshes += 1 }
+          Some(v)
+        } catch { case _: Exhaustion.Exhausted => None }
+      if (failures <= limit) result.contains(42) && refreshes == failures
+      else result.isEmpty && refreshes == limit && calls == limit + 1
+    })
+  }
+
+  test("manifest parse never throws and honors the extension filter") {
+    check(Prop.forAll(anyString) { junk =>
+      graft.sources.HfManifest.parse(junk).forall(_.url.nonEmpty)
+    })
+    val urls = Gen.listOf(for {
+      stem <- Gen.identifier.map(_.take(8) + Gen.choose(0, 9).sample.get)
+      ext <- Gen.oneOf("parquet", "json", "txt")
+    } yield s"https://h/$stem.$ext")
+    check(Prop.forAll(urls) { us =>
+      val json = us.map(u => s"""{"url": "$u", "size": 7}""")
+        .mkString("""{"parquet_files": [""", ", ", "]}")
+      val parsed = graft.sources.HfManifest.parse(json)
+      parsed.forall(_.url.endsWith(".parquet")) &&
+        parsed.map(_.url) == parsed.map(_.url).distinct.sorted &&
+        parsed.map(_.url).toSet == us.filter(_.endsWith(".parquet")).toSet
+    })
+  }
+
+  test("denoiser wave rescue: output tokens are an ordered subset of the input") {
+    check(Prop.forAll(Gen.listOf(Gen.oneOf("alpha", "beta7", "12345", "9", "x1")),
+      Gen.choose(0.05, 0.95)) { (toks, ratio) =>
+      val line = toks.mkString(" ")
+      val out = graft.functions.Denoiser.stripDigitTokens(line, ratio)
+      val outToks = out.split("\\s+").filter(_.nonEmpty).toList
+      // ordered-subset check
+      def isSubseq(sub: List[String], sup: List[String]): Boolean = sub match {
+        case Nil => true
+        case h :: t => sup.indexOf(h) match {
+          case -1 => false
+          case i => isSubseq(t, sup.drop(i + 1))
+        }
+      }
+      isSubseq(outToks, toks)
+    })
+  }
+}

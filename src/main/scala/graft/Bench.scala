@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
 object Bench {
 
   private val SessionChunk =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "10").toInt
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "10").toInt)
 
   private def gcMillis: Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

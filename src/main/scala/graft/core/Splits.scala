@@ -57,7 +57,11 @@ object Splits {
       overrides: org.apache.spark.sql.DataFrame,
       r: SplitRatios = SplitRatios.Default): org.apache.spark.sql.DataFrame =
     docs.join(
-        broadcast(overrides.select(col("id").as("_ov_id"), col("split").as("_ov_split"))),
+        // upsert semantics: exactly one assignment per id — a duplicated
+        // pin must not duplicate corpus rows through the join; conflicting
+        // duplicates resolve deterministically (lexicographic min)
+        broadcast(overrides.groupBy(col("id").as("_ov_id"))
+          .agg(min(col("split")).as("_ov_split"))),
         idCol === col("_ov_id"), "left")
       .withColumn("split", coalesce(col("_ov_split"), splitCol(idCol, seed, r)))
       .drop("_ov_id", "_ov_split")

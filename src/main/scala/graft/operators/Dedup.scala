@@ -114,8 +114,6 @@ object Dedup {
     agged.select(col(idCol), sig.as("simhash"))
   }
 
-  /** LSH band key columns for a signature row: `numBands` bands of
-    * `rowsPerBand` minhashes each. */
   /** Per-band bucket keys. For <=2 rows/band the minhashes (each < 2^31)
     * pack EXACTLY into one long — the self-join shuffles and compares a
     * fixed-width long instead of a concatenated string (collision-free,

@@ -98,18 +98,23 @@ object Mixing {
     * global window, no pool-sized broadcast. The cycling path only runs
     * when the pool is SMALLER than one batch, i.e. trivially tiny. */
   def padToBatch(spark: SparkSession, cands: DataFrame, batch: Int, seed: String): DataFrame = {
-    val nc = cands.count()
+    // both the count and the chosen branch evaluate the pool plan — persist
+    // it for the call so a pool derived from heavy upstream work is
+    // computed once (pools are candidate ids, not records; callers/Bench
+    // clear caches after materializing)
+    val pool = cands.cache()
+    val nc = pool.count()
     if (nc >= batch) {
       // the unpartitioned window here ranks only the `batch` surviving rows
       // (bounded by a user constant), not the pool
-      val top = cands
+      val top = pool
         .select(col("id"), Determinism.seeded(seed, col("id")).as("sk"))
         .orderBy(col("sk"), col("id")).limit(batch)
       top.withColumn("i", row_number().over(Window.partitionBy()
           .orderBy(col("sk"), col("id"))).cast("long") - 1)
         .select(col("i"), col("id"))
     } else {
-      val ranked = cands
+      val ranked = pool
         .withColumn("rn", row_number().over(Window.partitionBy()
           .orderBy(Determinism.seeded(seed, col("id")), col("id"))).cast("long") - 1)
       spark.range(batch).select(col("id").as("i"))

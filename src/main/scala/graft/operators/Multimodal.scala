@@ -68,7 +68,8 @@ object Multimodal {
     * explodes a tiny per-row offsets array computed from metadata and the
     * media payload never enters the generate/shuffle (decoding the frame
     * at each offset is the stubbed codec step). */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"frame count must be >= 1, got $n")
     media
       .select(col("doc_id"), length(col("media")).cast("long").as("n_bytes"))
       .filter(col("n_bytes") > 0)
@@ -76,6 +77,7 @@ object Multimodal {
         posexplode(expr(s"transform(sequence(0, ${n - 1}), i -> (CAST(i AS BIGINT) * n_bytes) div $n)")))
       .toDF("doc_id", "n_bytes", "frame_idx", "offset")
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("offset"))
+  }
 
   /** Aspect-preserving resize plan (fit into `maxW`×`maxH`, never
     * upscale): pure integer floor arithmetic over the metadata struct —

@@ -29,26 +29,58 @@ import java.nio.file.{Files, Path, Paths}
 object HfManifest {
 
   case class ShardCandidate(url: String, expectedSize: Option[Long]) {
-    def fileName: String = url.substring(url.lastIndexOf('/') + 1)
+    /** Path part with any query/fragment suffix stripped. */
+    private def path: String = url.takeWhile(c => c != '?' && c != '#')
+    def fileName: String = path.substring(path.lastIndexOf('/') + 1)
+    /** Landing-dir file name, URL-hash-prefixed: distinct shard URLs
+      * sharing a basename (different config/split directories) must never
+      * collide on disk — a collision would make the reconcile loop treat
+      * an unfetched shard as cached (or clobber a good one as
+      * "incomplete"). */
+    def landedName: String =
+      f"${graft.plans.PortableHash32.hash(org.apache.spark.unsafe.types.UTF8String.fromString(url))}%08x" +
+        s"_$fileName"
+    private[sources] def extension: Option[String] = {
+      val dot = path.lastIndexOf('.')
+      if (dot < 0) None else Some(path.substring(dot + 1).toLowerCase)
+    }
   }
 
   val DefaultExtensions: Set[String] = Set("parquet")
 
   /** Extract shard candidates from a datasets-server parquet manifest.
-    * Entries are flat objects; non-matching extensions are skipped;
-    * result is sorted by url and deduped (first size wins) — the
-    * reference's exact normalization (candidates.sort(); dedup()). */
+    * The array bounds are found with a string-aware bracket scan (a `]`
+    * inside a url must not end the array); entries are flat objects;
+    * non-matching extensions (query/fragment suffixes stripped) are
+    * skipped; result is sorted by url and deduped (first size wins) —
+    * the reference's exact normalization (candidates.sort(); dedup()). */
   def parse(json: String, accepted: Set[String] = DefaultExtensions): Seq[ShardCandidate] = {
-    val arr = """"parquet_files"\s*:\s*\[(.*?)\]""".r
-      .findFirstMatchIn(json.replace("\n", " ")).map(_.group(1)).getOrElse("")
+    val keyIdx = json.indexOf("\"parquet_files\"")
+    if (keyIdx < 0) return Nil
+    val open = json.indexOf('[', keyIdx)
+    if (open < 0) return Nil
+    var i = open; var depth = 0; var inStr = false; var end = -1
+    while (i < json.length && end < 0) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) return Nil
+    val arr = json.substring(open + 1, end)
     val objs = """\{[^{}]*\}""".r.findAllIn(arr).toSeq
     val cands = objs.flatMap { o =>
       val url = """"url"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(o).map(_.group(1))
       val size = """"size"\s*:\s*(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toLong)
-      url.filter { u =>
-        val dot = u.lastIndexOf('.')
-        dot >= 0 && accepted.contains(u.substring(dot + 1).toLowerCase)
-      }.map(u => ShardCandidate(u, size))
+      url.map(u => ShardCandidate(u, size))
+        .filter(_.extension.exists(accepted.contains))
     }
     cands.groupBy(_.url).map { case (_, g) => g.head }.toSeq.sortBy(_.url)
   }
@@ -60,7 +92,7 @@ object HfManifest {
     new Kvp.DetRng(s"hf-shards:$sourceId:$seed").shuffle(cands)
 
   private def target(landingDir: String, c: ShardCandidate): Path =
-    Paths.get(landingDir, c.fileName)
+    Paths.get(landingDir, c.landedName)
 
   /** First position in the download order whose shard is not yet landed —
     * the reference's `first_uncached_order_position`. None = all landed. */

@@ -204,6 +204,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(o1.toSet == cands.toSet)
     assert(graft.sources.HfManifest.downloadOrder(cands, "src", "43") != o1 ||
       cands.size < 3, "seed must matter (up to tiny-permutation collisions)")
+    // distinct urls sharing a basename must land under distinct names, and
+    // a query-suffixed parquet url passes the extension filter
+    val twinJson = "{\"parquet_files\": [" +
+      "{\"url\": \"https://h/train/0000.parquet\", \"size\": 1}, " +
+      "{\"url\": \"https://h/test/0000.parquet\", \"size\": 1}, " +
+      "{\"url\": \"https://h/x/q.parquet?download=true\", \"size\": 1}]}"
+    val twins = graft.sources.HfManifest.parse(twinJson)
+    assert(twins.size == 3)
+    assert(twins.map(_.landedName).distinct.size == 3)
+    assert(twins.forall(_.landedName.matches("[0-9a-f]{8}_.*parquet.*")))
+    // a ']' inside a url must not truncate the manifest array
+    val bracketJson = "{\"parquet_files\": [" +
+      "{\"url\": \"https://h/a]b/one.parquet\", \"size\": 1}, " +
+      "{\"url\": \"https://h/two.parquet\", \"size\": 2}]}"
+    assert(graft.sources.HfManifest.parse(bracketJson).size == 2)
   }
 
   test("hf manifest: cache reconciliation — first uncached, incomplete, eviction") {
@@ -216,14 +231,14 @@ class SourcesSpec extends AnyFunSuite {
     val order = HfManifest.downloadOrder(cands, "s", "42")
     // land the first ordered shard with the RIGHT size, the second with a
     // WRONG size (incomplete download)
-    java.nio.file.Files.write(dir.resolve(order(0).fileName),
+    java.nio.file.Files.write(dir.resolve(order(0).landedName),
       Array.fill(order(0).expectedSize.get.toInt)('x'.toByte))
-    java.nio.file.Files.write(dir.resolve(order(1).fileName), Array[Byte]('x'))
+    java.nio.file.Files.write(dir.resolve(order(1).landedName), Array[Byte]('x'))
     assert(HfManifest.firstUncached(order, dir.toString).contains(2))
     assert(HfManifest.incomplete(order, dir.toString) == Seq(order(1)))
     // eviction: oldest-first until the directory fits under the cap
     val sizes = Seq(order(0), order(1))
-      .map(c => java.nio.file.Files.size(dir.resolve(c.fileName))).sum
+      .map(c => java.nio.file.Files.size(dir.resolve(c.landedName))).sum
     val plan = HfManifest.evictionPlan(dir.toString, 1L)
     val evicted = plan.map(java.nio.file.Files.size).sum
     assert(plan.nonEmpty && sizes - evicted <= 1L, "evicts until under cap")

@@ -44,7 +44,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // comma-separated substring filter for iterating on single queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
     var spark = newSession(cpus)
     // JVM/codegen warmup on a FIXED query (Map ordering is arbitrary;
     // run-to-run comparability needs the same warm state every time)

@@ -79,8 +79,21 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val gcTotal = results.map(_._3).sum
     val failed = results.count(_._4.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    // Full per-query diagnostics (long names, gc, errors) — first, because the
+    // harness that collects this output keeps only the LAST ~2000 characters
+    // of stdout, and this line is several times that.
+    println(s"""{"metric":"total_diag","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    // Compact machine-readable line LAST: qNN short keys + 3-decimal values
+    // keep it well under the 2000-char capture window (even with the sbt
+    // "[success]" trailer after it).
+    def r3(v: Double): String = f"$v%.3f"
+    val qsShort = results.map { case (k, v, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"gc_sec":${r3(gcTotal)},"failed":$failed,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -301,12 +301,14 @@ object Triplets {
     val qterms = ranked.filter(col("gs") >= 2 && anchorFilter)
       .select(col("doc_id").as("aid"), col("source"), col("split"),
         explode(array_distinct(TextFunctions.tokens(col("atext")))).as("term"))
-    val scored = qterms
-      .join(tf.withColumnRenamed("doc_id", "cand"), Seq("source", "split", "term"))
-      .filter(col("cand") =!= col("aid"))
+    // Per-(candidate, term) partial weight idf·tfpart is anchor-independent:
+    // fold df/dl/avgdl into the tf table FIRST (|tf| rows ≈ docs × distinct
+    // terms/doc), so the anchor⋈candidate product — the only genuinely
+    // quadratic stream — passes through a single join, not four.
+    val wterm = tf
       .join(dfq, Seq("source", "split", "term"))
-      .join(ranked.select(col("source"), col("split"), col("doc_id").as("cand"),
-        col("cn").as("dl")), Seq("source", "split", "cand"))
+      .join(ranked.select(col("source"), col("split"), col("doc_id"),
+        col("cn").as("dl")), Seq("source", "split", "doc_id"))
       .join(stats, Seq("source", "split"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
@@ -314,7 +316,11 @@ object Triplets {
       .withColumn("tfpart",
         (col("tf") * lit(Bm25.K1 + 1)) /
           (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
-      .withColumn("term_e6", floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long"))
+      .select(col("source"), col("split"), col("term"), col("doc_id").as("cand"),
+        floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long").as("term_e6"))
+    val scored = qterms
+      .join(wterm, Seq("source", "split", "term"))
+      .filter(col("cand") =!= col("aid"))
       .groupBy(col("aid"), col("cand"))
       .agg(sum(col("term_e6")).as("score_e6"))
     val top3 = scored

@@ -3,7 +3,8 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{NegativeStrategy, Recipes, Selector, TripletRecipe}
+import graft.functions.{KvpField, KvpPrefixSampler}
+import graft.operators.{Decoration, NegativeStrategy, Recipes, Selector, TripletRecipe}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -108,7 +109,65 @@ object RecipeQueries extends QueryModule {
     )"""
   }
 
+  // KVP decoration on the oracle path: dropout/variant/value/shuffle rolls
+  // + token-budget enforcement (reference: src/kvp.rs:10-217 sampling,
+  // src/sampler/mod.rs:1470-1508 budget, prefix wins over body)
+  private val KvpMaxTok = 12
+  private val KvpDraws = 3
+  private val kvpSampler = KvpPrefixSampler(0.5f, Seq(
+    Seq(KvpField("lang", Seq("en", "de", "fr")), KvpField("src", Seq("web", "book"))),
+    Seq(KvpField("year", Seq("2023", "2024")))))
+
   val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q37_kvp_decoration",
+      // every (doc, draw) rolls independently — the per-SAMPLE (not
+      // per-record) dropout contract: the same doc decorates differently
+      // across draws, identically across runs/partitions. Narrow plan: one
+      // scan, no shuffle at all.
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("btoks", expr("slice(toks, 1, least(16, size(toks)))"))
+          .withColumn("draw", explode(sequence(lit(0L), lit(KvpDraws - 1L))))
+        val key = concat(col("doc_id").cast("string"), lit(":"), col("draw").cast("string"))
+        val dec = Decoration.decorateColumn(kvpSampler, key, col("btoks"), KvpMaxTok)
+        base.select(col("doc_id"), col("draw"),
+          when(dec("decorated"), lit("kvp")).otherwise(lit("plain")).as("lane"),
+          Determinism.portableHash(dec("text")).as("thash"),
+          dec("est").as("est"))
+      },
+      Some {
+        val prefix = Decoration.duckDecorateSql(kvpSampler,
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)", "btoks", KvpMaxTok)
+        s"""WITH d0 AS (
+            SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+          ), base AS (
+            SELECT doc_id, list_slice(toks, 1, LEAST(16, len(toks))) AS btoks
+            FROM d0 WHERE len(toks) > 0
+          ), dr AS (
+            SELECT doc_id, btoks, unnest(generate_series(0, ${KvpDraws - 1})) AS draw FROM base
+          ), pfx AS (
+            SELECT doc_id, CAST(draw AS BIGINT) AS draw, btoks, ($prefix) AS prefix FROM dr
+          ), ptk AS (
+            SELECT *, CASE WHEN prefix IS NULL THEN NULL
+              ELSE len(list_filter(string_split(prefix, ' '), t -> t <> '')) END AS ptok
+            FROM pfx
+          ), bud AS (
+            SELECT *, GREATEST($KvpMaxTok - ptok, 0) AS budget,
+              LEAST(GREATEST($KvpMaxTok - ptok, 0), len(btoks)) AS taken
+            FROM ptk
+          )
+          SELECT doc_id, draw,
+            CASE WHEN prefix IS NULL THEN 'plain' ELSE 'kvp' END AS lane,
+            ${Determinism.duckHash("""CASE
+              WHEN prefix IS NULL THEN array_to_string(btoks, ' ')
+              WHEN taken = 0 THEN prefix
+              ELSE prefix || chr(10) || array_to_string(list_slice(btoks, 1, budget), ' ') END""")} AS thash,
+            CAST(CASE WHEN prefix IS NULL THEN len(btoks) ELSE ptok + taken END AS BIGINT) AS est
+          FROM bud"""
+      }),
 
     QueryDef("q87_recipe_scheduled_selectors",
       (s, dir) => {

@@ -150,6 +150,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(none.text == "a b c")
   }
 
+  test("decoration column twin matches the driver-pure roll sequence") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val half = KvpPrefixSampler(0.5f, Seq(
+      Seq(KvpField("lang", Seq("en", "de", "fr")), KvpField("src", Seq("web", "book"))),
+      Seq(KvpField("year", Seq("2023", "2024")))))
+    val maxTok = 12
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho",
+      "one two three", "solo", "a b c d e f g h i j k l m n")
+    val rows = for (t <- texts; d <- 0L until 8L) yield (t, d)
+    val df = rows.toDF("text", "draw")
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+    val dec = Decoration.decorateColumn(half,
+      concat(col("text"), lit(":"), col("draw").cast("string")), col("toks"), maxTok)
+    val got = df.select(col("text"), col("draw"), dec("text").as("dtext"), dec("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    for ((t, d) <- rows) {
+      val c = chunk(t)
+      val exp = Decoration.decorate(c.copy(record_id = t), Some(half), d, maxTok)
+      assert(got((t, d)) == (exp.text, exp.tokens_estimate.toLong),
+        s"mismatch for ($t, $d)")
+    }
+  }
+
   // ---- multimodal stubs ----
 
   test("multimodal: fake decoder computes byte stats deterministically") {

@@ -148,11 +148,58 @@ object SourceQueries extends QueryModule {
                     ELSE 224 END AS BIGINT) AS out_h
         FROM m""")),
 
+    QueryDef("q77_date_meta_values",
+      // build_date_meta_values (reference: src/metadata.rs:38-50): the six
+      // date renderings, sorted + deduped, as a column twin of the pure
+      // DateHelpers path — one synthetic date per doc (hash-derived month
+      // and day so all renderings vary), exploded with position
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            make_date(lit(2024),
+              pmod(Determinism.seeded("dm", col("doc_id")), lit(12)) + 1,
+              pmod(Determinism.seeded("dd", col("doc_id")), lit(28)) + 1).as("d"))
+        d.select(col("doc_id"),
+            posexplode(DateHelpers.dateMetaValuesColumn(col("d"))))
+          .select(col("doc_id"), col("pos").cast("long").as("idx"),
+            col("col").as("rendering"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, make_date(2024,
+            CAST(${Determinism.duckSeeded("dm", "doc_id")} % 12 + 1 AS INT),
+            CAST(${Determinism.duckSeeded("dd", "doc_id")} % 28 + 1 AS INT)) AS d
+          FROM documents
+        ), ls AS (
+          SELECT doc_id, ${DateHelpers.duckDateMetaValues("d")} AS vs FROM t
+        )
+        SELECT doc_id, CAST(generate_subscripts(vs, 1) - 1 AS BIGINT) AS idx,
+          unnest(vs) AS rendering
+        FROM ls""")),
+
     QueryDef("q74_multimodal_decode",
+      // the decoder itself is the documented stub (no codec in this
+      // container), but the stub is DETERMINISTIC byte statistics — so the
+      // whole mapPartitions plumbing is still exactly oracle-checkable:
+      // DuckDB recomputes the byte stats from the hex rendering of the
+      // same UTF-8 payload
       (s, dir) => {
         val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
         Multimodal.extractFeatures(s, media).toDF()
       },
-      None) // fake-decoder features: rows-only check (codec layer is stubbed)
+      Some(s"""WITH m AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            320 + ${Determinism.duckSeeded("w", "doc_id")} % 320 AS width,
+            240 + ${Determinism.duckSeeded("h", "doc_id")} % 240 AS height
+          FROM documents
+        )
+        SELECT doc_id, n_bytes,
+          CAST(COALESCE(list_aggregate(list_transform(generate_series(1, CAST(n_bytes AS INT)),
+            i -> CAST('0x' || substr(hx, 2*i-1, 2) AS BIGINT)), 'sum'), 0) AS BIGINT) AS byte_sum,
+          CAST(CASE WHEN n_bytes > 0 THEN CAST('0x' || substr(hx, 1, 2) AS BIGINT)
+               ELSE -1 END AS INT) AS head_byte,
+          (width * 1000) // height AS aspect_e3,
+          'fake-v1' AS feature_version
+        FROM m"""))
   )
 }

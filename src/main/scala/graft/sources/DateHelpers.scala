@@ -64,6 +64,33 @@ object DateHelpers {
     ).sorted.distinct
   }
 
+  /** Column twin of [[dateMetaValues]]: the six renderings as a sorted,
+    * deduped array column (pinned equal to the pure path in SourcesSpec —
+    * q77 oracle-checks it cross-engine). */
+  def dateMetaValuesColumn(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def f(p: String) = date_format(d, p)
+    array_sort(array_distinct(array(
+      f("yyyy-MM-dd"),
+      concat(f("MMM"), lit(". "), f("d"), lit(", "), f("yyyy")),
+      concat(f("MMMM"), lit(" "), f("d"), lit(", "), f("yyyy")),
+      f("dd.MM.yyyy"),
+      f("MM/dd/yyyy"),
+      concat(f("MMM"), lit(" "), f("d"), lit(", "), f("yyyy")))))
+  }
+
+  /** DuckDB mirror of [[dateMetaValuesColumn]] over a DATE expression. */
+  def duckDateMetaValues(d: String): String = {
+    def dayYear = s"CAST(day($d) AS VARCHAR) || ', ' || CAST(year($d) AS VARCHAR)"
+    s"""list_sort(list_distinct([
+      strftime($d, '%Y-%m-%d'),
+      strftime($d, '%b') || '. ' || $dayYear,
+      strftime($d, '%B') || ' ' || $dayYear,
+      strftime($d, '%d.%m.%Y'),
+      strftime($d, '%m/%d/%Y'),
+      strftime($d, '%b') || ' ' || $dayYear]))"""
+  }
+
   private def parseMdy(s: String): Option[LocalDate] = s.split('-') match {
     case Array(m, d, y) if y.length == 4 =>
       Try(LocalDate.of(y.toInt, m.toInt, d.toInt)).toOption

@@ -176,6 +176,18 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("date meta values column twin matches the pure renderings") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dates = Seq("2024-10-15", "2024-01-01", "2024-12-31", "2024-02-09")
+    val got = dates.toDF("ds")
+      .select(col("ds"), DateHelpers.dateMetaValuesColumn(to_date(col("ds"))).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (ds <- dates)
+      assert(got(ds) == DateHelpers.dateMetaValues(java.time.LocalDate.parse(ds)), ds)
+  }
+
   // ---- multimodal stubs ----
 
   test("multimodal: fake decoder computes byte stats deterministically") {

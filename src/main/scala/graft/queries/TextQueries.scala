@@ -128,6 +128,93 @@ object TextQueries extends QueryModule {
           ${Determinism.duckHash("array_to_string(list_slice(pieces, 1, 12), ' ')")} AS head_pieces_hash
         FROM p""")),
 
+    QueryDef("q38_denoiser_rescue",
+      // gate 3's wave expansion on the oracle path: a digit-heavy line is
+      // built from each doc's first three alpha tokens + fixed digit runs,
+      // the loop-carried rescue runs in the Scala preprocessor (the one
+      // documented UDF exception — reference
+      // denoiser_preprocessor.rs:221-268), and DuckDB REPLAYS the whole
+      // wave iteration as a recursive CTE. Lines under the digit-ratio
+      // threshold take the passthrough lane, mirroring the gate's caller.
+      (s, dir) => {
+        val rescue = udf((line: String) =>
+          graft.functions.Denoiser.stripDigitTokens(line, 0.35))
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(TextFunctions.tokens(col("text")), t => t.rlike("[A-Za-z]")).as("atoks"))
+          .filter(size(col("atoks")) >= 3)
+          .withColumn("line", concat_ws(" ",
+            element_at(col("atoks"), 1), lit("1234"),
+            element_at(col("atoks"), 2), lit("5678"), lit("9012"),
+            element_at(col("atoks"), 3), lit("777")))
+          .withColumn("d", length(col("line")) - length(regexp_replace(col("line"), "[^0-9]", "")))
+          .withColumn("a", length(col("line")) - length(regexp_replace(col("line"), "[^A-Za-z]", "")))
+          .withColumn("hot", col("d").cast("double") / (col("d") + col("a")) > lit(0.35))
+          .withColumn("out", when(col("hot"), rescue(col("line"))).otherwise(col("line")))
+        base.select(col("doc_id"),
+          when(col("hot"), lit("rescued")).otherwise(lit("passthrough")).as("lane"),
+          Determinism.portableHash(col("out")).as("out_hash"),
+          size(filter(split(col("out"), " "), t => t =!= "")).cast("long").as("n_kept"))
+      },
+      Some(s"""WITH RECURSIVE d0 AS (
+          SELECT doc_id, list_filter($duckToks, t -> regexp_matches(t, '[A-Za-z]')) AS atoks
+          FROM documents
+        ), mk AS (
+          SELECT doc_id,
+            atoks[1] || ' 1234 ' || atoks[2] || ' 5678 9012 ' || atoks[3] || ' 777' AS line
+          FROM d0 WHERE len(atoks) >= 3
+        ), s2 AS (
+          SELECT doc_id, line, string_split(line, ' ') AS ltoks,
+            CAST(len(string_split(line, ' ')) AS INT) AS n,
+            list_transform(string_split(line, ' '), t -> CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)) AS dcs,
+            list_transform(string_split(line, ' '), t -> CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT)) AS acs,
+            list_transform(string_split(line, ' '), t -> regexp_matches(t, '[A-Za-z]')) AS keep0
+          FROM mk
+        ), rec AS (
+          SELECT doc_id, line, ltoks, n, dcs, acs, keep0 AS keep,
+            CAST(COALESCE(list_sum(list_transform(generate_series(1, n), i -> CASE WHEN keep0[i] THEN dcs[i] ELSE 0 END)), 0) AS BIGINT) AS d,
+            CAST(COALESCE(list_sum(list_transform(generate_series(1, n), i -> CASE WHEN keep0[i] THEN acs[i] ELSE 0 END)), 0) AS BIGINT) AS a,
+            FALSE AS done
+          FROM s2
+          UNION ALL
+          SELECT doc_id, line, ltoks, n, dcs, acs,
+            CASE WHEN stop THEN keep ELSE list_transform(generate_series(1, n), i -> keep[i] OR list_contains(wave, CAST(i AS BIGINT))) END,
+            CASE WHEN stop THEN d ELSE nd END,
+            CASE WHEN stop THEN a ELSE na END,
+            stop
+          FROM (
+            SELECT *,
+              CAST(d + COALESCE(list_sum(list_transform(wave, i -> dcs[i])), 0) AS BIGINT) AS nd,
+              CAST(a + COALESCE(list_sum(list_transform(wave, i -> acs[i])), 0) AS BIGINT) AS na,
+              (len(wave) = 0 OR
+               (CASE WHEN d + COALESCE(list_sum(list_transform(wave, i -> dcs[i])), 0)
+                        + a + COALESCE(list_sum(list_transform(wave, i -> acs[i])), 0) = 0 THEN 0.0
+                     ELSE CAST(d + COALESCE(list_sum(list_transform(wave, i -> dcs[i])), 0) AS DOUBLE)
+                        / (d + COALESCE(list_sum(list_transform(wave, i -> dcs[i])), 0)
+                           + a + COALESCE(list_sum(list_transform(wave, i -> acs[i])), 0)) END) > 0.35) AS stop
+            FROM (
+              SELECT *,
+                list_filter(generate_series(1, n), i ->
+                  NOT keep[i] AND ((i > 1 AND keep[i-1]) OR (i < n AND keep[i+1]))) AS wave
+              FROM rec WHERE NOT done
+            )
+          )
+        ), rescued AS (
+          SELECT doc_id,
+            COALESCE(array_to_string(list_transform(list_filter(generate_series(1, n), i -> keep[i]), i -> ltoks[i]), ' '), '') AS rtext
+          FROM rec WHERE done
+        ), lanes AS (
+          SELECT m.doc_id, m.line, r.rtext,
+            length(m.line) - length(regexp_replace(m.line, '[^0-9]', '', 'g')) AS dd,
+            length(m.line) - length(regexp_replace(m.line, '[^A-Za-z]', '', 'g')) AS aa
+          FROM mk m JOIN rescued r ON m.doc_id = r.doc_id
+        )
+        SELECT doc_id,
+          CASE WHEN CAST(dd AS DOUBLE) / (dd + aa) > 0.35 THEN 'rescued' ELSE 'passthrough' END AS lane,
+          ${Determinism.duckHash("CASE WHEN CAST(dd AS DOUBLE) / (dd + aa) > 0.35 THEN rtext ELSE line END")} AS out_hash,
+          CAST(len(list_filter(string_split(CASE WHEN CAST(dd AS DOUBLE) / (dd + aa) > 0.35 THEN rtext ELSE line END, ' '), t -> t <> '')) AS BIGINT) AS n_kept
+        FROM lanes""")),
+
     QueryDef("q34_denoiser_gates",
       // OCR-denoiser gates 1-2 as a pure column pipeline, oracle-replayed
       // (reference: denoiser_preprocessor.rs:221-268): GFM pipe-table

@@ -216,4 +216,47 @@ object Recipes {
           col("record_id").cast("string"))), col("csize")))
       .drop("crnk", "csize", "mode", "arg")
   }
+
+  /** Stages B and C of the auto-injected chunk-pair recipe
+    * (reference: src/sampler/mod.rs:1213-1256 Stage-B guard,
+    * 1290-1300 distinct-window contract, retry loop 1162-1190):
+    * Stage B — a record is eligible only with >= 2 window chunks for the
+    * selector (callers pre-filter `chunks` to the selector's pool, e.g.
+    * role = context); Stage C — anchor and positive are two DISTINCT
+    * window chunks of that record.
+    *
+    * The reference reaches distinctness by redrawing up to a retry limit
+    * from a mutable RNG; statelessly we pick the anchor rank uniformly and
+    * the positive rank uniformly over the REMAINING csize-1 chunks
+    * (`p0 >= a ? p0 + 1 : p0` — the same skip-the-anchor arithmetic the
+    * wrong-date lane uses for date groups), which is distinct by
+    * construction and recomputable on any executor.
+    *
+    * One keyed window + one keyed aggregation; no self-join. */
+  def selectDistinctWindowPairs(chunks: org.apache.spark.sql.DataFrame,
+      nDraws: Int, seed: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Determinism
+    def pick(slot: String) = Determinism.portableHash(
+      concat(lit(s"pair:$slot:$seed:"), col("draw").cast("string"), lit(":"),
+        col("record_id").cast("string")))
+    val w = Window.partitionBy(col("draw"), col("record_id"))
+      .orderBy(col("section_idx"), col("view_kind"), col("window_index"), col("overlap"))
+    chunks
+      .withColumn("draw", explode(sequence(lit(0L), lit(nDraws - 1L))))
+      .withColumn("crnk", row_number().over(w).cast("long") - 1)
+      .withColumn("csize", count(lit(1)).over(
+        Window.partitionBy(col("draw"), col("record_id"))).cast("long"))
+      .filter(col("csize") >= 2) // Stage B
+      .withColumn("ar", pmod(pick("a"), col("csize")))
+      .withColumn("pr0", pmod(pick("p"), col("csize") - 1))
+      .withColumn("pr", when(col("pr0") >= col("ar"), col("pr0") + 1).otherwise(col("pr0"))) // Stage C
+      .groupBy(col("draw"), col("record_id"))
+      .agg(
+        max(when(col("crnk") === col("ar"), col("window_index"))).cast("long").as("a_widx"),
+        max(when(col("crnk") === col("ar"), col("wtext"))).as("a_text"),
+        max(when(col("crnk") === col("pr"), col("window_index"))).cast("long").as("p_widx"),
+        max(when(col("crnk") === col("pr"), col("wtext"))).as("p_text"))
+  }
 }

@@ -52,7 +52,10 @@ object RecipeQueries extends QueryModule {
 
   /** Two-section chunk table: section 0 = anchor head tokens (one window),
     * section 1 = context sliding windows (q12 layout). Narrow plan. */
-  private def chunkTable(docs: DataFrame): DataFrame = {
+  private[graft] def contextChunks(docs: DataFrame): DataFrame =
+    chunkTable(docs).filter(col("role") === "context")
+
+  private[graft] def chunkTable(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= MinToks)
@@ -168,6 +171,67 @@ object RecipeQueries extends QueryModule {
             CAST(CASE WHEN prefix IS NULL THEN len(btoks) ELSE ptok + taken END AS BIGINT) AS est
           FROM bud"""
       }),
+
+    QueryDef("q89_auto_pair_stages",
+      // Stage B + Stage C of the auto-injected long-section recipe on the
+      // oracle path: context-window pool per record, records with a single
+      // window filtered (Stage B), anchor/positive two DISTINCT windows by
+      // the stateless skip-the-anchor pick (Stage C). Stage A (scheduling)
+      // is q87's ticket plan.
+      (s, dir) => {
+        val ctx = chunkTable(
+          Tables.load(s, dir, "documents").filter(expr("doc_id % 10 = 0")))
+          .filter(col("role") === "context")
+        Recipes.selectDistinctWindowPairs(ctx, nDraws = 4, seed = "ap")
+          .select(col("draw"), col("record_id"),
+            col("a_widx"), col("p_widx"),
+            Determinism.portableHash(col("a_text")).as("a_hash"),
+            Determinism.portableHash(col("p_text")).as("p_hash"))
+      },
+      Some(s"""WITH d0 AS (
+          SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+          WHERE doc_id % 10 = 0
+        ), base AS (
+          SELECT doc_id, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
+        ), cq AS (
+          SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn FROM base
+        ), cq2 AS (
+          SELECT doc_id, ctoks, cn, LEAST($W, cn) AS span,
+            CASE WHEN cn <= $W THEN 1
+                 ELSE CAST(floor((cn - LEAST($W, cn) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
+          FROM cq
+        ), cwin AS (
+          SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM cq2
+        ), cch AS (
+          SELECT doc_id AS record_id, 1 AS section_idx, 'window' AS view_kind,
+            CAST(i AS INT) AS window_index, $OV AS overlap,
+            array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
+          FROM cwin
+        ), dr AS (
+          SELECT record_id, section_idx, view_kind, window_index, overlap, wtext,
+            CAST(unnest(generate_series(0, 3)) AS BIGINT) AS draw
+          FROM cch
+        ), rk AS (
+          SELECT *,
+            CAST(row_number() OVER (PARTITION BY draw, record_id
+              ORDER BY section_idx, view_kind, window_index, overlap) AS BIGINT) - 1 AS crnk,
+            CAST(count(*) OVER (PARTITION BY draw, record_id) AS BIGINT) AS csize
+          FROM dr
+        ), pk AS (
+          SELECT *,
+            ${Determinism.duckHash("'pair:a:ap:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")} % csize AS ar,
+            ${Determinism.duckHash("'pair:p:ap:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")} % (csize - 1) AS pr0
+          FROM rk WHERE csize >= 2
+        ), pk2 AS (
+          SELECT *, CASE WHEN pr0 >= ar THEN pr0 + 1 ELSE pr0 END AS pr FROM pk
+        )
+        SELECT draw, record_id,
+          CAST(max(CASE WHEN crnk = ar THEN window_index END) AS BIGINT) AS a_widx,
+          CAST(max(CASE WHEN crnk = pr THEN window_index END) AS BIGINT) AS p_widx,
+          ${Determinism.duckHash("max(CASE WHEN crnk = ar THEN wtext END)")} AS a_hash,
+          ${Determinism.duckHash("max(CASE WHEN crnk = pr THEN wtext END)")} AS p_hash
+        FROM pk2
+        GROUP BY draw, record_id""")),
 
     QueryDef("q87_recipe_scheduled_selectors",
       (s, dir) => {

@@ -71,6 +71,18 @@ class InvariantsSpec extends AnyFunSuite {
     assert(t.filter(col("split") =!= col("nsplit")).count() == 0)
   }
 
+  test("auto-pair stages: anchor and positive always distinct, single-window records excluded") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ctx = graft.queries.RecipeQueries.contextChunks(docs)
+    val pairs = Recipes.selectDistinctWindowPairs(ctx, nDraws = 3, seed = "t")
+    assert(pairs.filter(col("a_widx") === col("p_widx")).count() == 0)
+    // Stage B: every selected record exposes >= 2 context windows
+    val multi = ctx.groupBy(col("record_id")).count().filter(col("count") >= 2)
+      .select(col("record_id")).collect().map(_.getLong(0)).toSet
+    assert(pairs.select(col("record_id")).distinct()
+      .collect().map(_.getLong(0)).toSet.subsetOf(multi))
+  }
+
   test("epoch reshuffle: ticket order changes across epochs, tickets stable") {
     import graft.operators.{NegativeStrategy, Selector, TripletRecipe}
     val recipes = Seq("r1", "r2", "r3", "r4").map(n =>

@@ -54,46 +54,64 @@ object Bench {
     try names.headOption.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     catch { case _: Throwable => }
     spark.catalog.clearCache()
+    // Steady-state methodology: every query runs once UNTIMED (janino
+    // codegen + JIT + parquet-footer warmup for that specific plan), then a
+    // FRESH DataFrame is built and timed — new plan => new RDDs, so no
+    // shuffle-stage reuse from the warmup run; internal .cache() pools are
+    // cleared in between and re-paid inside the timed window. The cold
+    // (first-execution) time is kept per query in the diagnostics line.
     val results = names.zipWithIndex.map { case (name, idx) =>
       if (idx > 0 && idx % SessionChunk == 0) {
         spark.stop()
         spark = newSession(cpus)
       }
-      val gc0 = gcMillis
-      val t0 = System.nanoTime()
-      val err =
+      val tc0 = System.nanoTime()
+      val errCold =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.getClass.getName) }
+      val cold = (System.nanoTime() - tc0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      val gc0 = gcMillis
+      val t0 = System.nanoTime()
+      val err = errCold.orElse {
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.getClass.getName) }
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcDt = (gcMillis - gc0) / 1e3
       // drop per-query cached pools, then let the ContextCleaner reclaim
       // the query's broadcasts before the next timing starts
       spark.catalog.clearCache()
       System.gc()
-      (name, dt, gcDt, err)
+      (name, dt, gcDt, err, cold)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, g, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val colds = results.map { case (k, _, _, _, c) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val gcTotal = results.map(_._3).sum
+    val coldTotal = results.map(_._5).sum
     val failed = results.count(_._4.isDefined)
-    // Full per-query diagnostics (long names, gc, errors) — first, because the
-    // harness that collects this output keeps only the LAST ~2000 characters
-    // of stdout, and this line is several times that.
-    println(s"""{"metric":"total_diag","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    // Full per-query diagnostics (long names, gc, cold first-execution
+    // times, errors) — first, because the harness that collects this output
+    // keeps only the LAST ~2000 characters of stdout, and this line is
+    // several times that.
+    println(s"""{"metric":"total_diag","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"cold":$colds,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
     // Compact machine-readable line LAST: qNN short keys + 3-decimal values
     // keep it well under the 2000-char capture window (even with the sbt
     // "[success]" trailer after it).
     def r3(v: Double): String = f"$v%.3f"
-    val qsShort = results.map { case (k, v, _, _) =>
+    val qsShort = results.map { case (k, v, _, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"gc_sec":${r3(gcTotal)},"failed":$failed,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"steady-state: 1 untimed warmup execution per query, fresh plan re-timed","cold_total_sec":${r3(coldTotal)},"queries":$qsShort,"gc_sec":${r3(gcTotal)},"failed":$failed,"sf":$sfNum}""")
     spark.stop()
   }
 }

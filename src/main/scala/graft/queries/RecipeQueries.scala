@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions._
 object RecipeQueries extends QueryModule {
 
   private val Seed = "42"
-  private val W = 32; private val OV = 8; private val ST = W - OV
-  private val AT = 8        // anchor-section tokens
-  private val MinToks = 12
+  private[graft] val W = 32; private[graft] val OV = 8; private[graft] val ST = W - OV
+  private[graft] val AT = 8        // anchor-section tokens
+  private[graft] val MinToks = 12
   private val Draws = 12
 
   /** CSV role-mode defaults (resolved as a source with no configured

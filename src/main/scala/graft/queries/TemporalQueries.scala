@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule}
-import graft.core.Tables
+import graft.core.{Determinism, Splits, Tables}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -82,6 +83,87 @@ object TemporalQueries extends QueryModule {
           CAST(min(abs(b2.sec - (b1.sec + 2592000)) * 10000000 + b2.k) AS BIGINT) AS sel_key
         FROM b b1 JOIN b b2 ON b1.c = b2.c AND b1.k <> b2.k
         GROUP BY b1.k""")),
+
+    QueryDef("q64_temporal_selector",
+      // Selector::TemporalOffset executed through the recipe engine
+      // (reference: src/sampler/mod.rs:1701-1704 -> 950-976): the positive
+      // comes from a DIFFERENT record — the same-(source, split) neighbor
+      // nearest to created_at + offset_days — and is that neighbor's
+      // hash-picked context window. Neighbor choice is q61's deterministic
+      // min_by (|time diff| scaled + id tiebreak, never an engine-arbitrary
+      // tie); chunk pick is the selectChunk rank arithmetic on the
+      // neighbor's windows. The corpus carries no created_at, so a
+      // hash-derived day stands in (both engines derive it identically).
+      // Pairwise neighbor search is bounded per (source, split) pool;
+      // unbounded-cardinality callers use q60's union+window as-of form.
+      (s, dir) => {
+        val offSec = 2L * 86400L
+        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 0"))
+        val b = docs.select(col("doc_id"), col("source"),
+          Splits.splitCol(col("doc_id"), "42").as("split"),
+          (pmod(Determinism.seeded("ct", col("doc_id")), lit(30)) * 86400L).as("sec"))
+        val cand = b.select(col("doc_id").as("nid"), col("source").as("nsource"),
+          col("split").as("nsplit"), col("sec").as("nsec"))
+        val nb = b.join(cand, col("source") === col("nsource") &&
+            col("split") === col("nsplit") && col("doc_id") =!= col("nid"))
+          .withColumn("selkey",
+            abs(col("nsec") - (col("sec") + lit(offSec))) * 10000000L + col("nid"))
+          .groupBy(col("doc_id").as("aid"))
+          .agg(min_by(col("nid"), col("selkey")).as("nid"))
+        val w = Window.partitionBy(col("record_id"))
+          .orderBy(col("section_idx"), col("view_kind"), col("window_index"), col("overlap"))
+        val ranked = RecipeQueries.contextChunks(docs)
+          .withColumn("crnk", row_number().over(w).cast("long") - 1)
+          .withColumn("csize", count(lit(1)).over(
+            Window.partitionBy(col("record_id"))).cast("long"))
+        nb.join(ranked, col("record_id") === col("nid") &&
+            col("crnk") === pmod(Determinism.seeded("tsel", col("aid")), col("csize")))
+          .select(col("aid"), col("nid"),
+            col("window_index").cast("long").as("p_widx"),
+            Determinism.portableHash(col("wtext")).as("p_hash"))
+      },
+      Some(s"""WITH d0 AS (
+          SELECT doc_id, source, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+          WHERE doc_id % 5 = 0
+        ), b AS (
+          SELECT doc_id, source, ${Splits.duckSplitSql("doc_id", "42")} AS split,
+            (${Determinism.duckSeeded("ct", "doc_id")} % 30) * 86400 AS sec
+          FROM d0
+        ), nb AS (
+          SELECT b1.doc_id AS aid,
+            min_by(b2.doc_id, abs(b2.sec - (b1.sec + 172800)) * 10000000 + b2.doc_id) AS nid
+          FROM b b1 JOIN b b2 ON b1.source = b2.source AND b1.split = b2.split
+            AND b1.doc_id <> b2.doc_id
+          GROUP BY b1.doc_id
+        ), base AS (
+          SELECT doc_id, toks, len(toks) AS n FROM d0 WHERE len(toks) >= ${RecipeQueries.MinToks}
+        ), cq AS (
+          SELECT doc_id, list_slice(toks, ${RecipeQueries.AT + 1}, n) AS ctoks,
+            n - ${RecipeQueries.AT} AS cn FROM base
+        ), cq2 AS (
+          SELECT doc_id, ctoks, cn, LEAST(${RecipeQueries.W}, cn) AS span,
+            CASE WHEN cn <= ${RecipeQueries.W} THEN 1
+                 ELSE CAST(floor((cn - LEAST(${RecipeQueries.W}, cn) + ${RecipeQueries.ST - 1}) / ${RecipeQueries.ST}.0) AS INT) + 1 END AS k
+          FROM cq
+        ), cwin AS (
+          SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM cq2
+        ), cch AS (
+          SELECT doc_id AS record_id, 1 AS section_idx, 'window' AS view_kind,
+            CAST(i AS INT) AS window_index, ${RecipeQueries.OV} AS overlap,
+            array_to_string(list_slice(ctoks, i * ${RecipeQueries.ST} + 1, i * ${RecipeQueries.ST} + LEAST(span, cn - i * ${RecipeQueries.ST})), ' ') AS wtext
+          FROM cwin
+        ), rk AS (
+          SELECT *,
+            CAST(row_number() OVER (PARTITION BY record_id
+              ORDER BY section_idx, view_kind, window_index, overlap) AS BIGINT) - 1 AS crnk,
+            CAST(count(*) OVER (PARTITION BY record_id) AS BIGINT) AS csize
+          FROM cch
+        )
+        SELECT nb.aid, nb.nid,
+          CAST(rk.window_index AS BIGINT) AS p_widx,
+          ${Determinism.duckHash("rk.wtext")} AS p_hash
+        FROM nb JOIN rk ON rk.record_id = nb.nid
+          AND rk.crnk = ${Determinism.duckSeeded("tsel", "nb.aid")} % rk.csize""")),
 
     QueryDef("q62_event_window_agg",
       (s, dir) => {

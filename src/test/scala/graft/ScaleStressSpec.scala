@@ -14,13 +14,13 @@ class ScaleStressSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def corpus(n: Int) = {
+  private def corpus(n: Int, tokens: Int = 40) = {
     import spark.implicits._
     spark.range(n).select(
       col("id").as("doc_id"),
       concat(lit("src"), pmod(col("id"), lit(200)).cast("string")).as("source"),
-      // ~40 tokens of varying, overlapping vocabulary
-      concat_ws(" ", (0 until 40).map(j =>
+      // `tokens` tokens of varying, overlapping vocabulary
+      concat_ws(" ", (0 until tokens).map(j =>
         concat(lit(s"w"), pmod(col("id") * (j + 7) + j, lit(997)).cast("string"))): _*).as("text"))
   }
 
@@ -55,5 +55,29 @@ class ScaleStressSpec extends AnyFunSuite {
       concat(lit("2025-03-0"), (pmod(col("doc_id"), lit(3)) + 1).cast("string")))
     val n = t.count()
     assert(n > 150000L, s"unexpectedly few date-preferred triplets: $n")
+  }
+
+  test("kvp decoration completes at 200k docs x 3 draws (narrow, zero shuffle)") {
+    import graft.functions.{KvpField, KvpPrefixSampler}
+    val sampler = KvpPrefixSampler(0.5f, Seq(
+      Seq(KvpField("lang", Seq("en", "de", "fr")), KvpField("src", Seq("web", "book"))),
+      Seq(KvpField("year", Seq("2023", "2024")))))
+    val docs = corpus(200000)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("draw", explode(sequence(lit(0L), lit(2L))))
+    val dec = graft.operators.Decoration.decorateColumn(sampler,
+      concat(col("doc_id").cast("string"), lit(":"), col("draw").cast("string")),
+      col("toks"), maxWindowTokens = 12)
+    assert(docs.select(dec("est").as("est")).filter(col("est") > 0).count() == 600000L)
+  }
+
+  test("auto-pair stages complete at 200k docs (keyed windows only)") {
+    // 80-token docs -> 3 context windows each, so Stage B keeps every record
+    val docs = corpus(200000, tokens = 80)
+    val ctx = graft.queries.RecipeQueries.contextChunks(docs)
+    val pairs = graft.operators.Recipes.selectDistinctWindowPairs(ctx, nDraws = 2, seed = "st")
+    val n = pairs.count()
+    assert(n > 300000L, s"unexpectedly few auto pairs: $n") // ~200k records x 2 draws
+    assert(pairs.filter(col("a_widx") === col("p_widx")).count() == 0)
   }
 }

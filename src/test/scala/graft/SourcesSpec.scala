@@ -176,16 +176,39 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("date meta values column twin matches the pure renderings") {
+  test("date meta values column twin matches the pure renderings (300 random dates)") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dates = Seq("2024-10-15", "2024-01-01", "2024-12-31", "2024-02-09")
+    val rnd = new scala.util.Random(42)
+    val dates = (Seq("2024-10-15", "2024-01-01", "2024-12-31", "2024-02-09") ++
+      Seq.fill(300)(java.time.LocalDate.ofEpochDay(rnd.between(-25000L, 50000L)).toString)).distinct
     val got = dates.toDF("ds")
       .select(col("ds"), DateHelpers.dateMetaValuesColumn(to_date(col("ds"))).as("vs"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     for (ds <- dates)
       assert(got(ds) == DateHelpers.dateMetaValues(java.time.LocalDate.parse(ds)), ds)
+  }
+
+  test("decoration column twin: dropout=1 branch (no dropout roll, counter base shifts)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val always = KvpPrefixSampler(1.0f, Seq(
+      Seq(KvpField("k", Seq("v1", "v2", "v3"))),
+      Seq(KvpField("a", Seq("x")), KvpField("b", Seq("y", "z")))))
+    val rows = for (d <- 0L until 32L) yield ("w1 w2 w3 w4 w5 w6 w7 w8", d)
+    val df = rows.toDF("text", "draw")
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+    val dec = Decoration.decorateColumn(always,
+      concat(lit("r:"), col("draw").cast("string")), col("toks"), 6)
+    val got = df.select(col("draw"), dec("text").as("t"), dec("est").as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    for (d <- 0L until 32L) {
+      val exp = Decoration.decorate(chunk("w1 w2 w3 w4 w5 w6 w7 w8").copy(record_id = "r"),
+        Some(always), d, 6)
+      assert(got(d) == (exp.text, exp.tokens_estimate.toLong), s"draw $d")
+    }
   }
 
   // ---- multimodal stubs ----

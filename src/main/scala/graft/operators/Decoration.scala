@@ -88,8 +88,7 @@ object Decoration {
     * caller's SQL derives text/est from it exactly as the column twin does.
     * Kept as a generator so the oracle SQL stays in lock-step with the
     * column expressions above. */
-  def duckDecorateSql(sampler: KvpPrefixSampler, key: String, toks: String,
-      maxWindowTokens: Int): String = {
+  def duckDecorateSql(sampler: KvpPrefixSampler, key: String): String = {
     val s = sampler.normalized
     require(s.variants.nonEmpty && s.dropout > 0f && s.dropout < 1f)
     def roll(i: Int): String = Determinism.duckHash(s"$key || '#$i'")
@@ -110,5 +109,16 @@ object Decoration {
     }.mkString("\n        ")
     s"""CASE WHEN ${roll(0)} / 4294967296.0 >= ${s.dropout.toDouble} THEN NULL
         $prefixCases END"""
+  }
+
+  /** DuckDB mirror of the budget-enforcement step of [[decorateColumn]]:
+    * given a prefix column (NULL = undecorated, from [[duckDecorateSql]])
+    * and the chunk text, emit the decorated text expression. */
+  def duckDecoratedTextSql(prefixCol: String, textExpr: String, maxTok: Int): String = {
+    val tk = s"string_split($textExpr, ' ')"
+    val ptok = s"len(list_filter(string_split($prefixCol, ' '), t -> t <> ''))"
+    s"""CASE WHEN $prefixCol IS NULL THEN $textExpr
+       WHEN LEAST(GREATEST($maxTok - $ptok, 0), len($tk)) = 0 THEN $prefixCol
+       ELSE $prefixCol || chr(10) || array_to_string(list_slice($tk, 1, GREATEST($maxTok - $ptok, 0)), ' ') END"""
   }
 }

@@ -131,7 +131,11 @@ object Triplets {
     * must be a subset of `ranked` (carries rnk/gs). */
   private def sameSourceJoin(ranked: DataFrame, anchors: DataFrame): DataFrame = {
     val anch = anchors
-      .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")), col("gs") - 1))
+      // greatest(..., 1) never changes a surviving row (anchors carry
+      // gs >= 2) — it guards ANSI mode against Catalyst evaluating the
+      // projection speculatively on rows a pushed-down filter will drop
+      .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")),
+        greatest(col("gs") - 1, lit(1L))))
       .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
         col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
@@ -157,7 +161,8 @@ object Triplets {
       .join(broadcast(srcs.select(col("split"), col("source"), col("srnk"), col("scnt"))),
         Seq("split", "source"))
       .filter(col("scnt") >= 2)
-      .withColumn("spick0", pmod(Determinism.seeded("fsrc", col("doc_id")), col("scnt") - 1))
+      .withColumn("spick0", pmod(Determinism.seeded("fsrc", col("doc_id")),
+        greatest(col("scnt") - 1, lit(1L))))
       .withColumn("spick", when(col("spick0") >= col("srnk"), col("spick0") + 1).otherwise(col("spick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
         col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
@@ -222,6 +227,73 @@ object Triplets {
   def tripletRows(docs: DataFrame, cfg: TripletConfig): DataFrame = {
     val base = projectRows(triplets(docs, cfg), lit(cfg.recipeName))
     cfg.instruction.fold(base)(i => base.withColumn("instruction", lit(i)))
+  }
+
+  /** Decorated triplet rows — the reference's decorate-in-build flow
+    * (reference: src/sampler/mod.rs:1264-1300 decorates anchor+positive,
+    * 1347-1365 decorates the negative, then swap and identical-text
+    * rejection run on the DECORATED texts): all three chunks pass through
+    * [[Decoration.decorateColumn]], the 50% swap picks between decorated
+    * anchor/positive, and a second rejection filters decorated collisions.
+    * Roll streams key on the pre-swap slot + record ids (`dec:a:<aid>`,
+    * `dec:p:<aid>`, `dec:n:<aid>:<nid>`) — the stateless analogue of the
+    * reference's triplet-local RNG. Narrow post-join work: decoration adds
+    * zero shuffles to the base plan. */
+  def tripletRowsDecorated(docs: DataFrame, cfg: TripletConfig,
+      sampler: graft.functions.KvpPrefixSampler, recipeName: String): DataFrame = {
+    val t = triplets(docs, cfg)
+    def dec(slot: String, text: Column, key: Column) =
+      Decoration.decorateColumn(sampler, concat(lit(s"dec:$slot:"), key),
+        split(text, " "), cfg.windowTokens)
+    t.withColumn("da", dec("a", col("atext"), col("aid").cast("string")))
+      .withColumn("dp", dec("p", col("ptext"), col("aid").cast("string")))
+      .withColumn("dn", dec("n", col("ntext"),
+        concat(col("aid").cast("string"), lit(":"), col("nid").cast("string"))))
+      .filter(col("da.text") =!= col("dp.text") &&
+        col("dn.text") =!= col("da.text") && col("dn.text") =!= col("dp.text"))
+      .select(
+        col("aid"), col("nid"), col("split"), lit(recipeName).as("recipe"),
+        when(col("swapped"), Determinism.portableHash(col("dp.text")))
+          .otherwise(Determinism.portableHash(col("da.text"))).as("a_hash"),
+        when(col("swapped"), Determinism.portableHash(col("da.text")))
+          .otherwise(Determinism.portableHash(col("dp.text"))).as("p_hash"),
+        Determinism.portableHash(col("dn.text")).as("n_hash"),
+        when(col("swapped"), col("dp.decorated")).otherwise(col("da.decorated")).as("a_dec"),
+        when(col("swapped"), col("da.decorated")).otherwise(col("dp.decorated")).as("p_dec"),
+        col("dn.decorated").as("n_dec"),
+        col("swapped"), col("weight_e6"))
+  }
+
+  /** DuckDB mirror of [[tripletRowsDecorated]]. */
+  def duckDecoratedTripletSql(cfg: TripletConfig,
+      sampler: graft.functions.KvpPrefixSampler, recipeName: String): String = {
+    val dh = Determinism.duckHash _
+    val W = cfg.windowTokens
+    def pfx(slot: String, key: String) =
+      Decoration.duckDecorateSql(sampler, s"'dec:$slot:' || $key")
+    s"""${duckTripletCtes(cfg)}, d0 AS (
+        SELECT *,
+          (${pfx("a", "CAST(aid AS VARCHAR)")}) AS apfx,
+          (${pfx("p", "CAST(aid AS VARCHAR)")}) AS ppfx,
+          (${pfx("n", "CAST(aid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)")}) AS npfx
+        FROM tripf
+      ), d1 AS (
+        SELECT *,
+          ${Decoration.duckDecoratedTextSql("apfx", "atext", W)} AS datext,
+          ${Decoration.duckDecoratedTextSql("ppfx", "ptext", W)} AS dptext,
+          ${Decoration.duckDecoratedTextSql("npfx", "ntext", W)} AS dntext
+        FROM d0
+      )
+      SELECT aid, nid, split, '$recipeName' AS recipe,
+        CASE WHEN swapped THEN ${dh("dptext")} ELSE ${dh("datext")} END AS a_hash,
+        CASE WHEN swapped THEN ${dh("datext")} ELSE ${dh("dptext")} END AS p_hash,
+        ${dh("dntext")} AS n_hash,
+        CASE WHEN swapped THEN ppfx ELSE apfx END IS NOT NULL AS a_dec,
+        CASE WHEN swapped THEN apfx ELSE ppfx END IS NOT NULL AS p_dec,
+        npfx IS NOT NULL AS n_dec,
+        swapped, weight_e6
+      FROM d1
+      WHERE datext <> dptext AND dntext <> datext AND dntext <> dptext"""
   }
 
   /** Pair derivation: each triplet yields a positive and a negative pair

@@ -143,7 +143,7 @@ object RecipeQueries extends QueryModule {
       },
       Some {
         val prefix = Decoration.duckDecorateSql(kvpSampler,
-          "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)", "btoks", KvpMaxTok)
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)")
         s"""WITH d0 AS (
             SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
           ), base AS (

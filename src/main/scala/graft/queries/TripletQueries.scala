@@ -14,6 +14,10 @@ object TripletQueries extends QueryModule {
   private val cfg = TripletConfig()
   private val qaCfg = TripletConfig(anchorTokens = 12, recipeName = "qa_mismatch")
   private val TextDraws = 4
+  private val decSampler = graft.functions.KvpPrefixSampler(0.5f, Seq(
+    Seq(graft.functions.KvpField("lang", Seq("en", "de", "fr")),
+      graft.functions.KvpField("src", Seq("web", "book"))),
+    Seq(graft.functions.KvpField("year", Seq("2023", "2024")))))
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -84,6 +88,16 @@ object TripletQueries extends QueryModule {
       },
       Some(Triplets.duckDatePreferredSql(cfg, "doc_id % 5 = 0",
         s"'2025-02-0' || CAST(${graft.core.Determinism.duckSeeded("day2", "doc_id")} % 2 + 1 AS VARCHAR)"))),
+
+    QueryDef("q90_triplet_decorated",
+      // the decorate-in-build flow: every chunk of the triplet passes
+      // through the KVP prefix sampler (per-slot roll streams), the 50%
+      // swap picks between DECORATED anchor/positive, and identical-text
+      // rejection re-runs on decorated texts — the lifecycle order of
+      // reference src/sampler/mod.rs:1264-1300, 1347-1395
+      (s, dir) => Triplets.tripletRowsDecorated(
+        Tables.load(s, dir, "documents"), cfg, decSampler, "decorated_wrong_article"),
+      Some(Triplets.duckDecoratedTripletSql(cfg, decSampler, "decorated_wrong_article"))),
 
     QueryDef("q88_qa_mismatch_pairs",
       // QuestionAnswerMismatch (reference: src/sampler/mod.rs:1109-1151):

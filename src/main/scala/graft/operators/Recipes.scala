@@ -250,7 +250,7 @@ object Recipes {
         Window.partitionBy(col("draw"), col("record_id"))).cast("long"))
       .filter(col("csize") >= 2) // Stage B
       .withColumn("ar", pmod(pick("a"), col("csize")))
-      .withColumn("pr0", pmod(pick("p"), col("csize") - 1))
+      .withColumn("pr0", pmod(pick("p"), greatest(col("csize") - 1, lit(1L))))
       .withColumn("pr", when(col("pr0") >= col("ar"), col("pr0") + 1).otherwise(col("pr0"))) // Stage C
       .groupBy(col("draw"), col("record_id"))
       .agg(

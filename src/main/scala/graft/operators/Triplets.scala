@@ -229,6 +229,75 @@ object Triplets {
     cfg.instruction.fold(base)(i => base.withColumn("instruction", lit(i)))
   }
 
+  /** WrongArticle with `negativeSelector = RoleAnchor` — the 0.25-weight
+    * lane every source's default recipe set carries (reference:
+    * csv_source.rs:368-409 `csv_anchor_anchor_wrong_article`,
+    * file_source.rs / huggingface_source.rs twins; selector contract
+    * src/config.rs:201-215): the negative text is the negative RECORD's
+    * anchor section, not one of its context windows. The anchor section is
+    * a single chunk, so the negative's window index is structurally 0 and
+    * its window weight 1.0 (e6 integer 1000000). Same pool, same rank-pick
+    * seeds as the context-negative pipeline — only the negative-side
+    * projection changes. */
+  def tripletRowsNegAnchor(docs: DataFrame, cfg: TripletConfig, recipeName: String): DataFrame = {
+    val st = cfg.stride
+    val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
+    val anch = ranked.filter(col("gs") >= 2)
+      .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")),
+        greatest(col("gs") - 1, lit(1L))))
+      .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
+      .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
+        col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
+        col("k").as("ak"), col("pick"))
+    val negA = ranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
+      col("split").as("nsplit"), col("atext").as("natext"), col("rnk").as("nrnk"))
+    val joined = anch.join(negA,
+        col("source") === col("nsource") && col("split") === col("nsplit") &&
+          col("nrnk") === col("pick"))
+      .withColumn("pidx", pmod(Determinism.seeded("pos", col("aid")), col("ak")))
+      .withColumn("nidx", lit(0L))
+      .withColumn("ptext", array_join(
+        expr(s"slice(actoks, pidx * $st + 1, least(aspan, acn - pidx * $st))"), " "))
+      .withColumn("ntext", col("natext"))
+      .withColumn("swapped", pmod(Determinism.seeded("swap", col("aid")), lit(2)) === 0)
+      .withColumn("pw_e6", greatest(lit(100000L), floor(lit(1000000) / (col("pidx") + 1)).cast("long")))
+      .withColumn("weight_e6",
+        floor((lit(1000000L) + col("pw_e6") + lit(1000000L)) / lit(3.0)).cast("long"))
+      .filter(col("atext") =!= col("ptext") &&
+        col("ntext") =!= col("atext") && col("ntext") =!= col("ptext"))
+    projectRows(joined, lit(recipeName))
+  }
+
+  /** DuckDB mirror of [[tripletRowsNegAnchor]]. */
+  def duckNegAnchorSql(cfg: TripletConfig, recipeName: String): String = {
+    val st = cfg.stride
+    val h = Determinism.duckSeeded _
+    val dh = Determinism.duckHash _
+    s"""${duckPoolCtes(cfg)}, joinedA AS (
+        SELECT a.doc_id AS aid, a.split AS split, a.atext AS atext,
+          a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+          n.doc_id AS nid, n.atext AS natext
+        FROM anch a JOIN ranked n
+          ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
+      ), selA AS (
+        SELECT *, ${h("pos", "aid")} % ak AS pidx FROM joinedA
+      ), tripA AS (
+        SELECT aid, nid, split, atext, pidx, natext AS ntext,
+          array_to_string(list_slice(actoks, pidx * $st + 1, pidx * $st + LEAST(aspan, acn - pidx * $st)), ' ') AS ptext,
+          (${h("swap", "aid")} % 2 = 0) AS swapped,
+          GREATEST(100000, 1000000 // (pidx + 1)) AS pw_e6
+        FROM selA
+      )
+      SELECT aid, nid, split, '$recipeName' AS recipe,
+        CASE WHEN swapped THEN ${dh("ptext")} ELSE ${dh("atext")} END AS a_hash,
+        CASE WHEN swapped THEN ${dh("atext")} ELSE ${dh("ptext")} END AS p_hash,
+        ${dh("ntext")} AS n_hash,
+        swapped, CAST(pidx AS BIGINT) AS pidx, CAST(0 AS BIGINT) AS nidx,
+        CAST(floor((1000000 + pw_e6 + 1000000) / 3.0) AS BIGINT) AS weight_e6
+      FROM tripA
+      WHERE atext <> ptext AND ntext <> atext AND ntext <> ptext"""
+  }
+
   /** Decorated triplet rows — the reference's decorate-in-build flow
     * (reference: src/sampler/mod.rs:1264-1300 decorates anchor+positive,
     * 1347-1365 decorates the negative, then swap and identical-text
@@ -443,7 +512,8 @@ object Triplets {
       .withColumn("ccnt", count(lit(1)).over(wDate).cast("long"))
     val anch = base.join(dates, Seq("source", "split", "pub_date"))
       .filter(col("dcnt") >= 2)
-      .withColumn("dpick0", pmod(Determinism.seeded("dpick", col("doc_id")), col("dcnt") - 1))
+      .withColumn("dpick0", pmod(Determinism.seeded("dpick", col("doc_id")),
+        greatest(col("dcnt") - 1, lit(1L))))
       .withColumn("dpick", when(col("dpick0") >= col("drnk"), col("dpick0") + 1).otherwise(col("dpick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
         col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
@@ -503,7 +573,8 @@ object Triplets {
       .cache()
     val sameDate = {
       val anch = ranked.filter(col("dgs") >= 2)
-        .withColumn("pick0", pmod(Determinism.seeded("dneg", col("doc_id")), col("dgs") - 1))
+        .withColumn("pick0", pmod(Determinism.seeded("dneg", col("doc_id")),
+          greatest(col("dgs") - 1, lit(1L))))
         .withColumn("pick", when(col("pick0") >= col("drnk"), col("pick0") + 1).otherwise(col("pick0")))
         .select(col("doc_id").as("aid"), col("source"), col("split"), col("pub_date"), col("atext"),
           col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),
@@ -532,8 +603,8 @@ object Triplets {
   // DuckDB mirror
   // -------------------------------------------------------------------
 
-  /** Shared CTE chain computing the `trip` relation in DuckDB. */
-  def duckTripletCtes(cfg: TripletConfig): String = {
+  /** Shared CTE prefix: corpus prep through the anchor rank-pick (`anch`). */
+  def duckPoolCtes(cfg: TripletConfig): String = {
     val st = cfg.stride
     val W = cfg.windowTokens
     val at = cfg.anchorTokens
@@ -562,7 +633,14 @@ object Triplets {
              THEN ${h("neg", "doc_id")} % (gs - 1) + 1
              ELSE ${h("neg", "doc_id")} % (gs - 1) END AS pick
       FROM ranked WHERE gs >= 2
-    ), joined AS (
+    )"""
+  }
+
+  /** Full CTE chain computing the `tripf` relation in DuckDB. */
+  def duckTripletCtes(cfg: TripletConfig): String = {
+    val st = cfg.stride
+    val h = Determinism.duckSeeded _
+    s"""${duckPoolCtes(cfg)}, joined AS (
       SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
         a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
         n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk

@@ -89,6 +89,14 @@ object TripletQueries extends QueryModule {
       Some(Triplets.duckDatePreferredSql(cfg, "doc_id % 5 = 0",
         s"'2025-02-0' || CAST(${graft.core.Determinism.duckSeeded("day2", "doc_id")} % 2 + 1 AS VARCHAR)"))),
 
+    QueryDef("q91_triplet_negative_anchor",
+      // negativeSelector = RoleAnchor — the 0.25-weight lane in every
+      // source's default recipe set: the negative is the wrong record's
+      // ANCHOR section (single chunk, window weight structurally 1.0)
+      (s, dir) => Triplets.tripletRowsNegAnchor(
+        Tables.load(s, dir, "documents"), cfg, "anchor_anchor_wrong_article"),
+      Some(Triplets.duckNegAnchorSql(cfg, "anchor_anchor_wrong_article"))),
+
     QueryDef("q90_triplet_decorated",
       // the decorate-in-build flow: every chunk of the triplet passes
       // through the KVP prefix sampler (per-slot roll streams), the 50%

@@ -29,6 +29,7 @@ object Bench {
 
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))

@@ -165,6 +165,55 @@ object RelationalQueries extends QueryModule {
       Some("""SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
         CAST(count(*) AS BIGINT) AS n,
         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
-        FROM lineitem WHERE l_quantity > 25 GROUP BY 1"""))
+        FROM lineitem WHERE l_quantity > 25 GROUP BY 1""")),
+
+    QueryDef("q09_bucketed_join",
+      // co-located join via bucketing — the 100 TB posture made concrete:
+      // both tables written bucketBy(8, doc_id), so the sort-merge join
+      // runs with NO shuffle exchange on either side (PipelineSpec asserts
+      // it on the physical plan); the only exchange in the whole plan is
+      // the final group-by. At scale this is the difference between
+      // re-shuffling 100 TB per join and shuffling nothing. (Spark 3+
+      // still inserts a per-bucket streaming Sort — scan-time sortBy
+      // ordering is legacy-flagged off — but that is per-bucket CPU work,
+      // not data movement.)
+      (s, dir) => {
+        val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+        // the in-memory catalog forgets tables across sessions while their
+        // warehouse directories persist — clear both before the CTAS
+        def reset(name: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val root = java.nio.file.Paths.get("/tmp/graft_warehouse", name)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        reset(s"docs_b$tag"); reset(s"emb_b$tag")
+        // repartition on the bucket key with the bucket count: writer-task
+        // hash == bucket hash, so each bucket lands in exactly ONE file —
+        // the condition under which the scan's sortBy ordering survives and
+        // the join needs neither an exchange NOR a sort
+        Tables.load(s, dir, "documents")
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+          .saveAsTable(s"docs_b$tag")
+        Tables.load(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+          .saveAsTable(s"emb_b$tag")
+        s.table(s"docs_b$tag")
+          .join(s.table(s"emb_b$tag").hint("merge"), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("embedding")).cast("long")).as("dim_sum"),
+            sum(col("label").cast("long")).as("label_sum"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(len(embedding)) AS BIGINT) AS dim_sum,
+        CAST(sum(label) AS BIGINT) AS label_sum
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY source"""))
   )
 }

@@ -128,6 +128,46 @@ object TextQueries extends QueryModule {
           ${Determinism.duckHash("array_to_string(list_slice(pieces, 1, 12), ' ')")} AS head_pieces_hash
         FROM p""")),
 
+    QueryDef("q39_pii_scrub",
+      // PII redaction — a training-data pipeline staple: emails, phone
+      // numbers, and IPv4 addresses replaced with typed placeholders, with
+      // per-class match counts. Patterns stay in the RE2-compatible subset
+      // so the oracle's regex engine agrees byte-for-byte. Deterministic
+      // synthetic PII is appended per doc so every class fires. Narrow:
+      // one scan, zero shuffles.
+      (s, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+        val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val noisy = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567 at 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"))
+        val redacted = regexp_replace(regexp_replace(regexp_replace(
+          noisy, emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>")
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(noisy, lit(emailPat), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(noisy, lit(phonePat), lit(0))).cast("long").as("n_phones"),
+          size(regexp_extract_all(noisy, lit(ipPat), lit(0))).cast("long").as("n_ips"),
+          Determinism.portableHash(redacted).as("redacted_hash"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS noisy
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(noisy, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(noisy, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(noisy, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+          ${Determinism.duckHash("""regexp_replace(regexp_replace(regexp_replace(noisy,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')""")} AS redacted_hash
+        FROM t""")),
+
     QueryDef("q38_denoiser_rescue",
       // gate 3's wave expansion on the oracle path: a digit-heavy line is
       // built from each doc's first three alpha tokens + fixed digit runs,

@@ -12,6 +12,23 @@ class PipelineSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  test("bucketed join runs with no shuffle exchange and no sort on either side") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q09_bucketed_join")(spark, dir)
+    df.count() // force execution so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // the ONLY exchange allowed is the final group-by aggregation — the
+    // join reads both bucketed tables pre-partitioned, so NOTHING shuffles
+    // for the join itself. (A per-bucket in-memory Sort remains: Spark 3+
+    // intentionally ignores sortBy metadata at scan time — the legacy
+    // bucketedTableScan.outputOrdering flag is off for correctness — and
+    // that sort is per-bucket streaming work, not a shuffle.)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"bucketed join should not shuffle (got $exchanges exchanges):\n$plan")
+  }
+
   test("corpus -> stats -> quality gate -> split -> triplets as one Pipeline") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val pipeline = new Pipeline().setStages(Array(

@@ -167,6 +167,34 @@ object RelationalQueries extends QueryModule {
         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
         FROM lineitem WHERE l_quantity > 25 GROUP BY 1""")),
 
+    QueryDef("q16_salted_skew_join",
+      // skew salting made concrete: `source` is a hot key (few sources,
+      // thousands of docs each — at 100 TB a single source's rows would
+      // land on one task and straggle). The fact side gets a salt from the
+      // engine-internal fast hash, the dim side is exploded across all S
+      // salts, and the join key becomes (source, salt) — the hot key
+      // spreads over S tasks. Salting never changes results (each fact row
+      // matches exactly one salted dim row), so the oracle is the plain
+      // unsalted join. The merge hint forces the shuffle join this
+      // technique exists for (a broadcast would dodge the demo at this
+      // scale). PipelineSpec asserts the join keys carry the salt.
+      (s, dir) => {
+        val S = 8
+        val docs = Tables.load(s, dir, "documents")
+        val dim = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+        val salted = docs.withColumn("salt",
+          pmod(graft.core.Determinism.fastHash(7L, col("doc_id")), lit(S.toLong)).cast("int"))
+        val dimSalted = dim
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+          .withColumn("salt", col("salt").cast("int"))
+        salted.join(dimSalted.hint("merge"), Seq("source", "salt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), max(col("src_docs")).as("src_docs"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS src_docs
+        FROM documents GROUP BY source""")),
+
     QueryDef("q09_bucketed_join",
       // co-located join via bucketing — the 100 TB posture made concrete:
       // both tables written bucketBy(8, doc_id), so the sort-merge join

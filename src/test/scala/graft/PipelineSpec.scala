@@ -29,6 +29,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"bucketed join should not shuffle (got $exchanges exchanges):\n$plan")
   }
 
+  test("salted skew join spreads the hot key: join keys carry the salt") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q16_salted_skew_join")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected the forced shuffle join:\n$plan")
+    val joinLine = plan.linesIterator.find(_.contains("SortMergeJoin")).get
+    assert(joinLine.contains("salt"), s"join keys must include the salt:\n$joinLine")
+  }
+
   test("corpus -> stats -> quality gate -> split -> triplets as one Pipeline") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val pipeline = new Pipeline().setStages(Array(

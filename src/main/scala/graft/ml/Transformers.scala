@@ -76,6 +76,13 @@ object SamplerLane {
   /** WrongPublicationDate two-level date-group pick (q84). */
   case class WrongDate(dateExpr: org.apache.spark.sql.Column,
       recipeName: String = "wrong_publication_date") extends SamplerLane
+  /** negativeSelector = RoleAnchor: negative is the wrong record's anchor
+    * section (q91). */
+  case class NegativeAnchor(recipeName: String = "anchor_anchor_wrong_article") extends SamplerLane
+  /** Decorate-in-build: all three chunks through the KVP prefix sampler,
+    * swap + rejection on decorated texts (q90). */
+  case class Decorated(sampler: graft.functions.KvpPrefixSampler,
+      recipeName: String = "decorated_wrong_article") extends SamplerLane
 }
 
 /** Terminal stage: the corpus (doc_id, source, text) becomes triplet rows.
@@ -92,6 +99,8 @@ class TripletSamplerStage(
     case SamplerLane.Bm25(name) => Triplets.tripletRowsBm25(df.toDF(), cfg, name)
     case SamplerLane.DatePreferred(d) => Triplets.tripletRowsDatePreferred(df.toDF(), cfg, d)
     case SamplerLane.WrongDate(d, name) => Triplets.tripletRowsWrongDate(df.toDF(), cfg, d, name)
+    case SamplerLane.NegativeAnchor(name) => Triplets.tripletRowsNegAnchor(df.toDF(), cfg, name)
+    case SamplerLane.Decorated(sm, name) => Triplets.tripletRowsDecorated(df.toDF(), cfg, sm, name)
   }
 
   override def transformSchema(schema: StructType): StructType = {
@@ -105,6 +114,10 @@ class TripletSamplerStage(
     lane match {
       case SamplerLane.Bm25(_) | SamplerLane.DatePreferred(_) =>
         base.add(StructField("lane", StringType, nullable = false))
+      case SamplerLane.Decorated(_, _) =>
+        // decorated rows drop the chunk indices and carry per-slot flags
+        StructType(base.filterNot(f => f.name == "pidx" || f.name == "nidx"))
+          .add("a_dec", BooleanType).add("p_dec", BooleanType).add("n_dec", BooleanType)
       case _ => base
     }
   }

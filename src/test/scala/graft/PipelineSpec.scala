@@ -70,6 +70,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(wd.count() > 0)
     val fb = new TripletSamplerStage(lane = SamplerLane.WithFallback).transform(docs)
     assert(fb.count() > 0)
+    val na = new TripletSamplerStage(lane = SamplerLane.NegativeAnchor()).transform(docs)
+    assert(na.count() > 0)
+    val sampler = graft.functions.KvpPrefixSampler(0.5f, Seq(
+      Seq(graft.functions.KvpField("lang", Seq("en", "de")))))
+    val dec = new TripletSamplerStage(lane = SamplerLane.Decorated(sampler)).transform(docs)
+    assert(dec.columns.contains("a_dec") && dec.count() > 0)
   }
 
   test("transformSchema declares the stage outputs") {

@@ -37,6 +37,15 @@ class InvariantsSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
   }
 
+  test("portable_hash32 registers on the SQL surface and matches the Column API") {
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT portable_hash32('graft:42') AS h").collect()(0).getLong(0)
+    val viaCol = spark.range(1)
+      .select(Determinism.portableHash(org.apache.spark.sql.functions.lit("graft:42")).as("h"))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("golden sequence hashes: triplet/pair/text batches pinned per seed") {
     // the analogue of the reference's golden FNV pins
     // (src/sampler/tests.rs:17-50): any behavioral drift in the sampling

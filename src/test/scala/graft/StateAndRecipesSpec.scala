@@ -127,6 +127,19 @@ class StateAndRecipesSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("decorated triplets and auto pairs are partition-count invariant") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sampler = graft.functions.KvpPrefixSampler(0.5f, Seq(
+      Seq(graft.functions.KvpField("lang", Seq("en", "de")))))
+    def dec(parts: Int) = Triplets.tripletRowsDecorated(
+      docs.repartition(parts), TripletConfig(), sampler, "r").collect().map(_.toSeq).toSet
+    assert(dec(1) == dec(13) && dec(1).nonEmpty)
+    def pairs(parts: Int) = Recipes.selectDistinctWindowPairs(
+      graft.queries.RecipeQueries.contextChunks(docs.repartition(parts)), 2, "pi")
+      .collect().map(_.toSeq).toSet
+    assert(pairs(1) == pairs(13) && pairs(1).nonEmpty)
+  }
+
   // ---- source-default recipes (csv_source.rs:368-409, file_source.rs:156-210,
   //      huggingface_source.rs:4605-4650) ----
 

@@ -37,6 +37,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sess.start").as("sess_start"), col("n_events"))
 
+  /** Streaming exact dedup — the incremental twin of the batch
+    * content-hash dedup (q20): arriving documents keep only the first row
+    * per portable content hash. On an unbounded corpus callers bound the
+    * dedup state with `withWatermark` + `dropDuplicatesWithinWatermark`;
+    * the plain form keeps exact global semantics (state = one entry per
+    * distinct hash — the same cardinality the batch groupBy shuffles). */
+  def dedupStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("chash", graft.core.Determinism.portableHash(col(textCol)))
+      .dropDuplicates("chash")
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, value_e6: Long)
 

@@ -101,6 +101,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: distinct content hashes == batch dedup") {
+    val dir = Files.createTempDirectory("graft_dedup_stream").toString
+    import spark.implicits._
+    // 200 docs, every text duplicated across ~3 ids -> real dedup work
+    val docs = (0 until 200).map(i => (i.toLong, s"text body number ${i % 70}"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val batch = EventStreams.dedupStream(spark.read.parquet(dir))
+      .select("chash").collect().map(_.getLong(0)).toSet
+    val q = EventStreams.dedupStream(spark.readStream.schema(docs.schema).parquet(dir))
+      .select("chash")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_test").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch.size == 70)
+    } finally q.stop()
+  }
+
   test("streaming sampler: foreachBatch triplet batches == batch pipeline") {
     // the reference's FileStream → sampler path (SURVEY §2.1 #7): new
     // corpus files arrive as a stream, each micro-batch runs the SAME

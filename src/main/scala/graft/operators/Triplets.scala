@@ -431,26 +431,28 @@ object Triplets {
     // anchors are a batch subset (the reference emits batch_size triplets
     // per call, never the full corpus); candidates/tf/df stay full-pool
     val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
+    // carry dl (= cn, constant per doc) through the term aggregation so no
+    // later join has to fetch it back from the pool
     val tf = ranked.select(col("source"), col("split"), col("doc_id"),
-        explode(col("ctoks")).as("term"))
-      .groupBy(col("source"), col("split"), col("doc_id"), col("term"))
+        col("cn").as("dl"), explode(col("ctoks")).as("term"))
+      .groupBy(col("source"), col("split"), col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // per-pool stats have #pools rows — broadcast-sized at any corpus scale
     val stats = ranked.groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("cn")).as("sum_dl"))
-    val dfq = tf.groupBy(col("source"), col("split"), col("term"))
-      .agg(count(lit(1)).as("df"))
     val qterms = ranked.filter(col("gs") >= 2 && anchorFilter)
       .select(col("doc_id").as("aid"), col("source"), col("split"),
         explode(array_distinct(TextFunctions.tokens(col("atext")))).as("term"))
     // Per-(candidate, term) partial weight idf·tfpart is anchor-independent:
     // fold df/dl/avgdl into the tf table FIRST (|tf| rows ≈ docs × distinct
     // terms/doc), so the anchor⋈candidate product — the only genuinely
-    // quadratic stream — passes through a single join, not four.
+    // quadratic stream — passes through a single join, not four. df is a
+    // keyed window over tf (one row per (doc, term) ⇒ the per-term count IS
+    // the document frequency) — no separate groupBy + re-join.
     val wterm = tf
-      .join(dfq, Seq("source", "split", "term"))
-      .join(ranked.select(col("source"), col("split"), col("doc_id"),
-        col("cn").as("dl")), Seq("source", "split", "doc_id"))
-      .join(stats, Seq("source", "split"))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("split"), col("term"))).cast("long"))
+      .join(broadcast(stats), Seq("source", "split"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

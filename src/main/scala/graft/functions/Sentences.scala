@@ -65,4 +65,54 @@ object Sentences {
 
   private def isTickerChar(ch: Char): Boolean =
     (ch >= 'A' && ch <= 'Z') || ch.isDigit
+
+  /** Distributed column form of [[sentences]] — the boundary rule only
+    * looks one character left and right, so the per-character scan is a
+    * prefix-sum, not a loop: explode characters, flag boundaries from
+    * lag/lead, running-sum the flags into sentence ids, reassemble per
+    * (doc, block, sentence). Fully declarative (no UDF), partition-scales
+    * on (doc, block) keys, and exactly replayed by the DuckDB oracle
+    * (q47). Pinned equal to the pure path in SourcesSpec.
+    *
+    * Returns `(doc_id, sent_idx, sentence)` with `sent_idx` the 0-based
+    * document-wide sentence position. */
+  def sentenceRows(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val normalized = regexp_replace(
+      regexp_replace(col(textCol), "\r\n", "\n"), "\r", "\n")
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(normalized, "\n\n", -1)))
+      .toDF("doc_id", "bidx", "block")
+      .withColumn("n", TextFunctions.normalizeWs(col("block")))
+      .filter(col("n") =!= "")
+    val chars = blocks
+      .select(col("doc_id"), col("bidx"), posexplode(split(col("n"), "")))
+      .toDF("doc_id", "bidx", "pos", "c")
+      .filter(col("c") =!= "")
+    val wOrd = Window.partitionBy(col("doc_id"), col("bidx")).orderBy(col("pos"))
+    def ticker(c: org.apache.spark.sql.Column) = coalesce(c.rlike("^[A-Z0-9]$"), lit(false))
+    def digit(c: org.apache.spark.sql.Column) = coalesce(c.rlike("^[0-9]$"), lit(false))
+    val flagged = chars
+      .withColumn("pc", lag(col("c"), 1).over(wOrd))
+      .withColumn("nc", lead(col("c"), 1).over(wOrd))
+      .withColumn("bnd",
+        col("c").isin("!", "?") ||
+          (col("c") === "." &&
+            !(digit(col("pc")) && digit(col("nc"))) &&
+            !(ticker(col("pc")) && ticker(col("nc"))) &&
+            coalesce(col("nc") =!= ".", lit(true))))
+      .withColumn("sid", coalesce(sum(when(col("bnd"), 1L).otherwise(0L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    flagged
+      .groupBy(col("doc_id"), col("bidx"), col("sid"))
+      .agg(trim(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")),
+        "")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("sent_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("bidx"), col("sid"))).cast("long") - 1)
+      .select(col("doc_id"), col("sent_idx"), col("sentence"))
+  }
 }

@@ -128,6 +128,63 @@ object TextQueries extends QueryModule {
           ${Determinism.duckHash("array_to_string(list_slice(pieces, 1, 12), ' ')")} AS head_pieces_hash
         FROM p""")),
 
+    QueryDef("q47_sentence_split",
+      // the sentence splitter's FULL output (q30 oracles only the mark
+      // counts) as a distributed prefix-sum plan — boundary flags from
+      // lag/lead, running-sum sentence ids, per-sentence reassembly; the
+      // appended tail exercises every guard: decimal middle (3.14), ticker
+      // middle (A.B), ellipsis (..), !/? boundaries, and a blank-line
+      // block break
+      (s, dir) => {
+        val noisy = Tables.load(s, dir, "documents")
+          .withColumn("text", concat(col("text"),
+            lit("\n\nTail pi is 3.14 and A.B holds.. wow! Done? End")))
+        graft.functions.Sentences.sentenceRows(noisy, "doc_id", "text")
+          .select(col("doc_id"), col("sent_idx"),
+            Determinism.portableHash(col("sentence")).as("sent_hash"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id,
+            replace(replace(text || chr(10) || chr(10) ||
+              'Tail pi is 3.14 and A.B holds.. wow! Done? End',
+              chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS nt
+          FROM documents
+        ), bl AS (
+          SELECT doc_id, string_split(nt, chr(10) || chr(10)) AS bs FROM d
+        ), blocks AS (
+          SELECT doc_id, CAST(generate_subscripts(bs, 1) AS BIGINT) - 1 AS bidx,
+            ${TextFunctions.duckNormalizeWs("unnest(bs)")} AS n
+          FROM bl
+        ), nb AS (
+          SELECT * FROM blocks WHERE n <> ''
+        ), cc AS (
+          SELECT doc_id, bidx, CAST(unnest(generate_series(1, CAST(length(n) AS INT))) AS BIGINT) AS pos,
+            n FROM nb
+        ), ch AS (
+          SELECT doc_id, bidx, pos, n[pos] AS c,
+            CASE WHEN pos > 1 THEN n[pos - 1] END AS pc,
+            CASE WHEN pos < length(n) THEN n[pos + 1] END AS nc
+          FROM cc
+        ), bb AS (
+          SELECT *, (c IN ('!', '?') OR (c = '.'
+            AND NOT (COALESCE(regexp_matches(pc, '^[0-9]$$'), FALSE) AND COALESCE(regexp_matches(nc, '^[0-9]$$'), FALSE))
+            AND NOT (COALESCE(regexp_matches(pc, '^[A-Z0-9]$$'), FALSE) AND COALESCE(regexp_matches(nc, '^[A-Z0-9]$$'), FALSE))
+            AND COALESCE(nc <> '.', TRUE))) AS bnd
+          FROM ch
+        ), sd AS (
+          SELECT *, CAST(COALESCE(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+            PARTITION BY doc_id, bidx ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sid
+          FROM bb
+        ), sents AS (
+          SELECT doc_id, bidx, sid, trim(string_agg(c, '' ORDER BY pos)) AS sent
+          FROM sd GROUP BY doc_id, bidx, sid
+        ), f AS (SELECT * FROM sents WHERE sent <> '')
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bidx, sid) AS BIGINT) - 1 AS sent_idx,
+          ${Determinism.duckHash("sent")} AS sent_hash
+        FROM f""")),
+
     QueryDef("q39_pii_scrub",
       // PII redaction — a training-data pipeline staple: emails, phone
       // numbers, and IPv4 addresses replaced with typed placeholders, with

@@ -211,6 +211,28 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("sentence splitter column form matches the pure scanner") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq(
+      "Plain one. Plain two! Three?",
+      "pi is 3.14 here. A.B ticker.  Spaced",
+      "ellipsis wow.. more.. end.",
+      "block one.\n\nblock two! with more.\n\n\nthird",
+      "?! leading",
+      "no terminator at all",
+      "A. B. 1.2.3 X.Y.Z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Sentences.sentenceRows(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val exp = Sentences.sentences(t)
+      val gotSeq = (0 until exp.size).map(j => got.get((i.toLong, j.toLong)))
+      assert(gotSeq.flatten == exp, s"doc $i: $t")
+      assert(!got.contains((i.toLong, exp.size.toLong)), s"doc $i extra sentences")
+    }
+  }
+
   // ---- multimodal stubs ----
 
   test("multimodal: fake decoder computes byte stats deterministically") {

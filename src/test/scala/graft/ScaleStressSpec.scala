@@ -71,6 +71,17 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(docs.select(dec("est").as("est")).filter(col("est") > 0).count() == 600000L)
   }
 
+  test("sentence splitting completes at 100k docs (char explode stays keyed)") {
+    // the most explosive plan in the engine: ~250 chars/doc -> 25M char
+    // rows through one (doc, block)-keyed window; minutes here would mean
+    // the window lost its key
+    val docs = corpus(100000)
+      .select(col("doc_id"), concat(col("text"),
+        lit(". Tail 3.14 ok! Done? End.")).as("text"))
+    val n = graft.functions.Sentences.sentenceRows(docs, "doc_id", "text").count()
+    assert(n >= 300000L, s"unexpectedly few sentences: $n") // >= 3 per doc
+  }
+
   test("auto-pair stages complete at 200k docs (keyed windows only)") {
     // 80-token docs -> 3 context windows each, so Stage B keeps every record
     val docs = corpus(200000, tokens = 80)

@@ -233,6 +233,23 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("sentence splitter column form matches the pure scanner on 150 fuzzed texts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abXY Z019.?!. \n\t.".toCharArray
+    val texts = Seq.tabulate(150) { _ =>
+      val n = rnd.between(0, 60)
+      String.valueOf(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+    }.filter(t => Sentences.sentences(t).nonEmpty).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Sentences.sentenceRows(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    for ((t, i) <- texts.zipWithIndex)
+      assert(got.getOrElse(i.toLong, Nil) == Sentences.sentences(t), s"doc $i: ${t.replace("\n", "\\n")}")
+  }
+
   // ---- multimodal stubs ----
 
   test("multimodal: fake decoder computes byte stats deterministically") {

@@ -229,6 +229,72 @@ object Triplets {
     cfg.instruction.fold(base)(i => base.withColumn("instruction", lit(i)))
   }
 
+  /** Weighted-mixing triplet batch — the reference's
+    * `next_triplet_batch_with_weights` (reference: src/sampler/mod.rs
+    * batch entry points 125-156; per-source weights README "Weighted
+    * Sampling"): `batch` slots are allocated across sources by exact
+    * largest-remainder ([[Mixing.weightedAllocation]] — the deterministic
+    * counterpart of the reference's smooth weighted round-robin drain),
+    * each source contributes its first `alloc` anchors in seeded rank
+    * order, and the WrongArticle pipeline runs on exactly that anchor set.
+    * Sources absent from `weights` simply get no slots; a source whose
+    * pool is smaller than its allocation contributes its whole pool (the
+    * reference retries/refreshes there — exhaustion is the caller-side
+    * [[Exhaustion.withRetry]] loop).
+    *
+    * Scale shape: the allocation table is #sources rows (broadcast); the
+    * anchor cut is one per-source keyed window over the pool. */
+  def tripletRowsWeighted(docs: DataFrame, cfg: TripletConfig, weights: DataFrame,
+      batch: Long, split: String, recipeName: String): DataFrame = {
+    val ranked = rankBySourceSplit(prepare(docs, cfg))
+      .filter(col("split") === split).cache()
+    val alloc = Mixing.weightedAllocation(weights, batch)
+    val anchors = ranked.filter(col("gs") >= 2)
+      .withColumn("arank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(Determinism.seeded("wmix", col("doc_id")), col("doc_id"))).cast("long") - 1)
+      .join(broadcast(alloc.select(col("group").as("source"), col("alloc"))), Seq("source"))
+      .filter(col("arank") < col("alloc"))
+    projectRows(finish(sameSourceJoin(ranked, anchors), cfg), lit(recipeName))
+  }
+
+  /** DuckDB mirror of [[tripletRowsWeighted]]; `weightSql` must compute
+    * the integer weight from a `source` column (the same derivation the
+    * Spark caller feeds in as the weights table). */
+  def duckWeightedSql(cfg: TripletConfig, weightSql: String, batch: Long,
+      split: String, recipeName: String): String = {
+    val h = Determinism.duckSeeded _
+    s"""${duckPoolCtes(cfg)}, grp AS (
+        -- weights derive from the corpus' source set (the caller-side
+        -- weights table), NOT the per-split pool: a source with no pool
+        -- rows still consumes its slots on both engines
+        SELECT source AS grp, CAST(($weightSql) AS BIGINT) AS w
+        FROM (SELECT DISTINCT source FROM documents) s
+      ), a0 AS (
+        SELECT grp, w, CAST(sum(w) OVER () AS BIGINT) AS tw FROM grp
+      ), a1 AS (
+        SELECT *, ($batch * w) // tw AS flo, ($batch * w) % tw AS rem FROM a0
+      ), a2 AS (
+        SELECT *, CAST($batch - sum(flo) OVER () AS BIGINT) AS short,
+          CAST(row_number() OVER (ORDER BY rem DESC, grp) AS BIGINT) AS rr
+        FROM a1
+      ), alc AS (
+        SELECT grp, flo + CASE WHEN rr <= short THEN 1 ELSE 0 END AS alloc FROM a2
+      ), anchw AS (
+        SELECT a.*, CAST(row_number() OVER (PARTITION BY a.source
+          ORDER BY ${h("wmix", "a.doc_id")}, a.doc_id) AS BIGINT) - 1 AS arank
+        FROM anch a WHERE a.split = '$split'
+      ), joinedW AS (
+        SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
+          a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
+          n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
+        FROM anchw a
+        JOIN alc ON a.source = alc.grp
+        JOIN ranked n ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
+        WHERE a.arank < alc.alloc
+      )${duckTailCtes(cfg, "joinedW", "_w")}
+      ${duckProjectSql(s"'$recipeName'", "tripf_w")}"""
+  }
+
   /** WrongArticle with `negativeSelector = RoleAnchor` — the 0.25-weight
     * lane every source's default recipe set carries (reference:
     * csv_source.rs:368-409 `csv_anchor_anchor_wrong_article`,

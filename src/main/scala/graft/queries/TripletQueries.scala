@@ -89,6 +89,26 @@ object TripletQueries extends QueryModule {
       Some(Triplets.duckDatePreferredSql(cfg, "doc_id % 5 = 0",
         s"'2025-02-0' || CAST(${graft.core.Determinism.duckSeeded("day2", "doc_id")} % 2 + 1 AS VARCHAR)"))),
 
+    QueryDef("q92_weighted_triplet_batch",
+      // next_triplet_batch_with_weights: 120 slots allocated across
+      // sources by exact largest remainder (hash-derived weights 1..4),
+      // each source contributing its first alloc anchors in seeded rank
+      // order, then the WrongArticle pipeline on exactly that anchor set
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.core.Determinism
+        val docs = Tables.load(s, dir, "documents")
+        val weights = docs.select(col("source")).distinct()
+          .select(col("source").as("group"),
+            (pmod(Determinism.seeded("mixw", col("source")), lit(4)) + 1)
+              .cast("long").as("w"))
+        Triplets.tripletRowsWeighted(docs, cfg, weights, batch = 120L,
+          split = "train", recipeName = "weighted_wrong_article")
+      },
+      Some(Triplets.duckWeightedSql(cfg,
+        s"${graft.core.Determinism.duckSeeded("mixw", "source")} % 4 + 1",
+        batch = 120L, split = "train", recipeName = "weighted_wrong_article"))),
+
     QueryDef("q91_triplet_negative_anchor",
       // negativeSelector = RoleAnchor — the 0.25-weight lane in every
       // source's default recipe set: the negative is the wrong record's

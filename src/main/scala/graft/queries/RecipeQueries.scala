@@ -186,7 +186,12 @@ object RecipeQueries extends QueryModule {
           .select(col("draw"), col("record_id"),
             col("a_widx"), col("p_widx"),
             Determinism.portableHash(col("a_text")).as("a_hash"),
-            Determinism.portableHash(col("p_text")).as("p_hash"))
+            Determinism.portableHash(col("p_text")).as("p_hash"),
+            // same-section window pair -> the REAL proximity formula
+            // 1/(|Δindex|+1) (reference: src/metrics.rs:97-128; the
+            // different-section triplet path takes the neutral 1.0)
+            floor(lit(1000000) / (abs(col("a_widx") - col("p_widx")) + 1))
+              .cast("long").as("prox_e6"))
       },
       Some(s"""WITH d0 AS (
           SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
@@ -229,7 +234,9 @@ object RecipeQueries extends QueryModule {
           CAST(max(CASE WHEN crnk = ar THEN window_index END) AS BIGINT) AS a_widx,
           CAST(max(CASE WHEN crnk = pr THEN window_index END) AS BIGINT) AS p_widx,
           ${Determinism.duckHash("max(CASE WHEN crnk = ar THEN wtext END)")} AS a_hash,
-          ${Determinism.duckHash("max(CASE WHEN crnk = pr THEN wtext END)")} AS p_hash
+          ${Determinism.duckHash("max(CASE WHEN crnk = pr THEN wtext END)")} AS p_hash,
+          CAST(1000000 // (abs(CAST(max(CASE WHEN crnk = ar THEN window_index END) AS BIGINT)
+            - CAST(max(CASE WHEN crnk = pr THEN window_index END) AS BIGINT)) + 1) AS BIGINT) AS prox_e6
         FROM pk2
         GROUP BY draw, record_id""")),
 

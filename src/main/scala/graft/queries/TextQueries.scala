@@ -128,6 +128,69 @@ object TextQueries extends QueryModule {
           ${Determinism.duckHash("array_to_string(list_slice(pieces, 1, 12), ' ')")} AS head_pieces_hash
         FROM p""")),
 
+    QueryDef("q49_lexical_similarity",
+      // byte-level Jaccard + cosine between two strings (reference:
+      // src/metrics.rs:135-192 lexical_similarity_scores, the
+      // extended-metrics/BM25-test utility): occurrence-set Jaccard and
+      // frequency-vector cosine over raw bytes, here between each doc's
+      // anchor head (first 8 tokens) and its context remainder. Counts
+      // are exact integers; each score is one deterministic double
+      // division floored at e6. Relational shape: per-(doc, byte) counts
+      // + one full-outer self-merge — no 256-wide vectors in the plan.
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) > 8)
+          .select(col("doc_id"),
+            array_join(expr("slice(tk, 1, 8)"), " ").as("ltext"),
+            array_join(expr("slice(tk, 9, size(tk) - 8)"), " ").as("rtext"))
+        def byteCounts(c: org.apache.spark.sql.Column, side: String) = base
+          .select(col("doc_id"), explode(split(c, "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as(s"cnt_$side"))
+        val merged = byteCounts(col("ltext"), "l")
+          .join(byteCounts(col("rtext"), "r"), Seq("doc_id", "ch"), "full_outer")
+        merged.groupBy(col("doc_id"))
+          .agg(
+            sum(coalesce(col("cnt_l"), lit(0L)) * coalesce(col("cnt_r"), lit(0L))).as("dot"),
+            sum(coalesce(col("cnt_l"), lit(0L)) * coalesce(col("cnt_l"), lit(0L))).as("nl"),
+            sum(coalesce(col("cnt_r"), lit(0L)) * coalesce(col("cnt_r"), lit(0L))).as("nr"),
+            sum(when(col("cnt_l").isNotNull && col("cnt_r").isNotNull, 1L).otherwise(0L)).as("inter"),
+            count(lit(1)).as("uni"))
+          .select(col("doc_id"),
+            floor(lit(1000000.0) * col("inter") / col("uni")).cast("long").as("jaccard_e6"),
+            floor(lit(1000000.0) * col("dot") /
+              (sqrt(col("nl").cast("double")) * sqrt(col("nr").cast("double")))).cast("long").as("cosine_e6"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, ${TextFunctions.duckTokens("text")} AS tk FROM documents
+        ), two AS (
+          SELECT doc_id,
+            array_to_string(list_slice(tk, 1, 8), ' ') AS ltext,
+            array_to_string(list_slice(tk, 9, len(tk)), ' ') AS rtext
+          FROM base WHERE len(tk) > 8
+        ), lc AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt_l FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, CAST(length(ltext) AS INT)), i -> ltext[i])) AS ch
+            FROM two) GROUP BY doc_id, ch
+        ), rc AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt_r FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, CAST(length(rtext) AS INT)), i -> rtext[i])) AS ch
+            FROM two) GROUP BY doc_id, ch
+        ), m AS (
+          SELECT COALESCE(lc.doc_id, rc.doc_id) AS doc_id, lc.cnt_l, rc.cnt_r
+          FROM lc FULL OUTER JOIN rc ON lc.doc_id = rc.doc_id AND lc.ch = rc.ch
+        )
+        SELECT doc_id,
+          CAST(floor(1000000.0 * sum(CASE WHEN cnt_l IS NOT NULL AND cnt_r IS NOT NULL THEN 1 ELSE 0 END)
+            / count(*)) AS BIGINT) AS jaccard_e6,
+          CAST(floor(1000000.0 * sum(COALESCE(cnt_l, 0) * COALESCE(cnt_r, 0))
+            / (sqrt(CAST(sum(COALESCE(cnt_l, 0) * COALESCE(cnt_l, 0)) AS DOUBLE))
+               * sqrt(CAST(sum(COALESCE(cnt_r, 0) * COALESCE(cnt_r, 0)) AS DOUBLE)))) AS BIGINT) AS cosine_e6
+        FROM m GROUP BY doc_id""")),
+
     QueryDef("q47_sentence_split",
       // the sentence splitter's FULL output (q30 oracles only the mark
       // counts) as a distributed prefix-sum plan — boundary flags from

@@ -148,6 +148,37 @@ object SourceQueries extends QueryModule {
                     ELSE 224 END AS BIGINT) AS out_h
         FROM m""")),
 
+    QueryDef("q78_jsonl_source",
+      // JSONL source end-to-end against a literal-VALUES oracle: role
+      // mapping with a required context field, whitespace normalization,
+      // blank/invalid/missing-field rows silently skipped but still
+      // consuming their line id (gap at line_2..line_4)
+      (s, dir) => {
+        val p = java.nio.file.Paths.get(FixDir, "qa.jsonl")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, Seq(
+          """{"q": "What is alpha?", "a": "Alpha measures  risk-adjusted outperformance."}""",
+          """{"q": "What is beta?", "a": "Beta compares volatility."}""",
+          """{"q": "   ", "a": "no anchor here"}""",
+          """{"q": "What is gamma?"}""",
+          """not valid json at all""",
+          """{"q": "What is delta?", "a": "Delta is sensitivity."}""").mkString("\n").getBytes("UTF-8"))
+        import s.implicits._
+        JsonlSource.read(s, JsonlSourceConfig("jdocs", p.toString,
+            anchorField = Some("q"), contextField = Some("a"), trust = 0.8f))
+          .map(r => (r.id, r.source, math.round(r.trust * 1000).toLong,
+            r.sections.size.toLong, r.sections.head.text, r.sections(1).text))
+          .toDF("id", "source", "trust_e3", "n_sections", "anchor", "context")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('jdocs::qa::line_0', 'jdocs', CAST(800 AS BIGINT), CAST(2 AS BIGINT),
+           'What is alpha?', 'Alpha measures risk-adjusted outperformance.'),
+          ('jdocs::qa::line_1', 'jdocs', CAST(800 AS BIGINT), CAST(2 AS BIGINT),
+           'What is beta?', 'Beta compares volatility.'),
+          ('jdocs::qa::line_5', 'jdocs', CAST(800 AS BIGINT), CAST(2 AS BIGINT),
+           'What is delta?', 'Delta is sensitivity.')
+        ) t(id, source, trust_e3, n_sections, anchor, context)""")),
+
     QueryDef("q77_date_meta_values",
       // build_date_meta_values (reference: src/metadata.rs:38-50): the six
       // date renderings, sorted + deduped, as a column twin of the pure

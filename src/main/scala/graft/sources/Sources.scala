@@ -102,6 +102,77 @@ object CsvSource {
   }
 }
 
+/** JSONL corpus source — a pipeline extension beyond the reference's
+  * CSV/File/HF backends (JSON-lines is the lingua franca of training
+  * corpora). Same contracts as the CSV source: role mode
+  * (`anchorField` → Anchor, `contextField` required when configured,
+  * else anchor doubles as Context) or text mode (SimCSE duplication);
+  * values whitespace-normalized; rows with empty required fields or
+  * invalid JSON are silently skipped but still CONSUME their line id.
+  *
+  * Stable ids: files are read wholetext (one scan row per file — never
+  * split mid-file), lines numbered per file, id =
+  * `<sourceId>::<file stem>::line_<i>` — survives partition-count and
+  * scan-split changes (stable-id contract, reference src/config.rs:138-145).
+  */
+case class JsonlSourceConfig(
+    sourceId: String,
+    path: String,
+    anchorField: Option[String] = None,
+    contextField: Option[String] = None,
+    textField: Option[String] = None,
+    trust: Float = 0.5f) {
+  require(anchorField.nonEmpty || textField.nonEmpty,
+    "JSONL source needs anchorField (role mode) or textField (text mode)")
+  def isRoleMode: Boolean = anchorField.nonEmpty
+}
+
+object JsonlSource {
+
+  def read(spark: SparkSession, cfg: JsonlSourceConfig): Dataset[DataRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.option("wholetext", "true").text(cfg.path)
+      .withColumn("_gfile", regexp_extract(input_file_name(), "([^/]+?)(\\.[A-Za-z0-9]+)?$", 1))
+      .select(col("_gfile"), posexplode(split(col("value"), "\n")))
+      .toDF("file", "lidx", "line")
+    val af = cfg.anchorField.map(f => get_json_object(col("line"), s"$$.$f"))
+    val pf = cfg.contextField.map(f => get_json_object(col("line"), s"$$.$f"))
+    val tf = cfg.textField.map(f => get_json_object(col("line"), s"$$.$f"))
+    val parsed = lines.select(col("file"), col("lidx").cast("long").as("lidx"),
+      af.getOrElse(lit(null)).as("a"), pf.getOrElse(lit(null)).as("p"),
+      tf.getOrElse(lit(null)).as("t"))
+    val roleMode = cfg.isRoleMode
+    val hasContextField = cfg.contextField.nonEmpty
+    val (sourceId, trust) = (cfg.sourceId, cfg.trust)
+    val (aH, pH, tH) = (cfg.anchorField, cfg.contextField.orElse(cfg.anchorField), cfg.textField)
+    parsed.as[(String, Long, String, String, String)].flatMap { case (file, lidx, a, p, t) =>
+      def norm(s: String): String =
+        Sentences.normalizeInlineWhitespace(Option(s).getOrElse(""))
+      val id = s"$sourceId::$file::line_$lidx"
+      val sections: Option[Seq[RecordSection]] =
+        if (roleMode) {
+          val anchor = norm(a)
+          val positiveOpt =
+            if (hasContextField) Some(norm(p)).filter(_.nonEmpty)
+            else Some(anchor)
+          if (anchor.isEmpty) None
+          else positiveOpt.map(positive => Seq(
+            Sources.makeSection(SectionRole.Anchor, aH, anchor),
+            Sources.makeSection(SectionRole.Context, pH, positive)))
+        } else {
+          val text = norm(t)
+          if (text.isEmpty) None
+          else Some(Seq(
+            Sources.makeSection(SectionRole.Anchor, tH, text),
+            Sources.makeSection(SectionRole.Context, tH, text)))
+        }
+      sections.map(secs => DataRecord(id, sourceId, Sources.EpochTs, Sources.EpochTs,
+        trust, Seq(sourceId), secs, None))
+    }
+  }
+}
+
 /** In-memory source (reference: src/source/backends/in_memory_source.rs). */
 object InMemorySource {
   def read(spark: SparkSession, records: Seq[DataRecord]): Dataset[DataRecord] = {

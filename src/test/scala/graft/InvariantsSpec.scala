@@ -124,6 +124,23 @@ class InvariantsSpec extends AnyFunSuite {
     assert(out.forall(_.getString(0).startsWith("e2e::row_")))
   }
 
+  test("end-to-end: JSONL source records flow into the triplet sampler") {
+    import graft.sources.{JsonlSource, JsonlSourceConfig}
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_jsonl")
+    val f = dir.resolve("qa.jsonl")
+    val rows = (0 until 40).map(i =>
+      s"""{"q": "q$i what is topic$i about really", "a": "answer body for topic$i """ +
+        (0 until 20).map(j => s"w${i}_$j").mkString(" ") + "\"}")
+    java.nio.file.Files.writeString(f, rows.mkString("\n"))
+    val records = JsonlSource.read(spark, JsonlSourceConfig("je2e", f.toString,
+      anchorField = Some("q"), contextField = Some("a")))
+    val out = Triplets.recordTriplets(records, TripletConfig()).collect()
+    assert(out.nonEmpty)
+    val out2 = Triplets.recordTriplets(records.repartition(5), TripletConfig()).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+    assert(out.forall(_.getString(0).startsWith("je2e::qa::line_")))
+  }
+
   test("seed sensitivity: same seed reproduces, different seed reshuffles") {
     val docs = Tables.load(spark, sfDir, "documents")
     def run(seed: String) = Triplets.tripletRows(docs, TripletConfig(seed = seed))

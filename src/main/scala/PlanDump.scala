@@ -5,6 +5,9 @@ object PlanDump extends App {
   val spark = SparkSession.builder().master("local[8]")
     .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
     .config("spark.sql.adaptive.enabled","false") // static plans read better
+    // q09's managed bucketed tables must land where reset() cleans up
+    // (Bench/Verify/TestSpark use the same warehouse root)
+    .config("spark.sql.warehouse.dir","/tmp/graft_warehouse")
     .getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
   val dir = "/root/testdata/sf0.01"

@@ -211,7 +211,11 @@ object RelationalQueries extends QueryModule {
         // warehouse directories persist — clear both before the CTAS
         def reset(name: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $name")
-          val root = java.nio.file.Paths.get("/tmp/graft_warehouse", name)
+          // derive the cleanup root from the session's warehouse setting so
+          // any caller (Bench/Verify/PlanDump/tests) cleans what it wrote
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+            .replaceFirst("^file:", "")
+          val root = java.nio.file.Paths.get(wh, name)
           if (java.nio.file.Files.exists(root)) {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse

@@ -133,10 +133,14 @@ object TextQueries extends QueryModule {
       // src/metrics.rs:135-192 lexical_similarity_scores, the
       // extended-metrics/BM25-test utility): occurrence-set Jaccard and
       // frequency-vector cosine over raw bytes, here between each doc's
-      // anchor head (first 8 tokens) and its context remainder. Counts
-      // are exact integers; each score is one deterministic double
-      // division floored at e6. Relational shape: per-(doc, byte) counts
-      // + one full-outer self-merge — no 256-wide vectors in the plan.
+      // anchor head (first 8 tokens) and its context remainder. "Byte"
+      // is literal: both engines count UTF-8 bytes via hex() pairs
+      // (hex(str) is byte-level hex in Spark AND DuckDB), so multi-byte
+      // code points contribute one count per byte exactly like the
+      // reference's &[u8] loop. Counts are exact integers; each score is
+      // one deterministic double division floored at e6. Relational
+      // shape: per-(doc, byte) counts + one full-outer self-merge — no
+      // 256-wide vectors in the plan.
       (s, dir) => {
         val toks = TextFunctions.tokens(col("text"))
         val base = Tables.load(s, dir, "documents")
@@ -146,8 +150,8 @@ object TextQueries extends QueryModule {
             array_join(expr("slice(tk, 1, 8)"), " ").as("ltext"),
             array_join(expr("slice(tk, 9, size(tk) - 8)"), " ").as("rtext"))
         def byteCounts(c: org.apache.spark.sql.Column, side: String) = base
-          .select(col("doc_id"), explode(split(c, "")).as("ch"))
-          .filter(col("ch") =!= "")
+          .select(col("doc_id"),
+            explode(regexp_extract_all(hex(c), lit(".."), lit(0))).as("ch"))
           .groupBy(col("doc_id"), col("ch"))
           .agg(count(lit(1)).as(s"cnt_$side"))
         val merged = byteCounts(col("ltext"), "l")
@@ -173,11 +177,11 @@ object TextQueries extends QueryModule {
           FROM base WHERE len(tk) > 8
         ), lc AS (
           SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt_l FROM (
-            SELECT doc_id, unnest(list_transform(generate_series(1, CAST(length(ltext) AS INT)), i -> ltext[i])) AS ch
+            SELECT doc_id, unnest(regexp_extract_all(hex(ltext), '..')) AS ch
             FROM two) GROUP BY doc_id, ch
         ), rc AS (
           SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt_r FROM (
-            SELECT doc_id, unnest(list_transform(generate_series(1, CAST(length(rtext) AS INT)), i -> rtext[i])) AS ch
+            SELECT doc_id, unnest(regexp_extract_all(hex(rtext), '..')) AS ch
             FROM two) GROUP BY doc_id, ch
         ), m AS (
           SELECT COALESCE(lc.doc_id, rc.doc_id) AS doc_id, lc.cnt_l, rc.cnt_r

@@ -114,6 +114,68 @@ object Dedup {
     agged.select(col(idCol), sig.as("simhash"))
   }
 
+  /** LSH candidate pairs `(a, b)` with `a < b` from a signature frame
+    * (the `mh0..` columns of [[minhashSignatures]]): explode per-row band
+    * structs, self-join on `(band, key)`, distinct. Shuffles band keys
+    * (fixed-width longs), never signatures or text — pair-generation cost
+    * scales with in-bucket collisions, not n². Shared by the candidate-pair
+    * query (q22) and cluster resolution (q93). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = bandKeys(numBands, rowsPerBand).map { case (b, key) =>
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bands = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()
+  }
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with its own id; each round replaces a node's label by
+    * the minimum over itself and its neighbors, until a fixpoint (no label
+    * changed). Converges in O(component diameter) rounds — LSH duplicate
+    * clusters are near-cliques, so 2-3 rounds in practice; `maxIter`
+    * bounds pathological chains. Each round is one keyed aggregation plus
+    * one left join, all on `(id, label)` longs — at 100 TB the per-round
+    * shuffle is two longs per edge, and every round is fully distributed
+    * (the only driver-side work is the convergence count). Intermediate
+    * frames are cached and the previous round unpersisted; for very deep
+    * graphs swap the cache for `localCheckpoint()` to also truncate
+    * lineage.
+    *
+    * @param nodes frame with column `id` (one row per node)
+    * @param edges frame with columns `a`, `b` (undirected, either order)
+    * @return frame (id, cluster) where cluster = min node id reachable
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    var labels = nodes.select(col("id"), col("id").as("cluster")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
+        .groupBy(col("e.u").as("id")).agg(min(col("l.cluster")).as("m"))
+      val next = labels.as("l0").join(nbrMin.as("n"), col("l0.id") === col("n.id"), "left")
+        .select(col("l0.id").as("id"),
+          least(col("l0.cluster"), coalesce(col("n.m"), col("l0.cluster"))).as("cluster"))
+        .cache()
+      val changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
+        .filter(col("x.cluster") =!= col("y.cluster")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+      converged = changed == 0
+    }
+    // stderr, not stdout: Bench/Verify parse a JSON line from stdout
+    System.err.println(s"[graft] connectedComponents: $iter rounds (converged=$converged)")
+    labels
+  }
+
   /** Per-band bucket keys. For <=2 rows/band the minhashes (each < 2^31)
     * pack EXACTLY into one long — the self-join shuffles and compares a
     * fixed-width long instead of a concatenated string (collision-free,

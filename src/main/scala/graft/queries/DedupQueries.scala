@@ -18,6 +18,19 @@ object DedupQueries extends QueryModule {
 
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
+
+  /** `bands AS (...), pairs AS (...)` CTEs mirroring
+    * [[Dedup.lshCandidatePairs]] (exact long packing of bandKeys). */
+  private def duckPairCtes: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+        .reduce((a, x) => s"($a * ${Dedup.MixMod} + $x)")
+      s"SELECT doc_id, $b AS band, CAST($key AS BIGINT) AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""bands AS ($bandSelects),
+      pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
+  }
   private def duckSigs(perms: Int): String = {
     val mhs = (0 until perms).map(j => s"${Dedup.duckMinhashFromHashes("hs", j)} AS mh$j").mkString(", ")
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -51,16 +64,7 @@ object DedupQueries extends QueryModule {
           Tables.load(s, dir, "documents"), "doc_id", "text", Perms, ShingleK).cache()
         // one pass: explode per-row band structs rather than unioning the
         // (recomputed) signature plan once per band
-        val bandStructs = Dedup.bandKeys(Bands, RowsPerBand).map { case (b, key) =>
-          struct(lit(b).as("band"), key.as("key"))
-        }
-        val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val l = bands.as("l"); val r = bands.as("r")
-        val pairs = l.join(r,
-            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+        val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", Bands, RowsPerBand)
         val sa = col("doc_id").as("aid") +: sigs.columns.filter(_.startsWith("mh")).toSeq.map(c => sigs(c).as(s"a_$c"))
         val sb = col("doc_id").as("bid") +: sigs.columns.filter(_.startsWith("mh")).toSeq.map(c => sigs(c).as(s"b_$c"))
         val agree = (0 until Perms).map(j =>
@@ -71,21 +75,52 @@ object DedupQueries extends QueryModule {
           .select(col("a"), col("b"), agree.as("n_agree"))
       },
       Some {
-        val bandSelects = (0 until Bands).map { b =>
-          // exact long packing mirror of Dedup.bandKeys (rowsPerBand = 2)
-          val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-            .reduce((a, x) => s"($a * ${Dedup.MixMod} + $x)")
-          s"SELECT doc_id, $b AS band, CAST($key AS BIGINT) AS key FROM sigs"
-        }.mkString(" UNION ALL ")
         val agree = (0 until Perms).map(j =>
           s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
         s"""${duckSigs(Perms)},
-          bands AS ($bandSelects),
-          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+          $duckPairCtes
           SELECT a, b, CAST($agree AS BIGINT) AS n_agree
           FROM pairs JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id"""
       }),
+
+    QueryDef("q93_dedup_clusters",
+      // dedup RESOLUTION — the step every candidate-pair detector feeds:
+      // LSH pairs (q22's edges) → connected components (min-label
+      // propagation, see Dedup.connectedComponents) → canonical keep-list.
+      // cluster_id = min doc_id of the component; keep = 1 on exactly the
+      // canonical survivor, so `WHERE keep = 1` is the post-dedup corpus
+      // and `WHERE keep = 0` is the drop-list. Singleton docs (no candidate
+      // pair, including blank docs with no signature) are their own
+      // cluster and survive. Every round is a keyed agg + join on longs —
+      // the 100 TB path; the oracle replays reachability with a recursive
+      // CTE (min over the reachable set = component min).
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", Perms, ShingleK)
+        val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", Bands, RowsPerBand)
+        val cc = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        val sizes = cc.groupBy(col("cluster").as("cid"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, cc("cluster") === sizes("cid"))
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            when(col("id") === col("cluster"), 1L).otherwise(0L).as("keep"),
+            col("cluster_size"))
+      },
+      Some(
+        s"""${duckSigs(Perms).replaceFirst("WITH ", "WITH RECURSIVE ")},
+          $duckPairCtes,
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+          reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          ),
+          cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+          SELECT doc_id, cluster_id,
+            CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep,
+            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+          FROM cl""")),
 
     QueryDef("q23_simhash",
       (s, dir) => Dedup.simhashSignature(

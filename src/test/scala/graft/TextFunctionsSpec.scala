@@ -76,4 +76,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
     assert(run(1) == run(7))
   }
+
+  test("connected components resolve pair edges into min-id clusters, partition-invariant") {
+    import spark.implicits._
+    // 10 nodes; edges form {1,2,3} (chain), {4,5}, {7,8,9} (chain through 8);
+    // 6 and 10 are singletons
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (8L, 7L), (8L, 9L)).toDF("a", "b")
+    def run(parts: Int) =
+      Dedup.connectedComponents(nodes.repartition(parts), edges.repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = run(1)
+    assert(got == run(13))
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L))
+    assert(got.map(_._2).distinct.size == 5) // cluster count stable
+  }
 }

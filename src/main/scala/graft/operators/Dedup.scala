@@ -152,8 +152,12 @@ object Dedup {
     * @return frame (id, cluster) where cluster = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // cache the symmetrized edges: every round (plus the convergence count)
+    // walks them, and recomputing would replay the full upstream candidate
+    // generation per round. Edge lists are candidate PAIRS — orders of
+    // magnitude smaller than the corpus, safely cacheable at scale.
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .union(edges.select(col("b").as("u"), col("a").as("v"))).cache()
     var labels = nodes.select(col("id"), col("id").as("cluster")).cache()
     var iter = 0
     var converged = false

@@ -47,6 +47,36 @@ object Mixing {
       .drop("srank", "ns", "r")
   }
 
+  /** DENSE epoch order: same (record_rank, source_rank) lexicographic
+    * sequence as [[epochInterleave]] (identical seeds), but positions are
+    * the contiguous 0..n-1 serving order — required when a consumer
+    * addresses records BY position (the batch sampler's cursor), because
+    * `r * ns + srank` leaves holes once sources have unequal sizes (a
+    * smaller source simply stops contributing at depth r >= its size).
+    *
+    * The dense index is computed analytically, not with a global window:
+    * pos(r, srank) = Σ_s' min(n_s', r)  (records of every source above
+    * this depth) + #{s' : srank' < srank, n_s' > r} (sources still alive
+    * at this depth that serve before this one). Both terms come from one
+    * broadcast cross join with the #sources-sized stats frame — fully
+    * distributed at any pool size. */
+  def epochOrder(df: DataFrame, epoch: Long): DataFrame = {
+    val srcs = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("srank", row_number().over(Window.partitionBy()
+        .orderBy(Determinism.seeded(s"so:$epoch", col("source")), col("source"))).cast("long") - 1)
+      .select(col("source"), col("srank"), col("n"))
+    val other = srcs.select(col("srank").as("osrank"), col("n").as("on"))
+    df.join(broadcast(srcs), "source")
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(Determinism.seeded(s"ro:$epoch", col("id")), col("id"))).cast("long") - 1)
+      .crossJoin(broadcast(other))
+      .groupBy(col("id"), col("source"), col("r"), col("srank"))
+      .agg((sum(least(col("on"), col("r"))) +
+        sum(when(col("osrank") < col("srank") && col("on") > col("r"), 1L)
+          .otherwise(0L))).as("pos"))
+      .select(col("id"), col("source"), col("pos"))
+  }
+
   /** Unconsumed-first reorder after a population change
     * (reference: src/epoch.rs:187-229): records whose ids were already
     * consumed this epoch sort AFTER every unconsumed one, both sides

@@ -77,14 +77,8 @@ object RecipeQueries extends QueryModule {
     anchor.unionByName(ctx)
   }
 
-  private def selDesc(s: Selector): (String, String) = s match {
-    case Selector.RoleAnchor => ("role", "anchor")
-    case Selector.RoleContext => ("role", "context")
-    case Selector.Paragraph(i) => ("para", i.toString)
-    case Selector.Random => ("random", "")
-    case Selector.TemporalOffset(_) =>
-      throw new IllegalArgumentException("TemporalOffset is record-level, not chunk-level")
-  }
+  private def selDesc(s: Selector): (String, String) =
+    graft.operators.Sampler.selectorDesc(s)
 
   private def drawsValues: String = (0 until Draws).map { d =>
     val r = byName(Recipes.pick(plan, 0L, d.toLong))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Determinism, Tables}
-import graft.operators.{Recipes, TripletConfig, Triplets}
+import graft.operators.{Recipes, Sampler, SamplerState, TripletConfig, Triplets}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,6 +58,98 @@ class InvariantsSpec extends AnyFunSuite {
       == "f5db5ed0aefa2b776f35fe50a7a487fa", "pair drift")
     assert(goldenDigest(Triplets.textRows(docs, cfg, 4))
       == "9eac657abc766db1f77e556058e47cc9", "text drift")
+  }
+
+  // ---- golden multi-batch sequence (reference: src/sampler/tests.rs:17-50
+  // 45-batch FNV pins; tests/invariants.rs:207-867 cycle-before-repeat) ----
+
+  /** 25 records over 3 sources; context sections wide enough for several
+    * windows so selector picks have real freedom. */
+  private def goldenCorpus = {
+    import spark.implicits._
+    val docs = (1 to 25).map(i =>
+      (i.toLong, (s"head$i topic$i overview" +: (1 to 60).map(j => s"w${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.RecipeQueries.chunkTable(docs)
+    val pool = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
+    (chunks, pool)
+  }
+  private val goldenRecipes =
+    Recipes.resolve(Nil, Recipes.csvDefaults(roleMode = true))
+
+  /** Order-preserving digest of the delivered sequence: batches in order,
+    * rows by slot within each batch. */
+  private def seqDigest(batches: Seq[Array[org.apache.spark.sql.Row]]): String = {
+    val lines = batches.zipWithIndex.flatMap { case (rows, b) =>
+      rows.sortBy(_.getAs[Long]("slot")).map(r => s"$b|${r.toSeq.mkString("|")}")
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** One golden pin guards the whole composed pipeline: recipe rotation ×
+    * interleave × mid-batch epoch wrap × dedup × pad. Re-pin ONLY for an
+    * intentional semantic change. */
+  private val GoldenSeqHash = "326058a240b187cb3b6ad9641f62b8de"
+
+  private def runGolden(batch: Int, nBatches: Int, parts: Int,
+      resumeAt: Option[Int] = None, stateDir: Option[String] = None) = {
+    val (chunks0, pool0) = goldenCorpus
+    val chunks = chunks0.repartition(parts).cache()
+    val pool = pool0.repartition(parts).cache()
+    var st = SamplerState("gseq", 0L, Map.empty)
+    val batches = Seq.newBuilder[Array[org.apache.spark.sql.Row]]
+    val core = Seq.newBuilder[Seq[Any]]
+    (0 until nBatches).foreach { b =>
+      // mid-sequence persistence: save + reload THROUGH the json file
+      if (resumeAt.contains(b)) {
+        val p = s"${stateDir.get}/golden.json"
+        SamplerState.save(st, p)
+        st = SamplerState.load(p).get
+      }
+      val out = Sampler.nextBatch(spark, chunks, pool, goldenRecipes, st, batch)
+      batches += out.rows
+        .select("slot", "draw", "recipe", "record_id", "a_widx", "a_hash",
+          "p_widx", "p_hash", "nid", "n_hash").collect()
+      core ++= out.core.collect().map(_.toSeq)
+      st = out.state
+    }
+    chunks.unpersist(); pool.unpersist()
+    (batches.result(), core.result(), st)
+  }
+
+  test("golden multi-batch sequence: pinned hash, cycle-before-repeat, epoch wrap") {
+    val (batches, core, endState) = runGolden(batch = 8, nBatches = 6, parts = 4)
+    assert(batches.forall(_.length == 8), "every delivered batch is exactly batch-sized")
+    assert(seqDigest(batches) == GoldenSeqHash, "golden sequence drift")
+    // 48 draws over a 25-record pool: epoch advanced mid-batch exactly once
+    assert(endState.epoch == 1L && endState.counter("cursor") == 23L
+      && endState.counter("draw") == 48L)
+    // cycle-before-repeat: within an epoch no record is drawn twice, and
+    // epoch 0 served the full pool before the wrap
+    val byEpoch = core.groupBy(_(1).asInstanceOf[Long])
+    byEpoch.foreach { case (ep, rows) =>
+      val recs = rows.map(_(3))
+      assert(recs.distinct.size == recs.size, s"repeat within epoch $ep")
+    }
+    assert(byEpoch(0L).map(_(3)).toSet.size == 25, "epoch 0 served the whole pool")
+    // recipe rotation reached both default lanes
+    assert(core.map(_(2)).distinct.size == goldenRecipes.size)
+  }
+
+  test("golden sequence: mid-sequence resume through persisted state matches the pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden").toString
+    val (batches, _, _) = runGolden(batch = 8, nBatches = 6, parts = 4,
+      resumeAt = Some(3), stateDir = Some(dir))
+    assert(seqDigest(batches) == GoldenSeqHash, "resume broke the sequence")
+  }
+
+  test("golden sequence: core draw stream is batch-size and partition invariant") {
+    val (_, core8, _) = runGolden(batch = 8, nBatches = 6, parts = 1)
+    val (_, core16, _) = runGolden(batch = 16, nBatches = 3, parts = 13)
+    assert(core8.toSet == core16.toSet,
+      "per-draw stream must not depend on batch grouping or partitioning")
   }
 
   test("swap rate is ~50% and weights appear in both swap branches") {

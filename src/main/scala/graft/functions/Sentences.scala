@@ -66,18 +66,32 @@ object Sentences {
   private def isTickerChar(ch: Char): Boolean =
     (ch >= 'A' && ch <= 'Z') || ch.isDigit
 
+  /** Per-block character cap for the prefix-sum lane of [[sentenceRows]].
+    * The prefix-sum plan explodes one row per CHARACTER and windows on
+    * (doc, block) — per-key work is bounded by the block length, and
+    * per-(doc,block) keys cannot subdivide, so a multi-MB single-block
+    * document would serialize ~25× its size onto one task. Blocks above
+    * this cap instead take the pure-function lane ([[blockSentences]] as
+    * a one-row-in/array-out UDF — linear, no explosion); both lanes
+    * implement the identical boundary rule, so the union is
+    * lane-invisible to callers and to the q47 oracle. */
+  val MaxPrefixSumBlockChars = 4096
+
   /** Distributed column form of [[sentences]] — the boundary rule only
     * looks one character left and right, so the per-character scan is a
     * prefix-sum, not a loop: explode characters, flag boundaries from
     * lag/lead, running-sum the flags into sentence ids, reassemble per
-    * (doc, block, sentence). Fully declarative (no UDF), partition-scales
-    * on (doc, block) keys, and exactly replayed by the DuckDB oracle
-    * (q47). Pinned equal to the pure path in SourcesSpec.
+    * (doc, block, sentence). Fully declarative (no UDF) for blocks up to
+    * [[MaxPrefixSumBlockChars]]; oversized blocks take the pure-function
+    * UDF lane (see the cap's scaladoc for the scale rationale). Exactly
+    * replayed by the DuckDB oracle (q47); pinned equal to the pure path
+    * in SourcesSpec.
     *
     * Returns `(doc_id, sent_idx, sentence)` with `sent_idx` the 0-based
     * document-wide sentence position. */
   def sentenceRows(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+      idCol: String, textCol: String,
+      maxBlockChars: Int = MaxPrefixSumBlockChars): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val normalized = regexp_replace(
@@ -87,7 +101,8 @@ object Sentences {
       .toDF("doc_id", "bidx", "block")
       .withColumn("n", TextFunctions.normalizeWs(col("block")))
       .filter(col("n") =!= "")
-    val chars = blocks
+    val oversized = blocks.filter(length(col("n")) > maxBlockChars)
+    val chars = blocks.filter(length(col("n")) <= maxBlockChars)
       .select(col("doc_id"), col("bidx"), posexplode(split(col("n"), "")))
       .toDF("doc_id", "bidx", "pos", "c")
       .filter(col("c") =!= "")
@@ -105,12 +120,18 @@ object Sentences {
             coalesce(col("nc") =!= ".", lit(true))))
       .withColumn("sid", coalesce(sum(when(col("bnd"), 1L).otherwise(0L))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    flagged
+    val prefixSumLane = flagged
       .groupBy(col("doc_id"), col("bidx"), col("sid"))
       .agg(trim(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")),
         "")).as("sentence"))
       .filter(col("sentence") =!= "")
+    val blockUdf = udf((s: String) => blockSentences(s))
+    val pureLane = oversized
+      .select(col("doc_id"), col("bidx"), posexplode(blockUdf(col("n"))))
+      .toDF("doc_id", "bidx", "sid", "sentence")
+      .withColumn("sid", col("sid").cast("long"))
+    prefixSumLane.unionByName(pureLane)
       .withColumn("sent_idx", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("bidx"), col("sid"))).cast("long") - 1)
       .select(col("doc_id"), col("sent_idx"), col("sentence"))

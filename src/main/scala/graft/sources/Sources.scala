@@ -110,10 +110,21 @@ object CsvSource {
   * values whitespace-normalized; rows with empty required fields or
   * invalid JSON are silently skipped but still CONSUME their line id.
   *
-  * Stable ids: files are read wholetext (one scan row per file — never
-  * split mid-file), lines numbered per file, id =
-  * `<sourceId>::<file stem>::line_<i>` — survives partition-count and
-  * scan-split changes (stable-id contract, reference src/config.rs:138-145).
+  * Stable ids: id = `<sourceId>::<file stem>::line_<i>` — survives
+  * partition-count and scan-split changes (stable-id contract, reference
+  * src/config.rs:138-145). Two lanes produce identical ids (spec-pinned):
+  *
+  *   - [[JsonlSource.read]] — wholetext: ONE scan row per file, never
+  *     split mid-file. SIZE BOUND: the entire file is a single task AND a
+  *     single in-memory string, so per-file size is limited by executor
+  *     task memory (keep files well under a few hundred MB; shard large
+  *     corpora into many files). Parallelism is #files, not #bytes.
+  *   - [[JsonlSource.readSplittable]] — `spark.read.text`: large files
+  *     split at block boundaries, so one 100 GB file still fans out
+  *     across the cluster. Line ids are reconstructed from
+  *     `_metadata.file_block_start` + in-block position + per-file block
+  *     prefix sums (split-geometry invariant). Prefer this lane at scale;
+  *     the wholetext lane remains for parity with unsplittable formats.
   */
 case class JsonlSourceConfig(
     sourceId: String,
@@ -130,12 +141,53 @@ case class JsonlSourceConfig(
 object JsonlSource {
 
   def read(spark: SparkSession, cfg: JsonlSourceConfig): Dataset[DataRecord] = {
-    import spark.implicits._
     import org.apache.spark.sql.functions._
     val lines = spark.read.option("wholetext", "true").text(cfg.path)
       .withColumn("_gfile", regexp_extract(input_file_name(), "([^/]+?)(\\.[A-Za-z0-9]+)?$", 1))
       .select(col("_gfile"), posexplode(split(col("value"), "\n")))
       .toDF("file", "lidx", "line")
+    toRecords(spark, lines, cfg)
+  }
+
+  /** Splittable lane — see the class scaladoc. Within a (file, block) the
+    * scan preserves row order, so `row_number` over
+    * `monotonically_increasing_id` is the in-block line position; block
+    * line-offsets are a prefix sum over the per-file block counts (a
+    * #blocks-sized frame, broadcast back). The (block_start, position)
+    * order IS file order for any split geometry, so ids match the
+    * wholetext lane bit-for-bit. One caveat vs wholetext: the text reader
+    * strips \r\n while the wholetext lane splits on \n only — identical
+    * on \n-delimited corpora (the JSONL norm). */
+  def readSplittable(spark: SparkSession, cfg: JsonlSourceConfig): Dataset[DataRecord] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.text(cfg.path)
+      .select(col("value").as("line"),
+        regexp_extract(col("_metadata.file_name"), "^(.+?)(\\.[A-Za-z0-9]+)?$", 1).as("file"),
+        col("_metadata.file_path").as("fpath"),
+        col("_metadata.file_block_start").as("bstart"),
+        monotonically_increasing_id().as("mid"))
+    val inBlock = raw.withColumn("bpos",
+      row_number().over(Window.partitionBy(col("fpath"), col("bstart"))
+        .orderBy(col("mid"))).cast("long") - 1)
+    val offsets = inBlock.groupBy(col("fpath"), col("bstart"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("fpath")).orderBy(col("bstart"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("fpath"), col("bstart"), col("boff"))
+    val lines = inBlock.join(broadcast(offsets), Seq("fpath", "bstart"))
+      .select(col("file"), (col("boff") + col("bpos")).as("lidx"), col("line"))
+    toRecords(spark, lines, cfg)
+  }
+
+  /** Shared (file, lidx, line) → [[DataRecord]] mapping for both lanes —
+    * identical skip/consume and section semantics by construction. */
+  private def toRecords(spark: SparkSession, linesDf: org.apache.spark.sql.DataFrame,
+      cfg: JsonlSourceConfig): Dataset[DataRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lines = linesDf
     val af = cfg.anchorField.map(f => get_json_object(col("line"), s"$$.$f"))
     val pf = cfg.contextField.map(f => get_json_object(col("line"), s"$$.$f"))
     val tf = cfg.textField.map(f => get_json_object(col("line"), s"$$.$f"))
@@ -218,6 +270,12 @@ object FileSource {
     }
   }
 
+  /** SIZE BOUND: the wholetext scan makes each file one task and one
+    * in-memory string — per-file size is limited by executor task memory
+    * (keep corpus files well under a few hundred MB) and parallelism is
+    * #files, not #bytes. That is the right trade for a file corpus whose
+    * unit of meaning is the document; for line-structured data use
+    * [[JsonlSource.readSplittable]]. */
   def read(spark: SparkSession, cfg: FileSourceConfig): Dataset[DataRecord] = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     mapRecords(spark, spark.read

@@ -82,6 +82,33 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(n >= 300000L, s"unexpectedly few sentences: $n") // >= 3 per doc
   }
 
+  test("sentence splitting survives a multi-MB single-block document (hybrid lane)") {
+    import spark.implicits._
+    // 200k ordinary docs PLUS one 2.5 MB document with no blank lines —
+    // a single block. The prefix-sum lane would serialize ~2.5M char rows
+    // onto ONE (doc, block) key; the oversized-block UDF lane must absorb
+    // it in linear time. Wall bound is the straggler assertion: the big
+    // doc adds one linear task, not a minutes-long hot key.
+    val big = (1 to 250000).map(i => s"Sentence number $i runs here.").mkString(" ")
+    assert(big.length > 2000000 && !big.contains("\n\n"))
+    val docs = corpus(200000)
+      .select(col("doc_id"), concat(col("text"), lit(". Tail ok! Done.")).as("text"))
+      .unionByName(Seq((9999999L, big)).toDF("doc_id", "text"))
+    val t0 = System.nanoTime()
+    val perDoc = graft.functions.Sentences.sentenceRows(docs, "doc_id", "text")
+      .groupBy(col("doc_id")).count()
+    val bigCount = perDoc.filter(col("doc_id") === 9999999L)
+      .collect()(0).getLong(1)
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(bigCount == 250000L, s"big-doc sentences: $bigCount")
+    assert(wall < 120.0, s"straggler: sentence hybrid took $wall s")
+    // and the oversized lane is byte-identical to the pure function
+    val bigRows = graft.functions.Sentences.sentenceRows(
+        Seq((1L, big)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy(col("sent_idx")).collect().map(_.getString(2)).toSeq
+    assert(bigRows == graft.functions.Sentences.sentences(big))
+  }
+
   test("auto-pair stages complete at 200k docs (keyed windows only)") {
     // 80-token docs -> 3 context windows each, so Stage B keeps every record
     val docs = corpus(200000, tokens = 80)

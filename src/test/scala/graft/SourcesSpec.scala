@@ -423,4 +423,40 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(first.size == 30)
   }
+
+  test("jsonl splittable lane: ids and sections identical to wholetext, split-invariant") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_split")
+    // two files; interior blank line, an invalid-JSON line, and an
+    // empty-required-field line all SKIP but still consume their line id
+    val f1 = (0 until 40).map {
+      case 7 => ""                               // blank
+      case 13 => "{not json at all"              // invalid
+      case 21 => """{"q": "", "a": "orphan"}"""  // empty required field
+      case i => s"""{"q": "question $i plus words", "a": "answer $i body text"}"""
+    }
+    val f2 = (0 until 5).map(i => s"""{"q": "f2 q$i", "a": "f2 a$i"}""")
+    java.nio.file.Files.writeString(dir.resolve("part_a.jsonl"), f1.mkString("\n") + "\n")
+    java.nio.file.Files.writeString(dir.resolve("part_b.jsonl"), f2.mkString("\n"))
+    val cfg = graft.sources.JsonlSourceConfig("js", dir.toString + "/*.jsonl",
+      anchorField = Some("q"), contextField = Some("a"))
+    def canon(ds: org.apache.spark.sql.Dataset[graft.core.DataRecord]) =
+      ds.collect().map(r => (r.id, r.sections.map(_.text))).toSeq.sortBy(_._1)
+    val whole = canon(graft.sources.JsonlSource.read(spark, cfg))
+    assert(whole.size == 42) // 37 + 5 valid lines
+    assert(canon(graft.sources.JsonlSource.readSplittable(spark, cfg)) == whole)
+    // force many tiny blocks: the prefix-sum reconstruction must be
+    // split-geometry invariant
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    val tiny = try canon(graft.sources.JsonlSource.readSplittable(spark, cfg))
+      finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    assert(tiny == whole)
+    // skipped lines consumed ids: line 22 of part_a survives as line_22
+    assert(whole.exists(_._1 == "js::part_a::line_22"))
+    assert(!whole.exists(r => Seq("line_7", "line_13", "line_21").exists(r._1.endsWith)))
+  }
 }

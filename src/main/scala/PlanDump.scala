@@ -36,7 +36,8 @@ object PlanDump extends App {
     "q09_bucketed_join" -> "both scans show Bucketed: true, SelectedBucketsCount 8/8; NO exchange feeds the SortMergeJoin - the plan's only exchange is the final group-by",
     "q16_salted_skew_join" -> "the SortMergeJoin keys on (source, salt): the hot source key spreads over 8 salt partitions; dim side exploded x8 before its exchange",
     "q47_sentence_split" -> "per-character scan as ONE (doc, block)-keyed window pass (lag/lead flags + running sum share the same sort), then one keyed aggregation reassembles sentences - no UDF, no loop",
-    "q85_triplet_bm25_negative" -> "BM25 negative backend: dl rides the tf aggregation, df is a keyed window over tf (no groupBy+rejoin), pool stats broadcast; the anchor x candidate product passes through ONE join")
+    "q85_triplet_bm25_negative" -> "BM25 negative backend: dl rides the tf aggregation, df is a keyed window over tf (no groupBy+rejoin), pool stats broadcast; the anchor x candidate product passes through ONE join",
+    "q93_dedup_clusters" -> "cluster resolution: min-label propagation — each round is one keyed agg + one left join over the CACHED symmetrized edge list (InMemoryTableScan below both); the convergence count is the only driver-side step; the final plan joins the converged labels (cached) with the #clusters-sized size frame")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"
@@ -44,8 +45,12 @@ object PlanDump extends App {
     val df = graft.SparkEntry.queries(name)(spark, dir)
     val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     out ++= s"\n## $name\n\n$note\n\n```\n"
-    // keep the operator tree section, trim the verbose per-node detail
-    out ++= plan.split("\n\n").head
+    // keep the operator tree section, trim the verbose per-node detail;
+    // cap the tree at 120 lines (cached-plan nodes re-print their whole
+    // child tree, which buries the shape the note points at)
+    val tree = plan.split("\n\n").head.linesIterator.toSeq
+    out ++= (if (tree.size <= 120) tree
+             else tree.take(120) :+ s"   … (${tree.size - 120} more lines)").mkString("\n")
     out ++= "\n```\n"
   }
   Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)

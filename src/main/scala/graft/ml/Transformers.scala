@@ -115,17 +115,14 @@ class TripletSamplerStage(
       case SamplerLane.Bm25(_) | SamplerLane.DatePreferred(_) =>
         base.add(StructField("lane", StringType, nullable = false))
       case SamplerLane.Decorated(_, _) =>
-        // decorated rows drop the chunk indices and carry per-slot flags;
-        // field order mirrors the tripletRowsDecorated select exactly
-        // (a_dec/p_dec/n_dec between n_hash and swapped)
-        StructType(Seq(
-          StructField("aid", LongType), StructField("nid", LongType),
-          StructField("split", StringType), StructField("recipe", StringType),
-          StructField("a_hash", LongType), StructField("p_hash", LongType),
-          StructField("n_hash", LongType),
-          StructField("a_dec", BooleanType), StructField("p_dec", BooleanType),
-          StructField("n_dec", BooleanType),
-          StructField("swapped", BooleanType), StructField("weight_e6", LongType)))
+        // decorated rows drop the chunk indices and carry per-slot flags
+        // inserted before 'swapped' (mirroring the tripletRowsDecorated
+        // select). DERIVED from `base` so a column change to the shared
+        // lanes cannot silently diverge from a literal copy here.
+        val kept = base.fields.filterNot(f => f.name == "pidx" || f.name == "nidx")
+        val (pre, post) = kept.span(_.name != "swapped")
+        val flags = Seq("a_dec", "p_dec", "n_dec").map(StructField(_, BooleanType))
+        StructType(pre.toSeq ++ flags ++ post.toSeq)
       case _ => base
     }
   }

@@ -212,14 +212,26 @@ object RelationalQueries extends QueryModule {
         def reset(name: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $name")
           // derive the cleanup root from the session's warehouse setting so
-          // any caller (Bench/Verify/PlanDump/tests) cleans what it wrote
+          // any caller (Bench/Verify/PlanDump/tests) cleans what it wrote.
+          // Only a LOCAL warehouse can be cleaned this way: stripping the
+          // scheme off hdfs://… or s3a://… would fabricate a bogus local
+          // path and silently skip the stale-directory cleanup this guards
+          // against — for remote schemes the DROP TABLE above is all the
+          // local filesystem API can do.
           val wh = s.conf.get("spark.sql.warehouse.dir")
-            .replaceFirst("^file:", "")
-          val root = java.nio.file.Paths.get(wh, name)
-          if (java.nio.file.Files.exists(root)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
+          val localRoot = scala.util.Try(new java.net.URI(wh)).toOption match {
+            case Some(u) if u.getScheme == null => Some(wh)
+            case Some(u) if u.getScheme == "file" => Some(u.getPath)
+            case None => Some(wh) // unparseable as URI => plain local path
+            case _ => None
+          }
+          localRoot.foreach { whPath =>
+            val root = java.nio.file.Paths.get(whPath, name)
+            if (java.nio.file.Files.exists(root)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
           }
         }
         reset(s"docs_b$tag"); reset(s"emb_b$tag")

@@ -1,15 +1,16 @@
 package graft.sources
 
 import graft.functions.Kvp
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-/** Offline seam of the Hugging-Face shard pipeline — everything the
-  * reference's manifest machinery does EXCEPT the network calls
-  * (reference: manifest walk huggingface_source.rs:1735-1820, download
-  * ordering contract 860-900, background expansion 4354-4421, disk cap
-  * 567-569). The datasets-server fetch itself is a driver-side concern
-  * (zero-egress here); this object consumes an already-fetched manifest
-  * JSON and an on-disk landing directory, and owns the deterministic
+/** The Hugging-Face shard pipeline seam (reference: manifest walk
+  * huggingface_source.rs:1735-1820, download ordering contract 860-900,
+  * background expansion 4354-4421, disk cap 567-569). All deterministic
+  * decisions are pure functions over an (optionally pre-fetched) manifest
+  * JSON and an on-disk landing directory; [[fetchManifest]]/[[download]]
+  * are the minimal standard-library HTTP legs (auth/retry/endpoint policy
+  * stays with the caller — exercised e2e against a loopback fixture
+  * server in SourcesSpec, since this sandbox has zero egress). The owned
   * decisions:
   *
   *   - candidate extraction: `parquet_files[].url` filtered by accepted
@@ -133,6 +134,35 @@ object HfManifest {
       total -= Files.size(p)
     }
     evict.result()
+  }
+
+  /** Fetch the manifest JSON itself (reference:
+    * huggingface_source.rs:1735-1760 datasets-server GET). Plain
+    * standard-library HTTP — endpoint construction, auth headers, and
+    * retry policy remain the caller's; the e2e seam is exercised against
+    * a loopback fixture server in SourcesSpec. */
+  def fetchManifest(url: String): String = {
+    val in = new java.net.URL(url).openConnection().getInputStream
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Download one shard into the landing dir under its [[ShardCandidate.landedName]],
+    * temp-then-publish: the reconcile loop treats file EXISTENCE as
+    * landed, so a partially-written shard must never appear under the
+    * final name (reference download path: huggingface_source.rs:4424-4480;
+    * same atomic-publish contract as FileSplitStore). Returns the landed
+    * path. */
+  def download(c: ShardCandidate, landingDir: String): Path = {
+    val t = target(landingDir, c)
+    if (t.getParent != null) Files.createDirectories(t.getParent)
+    val tmp = Paths.get(t.toString + ".part")
+    val in = new java.net.URL(c.url).openConnection().getInputStream
+    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    Files.move(tmp, t, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    t
   }
 
   /** Read every landed shard of the directory and map to records —

@@ -246,9 +246,9 @@ case class FileSourceConfig(sourceId: String, rootPath: String, trust: Float = 0
 
 object FileSource {
 
-  /** Shared (path, body) → record mapping for the batch and streaming
-    * scans — identical semantics by construction. */
-  private def mapRecords(spark: SparkSession,
+  /** Shared (path, body) → record mapping for the batch, streaming, and
+    * paged ([[FileStream]]) scans — identical semantics by construction. */
+  private[sources] def mapRecords(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, cfg: FileSourceConfig): Dataset[DataRecord] = {
     import spark.implicits._
     val (sourceId, trust) = (cfg.sourceId, cfg.trust)

@@ -17,6 +17,41 @@ class PropertySpec extends AnyFunSuite {
 
   private val anyString: Gen[String] = Gen.listOf(Gen.choose(0.toChar, 0x2FF.toChar)).map(_.mkString)
 
+  test("smooth-WRR cumulative counts equal largest-remainder allocation after every full cycle") {
+    // the documented delta: Mixing.weightedAllocation is the
+    // largest-remainder replacement for the reference's smooth weighted
+    // round-robin drain (reference: src/ingestion.rs:607-675) — identical
+    // LONG-RUN shares, intentionally different SHORT-RUN interleaving.
+    // Law: after every complete cycle (slots = k·Σw, integer weights) the
+    // smooth-WRR cumulative pick counts equal the largest-remainder
+    // allocation exactly, and the WRR credit state returns to zero.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      ws <- Gen.nonEmptyListOf(Gen.choose(1L, 9L)).map(_.take(6))
+      cycles <- Gen.choose(1, 3)
+    } yield (ws, cycles)
+    check(Prop.forAll(gen) { case (ws, cycles) =>
+      val n = ws.size
+      val tw = ws.sum
+      // reference smooth WRR: credit += w; pick argmax (ties → lowest
+      // index); picked credit -= Σw
+      val credit = Array.fill(n)(0L)
+      val counts = Array.fill(n)(0L)
+      (0 until (cycles * tw).toInt).foreach { _ =>
+        for (i <- 0 until n) credit(i) += ws(i)
+        val pick = (0 until n).maxBy(i => (credit(i), -i))
+        credit(pick) -= tw
+        counts(pick) += 1
+      }
+      val groups = ws.zipWithIndex.map { case (w, i) => (f"g$i%02d", w) }.toDF("group", "w")
+      val alloc = graft.operators.Mixing.weightedAllocation(groups, cycles * tw)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val equal = (0 until n).forall(i => alloc(f"g$i%02d") == counts(i))
+      equal && credit.forall(_ == 0L)
+    })
+  }
+
   test("sampler-state json roundtrip is lossless for arbitrary seeds and counter keys") {
     check(Prop.forAll(anyString, Gen.long,
       Gen.mapOf(Gen.zip(anyString, Gen.long))) { (seed, epoch, counters) =>

@@ -424,6 +424,134 @@ class SourcesSpec extends AnyFunSuite {
     assert(first.size == 30)
   }
 
+  test("file stream pager: seeded order, wraparound re-serve, mid-wrap resume") {
+    import graft.sources.{FileSource, FileSourceConfig, FileStream}
+    import graft.operators.SamplerState
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("graft_fs_page")
+    java.nio.file.Files.createDirectories(root.resolve("2020-01-02"))
+    val names = Seq("alpha.txt", "beta.txt", "gamma.txt", "delta.txt",
+      "2020-01-02/epsilon.txt", "2020-01-02/zeta.txt", "eta.txt")
+    names.foreach(n => java.nio.file.Files.writeString(root.resolve(n), s"body of $n"))
+    val cfg = FileSourceConfig("fsp", root.toString)
+    val order = FileStream.orderedFiles(cfg)
+    assert(order.size == 7)
+    assert(order.map(_.toString).toSet == names.map(n => root.resolve(n).toString).toSet)
+    // pseudo-random, not lexicographic (7! orders; lexicographic would be
+    // a 1/5040 coincidence — and a regression to path-sorted serving)
+    assert(order.map(_.toString) != order.map(_.toString).sorted)
+
+    def servePages(st0: SamplerState, n: Int, limit: Int) = {
+      var st = st0
+      val served = Seq.newBuilder[java.nio.file.Path]
+      (0 until n).foreach { _ =>
+        val page = FileStream.nextPage(spark, cfg, st, limit)
+        served ++= page.paths
+        st = page.state
+      }
+      (served.result(), st)
+    }
+    // two full wraps in pages of 3: the corpus re-serves in the SAME order
+    val (served, endSt) = servePages(SamplerState("s", 0L, Map.empty), 5, 3)
+    assert(served.size == 15)
+    assert(served == (order ++ order ++ order.take(1)))
+    assert(endSt.counter("fs_cursor:fsp") == 15 % 7)
+    // mid-wrap resume through the persisted file continues the sequence
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_state")
+    val (firstTwo, stMid) = servePages(SamplerState("s", 0L, Map.empty), 2, 3)
+    SamplerState.save(stMid, s"$dir/st.json")
+    val (rest, _) = servePages(SamplerState.load(s"$dir/st.json").get, 3, 3)
+    assert(firstTwo ++ rest == served)
+    // page records carry FileSource ids/sections for exactly the page
+    val page1 = FileStream.nextPage(spark, cfg, SamplerState("s", 0L, Map.empty), 3)
+    val recs = page1.records.collect()
+    assert(recs.length == 3)
+    assert(recs.map(_.id).toSet ==
+      page1.paths.map(p => s"fsp::${root.relativize(p)}").toSet)
+    // skipped files do not advance the cursor and are re-visited
+    val skipFirst = FileStream.nextPage(spark, cfg, SamplerState("s", 0L, Map.empty), 2,
+      convertible = p => p != order.head)
+    assert(skipFirst.paths == order.slice(1, 3))
+    assert(skipFirst.state.counter("fs_cursor:fsp") == 2)
+    // a batch-vs-stream sanity: the full-corpus batch read equals one
+    // whole-cycle page, id-for-id
+    val batchIds = FileSource.read(spark, cfg).collect().map(_.id).toSet
+    val cycle = FileStream.nextPage(spark, cfg, SamplerState("s", 0L, Map.empty), 7)
+    assert(cycle.records.collect().map(_.id).toSet == batchIds)
+  }
+
+  test("hf seam e2e: loopback manifest fetch, seeded downloads, resume, eviction, records") {
+    import graft.sources.{HfManifest, HfSourceList}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two real parquet shards (single part files) to serve
+    val work = java.nio.file.Files.createTempDirectory("graft_hf_http")
+    def shardBytes(name: String, rows: Seq[String]): Array[Byte] = {
+      val d = work.resolve(name)
+      rows.toDF("text").coalesce(1).write.parquet(d.toString)
+      val part = java.nio.file.Files.list(d).iterator()
+      val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.readAllBytes(f)
+    }
+    val aBytes = shardBytes("A", (0 until 6).map(i => s"alpha row $i body"))
+    val bBytes = shardBytes("B", (0 until 4).map(i => s"beta row $i body"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, bytes: () => Array[Byte]): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = bytes()
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+    try {
+      server.start()
+      val port = server.getAddress.getPort
+      val base = s"http://127.0.0.1:$port"
+      val manifest = s"""{"parquet_files": [
+        {"dataset": "acme/e2e", "url": "$base/shards/train/0000.parquet", "size": ${aBytes.length}},
+        {"dataset": "acme/e2e", "url": "$base/shards/train/0001.parquet", "size": ${bBytes.length}}
+      ]}"""
+      serve("/manifest", () => manifest.getBytes("UTF-8"))
+      serve("/shards/train/0000.parquet", () => aBytes)
+      serve("/shards/train/0001.parquet", () => bBytes)
+
+      val landing = java.nio.file.Files.createTempDirectory("graft_hf_landing").toString
+      // fetch + parse + seeded order (stable across "restarts")
+      val cands = HfManifest.parse(HfManifest.fetchManifest(s"$base/manifest"))
+      assert(cands.size == 2)
+      val order = HfManifest.downloadOrder(cands, "hfe2e", "7")
+      assert(HfManifest.firstUncached(order, landing).contains(0))
+      HfManifest.download(order(0), landing)
+      // simulated restart: re-fetch, recompute — cursor resumes at 1
+      val order2 = HfManifest.downloadOrder(
+        HfManifest.parse(HfManifest.fetchManifest(s"$base/manifest")), "hfe2e", "7")
+      assert(order2 == order)
+      assert(HfManifest.firstUncached(order2, landing).contains(1))
+      HfManifest.download(order2(1), landing)
+      assert(HfManifest.firstUncached(order2, landing).isEmpty)
+      assert(HfManifest.incomplete(order2, landing).isEmpty)
+      // truncate one shard: flagged incomplete, re-download heals it
+      val landed0 = java.nio.file.Paths.get(landing, order(0).landedName)
+      java.nio.file.Files.write(landed0, aBytes.take(10))
+      assert(HfManifest.incomplete(order2, landing) == Seq(order(0)))
+      HfManifest.download(order(0), landing)
+      assert(HfManifest.incomplete(order2, landing).isEmpty)
+      // eviction plan under a one-shard cap keeps total under cap
+      val plan = HfManifest.evictionPlan(landing, math.max(aBytes.length, bBytes.length).toLong)
+      assert(plan.nonEmpty && plan.size < 2, s"plan: $plan")
+      // landed shards -> records with stable per-file metadata ids
+      val entry = HfSourceList.parseLine(
+        "hf://acme/e2e/default/train anchor=text source_id=hfe2e").toOption.flatten.get
+      val recs = HfManifest.readLanded(spark, landing, entry).collect()
+      assert(recs.length == 10)
+      assert(recs.map(_.id).distinct.length == 10)
+      assert(recs.forall(_.id.startsWith("hfe2e::")))
+      assert(recs.forall(_.sections.nonEmpty))
+    } finally server.stop(0)
+  }
+
   test("jsonl splittable lane: ids and sections identical to wholetext, split-invariant") {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_split")

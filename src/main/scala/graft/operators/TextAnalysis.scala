@@ -58,6 +58,37 @@ object TextAnalysis {
   def duckRatioE6(num: String, denom: String): String =
     s"(CASE WHEN $denom = 0 THEN 0 ELSE CAST(floor(CAST($num AS DOUBLE) * 1000000.0 / CAST($denom AS DOUBLE)) AS BIGINT) END)"
 
+  /** Composite quality score at e6 scale: mean of (stopword presence,
+    * 1 − digitiness, lexical diversity). The single authoritative
+    * definition — q31 reports it per-doc, the q94 curation funnel gates
+    * on it. Stopword presence uses the first (en) profile deliberately:
+    * the score is a "looks like well-formed prose" prior, not a language
+    * judgment (that's [[langId]]'s job in the funnel's next stage). */
+  def qualityE6(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nTok = size(toks).cast("long")
+    val nAlpha = TextFunctions.alphaCount(text).cast("long")
+    val nDigit = TextFunctions.digitCount(text).cast("long")
+    val stops = stopwordHits(toks, LangProfiles.head._2).cast("long")
+    val uniq = size(array_distinct(toks)).cast("long")
+    val stopRatio = ratioE6(stops, nTok)
+    val digitRatio = ratioE6(nDigit, nAlpha + nDigit)
+    val uniqRatio = ratioE6(uniq, nTok)
+    floor((stopRatio + (lit(1000000L) - digitRatio) + uniqRatio) / 3).cast("long")
+  }
+
+  def duckQualityE6(textExpr: String, toksExpr: String): String = {
+    val nTok = s"len($toksExpr)"
+    val nAlpha = TextFunctions.duckAlphaCount(textExpr)
+    val nDigit = TextFunctions.duckDigitCount(textExpr)
+    val stops = duckStopwordHits(toksExpr, LangProfiles.head._2)
+    val uniq = s"len(list_distinct($toksExpr))"
+    val stopRatio = duckRatioE6(stops, nTok)
+    val digitRatio = duckRatioE6(nDigit, s"($nAlpha + $nDigit)")
+    val uniqRatio = duckRatioE6(uniq, nTok)
+    s"CAST(floor(($stopRatio + (1000000 - $digitRatio) + $uniqRatio) / 3) AS BIGINT)"
+  }
+
   /** Rolling polynomial fingerprint is engine-internal; the portable
     * document fingerprint is the content hash of normalized text plus a
     * head-window hash (cheap near-head-dup probe). */

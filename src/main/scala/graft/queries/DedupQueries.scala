@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Dedup operator demonstrations over `documents`, each with a DuckDB
@@ -15,6 +15,9 @@ object DedupQueries extends QueryModule {
   private val Bands = 4
   private val RowsPerBand = 2
   private val ShingleK = 3
+  // q94 quality gate: docs at or above this composite score (e6 scale)
+  // pass stage 1 of the curation funnel
+  private val QualityMin = 500000L
 
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
@@ -231,46 +234,107 @@ object DedupQueries extends QueryModule {
 
     QueryDef("q24_ngram_jaccard_pairs",
       (s, dir) => {
-        // shingles seen in > MaxDf docs are dropped before pairing: on a
-        // skewed corpus the hot-shingle join blocks are the O(n²) failure
-        // mode at scale, and ultra-common shingles carry no dedup signal
-        val MaxDf = 50
+        // exact n-gram Jaccard over LSH-generated candidates — the
+        // standard two-phase near-dup shape. Phase 1 proposes candidate
+        // pairs by MinHash-LSH banding (q22's machinery: shuffles band
+        // keys, fixed-width longs, never text); phase 2 verifies each
+        // candidate EXACTLY by intersecting the two docs' distinct
+        // shingle-hash sets. The n² pair space is never materialized and
+        // no per-shingle self-join exists: cost = band collisions +
+        // O(|candidates|) array intersections. na/nb are full
+        // distinct-shingle counts; jaccard >= 1/8 decided by integer
+        // cross-multiplication (`8*inter >= union`), no floats.
         val docs = Tables.load(s, dir, "documents")
-        // shingles carry only their 31-bit portable hash past the explode:
-        // the distinct, the df filter, and the inverted self-join all
-        // shuffle and compare fixed-width longs, never shingle strings
-        val all = docs
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", Perms, ShingleK)
+        val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", Bands, RowsPerBand)
+        // per-doc distinct shingle-hash set: narrow (array lambdas fused
+        // into the scan); the candidate side is tiny so both joins
+        // broadcast it against this frame
+        val hsets = docs
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), explode(Dedup.shingles(col("toks"), ShingleK)).as("shingle"))
+          .filter(size(col("toks")) > 0)
           .select(col("doc_id"),
-            pmod(Determinism.portableHash(col("shingle")), lit(Dedup.MixMod)).as("shingle_h"))
-          .distinct()
-        val rare = all.groupBy(col("shingle_h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxDf).select(col("shingle_h"))
-        val sh = all.join(rare, "shingle_h").cache()
-        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val l = sh.as("l"); val r = sh.as("r")
-        val inter = l.join(r, col("l.shingle_h") === col("r.shingle_h") && col("l.doc_id") < col("r.doc_id"))
-          .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(counts.select(col("doc_id").as("a2"), col("n_sh").as("na")), col("a") === col("a2"))
-          .join(counts.select(col("doc_id").as("b2"), col("n_sh").as("nb")), col("b") === col("b2"))
-          // jaccard >= 1/8 by integer cross-multiplication: 8*inter >= union
+            array_distinct(Dedup.shingleHashes(Dedup.shingles(col("toks"), ShingleK))).as("hset"))
+        pairs
+          .join(hsets.select(col("doc_id").as("a2"), col("hset").as("ha")), col("a") === col("a2"))
+          .join(hsets.select(col("doc_id").as("b2"), col("hset").as("hb")), col("b") === col("b2"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+            size(col("ha")).cast("long").as("na"),
+            size(col("hb")).cast("long").as("nb"))
           .filter(lit(8) * col("inter") >= col("na") + col("nb") - col("inter"))
-          .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-        u AS (SELECT doc_id, unnest(${Dedup.duckShingles("toks", ShingleK)}) AS shingle FROM t),
-        s0 AS (SELECT DISTINCT doc_id, ${Determinism.duckHash("shingle")} % ${Dedup.MixMod} AS shingle_h FROM u),
-        rare AS (SELECT shingle_h FROM s0 GROUP BY shingle_h HAVING count(*) <= 50),
-        s AS (SELECT s0.doc_id, s0.shingle_h FROM s0 JOIN rare ON s0.shingle_h = rare.shingle_h),
-        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY doc_id),
-        i AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
-              FROM s l JOIN s r ON l.shingle_h = r.shingle_h AND l.doc_id < r.doc_id
-              GROUP BY l.doc_id, r.doc_id)
-        SELECT a, b, inter, ca.n_sh AS na, cb.n_sh AS nb
-        FROM i JOIN c ca ON a = ca.doc_id JOIN c cb ON b = cb.doc_id
-        WHERE 8 * inter >= ca.n_sh + cb.n_sh - inter"""))
+      Some(s"""${duckSigs(Perms)},
+        $duckPairCtes,
+        hsets AS (SELECT doc_id, list_distinct(hs) AS hset FROM sh),
+        v AS (SELECT a, b,
+                CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+                CAST(len(ha.hset) AS BIGINT) AS na,
+                CAST(len(hb.hset) AS BIGINT) AS nb
+              FROM pairs JOIN hsets ha ON a = ha.doc_id JOIN hsets hb ON b = hb.doc_id)
+        SELECT a, b, inter, na, nb FROM v
+        WHERE 8 * inter >= na + nb - inter""")),
+
+    QueryDef("q94_corpus_curation",
+      // the composed training-data curation funnel — the curation
+      // operators running as ONE pipeline instead of isolated demos:
+      //   stage 1  quality gate      (q31's composite score)
+      //   stage 2  language check    (q32's langId vs the labeled lang)
+      //   stage 3  near-dup removal  (q21 minhash → q22 LSH bands →
+      //                               q93 connected components keep-list)
+      // Output: the per-source funnel — docs entering, surviving each
+      // stage, and tokens the kept corpus carries. At 100 TB the only
+      // shuffles are the dedup machinery's (band keys, edge longs — the
+      // quality/language gates are scan-fused column expressions) plus a
+      // #sources-sized final aggregate; the keep-list joins back to the
+      // corpus by doc_id. Dedup canonicalization runs on the FULL corpus
+      // (cluster survivor = min doc_id, same law as q93), so the funnel
+      // is monotone: kept ⊆ lang_ok ⊆ quality ⊆ docs.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", Perms, ShingleK)
+        val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", Bands, RowsPerBand)
+        val keep = Dedup.connectedComponents(
+            docs.select(col("doc_id").as("id")), pairs)
+          .filter(col("id") === col("cluster"))
+          .select(col("id").as("kid"), lit(1L).as("is_canonical"))
+        val toks = TextFunctions.tokens(col("text"))
+        val staged = docs
+          .join(keep, col("doc_id") === col("kid"), "left")
+          .select(col("source"),
+            size(toks).cast("long").as("n_tokens"),
+            (TextAnalysis.qualityE6(col("text")) >= QualityMin).cast("long").as("q_ok"),
+            (TextAnalysis.langId(toks) === col("lang")).cast("long").as("l_ok"),
+            coalesce(col("is_canonical"), lit(0L)).as("k_ok"))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("q_ok")).as("n_quality"),
+            sum(col("q_ok") * col("l_ok")).as("n_lang_ok"),
+            sum(col("q_ok") * col("l_ok") * col("k_ok")).as("n_kept"),
+            sum(col("q_ok") * col("l_ok") * col("k_ok") * col("n_tokens")).as("tokens_kept"))
+      },
+      Some(
+        s"""${duckSigs(Perms).replaceFirst("WITH ", "WITH RECURSIVE ")},
+          $duckPairCtes,
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+          reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          ),
+          cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          staged AS (
+            SELECT d.source,
+              CAST(len($duckToks) AS BIGINT) AS n_tokens,
+              CASE WHEN ${TextAnalysis.duckQualityE6("text", duckToks)} >= $QualityMin THEN 1 ELSE 0 END AS q_ok,
+              CASE WHEN ${TextAnalysis.duckLangId(duckToks)} = d.lang THEN 1 ELSE 0 END AS l_ok,
+              CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS k_ok
+            FROM documents d JOIN cl c ON d.doc_id = c.doc_id)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(q_ok) AS BIGINT) AS n_quality,
+            CAST(sum(q_ok * l_ok) AS BIGINT) AS n_lang_ok,
+            CAST(sum(q_ok * l_ok * k_ok) AS BIGINT) AS n_kept,
+            CAST(sum(q_ok * l_ok * k_ok * n_tokens) AS BIGINT) AS tokens_kept
+          FROM staged GROUP BY source"""))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule}
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,6 +17,13 @@ object SimilarityQueries extends QueryModule {
   private val NQueries = 10
   private val IvfK = 8
   private val IvfProbe = 2
+  // q95 near-dup edges: a COARSER bucket width than the q26 ANN lane (16
+  // buckets, not 256 — dedup recall wants wide buckets, search latency
+  // wants narrow ones) and an e6 cosine threshold tuned to the synthetic
+  // table's similarity tail so multi-node clusters actually form — the
+  // recall/cost dial a real corpus tunes the same way
+  private val Planes95 = 4
+  private val CosMin = 350000L
 
   private def duckNorms =
     s"""norms AS (SELECT vec_id, ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
@@ -151,6 +158,59 @@ object SimilarityQueries extends QueryModule {
           SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank
           FROM scored) t
         WHERE rank <= $TopK"""
-      })
+      }),
+
+    QueryDef("q95_embedding_dedup_clusters",
+      // dedup RESOLUTION generalized across modalities: q27's same-bucket
+      // cosine pairs (thresholded at CosMin) are the edge list, and the
+      // same min-label connected components that resolve text near-dups
+      // (q93) resolve embedding near-dups into clusters + a canonical
+      // keep-list. cluster_id = min vec_id of the component; keep = 1 on
+      // exactly the survivor, so `WHERE keep = 1` is the post-dedup
+      // embedding corpus. Scale shape is q27's (bucketed self-join, no n²)
+      // plus q93's (per-round keyed agg + join on longs).
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+        val buckets = Similarity.lshBucketTable(s, base, "vec_id", "embedding", Dim, Planes95)
+        val emb = base
+          .select(col("vec_id"), col("embedding"),
+            Similarity.normE3(col("embedding")).as("nrm"))
+          .join(buckets, "vec_id")
+          .cache()
+        val l = emb.as("l"); val r = emb.as("r")
+        val edges = l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+            Similarity.cosE6(
+              Similarity.dotE3(col("l.embedding"), col("r.embedding")),
+              col("l.nrm"), col("r.nrm")).as("cos_e6"))
+          .filter(col("cos_e6") >= CosMin)
+          .select(col("a"), col("b"))
+        val cc = Dedup.connectedComponents(
+          base.select(col("vec_id").as("id")), edges)
+        val sizes = cc.groupBy(col("cluster").as("cid"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, cc("cluster") === sizes("cid"))
+          .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+            when(col("id") === col("cluster"), 1L).otherwise(0L).as("keep"),
+            col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+          ${Similarity.duckLshBucket("embedding", Dim, Planes95)} AS bucket,
+          ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
+          FROM embeddings),
+        p AS (SELECT l.vec_id AS a, r.vec_id AS b
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          WHERE ${Similarity.duckCosE6(Similarity.duckDotE3("l.embedding", "r.embedding", Dim), "l.nrm", "r.nrm")} >= $CosMin),
+        edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+        reach(u, v) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        cl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT vec_id, cluster_id,
+          CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep,
+          CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM cl"""))
   )
 }

@@ -50,8 +50,10 @@ object TextQueries extends QueryModule {
         val stopRatio = TextAnalysis.ratioE6(stops, nTok)
         val digitRatio = TextAnalysis.ratioE6(nDigit, nAlpha + nDigit)
         val uniqRatio = TextAnalysis.ratioE6(uniq, nTok)
-        // composite: mean of (stopword presence, 1-digitiness, lexical diversity)
-        val score = floor((stopRatio + (lit(1000000L) - digitRatio) + uniqRatio) / 3).cast("long")
+        // composite: mean of (stopword presence, 1-digitiness, lexical
+        // diversity) — the authoritative definition in TextAnalysis,
+        // shared with the q94 curation funnel's quality gate
+        val score = TextAnalysis.qualityE6(col("text"))
         Tables.load(s, dir, "documents").select(
           col("doc_id"), nTok.as("n_tokens"), stopRatio.as("stop_ratio_e6"),
           digitRatio.as("digit_ratio_e6"), uniqRatio.as("uniq_ratio_e6"),
@@ -70,7 +72,7 @@ object TextQueries extends QueryModule {
         s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
           $stopRatio AS stop_ratio_e6, $digitRatio AS digit_ratio_e6,
           $uniqRatio AS uniq_ratio_e6,
-          CAST(floor(($stopRatio + (1000000 - $digitRatio) + $uniqRatio) / 3) AS BIGINT) AS quality_e6
+          ${TextAnalysis.duckQualityE6("text", toks)} AS quality_e6
           FROM documents"""
       }),
 

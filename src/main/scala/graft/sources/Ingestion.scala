@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Parallel source refresh — the `IngestionManager` driver loop
+  * (reference: src/ingestion.rs:462-506, one scoped thread per source,
+  * results joined back in source order) re-expressed on Spark's
+  * scheduler.
+  *
+  * Each source's refresh is an independent Spark JOB, submitted from its
+  * own driver thread. Spark local properties are thread-inherited, so
+  * every refresh runs in its own FAIR scheduler pool
+  * (`spark.scheduler.pool = <prefix>.<sourceId>`) and job group: on a
+  * cluster started with `spark.scheduler.mode=FAIR` the executors are
+  * shared ACROSS in-flight refreshes instead of draining them one job at
+  * a time — a slow source no longer serializes the fleet, which is the
+  * whole point of the reference's thread-per-source design. Under the
+  * default FIFO scheduler the pool property is inert but jobs still
+  * overlap whenever free task slots exist.
+  *
+  * Error semantics follow the reference's join loop: the first failed
+  * refresh surfaces after all submitted jobs are awaited (the job group
+  * is per-source, so a caller can also cancel a straggler selectively).
+  * Retry policy stays composable — wrap the per-source `Dataset` page in
+  * `Exhaustion.withRetry` exactly as the sequential path does.
+  */
+object Ingestion {
+
+  /** Refresh every `(sourceId, page)` concurrently and return
+    * `(sourceId, rows, stats)` in INPUT order (reference joins handles in
+    * source order). `page` should already be cursor-bounded, as with
+    * [[Telemetry.refresh]]; stats ride each job via `observe()`. */
+  def refreshAll[T](spark: SparkSession, sources: Seq[(String, Dataset[T])],
+      poolPrefix: String = "ingest",
+      maxConcurrent: Int = 8): Seq[(String, Array[T], RefreshStats)] = {
+    require(sources.nonEmpty, "refreshAll: no sources")
+    require(sources.map(_._1).distinct.size == sources.size,
+      s"refreshAll: duplicate source ids in ${sources.map(_._1)}")
+    val sc = spark.sparkContext
+    val threads = math.min(sources.size, math.max(1, maxConcurrent))
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = sources.map { case (id, page) =>
+        Future {
+          // thread-local per job: the pool for FAIR sharing, the group for
+          // targeted cancellation/monitoring of one source's refresh
+          sc.setLocalProperty("spark.scheduler.pool", s"$poolPrefix.$id")
+          sc.setJobGroup(s"$poolPrefix.$id", s"source refresh: $id",
+            interruptOnCancel = true)
+          try {
+            val (rows, stats) = Telemetry.refresh(page, id)
+            (id, rows, stats)
+          } finally {
+            sc.clearJobGroup()
+            sc.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+      }
+      // await in submission order so failures surface deterministically
+      // (all jobs were already submitted concurrently above)
+      futures.map(f => Await.result(f, Duration.Inf))
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, TimeUnit.SECONDS)
+    }
+  }
+}

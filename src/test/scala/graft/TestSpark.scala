@@ -8,6 +8,9 @@ object TestSpark {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .master("local[4]")
     .appName("graft-tests")
+    // FAIR so IngestionSpec's per-source refresh pools genuinely share
+    // the cluster (pools not in an allocation file get default settings)
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")

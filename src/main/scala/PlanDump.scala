@@ -37,7 +37,7 @@ object PlanDump extends App {
     "q16_salted_skew_join" -> "the SortMergeJoin keys on (source, salt): the hot source key spreads over 8 salt partitions; dim side exploded x8 before its exchange",
     "q47_sentence_split" -> "per-character scan as ONE (doc, block)-keyed window pass (lag/lead flags + running sum share the same sort), then one keyed aggregation reassembles sentences - no UDF, no loop",
     "q85_triplet_bm25_negative" -> "BM25 negative backend: dl rides the tf aggregation, df is a keyed window over tf (no groupBy+rejoin), pool stats broadcast; the anchor x candidate product passes through ONE join",
-    "q93_dedup_clusters" -> "cluster resolution: min-label propagation — each round is one keyed agg + one left join over the CACHED symmetrized edge list (InMemoryTableScan below both); the convergence count is the only driver-side step; the final plan joins the converged labels (cached) with the #clusters-sized size frame",
+    "q93_dedup_clusters" -> "cluster resolution: min-label propagation on the EDGE-INDUCED SUBGRAPH (frames sized by candidate pairs, not corpus), each round one keyed agg + one left join over the checkpointed symmetrized edge list; every round ends in localCheckpoint — an uncut lineage doubles per round (the round-6 OOM lesson); the final plan left-joins converged labels onto the corpus (absent = own cluster)",
     "q24_ngram_jaccard_pairs" -> "two-phase exact Jaccard: LSH bands propose candidates (q22's bucketed self-join — no n² pair space), then each candidate verifies EXACTLY via array_intersect of the two docs' distinct shingle-hash sets; the pair side is tiny so both verification joins broadcast it",
     "q94_corpus_curation" -> "the composed funnel: quality + language gates are scan-fused column expressions (no exchange of their own); the only shuffles belong to the dedup keep-list machinery (band keys, edge longs) and the #sources-sized final aggregate",
     "q95_embedding_dedup_clusters" -> "embedding near-dup resolution: bucketed cosine self-join proposes edges (coarser buckets than the ANN lane — recall over latency), then the same cached-edge min-label propagation as q93 resolves clusters")

@@ -134,50 +134,87 @@ object Dedup {
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()
   }
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with its own id; each round replaces a node's label by
-    * the minimum over itself and its neighbors, until a fixpoint (no label
-    * changed). Converges in O(component diameter) rounds — LSH duplicate
-    * clusters are near-cliques, so 2-3 rounds in practice; `maxIter`
-    * bounds pathological chains. Each round is one keyed aggregation plus
-    * one left join, all on `(id, label)` longs — at 100 TB the per-round
-    * shuffle is two longs per edge, and every round is fully distributed
-    * (the only driver-side work is the convergence count). Intermediate
-    * frames are cached and the previous round unpersisted; for very deep
-    * graphs swap the cache for `localCheckpoint()` to also truncate
-    * lineage.
+  /** Connected components by min-label propagation with pointer jumping:
+    * every node starts labeled with its own id; each round takes the
+    * minimum over itself and its neighbors (hash-min), then additionally
+    * adopts the label OF its label (pointer jump), until a fixpoint (no
+    * label changed). Hash-min alone converges in O(diameter) rounds; the
+    * jump halves the remaining label path each round, so chains of
+    * near-dups resolve in O(log diameter) — LSH duplicate clusters are
+    * near-cliques and finish in 2-3 rounds; `maxIter` bounds pathology.
+    * Each round is one keyed aggregation plus two joins, all on
+    * `(id, label)` longs — at 100 TB the per-round shuffle is two longs
+    * per edge, and every round is fully distributed (the only driver-side
+    * work is the convergence count).
+    *
+    * Two structural decisions, both scale-critical:
+    *   - the iteration runs on the EDGE-INDUCED SUBGRAPH only. A node
+    *     with no candidate pair can never change label, so the loop's
+    *     frames have ~2·|pairs| rows — candidate pairs, not corpus —
+    *     and the full node set gets its labels by one left join at the
+    *     end. Iteration cost scales with near-dup density, not corpus
+    *     size.
+    *   - every round ends in `localCheckpoint()`, not `cache()`. Each
+    *     round's plan references the previous round's TWICE (directly
+    *     and through the neighbor aggregate), so an uncut lineage
+    *     DOUBLES per round — exponential analysis/optimizer cost and an
+    *     OOM just rendering the plan string by round ~10. Checkpointing
+    *     pins each round to a materialized RDD and keeps per-round plans
+    *     constant-size. (On a cluster, prefer reliable `checkpoint()` if
+    *     executor loss during the loop must be survivable.)
     *
     * @param nodes frame with column `id` (one row per node)
     * @param edges frame with columns `a`, `b` (undirected, either order)
     * @return frame (id, cluster) where cluster = min node id reachable
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // cache the symmetrized edges: every round (plus the convergence count)
-    // walks them, and recomputing would replay the full upstream candidate
-    // generation per round. Edge lists are candidate PAIRS — orders of
-    // magnitude smaller than the corpus, safely cacheable at scale.
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds run —
+    * the observable the O(log diameter) convergence law is pinned on
+    * (TextFunctionsSpec: a 200-node chain must resolve in ≤ 10 rounds,
+    * where hash-min alone would need ~200). */
+  def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    // symmetrized edges, lineage cut once: every round walks them, and an
+    // uncut plan would replay the full candidate generation per round
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v"))).cache()
-    var labels = nodes.select(col("id"), col("id").as("cluster")).cache()
+      .union(edges.select(col("b").as("u"), col("a").as("v"))).localCheckpoint()
+    // active set = nodes touching any edge (every such node appears as u
+    // in the symmetrized list)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
         .groupBy(col("e.u").as("id")).agg(min(col("l.cluster")).as("m"))
-      val next = labels.as("l0").join(nbrMin.as("n"), col("l0.id") === col("n.id"), "left")
+      val hashed = labels.as("l0").join(nbrMin.as("n"), col("l0.id") === col("n.id"), "left")
         .select(col("l0.id").as("id"),
           least(col("l0.cluster"), coalesce(col("n.m"), col("l0.cluster"))).as("cluster"))
-        .cache()
+      // pointer jump: also adopt the label OF the label (labels are always
+      // active node ids, so the self-join resolves). Hash-min alone needs
+      // diameter rounds on a chain of near-dups; the jump halves the
+      // remaining path every round — O(log diameter) total
+      val next = hashed.as("x")
+        .join(hashed.select(col("id").as("pid"), col("cluster").as("pcl")),
+          col("x.cluster") === col("pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster"))).as("cluster"))
+        .localCheckpoint()
       val changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
         .filter(col("x.cluster") =!= col("y.cluster")).count()
-      labels.unpersist()
       labels = next
       iter += 1
       converged = changed == 0
     }
     // stderr, not stdout: Bench/Verify parse a JSON line from stdout
     System.err.println(s"[graft] connectedComponents: $iter rounds (converged=$converged)")
-    labels
+    val out = nodes.select(col("id"))
+      .join(labels.select(col("id").as("xid"), col("cluster")),
+        col("id") === col("xid"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (out, iter)
   }
 
   /** Per-band bucket keys. For <=2 rows/band the minhashes (each < 2^31)

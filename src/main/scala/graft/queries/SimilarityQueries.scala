@@ -22,7 +22,7 @@ object SimilarityQueries extends QueryModule {
   // wants narrow ones) and an e6 cosine threshold tuned to the synthetic
   // table's similarity tail so multi-node clusters actually form — the
   // recall/cost dial a real corpus tunes the same way
-  private val Planes95 = 4
+  private val Planes95 = 5
   private val CosMin = 350000L
 
   private def duckNorms =

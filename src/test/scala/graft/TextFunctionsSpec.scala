@@ -92,4 +92,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L))
     assert(got.map(_._2).distinct.size == 5) // cluster count stable
   }
+
+  test("pointer jumping resolves a 200-node chain in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst case for plain hash-min: one long path (each near-dup pair
+    // chains to the next), diameter 199 — hash-min alone would need ~200
+    // rounds and would hit maxIter; the jump halves the remaining path
+    // per round, so the whole chain must collapse to cluster 1 in <= 10
+    val n = 200L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(nodes, edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every chain node joins cluster 1")
+    assert(rounds <= 10, s"log-convergence law: $rounds rounds for diameter ${n - 1}")
+  }
 }

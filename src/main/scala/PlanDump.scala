@@ -40,7 +40,8 @@ object PlanDump extends App {
     "q93_dedup_clusters" -> "cluster resolution: min-label propagation on the EDGE-INDUCED SUBGRAPH (frames sized by candidate pairs, not corpus), each round one keyed agg + one left join over the checkpointed symmetrized edge list; every round ends in localCheckpoint — an uncut lineage doubles per round (the round-6 OOM lesson); the final plan left-joins converged labels onto the corpus (absent = own cluster)",
     "q24_ngram_jaccard_pairs" -> "two-phase exact Jaccard: LSH bands propose candidates (q22's bucketed self-join — no n² pair space), then each candidate verifies EXACTLY via array_intersect of the two docs' distinct shingle-hash sets; the pair side is tiny so both verification joins broadcast it",
     "q94_corpus_curation" -> "the composed funnel: quality + language gates are scan-fused column expressions (no exchange of their own); the only shuffles belong to the dedup keep-list machinery (band keys, edge longs) and the #sources-sized final aggregate",
-    "q95_embedding_dedup_clusters" -> "embedding near-dup resolution: bucketed cosine self-join proposes edges (coarser buckets than the ANN lane — recall over latency), then the same cached-edge min-label propagation as q93 resolves clusters")
+    "q95_embedding_dedup_clusters" -> "embedding near-dup resolution: bucketed cosine self-join proposes edges (coarser buckets than the ANN lane — recall over latency), then the same cached-edge min-label propagation as q93 resolves clusters",
+    "q96_sql_surface_funnel" -> "SQL surface: the graft_* functions expand to the library's own expression trees at parse time, so the plan is identical to the Column-API form — scan-fused quality/language gates, one #sources-sized aggregate, and NO UDF nodes anywhere (look for the absence of BatchEvalPython/ScalaUDF)")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

@@ -429,6 +429,40 @@ object TextQueries extends QueryModule {
         SELECT doc_id, line_idx, ${Determinism.duckHash("eff")} AS line_hash
         FROM eff
         WHERE eff IS NOT NULL
-          AND (length(eff) - length(regexp_replace(eff, '[A-Za-z]', '', 'g'))) > 0"""))
+          AND (length(eff) - length(regexp_replace(eff, '[A-Za-z]', '', 'g'))) > 0""")),
+
+    QueryDef("q96_sql_surface_funnel",
+      // the SQL surface end-to-end: per-source curation gates written in
+      // PURE SQL against the registered graft_* functions (GraftFunctions /
+      // GraftExtensions) — no Column API in the query body. The functions
+      // expand to the exact expression trees the Column form builds (same
+      // codegen, no UDFs), which is why this parses, optimizes, and
+      // oracle-checks like any other query. This is the surface a SQL-only
+      // pipeline or analyst uses.
+      (s, dir) => {
+        // idempotent; `spark.sql.extensions=graft.plans.GraftExtensions`
+        // covers sessions built with the conf (Verify/Bench do), register()
+        // covers any other live session
+        graft.plans.GraftFunctions.register(s)
+        Tables.load(s, dir, "documents").createOrReplaceTempView("graft_documents")
+        s.sql("""
+          SELECT source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN graft_quality_e6(text) >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+            CAST(sum(CASE WHEN graft_lang_id(text) = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+            CAST(sum(graft_token_count(text)) AS BIGINT) AS n_tokens,
+            CAST(sum(graft_seeded('cur', graft_normalize_ws(text))) AS BIGINT) AS checksum
+          FROM graft_documents GROUP BY source""")
+      },
+      Some {
+        val toks = duckToks
+        s"""SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN ${TextAnalysis.duckQualityE6("text", toks)} >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          CAST(sum(CASE WHEN ${TextAnalysis.duckLangId(toks)} = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+          CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+          CAST(sum(${Determinism.duckHash(s"'cur:' || ${TextFunctions.duckNormalizeWs("text")}")}) AS BIGINT) AS checksum
+          FROM documents GROUP BY source"""
+      })
   )
 }

@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode→Expression conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper that only the classic Dataset pipeline
+    * unwraps — inside a SQL FunctionBuilder (GraftFunctions) the analyzer
+    * would see an unresolvable NullType node. This converts the whole
+    * tree to catalyst expressions immediately. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

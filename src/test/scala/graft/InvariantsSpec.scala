@@ -46,6 +46,32 @@ class InvariantsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("curation functions register on the SQL surface and match the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "The quick brown fox jumped. It ran 42 km for the win,  twice. "),
+      (2L, "der und das ist nicht ein mit von zu der und"),
+      (3L, "numbers 123 456 789 0 1 2 3 4 5")).toDF("id", "text")
+    df.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_quality_e6(text) AS q, graft_lang_id(text) AS l,
+           graft_token_count(text) AS n, graft_normalize_ws(text) AS w,
+           graft_tokens(text) AS t, graft_seeded('s', id) AS h
+         FROM gf_docs""").collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val viaCol = df.select(col("id"),
+        graft.operators.TextAnalysis.qualityE6(col("text")).as("q"),
+        graft.operators.TextAnalysis.langId(
+          graft.functions.TextFunctions.tokens(col("text"))).as("l"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
+        graft.functions.TextFunctions.normalizeWs(col("text")).as("w"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"),
+        Determinism.seeded("s", col("id")).as("h"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("golden sequence hashes: triplet/pair/text batches pinned per seed") {
     // the analogue of the reference's golden FNV pins
     // (src/sampler/tests.rs:17-50): any behavioral drift in the sampling

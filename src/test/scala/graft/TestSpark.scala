@@ -11,6 +11,9 @@ object TestSpark {
     // FAIR so IngestionSpec's per-source refresh pools genuinely share
     // the cluster (pools not in an allocation file get default settings)
     .config("spark.scheduler.mode", "FAIR")
+    // conf-time injection path for the SQL surface (the register() path
+    // is covered separately in InvariantsSpec)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")

@@ -31,6 +31,27 @@ object Mixing {
       .select(col("group"), col("w"), col("alloc"))
   }
 
+  /** Exact proportional stratified sample: `total` slots are allocated
+    * across strata by largest remainder over stratum sizes (so every
+    * stratum's count is within 1 of `total * n_g / N`, and they sum to
+    * exactly `total`), then each stratum takes its seeded rank-pick.
+    * Input needs `group` and `id` columns; emits the sampled rows as
+    * `(id, group, r)` with `r` the 1-based within-stratum pick rank.
+    *
+    * Scale: the allocation runs on a #strata-sized frame; the pick is one
+    * keyed window per stratum plus a broadcast join of the allocation —
+    * no global ordering, no driver loop. */
+  def stratifiedSample(df: DataFrame, total: Long, seed: String): DataFrame = {
+    val groups = df.groupBy(col("group")).agg(count(lit(1)).as("w"))
+    val alloc = weightedAllocation(groups, total)
+    val wr = Window.partitionBy(col("group"))
+      .orderBy(Determinism.seeded(s"ss:$seed", col("id")), col("id"))
+    df.withColumn("r", row_number().over(wr).cast("long"))
+      .join(broadcast(alloc.select(col("group"), col("alloc"))), "group")
+      .filter(col("r") <= col("alloc"))
+      .select(col("id"), col("group"), col("r"))
+  }
+
   /** Epoch-interleaved global position: sources shuffle per epoch, records
     * shuffle per (source, epoch), position = record_rank * n_sources +
     * source_rank. Input needs `id` and `source`; emits `pos`. */

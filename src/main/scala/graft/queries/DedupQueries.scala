@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Dedup operator demonstrations over `documents`, each with a DuckDB
@@ -335,6 +335,39 @@ object DedupQueries extends QueryModule {
             CAST(sum(q_ok * l_ok) AS BIGINT) AS n_lang_ok,
             CAST(sum(q_ok * l_ok * k_ok) AS BIGINT) AS n_kept,
             CAST(sum(q_ok * l_ok * k_ok * n_tokens) AS BIGINT) AS tokens_kept
-          FROM staged GROUP BY source"""))
+          FROM staged GROUP BY source""")),
+
+    QueryDef("q97_decontamination",
+      // benchmark DECONTAMINATION — the train/eval n-gram overlap scan
+      // (GPT-3 appendix C / PaLM recipe): a train doc is contaminated when
+      // it shares any token 4-gram with the eval holdout (here the
+      // seeded-hash-designated ~5% of the corpus, standing in for a
+      // benchmark suite). Join carries shingle-hash longs only and the
+      // eval side is broadcast — the 100 TB train scan stays shuffle-free.
+      // `contaminated = 0` is directly the post-decontamination keep-list.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isEval = pmod(Determinism.seeded("ev", col("doc_id")), lit(20L)) === 0L
+        Curation.contaminationScan(
+          docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", 4)
+      },
+      Some {
+        val hs = Dedup.duckShingleHashes(Dedup.duckShingles("toks", 4))
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks,
+            ${Determinism.duckSeeded("ev", "doc_id")} % 20 AS ev FROM documents),
+          sh AS (SELECT doc_id, ev, $hs AS hs FROM t),
+          tr AS (SELECT DISTINCT tid, h FROM
+            (SELECT doc_id AS tid, unnest(hs) AS h FROM sh WHERE ev <> 0)),
+          evs AS (SELECT DISTINCT eid, h FROM
+            (SELECT doc_id AS eid, unnest(hs) AS h FROM sh WHERE ev = 0)),
+          hits AS (SELECT tid, count(DISTINCT h) AS n_shared,
+              count(DISTINCT eid) AS n_eval_docs
+            FROM tr JOIN evs USING (h) GROUP BY tid)
+          SELECT t.doc_id,
+            CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared,
+            CAST(coalesce(hits.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+            CAST(CASE WHEN hits.tid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+          FROM t LEFT JOIN hits ON t.doc_id = hits.tid WHERE t.ev <> 0"""
+      })
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Splits, SplitRatios, Tables}
 import graft.functions.TextFunctions
+import graft.operators.{Curation, Mixing}
 import org.apache.spark.sql.functions._
 
 /** Deterministic split assignment and sliding-window chunking, expressed as
@@ -193,6 +194,54 @@ object SamplingQueries extends QueryModule {
         )
         SELECT doc_id, widx, span, wtokens, weight_e6,
           ${Determinism.duckHash("wtext")} AS whash
-        FROM allrows"""))
+        FROM allrows""")),
+
+    QueryDef("q48_stratified_sample",
+      // exact proportional STRATIFIED sampling: largest-remainder
+      // allocation of 120 slots across source strata (every stratum within
+      // 1 of its proportional share, counts sum exactly), then a seeded
+      // rank-pick inside each stratum. Allocation runs on a #strata-sized
+      // frame and is broadcast back — no global ordering at any width.
+      (s, dir) => Mixing.stratifiedSample(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id").as("id"), col("source").as("group")),
+          120L, Seed)
+        .select(col("id").as("doc_id"), col("group").as("source"), col("r")),
+      Some(s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        t AS (SELECT source, n, sum(n) OVER () AS tw,
+          (120 * n) // (sum(n) OVER ()) AS flo,
+          (120 * n) % (sum(n) OVER ()) AS rem FROM c),
+        r AS (SELECT *, 120 - sum(flo) OVER () AS short,
+          CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr FROM t),
+        a AS (SELECT source, flo + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS alloc FROM r),
+        rk AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${Determinism.duckSeeded(s"ss:$Seed", "doc_id")}, doc_id) AS BIGINT) AS r
+          FROM documents)
+        SELECT rk.doc_id, rk.source, rk.r
+        FROM rk JOIN a ON rk.source = a.source WHERE rk.r <= a.alloc""")),
+
+    QueryDef("q99_sequence_packing",
+      // token-budget SEQUENCE PACKING (the pretraining-loader step): docs
+      // sharded by seeded hash, seeded-shuffled within the shard, packed
+      // greedily into 128-token sequences via one running-sum window per
+      // shard. Sequences never cross shards, so shard count = packing
+      // parallelism (size it so a shard's token mass fits one task);
+      // boundary waste is at most one sequence per shard.
+      (s, dir) => Curation.packSequences(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 128L, 4, Seed),
+      Some(s"""WITH d AS (SELECT doc_id,
+          CAST(${TextFunctions.duckTokenCount("text")} AS BIGINT) AS n_tok,
+          ${Determinism.duckSeeded(s"ps:$Seed", "doc_id")} % 4 AS shard
+        FROM documents),
+        w AS (SELECT doc_id, shard, n_tok,
+          CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+            ORDER BY ${Determinism.duckSeeded(s"pk:$Seed", "doc_id")}, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM d)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+          CAST(cum_before // 128 AS BIGINT) AS seq_id,
+          CAST(cum_before % 128 AS BIGINT) AS seq_offset
+        FROM w"""))
   )
 }

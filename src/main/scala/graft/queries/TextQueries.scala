@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator demonstrations over `documents`:
@@ -463,6 +463,47 @@ object TextQueries extends QueryModule {
           CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
           CAST(sum(${Determinism.duckHash(s"'cur:' || ${TextFunctions.duckNormalizeWs("text")}")}) AS BIGINT) AS checksum
           FROM documents GROUP BY source"""
+      }),
+
+    QueryDef("q98_repetition_filters",
+      // Gopher-style REPETITION quality gates: share of the most frequent
+      // token / token-bigram and the duplicate-trigram fraction, e6-exact,
+      // plus the composite `repetitive` flag (see Curation thresholds).
+      // Two map-side-combinable keyed aggregations — no self-join, no
+      // window — so the profile is a linear scan at any corpus size.
+      (s, dir) => Curation.repetitionProfile(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val b2 = Dedup.duckShingles("toks", 2)
+        val b3 = Dedup.duckShingles("toks", 3)
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          g AS (
+            SELECT doc_id, 'u' AS kind, unnest(toks) AS g FROM t WHERE len(toks) > 0
+            UNION ALL
+            SELECT doc_id, 'b' AS kind, unnest($b2) AS g FROM t WHERE len(toks) > 0
+            UNION ALL
+            SELECT doc_id, 't' AS kind, unnest($b3) AS g FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, kind, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+          sk AS (SELECT doc_id, kind, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+            FROM c GROUP BY 1, 2),
+          w AS (SELECT doc_id,
+            max(CASE WHEN kind = 'u' THEN mx END) AS u_mx,
+            max(CASE WHEN kind = 'u' THEN tot END) AS u_tot,
+            max(CASE WHEN kind = 'b' THEN mx END) AS b_mx,
+            max(CASE WHEN kind = 'b' THEN tot END) AS b_tot,
+            max(CASE WHEN kind = 't' THEN nd END) AS t_nd,
+            max(CASE WHEN kind = 't' THEN tot END) AS t_tot
+            FROM sk GROUP BY 1),
+          f AS (SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+            ${TextAnalysis.duckRatioE6("coalesce(u_mx, 0)", "coalesce(u_tot, 0)")} AS top_tok_e6,
+            ${TextAnalysis.duckRatioE6("coalesce(b_mx, 0)", "coalesce(b_tot, 0)")} AS top_bigram_e6,
+            ${TextAnalysis.duckRatioE6("coalesce(t_tot, 0) - coalesce(t_nd, 0)", "coalesce(t_tot, 0)")} AS dup_trigram_e6
+            FROM t LEFT JOIN w ON t.doc_id = w.doc_id)
+          SELECT doc_id, n_tok, top_tok_e6, top_bigram_e6, dup_trigram_e6,
+            CAST(CASE WHEN top_tok_e6 > ${Curation.TopTokMaxE6}
+              OR dup_trigram_e6 > ${Curation.DupTrigramMaxE6}
+              THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+          FROM f"""
       })
   )
 }

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Curation, Mixing}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the curation kit (operators.Curation + Mixing.stratifiedSample):
+  * exact hand-computed outputs on planted corpora, plus partition-count
+  * invariance for every operator (the determinism doctrine — same result on
+  * any cluster topology).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def invariantUnderRepartition(mk: DataFrame => DataFrame, df: DataFrame): Unit =
+    assert(sortedRows(mk(df.repartition(1))) == sortedRows(mk(df.repartition(13))))
+
+  // ---- contaminationScan ----
+
+  test("contaminationScan flags exactly the planted 4-gram overlap") {
+    val evalSet = docs(100L -> "alpha beta gamma delta epsilon")
+    val train = docs(
+      1L -> "zero alpha beta gamma delta nine", // shares 'alpha beta gamma delta'
+      2L -> "beta gamma delta epsilon tail x", // shares the second 4-gram
+      3L -> "unrelated words only here now")
+    val out = Curation.contaminationScan(train, evalSet, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L)))
+    assert(out(2L) == ((1L, 1L, 1L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("contaminationScan: short docs fall back to whole-text shingles") {
+    // both sides shorter than k=4 → single whole-text shingle each
+    val out = Curation.contaminationScan(
+      docs(1L -> "tiny doc", 2L -> "other"), docs(9L -> "tiny doc"), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("contaminationScan is partition-invariant") {
+    val corpus = docs((1L to 40L).map(i =>
+      i -> s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 2} end$i"): _*)
+    val evalSet = docs(100L -> "w1 w2 w3 w4 w5")
+    invariantUnderRepartition(
+      d => Curation.contaminationScan(d, evalSet, "doc_id", "text", 4), corpus)
+  }
+
+  // ---- repetitionProfile ----
+
+  test("repetitionProfile: exact e6 stats on planted docs") {
+    val out = Curation.repetitionProfile(docs(
+        1L -> "a a a a a", // pure repetition
+        2L -> "b c d e f", // no repetition
+        3L -> "   "), // zero tokens
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: 5 tokens all 'a' → top_tok 1e6; 4 bigrams all 'a a' → 1e6;
+    // 3 trigrams, 1 distinct → dup = floor(2/3 * 1e6)
+    assert(out(1L) == ((5L, 1000000L, 1000000L, 666666L, 1L)))
+    // doc 2: every gram unique → top shares are 1/n, no dup trigrams
+    assert(out(2L) == ((5L, 200000L, 250000L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionProfile is partition-invariant") {
+    val corpus = docs((1L to 50L).map(i =>
+      i -> (s"tok${i % 9} " * (i % 6 + 1).toInt).trim): _*)
+    invariantUnderRepartition(Curation.repetitionProfile(_, "doc_id", "text"), corpus)
+  }
+
+  // ---- packSequences ----
+
+  test("packSequences: greedy per-shard packing invariants") {
+    val corpus = docs((1L to 120L).map(i => i -> ("w " * (i % 17 + 1).toInt).trim): _*)
+    val out = Curation.packSequences(corpus, "doc_id", "text", budget = 32L, shards = 3, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 120)
+    // token mass is preserved and offsets stay inside the budget
+    assert(out.map(_._3).sum == (1L to 120L).map(i => i % 17 + 1).sum)
+    assert(out.forall(r => r._5 >= 0 && r._5 < 32))
+    // within each shard, replaying the greedy packer over the emitted
+    // (seq_id, seq_offset) order reproduces exactly the assignments
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5, r._1))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r._4 == cum / 32 && r._5 == cum % 32)
+        cum += r._3
+      }
+      // sequence ids are contiguous from 0
+      val seqs = rows.map(_._4).distinct.sorted
+      assert(seqs.toSeq == (0L until seqs.length.toLong))
+    }
+  }
+
+  test("packSequences is partition-invariant") {
+    val corpus = docs((1L to 80L).map(i => i -> ("x " * (i % 9 + 1).toInt).trim): _*)
+    invariantUnderRepartition(
+      Curation.packSequences(_, "doc_id", "text", 16L, 4, "s"), corpus)
+  }
+
+  // ---- stratifiedSample ----
+
+  test("stratifiedSample: exact total, proportional within 1, lowest ranks") {
+    val df = (1L to 200L).map(i =>
+      i -> (if (i <= 120) "big" else if (i <= 180) "mid" else "small"))
+      .toDF("id", "group")
+    val out = Mixing.stratifiedSample(df, 50L, "s").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 50)
+    val per = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // proportional shares: 120/200*50=30, 60/200*50=15, 20/200*50=5 (exact)
+    assert(per == Map("big" -> 30, "mid" -> 15, "small" -> 5))
+    // the picks are exactly ranks 1..alloc per stratum
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
+  test("stratifiedSample: largest remainder rounds and sums exactly") {
+    // sizes 7/5/3 over total 10 → exact shares 4.66/3.33/2.0 →
+    // floors 4/3/2 = 9, one remainder slot → highest remainder (a) gets it
+    val df = ((1L to 7L).map(_ -> "a") ++ (8L to 12L).map(_ -> "b") ++
+      (13L to 15L).map(_ -> "c")).toDF("id", "group")
+    val per = Mixing.stratifiedSample(df, 10L, "s").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(per.values.sum == 10)
+    assert(per == Map("a" -> 5, "b" -> 3, "c" -> 2))
+  }
+
+  test("stratifiedSample is partition-invariant") {
+    val df = (1L to 150L).map(i => i -> s"g${i % 4}").toDF("id", "group")
+    invariantUnderRepartition(Mixing.stratifiedSample(_, 40L, "s"), df)
+  }
+}

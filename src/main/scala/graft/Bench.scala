@@ -34,6 +34,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // listener-side plan descriptions: 'simple' skips the formatted-mode
+      // operator-id annotation pass (ExplainUtils.processPlan), which on
+      // the big composed plans costs real driver time per AQE stage update
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

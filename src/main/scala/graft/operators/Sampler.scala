@@ -95,12 +95,21 @@ object Sampler {
     val slots = slotsB.result()
 
     // ---- record pick: per-epoch interleave joined on position ----
+    // Each composed frame from here on is BATCH-sized and feeds several
+    // downstream consumers; localCheckpoint() materializes it eagerly so
+    // every subsequent job plans over a tiny leaf instead of replaying
+    // (and re-optimizing, and re-describing to the SQL listener) the whole
+    // upstream tree. Without the cuts the final plan duplicates the pick
+    // subtree ~6x and a 6-batch golden run spends ~100 s/batch just
+    // BUILDING plan strings (ExplainUtils on every AQE stage update).
+    // Values are unaffected — every column is a pure (seed, epoch, draw)
+    // function; only lineage is cut.
     val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
       val sdf = ss.map(s => (s._1, s._3, s._4)).toDF("draw", "pos", "recipe")
       Mixing.epochOrder(pool, ep).join(broadcast(sdf), "pos")
         .select(col("draw"), lit(ep).as("epoch"), col("recipe"),
           col("id").as("record_id"), col("source"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint()
 
     // ---- negative record: same source, skip-the-anchor rank pick ----
     val srcRank = pool
@@ -120,6 +129,7 @@ object Sampler {
       .join(srcRank.select(col("source"), col("rn").as("n_rn"), col("id").as("nid")),
         Seq("source", "n_rn"))
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"), col("nid"))
+      .localCheckpoint()
 
     // ---- chunk picks: selector windows on the batch-restricted table ----
     val slotMeta = slots.map { case (draw, _, _, name) =>
@@ -130,7 +140,7 @@ object Sampler {
       (draw, am, aa, pm, pa, nm, na, r.allowSameAnchorPositive)
     }.toDF("draw", "a_mode", "a_arg", "p_mode", "p_arg", "n_mode", "n_arg", "allow_same")
     val ids = slotRec.select(col("record_id")).union(negRec.select(col("nid"))).distinct()
-    val chunksR = chunks.join(broadcast(ids), Seq("record_id")).cache()
+    val chunksR = chunks.join(broadcast(ids), Seq("record_id")).localCheckpoint()
     def pickFor(slot: String, modeCol: String, argCol: String, recs: DataFrame) =
       Recipes.selectChunksBatch(chunksR,
           slotMeta.select(col("draw"), col(modeCol).as("mode"), col(argCol).as("arg")), slot)
@@ -153,6 +163,7 @@ object Sampler {
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
         col("nid"), col("n_hash"), col("allow_same"))
+      .localCheckpoint()
 
     // ---- batch-local stages: rejection → seen-set dedup → pad ----
     val rejected = core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))

@@ -15,6 +15,7 @@ object TestSpark {
     // is covered separately in InvariantsSpec)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.ui.explainMode", "simple")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()

@@ -104,6 +104,44 @@ object Similarity {
       .select(col("cid"), col("cemb"))
   }
 
+  /** One exact Lloyd (k-means) refinement step over the coarse codebook:
+    * reassign every vector to its nearest centroid ([[ivfAssign]] — exact
+    * integer distances), then recompute each non-empty cell's centroid as
+    * the per-dimension mean of its members.
+    *
+    * Exactness: sums run over the e3 scaled integers (order-free); the
+    * mean is `floor(sum / n)` — the one double division is exact-integer-
+    * recoverable (|sum| ≪ 2⁵³, and an integer quotient divides exactly),
+    * so the refined centroid is bit-reproducible by the oracle. The
+    * emitted `cemb` floats are e3-integers / 1000, which round-trip
+    * EXACTLY through [[dotE3]]'s `round(x·1000)` re-scaling — iterating
+    * the step stays on the integer lattice. Empty cells drop (standard
+    * Lloyd; the codebook may shrink).
+    *
+    * Scale shape: assignment is the same narrow n×K pass as [[ivfAssign]];
+    * the recompute is one explode to (cell, dim) keyed rows and a
+    * map-side-combined aggregation — centroids (K·dim rows) stay
+    * broadcast-sized throughout. Returns `(cid, cemb, n)`.
+    */
+  def lloydStep(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val assign = ivfAssign(emb, idCol, embCol, centroids)
+    emb.join(assign, idCol)
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("i0", "x")))
+      .select(col("cell"), (col("i0") + 1).as("i"),
+        round(col("x").cast("double") * 1000).cast("long").as("e"))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("e")).as("se"), count(lit(1)).as("n"))
+      .withColumn("m_e3",
+        floor(col("se").cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m_e3")))).as("ms"),
+        max(col("n")).as("n"))
+      .select(col("cell").as("cid"),
+        transform(col("ms"), s => (s("m_e3").cast("double") / 1000.0).cast("float")).as("cemb"),
+        col("n"))
+  }
+
   /** Cell assignment `(id, cell)`: nearest centroid by exact integer
     * squared distance, ties to the lower cid (min-of-struct — no window). */
   def ivfAssign(emb: DataFrame, idCol: String, embCol: String,

@@ -160,6 +160,71 @@ object SimilarityQueries extends QueryModule {
         WHERE rank <= $TopK"""
       }),
 
+    QueryDef("q65_ivf_lloyd_refine",
+      // LLOYD refinement of the IVF codebook — the k-means step the
+      // hash-picked bootstrap (q29) deliberately omitted: two exact
+      // reassign+recompute rounds tighten the coarse cells while staying
+      // bit-reproducible (integer sums, floor-div means, e3 lattice
+      // round-trip through the float centroids). Emits the refined
+      // codebook as (cid, dim index, mean at e3 scale, cell size).
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val c0 = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+        val c1 = Similarity.lloydStep(emb, "vec_id", "embedding", c0)
+          .select(col("cid"), col("cemb"))
+        val c2 = Similarity.lloydStep(emb, "vec_id", "embedding", c1)
+        c2.select(col("cid"), col("n").as("cell_size"),
+            posexplode(col("cemb")).as(Seq("i0", "x")))
+          .select(col("cid"), (col("i0") + 1).cast("long").as("i"),
+            round(col("x").cast("double") * 1000).cast("long").as("m_e3"),
+            col("cell_size"))
+      },
+      Some {
+        def dist(a: String, b: String) =
+          s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
+            s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
+        // centroid-as-e3-list distance: |e|² + |c|² − 2·Σ e3(e_i)·c_i
+        def distCm(e: String, cm: String) =
+          s"(${Similarity.duckDotE3(e, e, Dim)}" +
+            s" + CAST(list_sum(list_transform($cm, v -> v * v)) AS BIGINT)" +
+            s" - 2 * CAST(list_sum(list_transform(generate_series(1, $Dim), i -> " +
+            s"CAST(round(CAST($e[i] AS DOUBLE) * 1000) AS BIGINT) * $cm[i])) AS BIGINT))"
+        def meanCtes(asg: String, s1: String) =
+          s"""x_$s1 AS (SELECT a.cell, e.vec_id FROM embeddings e JOIN $asg a ON e.vec_id = a.vec_id),
+          el_$s1 AS (SELECT cell, vec_id, unnest(generate_series(1, $Dim)) AS i FROM x_$s1),
+          $s1 AS (SELECT el.cell, el.i,
+              CAST(floor(CAST(sum(CAST(round(CAST(e.embedding[el.i] AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE)
+                / count(*)) AS BIGINT) AS m_e3,
+              CAST(count(*) AS BIGINT) AS n
+            FROM el_$s1 el JOIN embeddings e ON el.vec_id = e.vec_id
+            GROUP BY el.cell, el.i)"""
+        s"""WITH picked AS (
+          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+        ), cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
+            embedding AS cemb
+          FROM picked
+        ), a1_0 AS (
+          SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
+          FROM embeddings e CROSS JOIN cents c
+        ), a1 AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM a1_0) t WHERE rn = 1
+        ), ${meanCtes("a1", "s1")},
+        c1 AS (SELECT cell AS cid, list(m_e3 ORDER BY i) AS cm FROM s1 GROUP BY cell),
+        a2_0 AS (
+          SELECT e.vec_id, c.cid, ${distCm("e.embedding", "c.cm")} AS dist
+          FROM embeddings e CROSS JOIN c1 c
+        ), a2 AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM a2_0) t WHERE rn = 1
+        ), ${meanCtes("a2", "s2")}
+        SELECT cell AS cid, i, m_e3, n AS cell_size FROM s2"""
+      }),
+
     QueryDef("q95_embedding_dedup_clusters",
       // dedup RESOLUTION generalized across modalities: q27's same-bucket
       // cosine pairs (thresholded at CosMin) are the edge list, and the

@@ -108,4 +108,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L), "every chain node joins cluster 1")
     assert(rounds <= 10, s"log-convergence law: $rounds rounds for diameter ${n - 1}")
   }
+
+  test("lloydStep: exact per-dim integer means, then a fixpoint") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0f)), (4L, Array(0f, 0.1f, 0.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val c0 = Seq((0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 0f, 1.0f, 0f)))
+      .toDF("cid", "cemb")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Float](1).map(x => math.round(x * 1000)).toList, r.getLong(2)))).toMap
+    val c1 = Similarity.lloydStep(emb, "vec_id", "embedding", c0)
+    // vecs 1,2 -> cell 0 and 3,4 -> cell 1; means on the e3 lattice
+    assert(asMap(c1) == Map(
+      0L -> ((List(950L, 50L, 0L, 0L), 2L)),
+      1L -> ((List(0L, 50L, 950L, 0L), 2L))))
+    // the refined codebook reassigns identically -> exact fixpoint
+    val c2 = Similarity.lloydStep(emb, "vec_id", "embedding",
+      c1.select(col("cid"), col("cemb")))
+    assert(asMap(c2) == asMap(c1))
+  }
 }

@@ -41,7 +41,12 @@ object PlanDump extends App {
     "q24_ngram_jaccard_pairs" -> "two-phase exact Jaccard: LSH bands propose candidates (q22's bucketed self-join — no n² pair space), then each candidate verifies EXACTLY via array_intersect of the two docs' distinct shingle-hash sets; the pair side is tiny so both verification joins broadcast it",
     "q94_corpus_curation" -> "the composed funnel: quality + language gates are scan-fused column expressions (no exchange of their own); the only shuffles belong to the dedup keep-list machinery (band keys, edge longs) and the #sources-sized final aggregate",
     "q95_embedding_dedup_clusters" -> "embedding near-dup resolution: bucketed cosine self-join proposes edges (coarser buckets than the ANN lane — recall over latency), then the same cached-edge min-label propagation as q93 resolves clusters",
-    "q96_sql_surface_funnel" -> "SQL surface: the graft_* functions expand to the library's own expression trees at parse time, so the plan is identical to the Column-API form — scan-fused quality/language gates, one #sources-sized aggregate, and NO UDF nodes anywhere (look for the absence of BatchEvalPython/ScalaUDF)")
+    "q96_sql_surface_funnel" -> "SQL surface: the graft_* functions expand to the library's own expression trees at parse time, so the plan is identical to the Column-API form — scan-fused quality/language gates, one #sources-sized aggregate, and NO UDF nodes anywhere (look for the absence of BatchEvalPython/ScalaUDF)",
+    "q97_decontamination" -> "decontamination: both sides reduce to distinct (doc, shingle-hash) LONGS before the overlap join; the eval side is the BroadcastExchange (benchmark suites are MBs) so the train scan reaches the hit aggregate with no shuffle of its own — at 100 TB the only wide ops are the two distincts, keyed by (doc, hash)",
+    "q98_repetition_filters" -> "repetition gates: one Generate (3 gram kinds in a single explode), then two map-side-combined hash aggregates (doc,kind,gram) -> (doc,kind) -> doc pivot; no self-join, no window — linear in corpus size",
+    "q99_sequence_packing" -> "sequence packing: ONE keyed window per shard (running token sum in seeded order); parallelism = shard count, sequences never cross shards; everything above the window is scan-fused narrow column work",
+    "q48_stratified_sample" -> "stratified sample: the largest-remainder allocation runs on a #strata-sized frame (the only unpartitioned window) and comes back as a BroadcastExchange; the pick is one (stratum)-keyed rank window + broadcast join — no global ordering at corpus width",
+    "q65_ivf_lloyd_refine" -> "Lloyd step: codebook broadcast onto the corpus for the n x K argmin (min-of-struct aggregate), recompute = one Generate to (cell, dim) rows + map-side-combined aggregation; centroids stay K x dim rows end to end")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

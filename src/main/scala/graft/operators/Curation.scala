@@ -146,4 +146,41 @@ object Curation {
         expr(s"cum_before div $budget").as("seq_id"),
         pmod(col("cum_before"), lit(budget)).as("seq_offset"))
   }
+
+  /** Boundary-splitting variant of [[packSequences]] — the T5/GPT loader
+    * semantics where documents are CUT at sequence boundaries instead of
+    * spilling: every sequence in a shard holds exactly `budget` tokens
+    * (only the shard's last sequence runs short), zero padding waste.
+    *
+    * Same shard/order/running-sum skeleton; each doc then explodes into
+    * one row per sequence it touches (`sequence(seq0, seq1)` — a doc
+    * longer than the budget spans several), carrying the half-open token
+    * slice `[tok_start, tok_end)` of the doc that lands in that sequence.
+    * Segments of a doc are contiguous and sum to its token count, so the
+    * trainer reassembles or truncates locally; nothing about the split
+    * depends on partitioning.
+    */
+  def packSequencesSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int,
+      seed: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(Determinism.seeded(s"pk:$seed", col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard",
+        pmod(Determinism.seeded(s"ps:$seed", col("doc_id")), lit(shards.toLong)))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_before div $budget"),
+        expr(s"(cum_before + n_tok - 1) div $budget"))))
+      .select(col("doc_id"), col("shard"), col("seq_id"),
+        greatest(col("seq_id") * budget - col("cum_before"), lit(0L)).as("tok_start"),
+        least((col("seq_id") + 1) * budget - col("cum_before"), col("n_tok")).as("tok_end"))
+  }
 }

@@ -67,6 +67,31 @@ object MetricsQueries extends QueryModule {
         CAST(sum(${Determinism.duckSeeded("pc", "CAST(doc_id AS VARCHAR) || ':' || source")}) AS BIGINT) AS checksum
         FROM documents""")),
 
+    QueryDef("q53_temperature_allocation",
+      // TEMPERATURE-scaled source mixing (the multilingual-LLM
+      // alpha-sampling recipe): allocation weight ∝ n^alpha with
+      // alpha = 0.5, which flattens head sources and boosts the tail.
+      // Weights are floor(sqrt(n) * 1000) — sqrt is correctly rounded
+      // IEEE in both engines, so the integer weights (and therefore the
+      // exact largest-remainder allocation) are bit-identical.
+      (s, dir) => {
+        val groups = Tables.load(s, dir, "documents")
+          .groupBy(col("source").as("group")).agg(count(lit(1)).as("n"))
+          .withColumn("w", floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
+        graft.operators.Mixing.weightedAllocation(groups, 1000L)
+          .select(col("group").as("source"), col("w"), col("alloc"))
+      },
+      Some(s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c),
+        t AS (SELECT source, w, sum(w) OVER () AS tw,
+          (1000 * w) // (sum(w) OVER ()) AS flo,
+          (1000 * w) % (sum(w) OVER ()) AS rem FROM w),
+        r AS (SELECT *, 1000 - sum(flo) OVER () AS short,
+          CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr FROM t)
+        SELECT source, CAST(w AS BIGINT) AS w,
+          CAST(flo + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        FROM r""")),
+
     QueryDef("q43_weighted_allocation",
       (s, dir) => {
         val groups = Tables.load(s, dir, "documents")

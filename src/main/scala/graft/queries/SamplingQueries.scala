@@ -242,6 +242,33 @@ object SamplingQueries extends QueryModule {
         SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
           CAST(cum_before // 128 AS BIGINT) AS seq_id,
           CAST(cum_before % 128 AS BIGINT) AS seq_offset
-        FROM w"""))
+        FROM w""")),
+
+    QueryDef("q67_sequence_packing_split",
+      // boundary-SPLITTING packing (T5/GPT loader semantics): documents
+      // are cut at sequence boundaries, so every sequence in a shard is
+      // exactly 128 tokens (zero padding waste; only the shard's tail
+      // runs short). Each doc explodes into one row per sequence it
+      // touches with the half-open token slice [tok_start, tok_end) that
+      // lands there — segments are contiguous, sum to the doc's tokens,
+      // and the whole layout is a pure function of (seed, doc_id).
+      (s, dir) => Curation.packSequencesSplit(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 128L, 4, Seed),
+      Some(s"""WITH d AS (SELECT doc_id,
+          CAST(${TextFunctions.duckTokenCount("text")} AS BIGINT) AS n_tok,
+          ${Determinism.duckSeeded(s"ps:$Seed", "doc_id")} % 4 AS shard
+        FROM documents),
+        w AS (SELECT doc_id, shard, n_tok,
+          CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+            ORDER BY ${Determinism.duckSeeded(s"pk:$Seed", "doc_id")}, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM d WHERE n_tok > 0),
+        g AS (SELECT doc_id, shard, n_tok, cum_before,
+          unnest(generate_series(cum_before // 128, (cum_before + n_tok - 1) // 128)) AS seq_id
+        FROM w)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+          CAST(GREATEST(seq_id * 128 - cum_before, 0) AS BIGINT) AS tok_start,
+          CAST(LEAST((seq_id + 1) * 128 - cum_before, n_tok) AS BIGINT) AS tok_end
+        FROM g"""))
   )
 }

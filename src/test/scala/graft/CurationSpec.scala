@@ -104,6 +104,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesSplit: exact full sequences, contiguous doc slices") {
+    val corpus = docs((1L to 90L).map(i => i -> ("w " * (i % 23 + 1).toInt).trim): _*)
+    val out = Curation.packSequencesSplit(corpus, "doc_id", "text", 32L, 3, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // slices per doc are contiguous half-open ranges summing to n_tok,
+    // over consecutive sequence ids
+    out.groupBy(_._1).foreach { case (id, segs) =>
+      val n = id % 23 + 1
+      assert(segs.map(s => s._5 - s._4).sum == n)
+      val sorted = segs.sortBy(_._3).toList
+      assert(sorted.head._4 == 0L && sorted.last._5 == n)
+      sorted.sliding(2).foreach {
+        case List(a, b) => assert(a._5 == b._4 && b._3 == a._3 + 1)
+        case _ => ()
+      }
+    }
+    // zero waste: every sequence except each shard's last holds exactly
+    // the 32-token budget
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val bySeq = rows.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4).sum).toMap
+      val last = bySeq.keys.max
+      bySeq.foreach { case (sq, tot) =>
+        if (sq != last) assert(tot == 32L, s"seq $sq holds $tot tokens")
+        else assert(tot <= 32L)
+      }
+    }
+  }
+
+  test("packSequencesSplit is partition-invariant") {
+    val corpus = docs((1L to 70L).map(i => i -> ("y " * (i % 19 + 1).toInt).trim): _*)
+    invariantUnderRepartition(
+      Curation.packSequencesSplit(_, "doc_id", "text", 16L, 3, "s"), corpus)
+  }
+
   test("packSequences is partition-invariant") {
     val corpus = docs((1L to 80L).map(i => i -> ("x " * (i % 9 + 1).toInt).trim): _*)
     invariantUnderRepartition(

@@ -134,6 +134,31 @@ object Dedup {
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()
   }
 
+  /** Incremental LSH candidates — the corpus-growth path: when a new
+    * shard lands, only pairs touching at least one NEW doc need checking
+    * (old–old pairs were resolved when the index was built). `sigs` must
+    * carry a boolean `newCol`; the join is driven by the new side's bands,
+    * so candidate cost scales with |new| × in-bucket collisions, never
+    * with |corpus|². Emits `(a, b)` with `a < b`, same contract as
+    * [[lshCandidatePairs]] — feed the union of these and the stored pairs
+    * to [[connectedComponents]] to refresh the keep-list. */
+  def incrementalCandidatePairs(sigs: DataFrame, idCol: String, newCol: String,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = bandKeys(numBands, rowsPerBand).map { case (b, key) =>
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bands = sigs.select(col(idCol), col(newCol).as("is_new"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("is_new"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = bands.filter(col("is_new")).as("l"); val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("a"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("b"))
+      .distinct()
+  }
+
   /** Connected components by min-label propagation with pointer jumping:
     * every node starts labeled with its own id; each round takes the
     * minimum over itself and its neighbors (hash-min), then additionally

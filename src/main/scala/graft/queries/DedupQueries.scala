@@ -22,18 +22,23 @@ object DedupQueries extends QueryModule {
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
 
-  /** `bands AS (...), pairs AS (...)` CTEs mirroring
+  /** `bands AS (...)` CTE mirroring the band-key packing of
     * [[Dedup.lshCandidatePairs]] (exact long packing of bandKeys). */
-  private def duckPairCtes: String = {
+  private def duckBandsCte: String = {
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
         .reduce((a, x) => s"($a * ${Dedup.MixMod} + $x)")
       s"SELECT doc_id, $b AS band, CAST($key AS BIGINT) AS key FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""bands AS ($bandSelects),
+    s"bands AS ($bandSelects)"
+  }
+
+  /** `bands AS (...), pairs AS (...)` CTEs mirroring
+    * [[Dedup.lshCandidatePairs]]. */
+  private def duckPairCtes: String =
+    s"""$duckBandsCte,
       pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
-  }
   private def duckSigs(perms: Int): String = {
     val mhs = (0 until perms).map(j => s"${Dedup.duckMinhashFromHashes("hs", j)} AS mh$j").mkString(", ")
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -368,6 +373,39 @@ object DedupQueries extends QueryModule {
             CAST(coalesce(hits.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
             CAST(CASE WHEN hits.tid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
           FROM t LEFT JOIN hits ON t.doc_id = hits.tid WHERE t.ev <> 0"""
+      }),
+
+    QueryDef("q68_incremental_dedup",
+      // INCREMENTAL dedup — the corpus-growth path: a freshly-landed
+      // shard (the seeded ~20% here) is checked against the standing
+      // corpus by generating only the candidate pairs that touch a new
+      // doc; old-old pairs (already resolved when the index was built)
+      // are never produced, so the refresh scales with the shard, not
+      // the corpus. Output pairs carry which endpoints are new.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isNew = (id: org.apache.spark.sql.Column) =>
+          pmod(Determinism.seeded("inc", id), lit(5L)) === 0L
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", Perms, ShingleK)
+          .withColumn("is_new", isNew(col("doc_id")))
+        Dedup.incrementalCandidatePairs(sigs, "doc_id", "is_new", Bands, RowsPerBand)
+          .select(col("a"), col("b"),
+            isNew(col("a")).cast("long").as("a_new"),
+            isNew(col("b")).cast("long").as("b_new"))
+      },
+      Some {
+        def isNew(e: String) = s"${Determinism.duckSeeded("inc", e)} % 5 = 0"
+        s"""${duckSigs(Perms)},
+          $duckBandsCte,
+          pairs AS (SELECT DISTINCT LEAST(l.doc_id, r.doc_id) AS a,
+              GREATEST(l.doc_id, r.doc_id) AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id <> r.doc_id
+            WHERE ${isNew("l.doc_id")})
+          SELECT a, b,
+            CAST(CASE WHEN ${isNew("a")} THEN 1 ELSE 0 END AS BIGINT) AS a_new,
+            CAST(CASE WHEN ${isNew("b")} THEN 1 ELSE 0 END AS BIGINT) AS b_new
+          FROM pairs"""
       })
   )
 }

@@ -109,6 +109,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rounds <= 10, s"log-convergence law: $rounds rounds for diameter ${n - 1}")
   }
 
+  test("incrementalCandidatePairs = full candidate pairs minus old-old") {
+    import spark.implicits._
+    // identical docs within each i%5 group so LSH genuinely collides
+    val docs = (1L to 30L).map(i => (i, s"shared common prefix tokens g${i % 5} " * 3))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .withColumn("is_new", col("doc_id") % 3 === 0)
+    val full = Dedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.incrementalCandidatePairs(sigs, "doc_id", "is_new", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(inc.nonEmpty && inc == expected)
+  }
+
   test("lloydStep: exact per-dim integer means, then a fixpoint") {
     import spark.implicits._
     val emb = Seq(

@@ -57,6 +57,23 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(n > 150000L, s"unexpectedly few date-preferred triplets: $n")
   }
 
+  test("curation kit completes at 200k docs (contamination, packing, repetition)") {
+    import graft.operators.Curation
+    val docs = corpus(200000)
+    // decontamination: a benchmark-sized eval set against the full corpus;
+    // overlapping vocabulary guarantees real shingle-hash collisions
+    val evalSet = docs.filter(col("doc_id") % 1000 === 0)
+    val scan = Curation.contaminationScan(
+      docs.filter(col("doc_id") % 1000 =!= 0), evalSet, "doc_id", "text", 3)
+    assert(scan.count() == 199800L) // every train doc reported
+    // boundary-splitting packing at a production-ish shard count: every
+    // doc covered, sequences exact (spot-checked by the budget law on one shard)
+    val packed = Curation.packSequencesSplit(docs, "doc_id", "text", 512L, 32, "s")
+    assert(packed.select(sum(col("tok_end") - col("tok_start"))).head().getLong(0) == 200000L * 40)
+    // repetition profile: one row per doc, linear two-agg plan
+    assert(Curation.repetitionProfile(docs, "doc_id", "text").count() == 200000L)
+  }
+
   test("kvp decoration completes at 200k docs x 3 draws (narrow, zero shuffle)") {
     import graft.functions.{KvpField, KvpPrefixSampler}
     val sampler = KvpPrefixSampler(0.5f, Seq(

@@ -46,7 +46,10 @@ object PlanDump extends App {
     "q98_repetition_filters" -> "repetition gates: one Generate (3 gram kinds in a single explode), then two map-side-combined hash aggregates (doc,kind,gram) -> (doc,kind) -> doc pivot; no self-join, no window — linear in corpus size",
     "q99_sequence_packing" -> "sequence packing: ONE keyed window per shard (running token sum in seeded order); parallelism = shard count, sequences never cross shards; everything above the window is scan-fused narrow column work",
     "q48_stratified_sample" -> "stratified sample: the largest-remainder allocation runs on a #strata-sized frame (the only unpartitioned window) and comes back as a BroadcastExchange; the pick is one (stratum)-keyed rank window + broadcast join — no global ordering at corpus width",
-    "q65_ivf_lloyd_refine" -> "Lloyd step: codebook broadcast onto the corpus for the n x K argmin (min-of-struct aggregate), recompute = one Generate to (cell, dim) rows + map-side-combined aggregation; centroids stay K x dim rows end to end")
+    "q65_ivf_lloyd_refine" -> "Lloyd step: codebook broadcast onto the corpus for the n x K argmin (min-of-struct aggregate), recompute = one Generate to (cell, dim) rows + map-side-combined aggregation; centroids stay K x dim rows end to end",
+    "q67_sequence_packing_split" -> "boundary-splitting packing: identical shard-keyed running-sum window as q99, then ONE Generate explodes each doc into the sequences it touches — slice arithmetic is scan-fused column work, so the zero-waste layout costs exactly one window + one explode",
+    "q68_incremental_dedup" -> "incremental dedup: the join's LEFT side is only the NEW docs' band keys (filter above the Generate), the right side the full band table — candidate generation scales with the shard x collisions; old-old pairs never exist in the plan",
+    "q53_temperature_allocation" -> "temperature mixing: the whole plan runs on a #sources-sized frame after the first aggregate — the sqrt weight is a scalar projection, the allocation the same bounded global window as q43")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

@@ -27,12 +27,21 @@ object Similarity {
   /** Per-element scaled-integer value: round(x * 1000) as long. */
   private def e3(x: Column): Column = round(x.cast("double") * 1000).cast("long")
 
-  /** Exact scaled dot product of two float arrays. */
-  def dotE3(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => e3(x) * e3(y)), lit(0L), (acc, v) => acc + v)
+  /** Exact scaled dot product of two float arrays — the native codegen'd
+    * expression ([[graft.plans.DotE3]]): one JIT loop per row instead of
+    * ~dim interpreted lambda invocations (higher-order array functions
+    * have no doGenCode), which dominated the pair-scoring queries. */
+  def dotE3(a: Column, b: Column): Column = graft.plans.DotE3(a, b)
 
   /** Exact scaled self dot (squared norm). */
-  def normE3(a: Column): Column =
+  def normE3(a: Column): Column = graft.plans.DotE3(a, a)
+
+  /** Built-ins-only twins of [[dotE3]]/[[normE3]] (same values including
+    * the null contract; pin the native expression's semantics in tests). */
+  private[graft] def dotE3Composed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => e3(x) * e3(y)), lit(0L), (acc, v) => acc + v)
+
+  private[graft] def normE3Composed(a: Column): Column =
     aggregate(transform(a, x => e3(x) * e3(x)), lit(0L), (acc, v) => acc + v)
 
   /** Cosine at e6 integer scale from exact ints: floor(1e6*dot/(|a||b|)). */

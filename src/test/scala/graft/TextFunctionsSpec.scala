@@ -109,6 +109,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rounds <= 10, s"log-convergence law: $rounds rounds for diameter ${n - 1}")
   }
 
+  test("native dot_e3 matches the composed higher-order form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 100).map { i =>
+      (i.toLong,
+        Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f),
+        Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f))
+    } :+ ((101L, Array.empty[Float], Array.empty[Float]))
+    val cmp = rows.toDF("id", "a", "b").select(
+      Similarity.dotE3(col("a"), col("b")).as("n"),
+      Similarity.dotE3Composed(col("a"), col("b")).as("c"),
+      Similarity.normE3(col("a")).as("nn"),
+      Similarity.normE3Composed(col("a")).as("cc"))
+    assert(cmp.filter(col("n") =!= col("c") || col("nn") =!= col("cc")).count() == 0)
+    assert(cmp.filter(col("n").isNull || col("nn").isNull).count() == 0)
+    // exact float tie 0.0625*1000 = 62.5 rounds AWAY FROM ZERO both ways
+    // (Math.round would give -62 for the negative side)
+    val tie = Seq((Array(-0.0625f, 0.0625f), Array(1f, 1f))).toDF("a", "b")
+    val t = tie.select(Similarity.dotE3(col("a"), col("b")).as("n"),
+      Similarity.dotE3Composed(col("a"), col("b")).as("c")).head()
+    assert(t.getLong(0) == 0L && t.getLong(1) == 0L) // -63000 + 63000
+    // unequal lengths: both forms yield null
+    val uneq = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val u = uneq.select(Similarity.dotE3(col("a"), col("b")),
+      Similarity.dotE3Composed(col("a"), col("b"))).head()
+    assert(u.isNullAt(0) && u.isNullAt(1))
+  }
+
   test("incrementalCandidatePairs = full candidate pairs minus old-old") {
     import spark.implicits._
     // identical docs within each i%5 group so LSH genuinely collides

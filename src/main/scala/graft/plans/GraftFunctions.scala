@@ -63,7 +63,15 @@ object GraftFunctions {
       columnFn("graft_token_count", 1)(cs => TextFunctions.tokenCount(cs(0))),
       columnFn("graft_quality_e6", 1)(cs => TextAnalysis.qualityE6(cs(0))),
       columnFn("graft_lang_id", 1)(cs =>
-        TextAnalysis.langId(TextFunctions.tokens(cs(0)))))
+        TextAnalysis.langId(TextFunctions.tokens(cs(0)))),
+      // exact scaled dot product over two array<float> columns — the
+      // similarity kit's native expression, for SQL-only ANN/dedup lanes
+      (FunctionIdentifier("graft_dot_e3"),
+        new ExpressionInfo(classOf[DotE3].getName, "graft_dot_e3"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_dot_e3 takes exactly two arguments")
+          DotE3(children(0), children(1))
+        }))
 
   /** Register on an existing session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -72,6 +72,24 @@ class InvariantsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("graft_dot_e3 registers on the SQL surface and matches the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq((1L, Array(0.5f, -0.25f, 1f), Array(2f, 4f, -1f)),
+      (2L, Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("id", "a", "b")
+    df.createOrReplaceTempView("gd_vecs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_dot_e3(a, b) AS d, graft_dot_e3(a, a) AS n FROM gd_vecs")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val viaCol = df.select(col("id"),
+        graft.operators.Similarity.dotE3(col("a"), col("b")).as("d"),
+        graft.operators.Similarity.normE3(col("a")).as("n"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head(1) == (500L * 2000) + (-250L * 4000) + (1000L * -1000))
+  }
+
   test("golden sequence hashes: triplet/pair/text batches pinned per seed") {
     // the analogue of the reference's golden FNV pins
     // (src/sampler/tests.rs:17-50): any behavioral drift in the sampling

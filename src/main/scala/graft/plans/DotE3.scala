@@ -45,11 +45,17 @@ case class DotE3(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DotE3.getClass.getName.stripSuffix("$") + "$"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object dotE3r = $cls.MODULE$$.compute($a, $b);
-      if (dotE3r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Long) dotE3r).longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh name: two dot_e3 calls can share one codegen scope (e.g. a
+      // projection computing dot and norm together) — a fixed local would
+      // collide and silently fail the whole stage back to interpreted
+      val r = ctx.freshName("dotE3r")
+      s"""
+      Object $r = $cls.MODULE$$.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+      """
+    })
   }
 
   override protected def withNewChildrenInternal(

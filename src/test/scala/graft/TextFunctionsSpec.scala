@@ -152,6 +152,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == expected)
   }
 
+  test("incremental refresh reproduces the full-recompute clusters") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"shared common prefix tokens g${i % 5} " * 3))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .withColumn("is_new", col("doc_id") % 3 === 0)
+    val nodes = docs.select(col("doc_id").as("id"))
+    val full = Dedup.lshCandidatePairs(sigs, "doc_id", 4, 2).cache()
+    // the standing index only stored old-old pairs; the refresh unions
+    // them with the incremental scan — clusters must equal a recompute
+    val oldPairs = full.filter(col("a") % 3 =!= 0 && col("b") % 3 =!= 0)
+    val inc = Dedup.incrementalCandidatePairs(sigs, "doc_id", "is_new", 4, 2)
+    def cl(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cl(oldPairs.union(inc)) == cl(full))
+    full.unpersist()
+  }
+
   test("lloydStep: exact per-dim integer means, then a fixpoint") {
     import spark.implicits._
     val emb = Seq(

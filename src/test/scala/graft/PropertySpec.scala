@@ -120,6 +120,80 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  private def checkN(n: Int)(p: Prop): Unit = {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** Driver-side twin of Determinism.seeded over a long id. */
+  private def seededHash(seed: String, id: Long): Long =
+    graft.plans.PortableHash32.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:$id"))
+
+  test("boundary-splitting packer matches a sequential reference simulation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Curation
+    val gen = for {
+      lens <- Gen.nonEmptyListOf(Gen.choose(1, 25)).map(_.take(40))
+      budget <- Gen.choose(8, 64)
+      shards <- Gen.choose(1, 4)
+    } yield (lens, budget.toLong, shards)
+    checkN(12)(Prop.forAll(gen) { case (lens, budget, shards) =>
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        ((i + 1).toLong, ("t " * len).trim)
+      }
+      val out = Curation.packSequencesSplit(
+          docs.toDF("doc_id", "text"), "doc_id", "text", budget, shards, "p")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // sequential reference: the same seeded shard + order, a running
+      // cursor, slices cut at every budget boundary
+      val ref = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+      docs.map { case (id, _) => id }
+        .groupBy(id => seededHash("ps:p", id) % shards)
+        .foreach { case (shard, ids) =>
+          var cum = 0L
+          ids.sortBy(id => (seededHash("pk:p", id), id)).foreach { id =>
+            val n = lens(id.toInt - 1).toLong
+            var t = 0L
+            while (t < n) {
+              val seq = (cum + t) / budget
+              val end = math.min(n, (seq + 1) * budget - cum)
+              ref += ((id, shard, seq, t, end))
+              t = end
+            }
+            cum += n
+          }
+        }
+      out == ref.toSet
+    })
+  }
+
+  test("stratified sampling: exact total, every stratum within 1 of its share") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      sizes <- Gen.nonEmptyListOf(Gen.choose(1, 40)).map(_.take(8))
+      t0 <- Gen.choose(1, 60)
+    } yield (sizes, t0)
+    checkN(12)(Prop.forAll(gen) { case (sizes, t0) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => (g * 1000L + i, s"g$g"))
+      }
+      val total = math.min(t0, rows.size).toLong
+      val out = graft.operators.Mixing.stratifiedSample(
+        rows.toDF("id", "group"), total, "p").collect()
+      val per = out.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+      val bigN = rows.size.toDouble
+      out.length == total && sizes.zipWithIndex.forall { case (n, g) =>
+        math.abs(per.getOrElse(s"g$g", 0) - total * n / bigN) < 1.0
+      }
+    })
+  }
+
   test("denoiser wave rescue: output tokens are an ordered subset of the input") {
     check(Prop.forAll(Gen.listOf(Gen.oneOf("alpha", "beta7", "12345", "9", "x1")),
       Gen.choose(0.05, 0.95)) { (toks, ratio) =>

@@ -214,9 +214,13 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
         .groupBy(col("e.u").as("id")).agg(min(col("l.cluster")).as("m"))
+      // `prev` rides along so convergence is a filter on the checkpointed
+      // frame instead of a join back against the previous round — one
+      // cheap job per round rather than a two-frame join
       val hashed = labels.as("l0").join(nbrMin.as("n"), col("l0.id") === col("n.id"), "left")
         .select(col("l0.id").as("id"),
-          least(col("l0.cluster"), coalesce(col("n.m"), col("l0.cluster"))).as("cluster"))
+          least(col("l0.cluster"), coalesce(col("n.m"), col("l0.cluster"))).as("cluster"),
+          col("l0.cluster").as("prev"))
       // pointer jump: also adopt the label OF the label (labels are always
       // active node ids, so the self-join resolves). Hash-min alone needs
       // diameter rounds on a chain of near-dups; the jump halves the
@@ -225,11 +229,11 @@ object Dedup {
         .join(hashed.select(col("id").as("pid"), col("cluster").as("pcl")),
           col("x.cluster") === col("pid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster"))).as("cluster"))
+          least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster"))).as("cluster"),
+          col("x.prev").as("prev"))
         .localCheckpoint()
-      val changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
-        .filter(col("x.cluster") =!= col("y.cluster")).count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.select(col("id"), col("cluster"))
       iter += 1
       converged = changed == 0
     }

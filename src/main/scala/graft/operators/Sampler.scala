@@ -18,8 +18,10 @@ case class SamplerBatch(core: DataFrame, rows: DataFrame, state: SamplerState)
   * stateless draw arithmetic over [[SamplerState]] counters:
   *
   *   source defaults → ticket order → epoch-interleaved record pick →
-  *   selector chunk picks → wrong-article negative → identical-text
-  *   rejection → seen-set dedup → pad_with_reuse → state advance.
+  *   selector chunk picks → per-recipe negative-strategy dispatch
+  *   (WrongArticle / WrongPublicationDate / QuestionAnswerMismatch) →
+  *   identical-text rejection → seen-set dedup → pad_with_reuse →
+  *   state advance.
   *
   * Every per-draw choice is a pure function of `(seed, epoch, draw)`, so
   * the global sample sequence is reproducible from the persisted counters
@@ -56,23 +58,50 @@ object Sampler {
 
   /** Produce the next batch of `batch` triplets.
     *
+    * Each slot's negative RECORD is picked by its recipe's declared
+    * [[NegativeStrategy]] — the reference's per-slot strategy dispatch
+    * (reference: src/sampler/mod.rs:1329-1405 dispatch, strategy pools
+    * 994-1151):
+    *   - `WrongArticle`: same-source skip-the-anchor rank pick
+    *     (hash stream `neg:`);
+    *   - `QuestionAnswerMismatch`: the same pool shape but its own hash
+    *     stream (`negq:`) — a different record whose answer/context gets
+    *     paired against this anchor's question;
+    *   - `WrongPublicationDate`: two-level pick — a date group of the same
+    *     source OTHER than the anchor's (`negd:`), then a record inside it
+    *     (`negr:`). Requires a `date` column in `pool`; slots whose source
+    *     has a single date group drop (pad_with_reuse fills the batch).
+    * Every delivered row carries the strategy's `reason` tag.
+    *
     * @param chunks chunk table (columns of [[graft.core.RecordChunk]]):
     *               record_id, section_idx, role, view_kind, window_index,
     *               overlap, wtext
-    * @param pool   record pool: `id`, `source` (one row per record)
+    * @param pool   record pool: `id`, `source` (one row per record), plus
+    *               an optional `date` column (string) when any recipe
+    *               declares `WrongPublicationDate`
     * @param recipes resolved recipe set (configured or source defaults —
     *               apply [[Recipes.resolve]]/[[Recipes.withAutoInjected]]
     *               upstream)
     * @param st     counters: `draw` (global, never resets — drives recipe
     *               rotation and every hash pick), `cursor` (position in the
-    *               epoch's interleave, resets on epoch advance)
+    *               epoch's interleave, resets on epoch advance),
+    *               `pool_size` (epoch-stable pool count, computed once and
+    *               persisted — drop it via [[SamplerState]] on source
+    *               refresh so the next batch re-counts)
     */
   def nextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int): SamplerBatch = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
     val byName = recipes.map(r => r.name -> r).toMap
-    val poolSize = pool.count()
+    // the pool size is epoch-stable: count once, then serve every later
+    // batch from the persisted counter (a per-batch count() is corpus-scan
+    // work at 100 TB). Callers invalidate with `counters - "pool_size"`
+    // when the pool population changes (source refresh).
+    val poolSize = {
+      val cached = st.counter("pool_size")
+      if (cached > 0L) cached else pool.count()
+    }
     require(poolSize > 0, "empty record pool")
     val drawBase = st.counter("draw")
 
@@ -105,31 +134,71 @@ object Sampler {
     // Values are unaffected — every column is a pure (seed, epoch, draw)
     // function; only lineage is cut.
     val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
-      val sdf = ss.map(s => (s._1, s._3, s._4)).toDF("draw", "pos", "recipe")
+      val sdf = ss.map(s => (s._1, s._3, s._4, byName(s._4).negative.reason))
+        .toDF("draw", "pos", "recipe", "reason")
       Mixing.epochOrder(pool, ep).join(broadcast(sdf), "pos")
-        .select(col("draw"), lit(ep).as("epoch"), col("recipe"),
+        .select(col("draw"), lit(ep).as("epoch"), col("recipe"), col("reason"),
           col("id").as("record_id"), col("source"))
     }.reduce(_ unionByName _).localCheckpoint()
 
-    // ---- negative record: same source, skip-the-anchor rank pick ----
+    // ---- negative record: per-recipe strategy dispatch ----
     val srcRank = pool
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("id"))).cast("long") - 1)
       .withColumn("nsrc", count(lit(1)).over(
         Window.partitionBy(col("source"))).cast("long"))
-    val negRec = slotRec
+    def drawKey(prefix: String) = Determinism.portableHash(
+      concat(lit(s"$prefix:${st.seed}:"), col("draw").cast("string"), lit(":"),
+        col("record_id").cast("string")))
+    val negOut = Seq("draw", "epoch", "recipe", "reason", "record_id", "nid").map(col)
+    // same source, skip-the-anchor rank pick (WrongArticle / QA-mismatch;
+    // the strategies differ by hash stream and downstream reason tag)
+    def skipPick(anchors: DataFrame, prefix: String): DataFrame = anchors
       .join(srcRank.select(col("id").as("record_id"), col("rn").as("a_rn"), col("nsrc")),
         Seq("record_id"))
-      .withColumn("p0", pmod(Determinism.portableHash(
-          concat(lit(s"neg:${st.seed}:"), col("draw").cast("string"), lit(":"),
-            col("record_id").cast("string"))),
-        greatest(col("nsrc") - 1, lit(1L))))
+      .withColumn("p0", pmod(drawKey(prefix), greatest(col("nsrc") - 1, lit(1L))))
       // a source with a single record yields rank 1 → no match → slot drops
       .withColumn("n_rn", when(col("p0") >= col("a_rn"), col("p0") + 1).otherwise(col("p0")))
       .join(srcRank.select(col("source"), col("rn").as("n_rn"), col("id").as("nid")),
         Seq("source", "n_rn"))
-      .select(col("draw"), col("epoch"), col("recipe"), col("record_id"), col("nid"))
-      .localCheckpoint()
+      .select(negOut: _*)
+    // same source, DIFFERENT date group: hash-pick a date rank skipping the
+    // anchor's, then a record rank inside the target group — three
+    // equi-joins, date/source isolation structural (the q84 lane's shape,
+    // keyed by the composed driver's (seed, draw, record) stream)
+    def wrongDatePick(anchors: DataFrame): DataFrame = {
+      require(pool.columns.contains("date"),
+        "WrongPublicationDate recipes need a `date` column in the pool")
+      val wSrc = Window.partitionBy(col("source"))
+      val dG = pool.groupBy(col("source"), col("date")).agg(count(lit(1)).cast("long").as("dct"))
+        .withColumn("drnk", row_number().over(wSrc.orderBy(col("date"))).cast("long") - 1)
+        .withColumn("dcnt", count(lit(1)).over(wSrc).cast("long"))
+      val dRank = pool.withColumn("rn2", row_number().over(
+        Window.partitionBy(col("source"), col("date")).orderBy(col("id"))).cast("long") - 1)
+      anchors
+        .join(pool.select(col("id").as("record_id"), col("date").as("a_date")), Seq("record_id"))
+        .join(dG.select(col("source"), col("date").as("a_date"),
+          col("drnk").as("a_drnk"), col("dcnt")), Seq("source", "a_date"))
+        .filter(col("dcnt") >= 2)
+        .withColumn("d0", pmod(drawKey("negd"), greatest(col("dcnt") - 1, lit(1L))))
+        .withColumn("t_drnk", when(col("d0") >= col("a_drnk"), col("d0") + 1).otherwise(col("d0")))
+        .join(dG.select(col("source"), col("date").as("t_date"),
+          col("drnk").as("t_drnk"), col("dct").as("t_dct")), Seq("source", "t_drnk"))
+        .withColumn("rpick", pmod(drawKey("negr"), col("t_dct")))
+        .join(dRank.select(col("source"), col("date").as("t_date"),
+          col("rn2").as("rpick"), col("id").as("nid")), Seq("source", "t_date", "rpick"))
+        .select(negOut: _*)
+    }
+    val negRec = slots.map(s => byName(s._4).negative).distinct.map {
+      case NegativeStrategy.WrongArticle =>
+        skipPick(slotRec.filter(col("reason") === NegativeStrategy.WrongArticle.reason), "neg")
+      case NegativeStrategy.QuestionAnswerMismatch =>
+        skipPick(slotRec.filter(
+          col("reason") === NegativeStrategy.QuestionAnswerMismatch.reason), "negq")
+      case NegativeStrategy.WrongPublicationDate =>
+        wrongDatePick(slotRec.filter(
+          col("reason") === NegativeStrategy.WrongPublicationDate.reason))
+    }.reduce(_ unionByName _).localCheckpoint()
 
     // ---- chunk picks: selector windows on the batch-restricted table ----
     val slotMeta = slots.map { case (draw, _, _, name) =>
@@ -162,7 +231,7 @@ object Sampler {
       .join(broadcast(slotMeta.select(col("draw"), col("allow_same"))), Seq("draw"))
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
-        col("nid"), col("n_hash"), col("allow_same"))
+        col("nid"), col("n_hash"), col("reason"), col("allow_same"))
       .localCheckpoint()
 
     // ---- batch-local stages: rejection → seen-set dedup → pad ----
@@ -178,7 +247,8 @@ object Sampler {
       .withColumnRenamed("id", "draw").withColumnRenamed("i", "slot")
 
     val st2 = st.copy(epoch = e, counters = st.counters
-      .updated("draw", drawBase + batch).updated("cursor", cur))
+      .updated("draw", drawBase + batch).updated("cursor", cur)
+      .updated("pool_size", poolSize))
     SamplerBatch(core.drop("allow_same"), rows, st2)
   }
 }

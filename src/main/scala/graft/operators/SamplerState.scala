@@ -23,6 +23,9 @@ case class SamplerState(
   def advanced(key: String, by: Long = 1L): SamplerState =
     copy(counters = counters.updated(key, counters.getOrElse(key, 0L) + by))
   def counter(key: String): Long = counters.getOrElse(key, 0L)
+  /** Invalidate the persisted pool count after a source refresh (the pool
+    * population changed): the next [[Sampler.nextBatch]] re-counts. */
+  def refreshedPool: SamplerState = copy(counters = counters - "pool_size")
 }
 
 object SamplerState {

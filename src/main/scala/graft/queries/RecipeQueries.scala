@@ -4,7 +4,7 @@ import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
 import graft.functions.{KvpField, KvpPrefixSampler}
-import graft.operators.{Decoration, NegativeStrategy, Recipes, Selector, TripletRecipe}
+import graft.operators.{Decoration, NegativeStrategy, Recipes, Sampler, SamplerState, Selector, TripletRecipe}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -86,11 +86,41 @@ object RecipeQueries extends QueryModule {
     s"($d, '${r.name}', '$am', '$aa', '$pm', '$pa')"
   }.mkString(", ")
 
-  private def duckSlot(slot: String): String = {
+  /** Shared chunk-table CTE chain (the SQL twin of [[chunkTable]]):
+    * `d0 → base → ach/cch → chunks`; `base` carries (doc_id, source, n)
+    * so callers can also derive record pools from it. */
+  private def duckChunkCtes(where: String): String =
+    s"""d0 AS (
+        SELECT doc_id, source, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+        WHERE $where
+      ), base AS (
+        SELECT doc_id, source, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
+      ), ach AS (
+        SELECT doc_id AS record_id, 0 AS section_idx, 'anchor' AS role,
+          'window' AS view_kind, 0 AS window_index, $OV AS overlap,
+          array_to_string(list_slice(toks, 1, $AT), ' ') AS wtext
+        FROM base
+      ), cq AS (
+        SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn FROM base
+      ), cq2 AS (
+        SELECT doc_id, ctoks, cn, LEAST($W, cn) AS span,
+          CASE WHEN cn <= $W THEN 1
+               ELSE CAST(floor((cn - LEAST($W, cn) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
+        FROM cq
+      ), cwin AS (
+        SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM cq2
+      ), cch AS (
+        SELECT doc_id AS record_id, 1 AS section_idx, 'context' AS role,
+          'window' AS view_kind, CAST(i AS INT) AS window_index, $OV AS overlap,
+          array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
+        FROM cwin
+      ), chunks AS (SELECT * FROM ach UNION ALL SELECT * FROM cch)"""
+
+  private def duckSlot(slot: String, draws: String = "draws"): String = {
     val seedHash = Determinism.duckHash(
       s"'sel:$slot:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
     s"""elig_$slot AS (
-      SELECT dr.draw, dr.recipe, c.* FROM draws dr JOIN chunks c ON
+      SELECT dr.draw, dr.recipe, c.* FROM $draws dr JOIN chunks c ON
         CASE dr.${slot}_mode WHEN 'role' THEN c.role = dr.${slot}_arg
              WHEN 'para' THEN c.section_idx = CAST(dr.${slot}_arg AS INT) ELSE TRUE END
     ), rank_$slot AS (
@@ -105,6 +135,31 @@ object RecipeQueries extends QueryModule {
       FROM rank_$slot WHERE crnk = $seedHash % csize
     )"""
   }
+
+  // ---- mixed-strategy composed batch (q66) ----
+  // The composed driver with a ticket plan spanning all three negative
+  // strategies: the slot schedule (draw → recipe, strategy, selectors) is
+  // pure config, handed to DuckDB as a VALUES table exactly like q87; the
+  // oracle then replays the dense epoch order, all three strategy picks,
+  // the selector picks, and the identical-text rejection.
+  private[graft] val MixSeed = "mix"
+  private[graft] val MixBatch = 48
+  private[graft] val mixRecipes: Seq[TripletRecipe] = Seq(
+    TripletRecipe("mix_wrong_article", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.5f),
+    TripletRecipe("mix_wrong_date", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongPublicationDate, weight = 0.3f),
+    TripletRecipe("mix_qa_mismatch", Selector.Paragraph(1), Selector.Random,
+      NegativeStrategy.QuestionAnswerMismatch, weight = 0.2f,
+      negativeSelector = Selector.RoleAnchor))
+  private val mixByName = mixRecipes.map(r => r.name -> r).toMap
+  private val mixPlan = Recipes.ticketOrder(mixRecipes, MixSeed, epoch = 0L)
+  private def mixSlotValues: String = (0 until MixBatch).map { d =>
+    val r = mixByName(Recipes.pick(mixPlan, 0L, d.toLong))
+    val (am, aa) = selDesc(r.anchor); val (pm, pa) = selDesc(r.positive)
+    val (nm, na) = selDesc(r.negativeSelector)
+    s"($d, $d, '${r.name}', '${r.negative.reason}', '$am', '$aa', '$pm', '$pa', '$nm', '$na')"
+  }.mkString(", ")
 
   // KVP decoration on the oracle path: dropout/variant/value/shuffle rolls
   // + token-budget enforcement (reference: src/kvp.rs:10-217 sampling,
@@ -263,31 +318,7 @@ object RecipeQueries extends QueryModule {
             col("a_sidx"), col("a_widx"), col("a_hash"),
             col("p_sidx"), col("p_widx"), col("p_hash"))
       },
-      Some(s"""WITH d0 AS (
-          SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
-          WHERE doc_id % 10 = 0
-        ), base AS (
-          SELECT doc_id, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
-        ), ach AS (
-          SELECT doc_id AS record_id, 0 AS section_idx, 'anchor' AS role,
-            'window' AS view_kind, 0 AS window_index, $OV AS overlap,
-            array_to_string(list_slice(toks, 1, $AT), ' ') AS wtext
-          FROM base
-        ), cq AS (
-          SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn FROM base
-        ), cq2 AS (
-          SELECT doc_id, ctoks, cn, LEAST($W, cn) AS span,
-            CASE WHEN cn <= $W THEN 1
-                 ELSE CAST(floor((cn - LEAST($W, cn) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
-          FROM cq
-        ), cwin AS (
-          SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM cq2
-        ), cch AS (
-          SELECT doc_id AS record_id, 1 AS section_idx, 'context' AS role,
-            'window' AS view_kind, CAST(i AS INT) AS window_index, $OV AS overlap,
-            array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
-          FROM cwin
-        ), chunks AS (SELECT * FROM ach UNION ALL SELECT * FROM cch),
+      Some(s"""WITH ${duckChunkCtes("doc_id % 10 = 0")},
         draws(draw, recipe, a_mode, a_arg, p_mode, p_arg) AS (VALUES $drawsValues),
         ${duckSlot("a")},
         ${duckSlot("p")}
@@ -296,6 +327,149 @@ object RecipeQueries extends QueryModule {
           ${Determinism.duckHash("a.a_text")} AS a_hash,
           CAST(p.p_sidx AS BIGINT) AS p_sidx, CAST(p.p_widx AS BIGINT) AS p_widx,
           ${Determinism.duckHash("p.p_text")} AS p_hash
-        FROM pick_a a JOIN pick_p p ON a.draw = p.draw AND a.record_id = p.record_id"""))
+        FROM pick_a a JOIN pick_p p ON a.draw = p.draw AND a.record_id = p.record_id""")),
+
+    QueryDef("q66_mixed_strategy_batch",
+      // the composed Sampler.nextBatch with per-recipe negative-strategy
+      // dispatch (reference: src/sampler/mod.rs:1329-1405): one 48-slot
+      // batch whose ticket plan mixes WrongArticle (3 tickets),
+      // WrongPublicationDate (2), QuestionAnswerMismatch (1); the oracle
+      // replays the dense epoch order, all three record picks, the
+      // selector picks, and the rejection. Emitted rows are the
+      // post-rejection core stream with per-slot `reason` tags. The 1-in-5
+      // corpus keeps the pool comfortably above one batch, so the pinned
+      // slot schedule sees no mid-batch epoch wrap at any driver SF.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 0"))
+        val chunks = chunkTable(docs)
+        val pool = docs
+          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
+          .select(col("doc_id").as("id"), col("source"),
+            concat(lit("2025-03-0"),
+              (pmod(Determinism.seeded("day3", col("doc_id")), lit(3)) + 1).cast("string"))
+              .as("date"))
+        val out = Sampler.nextBatch(s, chunks, pool, mixRecipes,
+          SamplerState(MixSeed, 0L, Map.empty), MixBatch)
+        out.core.filter(col("a_hash") =!= col("p_hash"))
+          .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
+            col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
+            col("nid"), col("n_hash"))
+      },
+      Some {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$MixSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        s"""WITH ${duckChunkCtes("doc_id % 5 = 0")},
+          pool AS (
+            SELECT doc_id AS id, source,
+              '2025-03-0' || CAST(${h("day3", "doc_id")} % 3 + 1 AS VARCHAR) AS pdate
+            FROM base
+          ),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          -- dense epoch order: pos = lexicographic rank of (depth, source rank)
+          eo AS (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES $mixSlotValues),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          negwa0 AS (
+            SELECT sl.draw, sl.source, a.rn AS a_rn,
+              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_article'
+          ),
+          negwa AS (
+            SELECT w.draw, n.id AS nid FROM negwa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          negqa0 AS (
+            SELECT sl.draw, sl.source, a.rn AS a_rn,
+              ${dk("negq")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_qa_pairing'
+          ),
+          negqa AS (
+            SELECT w.draw, n.id AS nid FROM negqa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          dg AS (
+            SELECT source, pdate, CAST(count(*) AS BIGINT) AS dct
+            FROM pool GROUP BY source, pdate
+          ),
+          dg2 AS (
+            SELECT *,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY pdate) AS BIGINT) - 1 AS drnk,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS dcnt
+            FROM dg
+          ),
+          drk AS (
+            SELECT id, source, pdate,
+              CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2
+            FROM pool
+          ),
+          negwd0 AS (
+            SELECT sl.draw, sl.source, g.drnk AS a_drnk,
+              ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
+              ${dk("negr")} AS rh
+            FROM slotrec sl
+            JOIN pool p ON sl.record_id = p.id
+            JOIN dg2 g ON g.source = sl.source AND g.pdate = p.pdate
+            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt >= 2
+          ),
+          negwd1 AS (
+            SELECT w.*, t.pdate AS t_date, t.dct AS t_dct
+            FROM negwd0 w JOIN dg2 t ON t.source = w.source
+              AND t.drnk = CASE WHEN w.d0 >= w.a_drnk THEN w.d0 + 1 ELSE w.d0 END
+          ),
+          negwd AS (
+            SELECT w.draw, n.id AS nid FROM negwd1 w
+            JOIN drk n ON n.source = w.source AND n.pdate = w.t_date
+              AND n.rn2 = w.rh % w.t_dct
+          ),
+          negrec AS (
+            SELECT * FROM negwa UNION ALL SELECT * FROM negqa UNION ALL SELECT * FROM negwd
+          ),
+          ${duckSlot("a", "slotrec")},
+          ${duckSlot("p", "slotrec")},
+          ${duckSlot("n", "slotrec")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
+              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
+              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+          )
+          SELECT * FROM f0 WHERE a_hash <> p_hash"""
+      })
   )
 }

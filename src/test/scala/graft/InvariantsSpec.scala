@@ -108,14 +108,17 @@ class InvariantsSpec extends AnyFunSuite {
   // 45-batch FNV pins; tests/invariants.rs:207-867 cycle-before-repeat) ----
 
   /** 25 records over 3 sources; context sections wide enough for several
-    * windows so selector picks have real freedom. */
-  private def goldenCorpus = {
+    * windows so selector picks have real freedom. `dated` adds the `date`
+    * column WrongPublicationDate recipes need (4 date groups per source). */
+  private def goldenCorpus(dated: Boolean = false) = {
     import spark.implicits._
     val docs = (1 to 25).map(i =>
       (i.toLong, (s"head$i topic$i overview" +: (1 to 60).map(j => s"w${i}_$j")).mkString(" ")))
       .toDF("doc_id", "text")
     val chunks = graft.queries.RecipeQueries.chunkTable(docs)
-    val pool = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
+    val pool0 = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
+    val pool = if (dated) pool0.withColumn("date",
+      concat(lit("2025-03-0"), (pmod(col("id"), lit(4)) + 1).cast("string"))) else pool0
     (chunks, pool)
   }
   private val goldenRecipes =
@@ -137,12 +140,18 @@ class InvariantsSpec extends AnyFunSuite {
     * intentional semantic change. */
   private val GoldenSeqHash = "326058a240b187cb3b6ad9641f62b8de"
 
+  private val goldenCols = Seq("slot", "draw", "recipe", "record_id",
+    "a_widx", "a_hash", "p_widx", "p_hash", "nid", "n_hash")
+
   private def runGolden(batch: Int, nBatches: Int, parts: Int,
-      resumeAt: Option[Int] = None, stateDir: Option[String] = None) = {
-    val (chunks0, pool0) = goldenCorpus
+      resumeAt: Option[Int] = None, stateDir: Option[String] = None,
+      recipes: Seq[graft.operators.TripletRecipe] = goldenRecipes,
+      seed: String = "gseq", dated: Boolean = false,
+      cols: Seq[String] = goldenCols) = {
+    val (chunks0, pool0) = goldenCorpus(dated)
     val chunks = chunks0.repartition(parts).cache()
     val pool = pool0.repartition(parts).cache()
-    var st = SamplerState("gseq", 0L, Map.empty)
+    var st = SamplerState(seed, 0L, Map.empty)
     val batches = Seq.newBuilder[Array[org.apache.spark.sql.Row]]
     val core = Seq.newBuilder[Seq[Any]]
     (0 until nBatches).foreach { b =>
@@ -152,10 +161,8 @@ class InvariantsSpec extends AnyFunSuite {
         SamplerState.save(st, p)
         st = SamplerState.load(p).get
       }
-      val out = Sampler.nextBatch(spark, chunks, pool, goldenRecipes, st, batch)
-      batches += out.rows
-        .select("slot", "draw", "recipe", "record_id", "a_widx", "a_hash",
-          "p_widx", "p_hash", "nid", "n_hash").collect()
+      val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, batch)
+      batches += out.rows.select(cols.head, cols.tail: _*).collect()
       core ++= out.core.collect().map(_.toSeq)
       st = out.state
     }
@@ -194,6 +201,64 @@ class InvariantsSpec extends AnyFunSuite {
     val (_, core16, _) = runGolden(batch = 16, nBatches = 3, parts = 13)
     assert(core8.toSet == core16.toSet,
       "per-draw stream must not depend on batch grouping or partitioning")
+  }
+
+  // ---- golden matrix: one pin per feature-flag configuration (reference:
+  // src/sampler/tests.rs:17-50 pins one FNV sequence per flag) ----
+
+  /** Feature-flag matrix: (config, recipes, dated pool). 10 batches × 8
+    * slots = 80 draws over the 25-record pool, so the epoch wraps three
+    * times INSIDE the pinned window; digests include the per-slot `reason`
+    * tag so strategy dispatch is part of the pin. */
+  private def goldenMatrix = {
+    import graft.operators.{NegativeStrategy, Selector, TripletRecipe}
+    Seq(
+      // the default CSV role-mode lanes (WrongArticle only)
+      ("default", goldenRecipes, false),
+      // all three negative strategies in one ticket plan
+      ("mixed_strategy", Seq(
+        TripletRecipe("gm_wrong_article", Selector.RoleAnchor, Selector.RoleContext,
+          NegativeStrategy.WrongArticle, weight = 0.5f),
+        TripletRecipe("gm_wrong_date", Selector.RoleAnchor, Selector.RoleContext,
+          NegativeStrategy.WrongPublicationDate, weight = 0.3f),
+        TripletRecipe("gm_qa_mismatch", Selector.Paragraph(1), Selector.Random,
+          NegativeStrategy.QuestionAnswerMismatch, weight = 0.2f,
+          negativeSelector = Selector.RoleAnchor)), true),
+      // skewed weights (3:1 ticket plan) + non-default negative selector
+      ("weighted", Seq(
+        TripletRecipe("gw_ctx", Selector.RoleAnchor, Selector.RoleContext,
+          NegativeStrategy.WrongArticle, weight = 3f),
+        TripletRecipe("gw_rand", Selector.RoleAnchor, Selector.Random,
+          NegativeStrategy.WrongArticle, weight = 1f,
+          negativeSelector = Selector.Random)), false))
+  }
+
+  /** Re-pin ONLY for an intentional semantic change. */
+  private val MatrixPins = Map(
+    "default" -> "6de1a9f7266687d98bcb73995e5f4b6b",
+    "mixed_strategy" -> "4529892bd07e5ca0b698a2cba4c75b07",
+    "weighted" -> "87f0fa64a85d628ce65f6e291ad3d39d")
+
+  test("golden matrix: per-config pins across partitionings, epoch wrap inside the window") {
+    val got = goldenMatrix.map { case (cname, recipes, dated) =>
+      val (b1, _, end1) = runGolden(batch = 8, nBatches = 10, parts = 1,
+        recipes = recipes, seed = s"gm:$cname", dated = dated,
+        cols = goldenCols :+ "reason")
+      val (b13, _, _) = runGolden(batch = 8, nBatches = 10, parts = 13,
+        recipes = recipes, seed = s"gm:$cname", dated = dated,
+        cols = goldenCols :+ "reason")
+      val (d1, d13) = (seqDigest(b1), seqDigest(b13))
+      assert(d1 == d13, s"$cname: sequence depends on partitioning")
+      // 80 draws over 25 records: wrapped at draw 25/50/75
+      assert(end1.epoch == 3L && end1.counter("draw") == 80L,
+        s"$cname: expected 3 epoch wraps inside the pinned window")
+      // every declared strategy actually delivered rows
+      val reasons = b1.flatten.map(_.getAs[String]("reason")).distinct.toSet
+      assert(reasons == recipes.map(_.negative.reason).toSet,
+        s"$cname: strategies delivered $reasons")
+      cname -> d1
+    }.toMap
+    assert(got == MatrixPins, s"golden matrix drift: $got")
   }
 
   test("swap rate is ~50% and weights appear in both swap branches") {

@@ -37,7 +37,11 @@ object Curation {
     * A train doc is contaminated when it shares at least one token
     * `k`-gram with any eval doc. Both sides are reduced to distinct
     * (doc, shingle-hash) pairs — the join carries longs only; the eval
-    * side is broadcast (see scale doctrine above). Emits EVERY train doc:
+    * side is broadcast (see scale doctrine above). Zero-token docs are
+    * excluded from matching on BOTH sides (the shingle whole-text
+    * fallback would otherwise hash "" and make any empty eval doc mark
+    * every empty train doc contaminated). Emits EVERY train doc —
+    * including zero-token ones, as uncontaminated:
     * `(doc_id, n_shared, n_eval_docs, contaminated)` so `contaminated = 0`
     * is directly the post-decontamination keep-list.
     */
@@ -48,9 +52,10 @@ object Curation {
       textCol: String,
       k: Int): DataFrame = {
     def shingleRows(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-          explode(Dedup.shingleHashes(
-            Dedup.shingles(TextFunctions.tokens(col(textCol)), k))).as("h"))
+      df.select(col(idCol).as(as), TextFunctions.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col(as), explode(Dedup.shingleHashes(
+          Dedup.shingles(col("toks"), k))).as("h"))
         .distinct()
     val hits = shingleRows(train, "tid")
       .join(broadcast(shingleRows(evalSet, "eid")), "h")
@@ -69,12 +74,19 @@ object Curation {
   // exceeds 20% of the text or over 30% of its trigrams are repeats.
   val TopTokMaxE6 = 200000L
   val DupTrigramMaxE6 = 300000L
+  // Gopher applies the ratio gates alongside a minimum-length gate; without
+  // one, any doc of <= 4 all-distinct tokens trips the 20% top-token share
+  // (1/4 = 250000 e6). Docs below this token count are never flagged —
+  // at 5+, an all-distinct doc sits exactly at (not over) the threshold.
+  val MinRepToks = 5L
 
   /** Per-doc repetition profile: share of the most frequent token
     * (`top_tok_e6`), share of the most frequent token bigram
     * (`top_bigram_e6`), duplicate-trigram fraction (`dup_trigram_e6`),
-    * and the composite `repetitive` flag. All ratios are e6-scaled exact
-    * integers ([[TextAnalysis.ratioE6]]); zero-token docs report zeros.
+    * and the composite `repetitive` flag (gated on [[MinRepToks]] — very
+    * short docs report their ratios but are never flagged). All ratios are
+    * e6-scaled exact integers ([[TextAnalysis.ratioE6]]); zero-token docs
+    * report zeros.
     *
     * Shape: one explode over the three gram kinds → (doc, kind, gram)
     * counts → (doc, kind) maxima → per-doc pivot by conditional agg. Both
@@ -110,8 +122,9 @@ object Curation {
           coalesce(col("t_tot"), lit(0L)) - coalesce(col("t_nd"), lit(0L)),
           coalesce(col("t_tot"), lit(0L))).as("dup_trigram_e6"))
       .withColumn("repetitive",
-        when(col("top_tok_e6") > TopTokMaxE6 ||
-          col("dup_trigram_e6") > DupTrigramMaxE6, 1L).otherwise(0L))
+        when(col("n_tok") >= MinRepToks &&
+          (col("top_tok_e6") > TopTokMaxE6 ||
+            col("dup_trigram_e6") > DupTrigramMaxE6), 1L).otherwise(0L))
   }
 
   /** Greedy token-budget sequence packing (the pretraining-loader step that

@@ -18,14 +18,19 @@ object Mixing {
     * integer weight — the deterministic counterpart of smooth weighted
     * round-robin (same long-run shares, no drain state). Input must carry
     * `group` and `w` columns; emits `alloc` per group. */
-  def weightedAllocation(groups: DataFrame, batch: Long): DataFrame = {
+  def weightedAllocation(groups: DataFrame, batch: Long,
+      capToTotalWeight: Boolean = false): DataFrame = {
     val all = Window.partitionBy()
     val byRem = Window.partitionBy().orderBy(col("rem").desc, col("group"))
     groups
       .withColumn("tw", sum(col("w")).over(all))
-      .withColumn("flo", expr(s"($batch * w) div tw"))
-      .withColumn("rem", pmod(lit(batch) * col("w"), col("tw")))
-      .withColumn("short", lit(batch) - sum(col("flo")).over(all))
+      // when `w` are POPULATION SIZES (stratified sampling), an effective
+      // batch capped at tw keeps every alloc <= its stratum size: with
+      // eff <= tw, floor(eff*w/tw) + the remainder unit never exceeds w
+      .withColumn("eff", if (capToTotalWeight) least(lit(batch), col("tw")) else lit(batch))
+      .withColumn("flo", expr("(eff * w) div tw"))
+      .withColumn("rem", pmod(col("eff") * col("w"), col("tw")))
+      .withColumn("short", col("eff") - sum(col("flo")).over(all))
       .withColumn("rr", row_number().over(byRem).cast("long"))
       .withColumn("alloc", col("flo") + when(col("rr") <= col("short"), 1L).otherwise(0L))
       .select(col("group"), col("w"), col("alloc"))
@@ -35,15 +40,19 @@ object Mixing {
     * across strata by largest remainder over stratum sizes (so every
     * stratum's count is within 1 of `total * n_g / N`, and they sum to
     * exactly `total`), then each stratum takes its seeded rank-pick.
-    * Input needs `group` and `id` columns; emits the sampled rows as
-    * `(id, group, r)` with `r` the 1-based within-stratum pick rank.
+    * A `total` beyond the corpus size is capped at N (every row sampled):
+    * the allocation works off `min(total, N)`, so no stratum is ever
+    * asked for more rows than it has and the rank filter never
+    * under-delivers. Input needs `group` and `id` columns; emits the
+    * sampled rows as `(id, group, r)` with `r` the 1-based within-stratum
+    * pick rank.
     *
     * Scale: the allocation runs on a #strata-sized frame; the pick is one
     * keyed window per stratum plus a broadcast join of the allocation —
     * no global ordering, no driver loop. */
   def stratifiedSample(df: DataFrame, total: Long, seed: String): DataFrame = {
     val groups = df.groupBy(col("group")).agg(count(lit(1)).as("w"))
-    val alloc = weightedAllocation(groups, total)
+    val alloc = weightedAllocation(groups, total, capToTotalWeight = true)
     val wr = Window.partitionBy(col("group"))
       .orderBy(Determinism.seeded(s"ss:$seed", col("id")), col("id"))
     df.withColumn("r", row_number().over(wr).cast("long"))

@@ -91,9 +91,9 @@ object Similarity {
   // ----------------------------------------------------------------- //
   // IVF coarse quantization — the second scale path for ANN beyond
   // hyperplane buckets. K corpus vectors are hash-picked as the coarse
-  // codebook (the standard random-quantizer IVF-flat bootstrap; Lloyd
-  // refinement is a driver re-assignment loop, omitted so the contract
-  // stays exactly reproducible). Assignment is argmin of EXACT integer
+  // codebook (the standard random-quantizer IVF-flat bootstrap), which
+  // [[lloydStep]] optionally refines — exact-integer k-means on the e3
+  // lattice, so iteration stays reproducible. Assignment is argmin of EXACT integer
   // squared-L2 (|a|² + |c|² − 2·dot at e3 scale) via min-of-struct — a
   // narrow n×K pass, no window, no shuffle beyond the final aggregate.
   // Queries probe the nprobe nearest cells and run exact cosine only

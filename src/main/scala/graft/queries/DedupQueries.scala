@@ -360,7 +360,7 @@ object DedupQueries extends QueryModule {
         val hs = Dedup.duckShingleHashes(Dedup.duckShingles("toks", 4))
         s"""WITH t AS (SELECT doc_id, $duckToks AS toks,
             ${Determinism.duckSeeded("ev", "doc_id")} % 20 AS ev FROM documents),
-          sh AS (SELECT doc_id, ev, $hs AS hs FROM t),
+          sh AS (SELECT doc_id, ev, $hs AS hs FROM t WHERE len(toks) > 0),
           tr AS (SELECT DISTINCT tid, h FROM
             (SELECT doc_id AS tid, unnest(hs) AS h FROM sh WHERE ev <> 0)),
           evs AS (SELECT DISTINCT eid, h FROM

@@ -500,8 +500,9 @@ object TextQueries extends QueryModule {
             ${TextAnalysis.duckRatioE6("coalesce(t_tot, 0) - coalesce(t_nd, 0)", "coalesce(t_tot, 0)")} AS dup_trigram_e6
             FROM t LEFT JOIN w ON t.doc_id = w.doc_id)
           SELECT doc_id, n_tok, top_tok_e6, top_bigram_e6, dup_trigram_e6,
-            CAST(CASE WHEN top_tok_e6 > ${Curation.TopTokMaxE6}
-              OR dup_trigram_e6 > ${Curation.DupTrigramMaxE6}
+            CAST(CASE WHEN n_tok >= ${Curation.MinRepToks}
+              AND (top_tok_e6 > ${Curation.TopTokMaxE6}
+                OR dup_trigram_e6 > ${Curation.DupTrigramMaxE6})
               THEN 1 ELSE 0 END AS BIGINT) AS repetitive
           FROM f"""
       })

@@ -47,6 +47,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("contaminationScan: zero-token docs never match, but are still emitted") {
+    // a whitespace-only eval doc must NOT mark whitespace-only train docs
+    // (the whole-text shingle fallback would hash "" on both sides)
+    val out = Curation.contaminationScan(
+      docs(1L -> "   ", 2L -> "real alpha beta"), docs(9L -> " \t ", 10L -> "real alpha beta"),
+      "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("contaminationScan is partition-invariant") {
     val corpus = docs((1L to 40L).map(i =>
       i -> s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 2} end$i"): _*)
@@ -71,6 +81,16 @@ class CurationSpec extends AnyFunSuite {
     // doc 2: every gram unique → top shares are 1/n, no dup trigrams
     assert(out(2L) == ((5L, 200000L, 250000L, 0L, 0L)))
     assert(out(3L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionProfile: short docs are never flagged (MinRepToks gate)") {
+    val out = Curation.repetitionProfile(docs(
+        1L -> "x y z w", // 4 all-distinct tokens: share 250000 > threshold, but too short
+        2L -> "x x", // genuinely repetitive but too short
+        3L -> "x x x x x"), // 5 tokens, repetitive → flagged
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
   test("repetitionProfile is partition-invariant") {
@@ -171,6 +191,16 @@ class CurationSpec extends AnyFunSuite {
       .groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(per.values.sum == 10)
     assert(per == Map("a" -> 5, "b" -> 3, "c" -> 2))
+  }
+
+  test("stratifiedSample: total beyond corpus size caps at N, no under-delivery") {
+    // 12 rows, total 40: capped largest remainder hands every stratum
+    // exactly its size — the rank filter delivers the whole corpus
+    val df = ((1L to 7L).map(_ -> "a") ++ (8L to 12L).map(_ -> "b")).toDF("id", "group")
+    val out = Mixing.stratifiedSample(df, 40L, "s").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 12)
+    assert(out.map(_._1).sorted.toSeq == (1L to 12L))
   }
 
   test("stratifiedSample is partition-invariant") {

@@ -540,6 +540,13 @@ object Triplets {
     val picked = top3
       .filter(col("brnk") - 1 === pmod(Determinism.seeded("bmpick", col("aid")), col("c3")))
       .select(col("aid").as("baid"), col("cand").as("bnid"))
+      // one scoring subtree for the whole query: `picked` feeds the bm25
+      // lane's join AND the fallback lane's anti-join, and Spark does no
+      // cross-branch CSE — without this cut the anchor×candidate scored
+      // stream (the expensive part) is recomputed once per lane.
+      // localCheckpoint materializes the batch-sized (aid, nid) table once;
+      // both lanes read the materialized leaf.
+      .localCheckpoint()
     val anchSel = ranked.filter(col("gs") >= 2 && anchorFilter)
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
         col("ctoks").as("actoks"), col("cn").as("acn"), col("span").as("aspan"),

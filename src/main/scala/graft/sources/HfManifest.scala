@@ -121,7 +121,10 @@ object HfManifest {
       val s = Files.list(dir)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        // skip dot-prefixed in-flight temp files: evicting a shard that is
+        // mid-download would corrupt the publish it is about to make
+        s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".")).toList
       } finally s.close()
     }
     var total = files.map(Files.size).sum
@@ -151,12 +154,15 @@ object HfManifest {
     * temp-then-publish: the reconcile loop treats file EXISTENCE as
     * landed, so a partially-written shard must never appear under the
     * final name (reference download path: huggingface_source.rs:4424-4480;
-    * same atomic-publish contract as FileSplitStore). Returns the landed
+    * same atomic-publish contract as FileSplitStore). The temp name is
+    * dot-prefixed so Spark's file index skips it as hidden: a parquet scan
+    * of the landing dir stays valid WHILE a download is in flight — the
+    * property [[ShardExpander]]'s readers rely on. Returns the landed
     * path. */
   def download(c: ShardCandidate, landingDir: String): Path = {
     val t = target(landingDir, c)
     if (t.getParent != null) Files.createDirectories(t.getParent)
-    val tmp = Paths.get(t.toString + ".part")
+    val tmp = t.resolveSibling("." + t.getFileName.toString + ".part")
     val in = new java.net.URL(c.url).openConnection().getInputStream
     try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
     finally in.close()

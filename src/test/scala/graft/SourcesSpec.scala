@@ -552,6 +552,102 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("hf async expansion: reads never block on an in-flight download; landed set is the order prefix") {
+    import graft.sources.{HfManifest, HfSourceList, ShardExpander}
+    import java.util.concurrent.CountDownLatch
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_hf_async")
+    def shardBytes(name: String, rows: Seq[String]): Array[Byte] = {
+      val d = work.resolve(name)
+      rows.toDF("text").coalesce(1).write.parquet(d.toString)
+      val part = java.nio.file.Files.list(d).iterator()
+      Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.readAllBytes).get
+    }
+    val bytesByPath = Seq(
+      "/sh/0000.parquet" -> shardBytes("A", (0 until 6).map(i => s"alpha $i body text")),
+      "/sh/0001.parquet" -> shardBytes("B", (0 until 4).map(i => s"beta $i body text")),
+      "/sh/0002.parquet" -> shardBytes("C", (0 until 5).map(i => s"gamma $i body text"))).toMap
+    val rowsByPath = Map("/sh/0000.parquet" -> 6, "/sh/0001.parquet" -> 4, "/sh/0002.parquet" -> 5)
+    // a latch per gated path: the handler blocks BEFORE responding, so the
+    // gated shard is genuinely in flight while readers are asserted against
+    val gates = new java.util.concurrent.ConcurrentHashMap[String, CountDownLatch]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // requests block on the gate INSIDE the exchange, so serve each on its
+    // own thread (the default server executor is the caller's thread)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    bytesByPath.foreach { case (path, bytes) =>
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        Option(gates.get(path)).foreach(_.await())
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    }
+    try {
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cands = bytesByPath.toSeq.sortBy(_._1).map { case (p, b) =>
+        HfManifest.ShardCandidate(s"$base$p", Some(b.length.toLong)) }
+      val order = HfManifest.downloadOrder(cands, "hfasync", "7")
+      def pathOf(c: HfManifest.ShardCandidate) = c.url.stripPrefix(base)
+      // gate the SECOND shard in download order
+      val gate = new CountDownLatch(1)
+      gates.put(pathOf(order(1)), gate)
+
+      val landing = java.nio.file.Files.createTempDirectory("graft_hf_l1").toString
+      val exp = new ShardExpander(order, landing)
+      try {
+        // first shard lands; the second is now held in flight by the gate
+        assert(exp.awaitLanded(1, 20000).size == 1)
+        // materialized-set determinism: the landed set is exactly the
+        // order's first position
+        assert(exp.landed() == Seq(java.nio.file.Paths.get(landing, order(0).landedName)))
+        assert(!exp.finished && exp.failure.isEmpty)
+        // reads never block on the network: landed() answers immediately
+        // while the download is in flight
+        val t0 = System.nanoTime()
+        exp.landed()
+        assert((System.nanoTime() - t0) / 1e9 < 0.5, "landed() blocked")
+        // and a Spark scan of the landing dir serves the materialized
+        // prefix — the in-flight temp file is hidden from the file index
+        assert(spark.read.parquet(landing).count() == rowsByPath(pathOf(order(0))).toLong)
+        // release: expansion drains the rest of the order
+        gate.countDown()
+        assert(exp.awaitLanded(3, 20000).size == 3)
+        assert(exp.landed() == order.map(c => java.nio.file.Paths.get(landing, c.landedName)))
+        assert(exp.failure.isEmpty)
+        val entry = HfSourceList.parseLine(
+          "hf://acme/async/default/train anchor=text source_id=hfasync").toOption.flatten.get
+        assert(HfManifest.readLanded(spark, landing, entry).collect().length == 15)
+      } finally exp.close()
+
+      // disk cap halts expansion BEFORE the shard that no longer fits
+      val landing2 = java.nio.file.Files.createTempDirectory("graft_hf_l2").toString
+      val cap = order(0).expectedSize.get
+      val exp2 = new ShardExpander(order, landing2, capBytes = cap)
+      try {
+        exp2.awaitLanded(1, 20000)
+        exp2.awaitLanded(2, 2000) // returns at halt; nothing more can land
+        assert(exp2.finished && exp2.failure.isEmpty)
+        assert(exp2.landed() == Seq(java.nio.file.Paths.get(landing2, order(0).landedName)))
+      } finally exp2.close()
+
+      // a dead URL: retries, then failure surfaces and expansion stops —
+      // landed keeps serving what's on disk (here: nothing)
+      val landing3 = java.nio.file.Files.createTempDirectory("graft_hf_l3").toString
+      val bad = Seq(HfManifest.ShardCandidate(s"$base/missing.parquet", Some(10L)))
+      val exp3 = new ShardExpander(bad, landing3, maxRetries = 0)
+      try {
+        exp3.awaitLanded(1, 20000)
+        assert(exp3.finished && exp3.failure.isDefined && exp3.landed().isEmpty)
+      } finally exp3.close()
+    } finally server.stop(0)
+  }
+
   test("jsonl splittable lane: ids and sections identical to wholetext, split-invariant") {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_split")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Determinism
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -88,9 +88,18 @@ object Sampler {
     *               `pool_size` (epoch-stable pool count, computed once and
     *               persisted — drop it via [[SamplerState]] on source
     *               refresh so the next batch re-counts)
+    * @param decoration optional `(sampler, maxWindowTokens)`: decorate every
+    *               picked chunk with a KVP metadata prefix under the token
+    *               budget ([[Decoration.decorateColumn]]) before hashing —
+    *               the reference decorates inside the batch loop with a
+    *               per-(record, draw) key (src/sampler/mod.rs:1470-1508);
+    *               here the key is `dec:<slot>:<record_id>:<draw>` so the
+    *               three slots roll independent prefixes, exactly like the
+    *               decorated lane ([[Triplets.tripletRowsDecorated]])
     */
   def nextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
-      recipes: Seq[TripletRecipe], st: SamplerState, batch: Int): SamplerBatch = {
+      recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
     val byName = recipes.map(r => r.name -> r).toMap
@@ -210,13 +219,24 @@ object Sampler {
     }.toDF("draw", "a_mode", "a_arg", "p_mode", "p_arg", "n_mode", "n_arg", "allow_same")
     val ids = slotRec.select(col("record_id")).union(negRec.select(col("nid"))).distinct()
     val chunksR = chunks.join(broadcast(ids), Seq("record_id")).localCheckpoint()
+    // the delivered text hash: raw chunk text, or the decorated text when a
+    // KVP sampler is configured (decoration is a pure (record, draw)
+    // function, so the composed stream stays batch/partition invariant)
+    def slotText(slot: String): Column = decoration match {
+      case None => col("wtext")
+      case Some((smp, maxTok)) =>
+        Decoration.decorateColumn(smp,
+          concat(lit(s"dec:$slot:"), col("record_id").cast("string"),
+            lit(":"), col("draw").cast("string")),
+          split(col("wtext"), " "), maxTok).getField("text")
+    }
     def pickFor(slot: String, modeCol: String, argCol: String, recs: DataFrame) =
       Recipes.selectChunksBatch(chunksR,
           slotMeta.select(col("draw"), col(modeCol).as("mode"), col(argCol).as("arg")), slot)
         .join(recs, Seq("draw", "record_id"))
         .select(col("draw"), col("record_id"),
           col("window_index").cast("long").as(s"${slot}_widx"),
-          Determinism.portableHash(col("wtext")).as(s"${slot}_hash"))
+          Determinism.portableHash(slotText(slot)).as(s"${slot}_hash"))
     val aRecs = slotRec.select(col("draw"), col("record_id"))
     val nRecs = negRec.select(col("draw"), col("nid").as("record_id"))
     val aPick = pickFor("a", "a_mode", "a_arg", aRecs)

@@ -147,7 +147,8 @@ class InvariantsSpec extends AnyFunSuite {
       resumeAt: Option[Int] = None, stateDir: Option[String] = None,
       recipes: Seq[graft.operators.TripletRecipe] = goldenRecipes,
       seed: String = "gseq", dated: Boolean = false,
-      cols: Seq[String] = goldenCols) = {
+      cols: Seq[String] = goldenCols,
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None) = {
     val (chunks0, pool0) = goldenCorpus(dated)
     val chunks = chunks0.repartition(parts).cache()
     val pool = pool0.repartition(parts).cache()
@@ -161,7 +162,7 @@ class InvariantsSpec extends AnyFunSuite {
         SamplerState.save(st, p)
         st = SamplerState.load(p).get
       }
-      val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, batch)
+      val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, batch, decoration)
       batches += out.rows.select(cols.head, cols.tail: _*).collect()
       core ++= out.core.collect().map(_.toSeq)
       st = out.state
@@ -206,15 +207,22 @@ class InvariantsSpec extends AnyFunSuite {
   // ---- golden matrix: one pin per feature-flag configuration (reference:
   // src/sampler/tests.rs:17-50 pins one FNV sequence per flag) ----
 
-  /** Feature-flag matrix: (config, recipes, dated pool). 10 batches × 8
-    * slots = 80 draws over the 25-record pool, so the epoch wraps three
-    * times INSIDE the pinned window; digests include the per-slot `reason`
-    * tag so strategy dispatch is part of the pin. */
+  /** Decoration config for the matrix's decorated lane: 50% dropout, two
+    * variants, presence-1 fields (the column twin's domain). */
+  private val goldenDecoration = Some((graft.functions.KvpPrefixSampler(0.5f, Seq(
+    Seq(graft.functions.KvpField("site", Seq("alpha", "beta")),
+      graft.functions.KvpField("lang", Seq("en"))),
+    Seq(graft.functions.KvpField("year", Seq("2024", "2025"))))), 24))
+
+  /** Feature-flag matrix: (config, recipes, dated pool, decoration). 10
+    * batches × 8 slots = 80 draws over the 25-record pool, so the epoch
+    * wraps three times INSIDE the pinned window; digests include the
+    * per-slot `reason` tag so strategy dispatch is part of the pin. */
   private def goldenMatrix = {
     import graft.operators.{NegativeStrategy, Selector, TripletRecipe}
     Seq(
       // the default CSV role-mode lanes (WrongArticle only)
-      ("default", goldenRecipes, false),
+      ("default", goldenRecipes, false, None),
       // all three negative strategies in one ticket plan
       ("mixed_strategy", Seq(
         TripletRecipe("gm_wrong_article", Selector.RoleAnchor, Selector.RoleContext,
@@ -223,30 +231,34 @@ class InvariantsSpec extends AnyFunSuite {
           NegativeStrategy.WrongPublicationDate, weight = 0.3f),
         TripletRecipe("gm_qa_mismatch", Selector.Paragraph(1), Selector.Random,
           NegativeStrategy.QuestionAnswerMismatch, weight = 0.2f,
-          negativeSelector = Selector.RoleAnchor)), true),
+          negativeSelector = Selector.RoleAnchor)), true, None),
       // skewed weights (3:1 ticket plan) + non-default negative selector
       ("weighted", Seq(
         TripletRecipe("gw_ctx", Selector.RoleAnchor, Selector.RoleContext,
           NegativeStrategy.WrongArticle, weight = 3f),
         TripletRecipe("gw_rand", Selector.RoleAnchor, Selector.Random,
           NegativeStrategy.WrongArticle, weight = 1f,
-          negativeSelector = Selector.Random)), false))
+          negativeSelector = Selector.Random)), false, None),
+      // KVP chunk decoration in the batch loop (prefix + token budget
+      // fold into every slot hash; rejection compares decorated texts)
+      ("decorated", goldenRecipes, false, goldenDecoration))
   }
 
   /** Re-pin ONLY for an intentional semantic change. */
   private val MatrixPins = Map(
     "default" -> "6de1a9f7266687d98bcb73995e5f4b6b",
     "mixed_strategy" -> "4529892bd07e5ca0b698a2cba4c75b07",
-    "weighted" -> "87f0fa64a85d628ce65f6e291ad3d39d")
+    "weighted" -> "87f0fa64a85d628ce65f6e291ad3d39d",
+    "decorated" -> "f499d96b6e24d561400d129267797f8e")
 
   test("golden matrix: per-config pins across partitionings, epoch wrap inside the window") {
-    val got = goldenMatrix.map { case (cname, recipes, dated) =>
+    val got = goldenMatrix.map { case (cname, recipes, dated, dec) =>
       val (b1, _, end1) = runGolden(batch = 8, nBatches = 10, parts = 1,
         recipes = recipes, seed = s"gm:$cname", dated = dated,
-        cols = goldenCols :+ "reason")
+        cols = goldenCols :+ "reason", decoration = dec)
       val (b13, _, _) = runGolden(batch = 8, nBatches = 10, parts = 13,
         recipes = recipes, seed = s"gm:$cname", dated = dated,
-        cols = goldenCols :+ "reason")
+        cols = goldenCols :+ "reason", decoration = dec)
       val (d1, d13) = (seqDigest(b1), seqDigest(b13))
       assert(d1 == d13, s"$cname: sequence depends on partitioning")
       // 80 draws over 25 records: wrapped at draw 25/50/75
@@ -259,6 +271,12 @@ class InvariantsSpec extends AnyFunSuite {
       cname -> d1
     }.toMap
     assert(got == MatrixPins, s"golden matrix drift: $got")
+    // decoration genuinely engaged: the same config without the sampler
+    // yields a different sequence (prefix + budget fold into every hash)
+    val (bPlain, _, _) = runGolden(batch = 8, nBatches = 10, parts = 1,
+      seed = "gm:decorated", cols = goldenCols :+ "reason")
+    assert(seqDigest(bPlain) != got("decorated"),
+      "decorated pin indistinguishable from undecorated run")
   }
 
   test("swap rate is ~50% and weights appear in both swap branches") {

@@ -38,10 +38,14 @@ case class SamplerBatch(core: DataFrame, rows: DataFrame, state: SamplerState)
   * Scale shape: the only corpus-sized work per batch is the dense epoch
   * order ([[Mixing.epochOrder]] — per-source windows over (id, source)
   * pairs plus a broadcast source-stats join, no global window) and the
-  * chunk restriction join (broadcast of a batch-sized id list onto the
-  * chunk table scan). Everything downstream — selector windows, negative
-  * rank-pick, dedup, pad — runs on batch-bounded frames. No collect of
-  * record data; the driver holds only counters and the slot schedule.
+  * rank-pick joins over the narrow pool. The chunk restriction is an
+  * `isin` PREDICATE over the batch's id list (≤ 2×batch longs), which
+  * pushes below the chunk table's window/explode derivation to the record
+  * scan — chunking cost per batch is ∝ batch size, not corpus size (a
+  * broadcast join could not push through the Generate). Everything
+  * downstream — selector windows, negative rank-pick, dedup, pad — runs
+  * on batch-bounded frames. No collect of record data; the driver holds
+  * only counters and the slot schedule.
   */
 object Sampler {
 
@@ -217,8 +221,16 @@ object Sampler {
       val (nm, na) = selectorDesc(r.negativeSelector)
       (draw, am, aa, pm, pa, nm, na, r.allowSameAnchorPositive)
     }.toDF("draw", "a_mode", "a_arg", "p_mode", "p_arg", "n_mode", "n_arg", "allow_same")
-    val ids = slotRec.select(col("record_id")).union(negRec.select(col("nid"))).distinct()
-    val chunksR = chunks.join(broadcast(ids), Seq("record_id")).localCheckpoint()
+    // batch id restriction as an isin PREDICATE, not a join: a broadcast
+    // join sits above the chunk table's window/explode derivation and
+    // cannot push through the Generate, so every batch would re-chunk the
+    // whole corpus. The id list is batch-bounded (≤ 2×batch longs — slot
+    // schedule scale, which the driver already holds), and as a filter it
+    // pushes below the derivation to the record scan: per-batch chunking
+    // cost is ∝ batch size, not corpus size.
+    val ids = slotRec.select(col("record_id")).union(negRec.select(col("nid")))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val chunksR = chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint()
     // the delivered text hash: raw chunk text, or the decorated text when a
     // KVP sampler is configured (decoration is a pure (record, draw)
     // function, so the composed stream stays batch/partition invariant)

@@ -48,6 +48,17 @@ object Determinism {
   def fastHash(seed: Long, cols: Column*): Column =
     xxhash64((lit(seed) +: cols): _*)
 
+  /** JVM-side scalar twin of [[portableHash]] (md5 first 4 bytes as an
+    * unsigned 32-bit value — same construction as
+    * [[graft.functions.Kvp.DetRng]]): for Scala code on the driver or
+    * inside mapPartitions that must agree bit-for-bit with the column
+    * form, e.g. fixture synthesis in oracle queries. */
+  def jvmHash(s: String): Long = {
+    val b = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
   // -------------------------------------------------------------------
   // DuckDB SQL snippet generators — mirror the column expressions above
   // so oracle SQL strings stay in lock-step with the Spark plans.

@@ -9,11 +9,15 @@ import graft.core.Determinism
   *
   * The real engine treats image/audio/video as binary columns plus a typed
   * metadata struct and runs decode/feature-extraction as partition-batched
-  * UDFs. The codec layer is NOT available in this container, so
-  * [[fakeDecode]] is a clearly-marked deterministic STUB — the Spark-side
-  * contract (schema, encoders, batch iteration shape, partition-parallel
-  * execution, no shuffle) is real and tested. Swapping in a true decoder
-  * means replacing exactly one pure function.
+  * UDFs. The codec layer is REAL for the uncompressed containers —
+  * [[MediaCodecs]] parses WAV PCM, PPM P6 and BMP 24-bit with pure stdlib
+  * byte arithmetic ([[decodeReal]]/[[extractDecoded]]). Compressed formats
+  * (JPEG/PNG/MP3/...) need a codec library that is NOT in this container,
+  * so they route to the byte-stat fallback, and [[fakeDecode]] remains the
+  * deterministic oracle-checkable stub lane for fully-opaque payloads —
+  * the Spark-side contract (schema, encoders, batch iteration shape,
+  * partition-parallel execution, no shuffle) is identical in both lanes.
+  * Extending to a compressed format means adding one pure function.
   *
   * Scale notes: media rows are large — the media column must stay OUT of
   * every shuffle. Feature extraction is a narrow `mapPartitions`; anything
@@ -55,6 +59,40 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(fakeDecode)
+  }
+
+  /** One decoded-feature row per media payload; `kind` marks which real
+    * decoder fired (`wav`/`ppm`/`bmp`) or `opaque` for everything else —
+    * opaque rows still carry the byte statistics, so the lane subsumes
+    * [[fakeDecode]]'s contract. */
+  case class DecodedMediaRow(doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, sample_rate: Int,
+      n_samples: Long, duration_ms: Long, mean_r: Int, mean_g: Int,
+      mean_b: Int, rms_e3: Long, byte_sum: Long, feature_version: String)
+
+  /** REAL decode for the uncompressed containers ([[MediaCodecs]]: WAV
+    * PCM, PPM P6, BMP 24-bit — pure stdlib byte parsing, no codec
+    * library), byte-stat fallback for compressed/opaque payloads. Corrupt
+    * or truncated media degrades to the fallback, never throws. */
+  def decodeReal(rows: Iterator[MediaRow]): Iterator[DecodedMediaRow] =
+    rows.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
+      val nb = r.media.length.toLong
+      MediaCodecs.decode(r.media) match {
+        case Some(d) => DecodedMediaRow(r.doc_id, d.kind, nb, d.width, d.height,
+          d.channels, d.sampleRate, d.nSamples, d.durationMs,
+          d.meanR, d.meanG, d.meanB, d.rmsE3, sum, "codec-v1")
+        case None => DecodedMediaRow(r.doc_id, "opaque", nb,
+          0, 0, 0, 0, 0L, 0L, 0, 0, 0, 0L, sum, "codec-v1")
+      }
+    }
+
+  /** Partition-batched REAL decoding (narrow; media never shuffles). */
+  def extractDecoded(spark: SparkSession, media: DataFrame): Dataset[DecodedMediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeReal)
   }
 
   /** Frame-sampling stub: picks `n` deterministic offsets in [0, nBytes) —

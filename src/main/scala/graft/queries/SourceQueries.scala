@@ -207,6 +207,46 @@ object SourceQueries extends QueryModule {
           unnest(vs) AS rendering
         FROM ls""")),
 
+    QueryDef("q79_multimodal_real_decode",
+      // the REAL codec lane (MediaCodecs.decodeWav): synthesize one PCM
+      // WAV per document from the portable hash stream, decode it through
+      // the actual RIFF chunk walk, and let DuckDB recompute duration and
+      // RMS arithmetically from the same hash-derived samples — if the
+      // byte layout or the parser drifts, the hashes diverge. Both
+      // engines compute floor(1000·sqrt(ss/n)/32767) over identical
+      // integers in the same IEEE order, so the floor is exact.
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val samples = (0 until 8).map(i =>
+              (Determinism.jvmHash(s"wavs:$id:$i") % 2001L - 1000L).toInt)
+            Multimodal.MediaRow(id, "audio/wav",
+              graft.operators.MediaCodecs.encodeWavPcm16(1, 8000, samples), 0, 0)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("duration_ms"), col("rms_e3"))
+      },
+      Some(s"""WITH smp AS (
+          SELECT doc_id,
+            CAST(${Determinism.duckHash(
+              "'wavs:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 2001 - 1000
+              AS BIGINT) AS s
+          FROM documents, unnest(generate_series(0, 7)) AS g(i)
+        ), agg AS (
+          SELECT doc_id, sum(s * s) AS ss, count(*) AS n FROM smp GROUP BY doc_id
+        )
+        SELECT doc_id, 'wav' AS kind, CAST(1 AS BIGINT) AS channels,
+          CAST(8000 AS BIGINT) AS sample_rate, CAST(8 AS BIGINT) AS n_samples,
+          CAST(1 AS BIGINT) AS duration_ms,
+          CAST(floor(1000.0 * sqrt(CAST(ss AS DOUBLE) / n) / 32767.0) AS BIGINT) AS rms_e3
+        FROM agg""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

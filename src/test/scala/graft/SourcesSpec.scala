@@ -261,6 +261,118 @@ class SourcesSpec extends AnyFunSuite {
     assert(Multimodal.frameOffsets(1, 0, 4).isEmpty)
   }
 
+  // ---- real codecs for uncompressed containers ----
+
+  /** 16-byte-per-sample synthesizers for the three containers
+    * [[graft.operators.MediaCodecs]] actually parses. */
+  private object Synth {
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Seq[Byte] =
+      Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+
+    /** Canonical 44-byte-header PCM WAV. */
+    def wav(channels: Int, rate: Int, bits: Int, samples: Seq[Int]): Array[Byte] = {
+      val bytesPer = bits / 8
+      val data = samples.flatMap(s => if (bits == 8) Seq(s.toByte) else le16(s))
+      val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+        le32(rate * channels * bytesPer) ++ le16(channels * bytesPer) ++ le16(bits)
+      val body = "fmt ".getBytes.toSeq ++ le32(16) ++ fmt ++
+        "data".getBytes.toSeq ++ le32(data.length) ++ data
+      ("RIFF".getBytes.toSeq ++ le32(4 + body.length) ++ "WAVE".getBytes.toSeq ++ body).toArray
+    }
+
+    def ppm(w: Int, h: Int, px: Seq[(Int, Int, Int)], comment: Boolean = false): Array[Byte] = {
+      val hdr = s"P6${if (comment) "\n# synthetic fixture" else ""}\n$w $h\n255\n"
+      (hdr.getBytes.toSeq ++ px.flatMap { case (r, g, b) =>
+        Seq(r.toByte, g.toByte, b.toByte) }).toArray
+    }
+
+    /** 24-bit BI_RGB BMP; rows bottom-up, padded to 4 bytes. */
+    def bmp(w: Int, h: Int, px: Seq[(Int, Int, Int)], topDown: Boolean = false): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val rows = px.grouped(w).toSeq
+      val ordered = if (topDown) rows else rows.reverse // file stores bottom row first
+      val pix = ordered.flatMap { row =>
+        row.flatMap { case (r, g, b) => Seq(b.toByte, g.toByte, r.toByte) } ++
+          Seq.fill(rowBytes - 3 * w)(0.toByte)
+      }
+      ("BM".getBytes.toSeq ++ le32(54 + pix.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(pix.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+        pix).toArray
+    }
+  }
+
+  test("wav decoder: PCM 16-bit and 8-bit, chunk walk, duration and exact RMS") {
+    import graft.operators.MediaCodecs
+    // 16-bit mono square wave at full ±1000: RMS = 1000 exactly
+    val w16 = Synth.wav(1, 8000, 16, Seq.fill(8)(Seq(1000, -1000)).flatten)
+    val d16 = MediaCodecs.decode(w16).get
+    assert(d16.kind == "wav" && d16.channels == 1 && d16.sampleRate == 8000)
+    assert(d16.nSamples == 16 && d16.durationMs == 2L)
+    assert(d16.rmsE3 == math.floor(1000.0 * 1000.0 / 32767.0).toLong)
+    // 8-bit stereo: unsigned samples, centered at 128; ±100 square → RMS 100
+    val w8 = Synth.wav(2, 11025, 8, Seq.fill(6)(Seq(228, 28)).flatten)
+    val d8 = MediaCodecs.decode(w8).get
+    assert(d8.kind == "wav" && d8.channels == 2 && d8.sampleRate == 11025)
+    assert(d8.nSamples == 6 && d8.durationMs == 0L)
+    assert(d8.rmsE3 == math.floor(1000.0 * 100.0 / 127.0).toLong)
+    // non-PCM (format 3 = float) and truncated data refuse, not throw
+    val nonPcm = w16.clone(); nonPcm(20) = 3
+    assert(MediaCodecs.decode(nonPcm).isEmpty)
+    assert(MediaCodecs.decode(w16.take(50)).isEmpty)
+  }
+
+  test("ppm decoder: header comments, exact channel means, truncation refused") {
+    import graft.operators.MediaCodecs
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30))
+    val d = MediaCodecs.decode(Synth.ppm(2, 2, px, comment = true)).get
+    assert(d.kind == "ppm" && d.width == 2 && d.height == 2 && d.channels == 3)
+    // floor((255+0+0+10)/4), floor((0+255+0+20)/4), floor((0+0+255+30)/4)
+    assert((d.meanR, d.meanG, d.meanB) == (66, 68, 71))
+    assert(MediaCodecs.decode(Synth.ppm(2, 2, px).dropRight(1)).isEmpty)
+    assert(MediaCodecs.decode("P6\n0 2\n255\n".getBytes).isEmpty)
+  }
+
+  test("bmp decoder: bottom-up and top-down, row padding, wrong-bpp refused") {
+    import graft.operators.MediaCodecs
+    // 3×2: padding = 3 bytes per row; means must ignore the pad bytes
+    val px = Seq((9, 18, 27), (36, 45, 54), (63, 72, 81),
+      (90, 99, 108), (117, 126, 135), (144, 153, 162))
+    for (topDown <- Seq(false, true)) {
+      val d = MediaCodecs.decode(Synth.bmp(3, 2, px, topDown)).get
+      assert(d.kind == "bmp" && d.width == 3 && d.height == 2 && d.channels == 3)
+      assert((d.meanR, d.meanG, d.meanB) == (76, 85, 94), s"topDown=$topDown")
+    }
+    val wrongBpp = Synth.bmp(3, 2, px).clone(); wrongBpp(28) = 32
+    assert(graft.operators.MediaCodecs.decode(wrongBpp).isEmpty)
+    assert(MediaCodecs.decode(Synth.bmp(3, 2, px).take(53)).isEmpty)
+  }
+
+  test("decodeReal lane: mixed batch routes per payload, opaque keeps byte stats, no shuffle") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Synth.wav(1, 8000, 16, Seq(0, 0, 0, 0)), 0, 0),
+      Multimodal.MediaRow(2L, "image/x-portable-pixmap",
+        Synth.ppm(1, 1, Seq((7, 8, 9))), 1, 1),
+      Multimodal.MediaRow(3L, "image/bmp", Synth.bmp(1, 1, Seq((5, 6, 7))), 1, 1),
+      Multimodal.MediaRow(4L, "application/octet-stream", "abc".getBytes, 320, 240),
+      Multimodal.MediaRow(5L, "image/jpeg", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte), 8, 8))
+    val ds = Multimodal.extractDecoded(spark, rows.toDF())
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"),
+      "decode lane must stay narrow (media never shuffles)")
+    val got = ds.collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L).kind == "wav" && got(1L).sample_rate == 8000 && got(1L).n_samples == 4)
+    assert(got(2L).kind == "ppm" &&
+      (got(2L).mean_r, got(2L).mean_g, got(2L).mean_b) == (7, 8, 9))
+    assert(got(3L).kind == "bmp" &&
+      (got(3L).mean_r, got(3L).mean_g, got(3L).mean_b) == (5, 6, 7))
+    // opaque payloads (including compressed formats) keep the byte-stat contract
+    for (id <- Seq(4L, 5L)) assert(got(id).kind == "opaque")
+    assert(got(4L).byte_sum == 'a' + 'b' + 'c' && got(4L).n_bytes == 3)
+  }
+
   test("detrng shuffle is a permutation and deterministic") {
     val rng1 = new Kvp.DetRng("s")
     val rng2 = new Kvp.DetRng("s")

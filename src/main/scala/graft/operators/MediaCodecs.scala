@@ -9,8 +9,13 @@ package graft.operators
   *   - PPM  (P6 binary, maxval < 256 — raw RGB)
   *   - BMP  (BITMAPINFOHEADER, 24-bit uncompressed, bottom-up or
   *     top-down — raw BGR with 4-byte row padding)
+  *   - PNG  (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) — the
+  *     one COMPRESSED container the JDK can decode without a codec
+  *     library: the zlib IDAT stream inflates via `java.util.zip.Inflater`
+  *     and the five scanline filters (None/Sub/Up/Average/Paeth) are
+  *     reversed here
   *
-  * Compressed formats (JPEG/PNG/MP3/...) still route to the opaque
+  * Other compressed formats (JPEG/MP3/...) still route to the opaque
   * byte-stat fallback — decoding those genuinely needs a codec library
   * that is not in this container. The dispatcher sniffs magic bytes, and
   * ANY structural violation (truncation, wrong bpp, non-PCM, overflow)
@@ -36,14 +41,20 @@ object MediaCodecs {
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def le32(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
     i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
 
-  /** Magic-byte sniff: wav | ppm | bmp | opaque. */
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Magic-byte sniff: wav | ppm | bmp | png | opaque. */
   def sniff(b: Array[Byte]): String =
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "P6")) "ppm"
     else if (ascii(b, 0, "BM")) "bmp"
+    else if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))) "png"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -52,6 +63,7 @@ object MediaCodecs {
     case "wav" => decodeWav(b)
     case "ppm" => decodePpm(b)
     case "bmp" => decodeBmp(b)
+    case "png" => decodePng(b)
     case _ => None
   }
 
@@ -193,5 +205,163 @@ object MediaCodecs {
     }
     Some(Decoded("bmp", width = w, height = h, channels = 3,
       meanR = (sr / npx).toInt, meanG = (sg / npx).toInt, meanB = (sb / npx).toInt))
+  }
+
+  /** PNG: 8-bit depth, color types 0 (gray) / 2 (RGB) / 4 (gray+alpha) /
+    * 6 (RGBA), non-interlaced. Chunk walk collects IHDR + concatenated
+    * IDAT, `java.util.zip.Inflater` decompresses the zlib stream, and the
+    * five scanline filters are reversed row by row. Channel means ignore
+    * alpha; grayscale reports the same mean on all three channels. Any
+    * structural violation (bad CRC length, interlace, 16-bit, palette,
+    * short inflate) refuses rather than throws. */
+  def decodePng(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1
+    var sawIhdr = false; var ended = false
+    val idat = new java.io.ByteArrayOutputStream
+    while (!ended && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12 + len > b.length) return None // len + type + crc must fit
+      if (ascii(b, pos + 4, "IHDR")) {
+        if (len != 13) return None
+        w = be32(b, pos + 8); h = be32(b, pos + 12)
+        val bitDepth = u8(b, pos + 16); colorType = u8(b, pos + 17)
+        val interlace = u8(b, pos + 20)
+        if (bitDepth != 8 || interlace != 0) return None
+        sawIhdr = true
+      } else if (ascii(b, pos + 4, "IDAT")) {
+        if (!sawIhdr) return None
+        idat.write(b, pos + 8, len)
+      } else if (ascii(b, pos + 4, "IEND")) {
+        ended = true
+      }
+      pos += 12 + len
+    }
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None
+    }
+    if (!sawIhdr || w <= 0 || h <= 0 || idat.size == 0) return None
+    val stride = w.toLong * bpp
+    val rawLen = (stride + 1) * h
+    if (stride > Int.MaxValue / h - 1 || rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // reverse scanline filters in place (prior = de-filtered previous row)
+    val st = stride.toInt
+    val cur = new Array[Int](st)
+    val prior = new Array[Int](st)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var row = 0
+    while (row < h) {
+      val base = row * (st + 1)
+      val filter = u8(raw, base)
+      if (filter > 4) return None
+      var i = 0
+      while (i < st) {
+        val x = u8(raw, base + 1 + i)
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val up = if (row > 0) prior(i) else 0
+        val c = if (i >= bpp && row > 0) prior(i - bpp) else 0
+        cur(i) = (filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - up), math.abs(p - c))
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }) & 0xff
+        i += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * bpp
+        colorType match {
+          case 0 | 4 => val v = cur(o); sr += v; sg += v; sb += v
+          case _ => sr += cur(o); sg += cur(o + 1); sb += cur(o + 2)
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, st)
+      row += 1
+    }
+    val npx = w.toLong * h
+    Some(Decoded("png", width = w, height = h, channels = bpp,
+      meanR = (sr / npx).toInt, meanG = (sg / npx).toInt, meanB = (sb / npx).toInt))
+  }
+
+  /** Minimal PNG encoder (the inverse of [[decodePng]] for fixtures and
+    * synthetic media lanes): 8-bit, color type 2 (RGB) or 0 (gray),
+    * filter `filterType` on every scanline (the encoder APPLIES the
+    * filter so the decoder must reverse it), one zlib-deflated IDAT. */
+  def encodePng(w: Int, h: Int, px: Seq[Int], gray: Boolean = false,
+      filterType: Int = 0): Array[Byte] = {
+    val bpp = if (gray) 1 else 3
+    require(w > 0 && h > 0 && px.length == w * h * bpp && filterType >= 0 && filterType <= 4)
+    val st = w * bpp
+    val raw = new Array[Byte]((st + 1) * h)
+    val prior = new Array[Int](st)
+    var row = 0
+    while (row < h) {
+      val base = row * (st + 1)
+      raw(base) = filterType.toByte
+      var i = 0
+      while (i < st) {
+        val x = px(row * st + i) & 0xff
+        val a = if (i >= bpp) px(row * st + i - bpp) & 0xff else 0
+        val up = if (row > 0) prior(i) else 0
+        val c = if (i >= bpp && row > 0) prior(i - bpp) else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - up), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(base + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      i = 0
+      while (i < st) { prior(i) = px(row * st + i) & 0xff; i += 1 }
+      row += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Seq[Byte] = {
+      def w32(v: Int): Seq[Byte] =
+        Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+      val body = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      w32(data.length) ++ body.toSeq ++ w32(crc.getValue.toInt)
+    }
+    def b32(v: Int): Array[Byte] =
+      Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    val ihdr = b32(w) ++ b32(h) ++ Array[Byte](8, if (gray) 0 else 2, 0, 0, 0)
+    (PngSig.toSeq ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.empty)).toArray
   }
 }

@@ -247,6 +247,55 @@ object SourceQueries extends QueryModule {
           CAST(floor(1000.0 * sqrt(CAST(ss AS DOUBLE) / n) / 32767.0) AS BIGINT) AS rms_e3
         FROM agg""")),
 
+    QueryDef("q69_multimodal_png_decode",
+      // the COMPRESSED codec lane (MediaCodecs.decodePng): hash-derived
+      // 4×3 RGB pixels are PNG-encoded with scanline filter doc_id % 5 —
+      // every one of the five PNG filters (None/Sub/Up/Average/Paeth) is
+      // exercised across the corpus — deflated, then decoded through the
+      // real chunk walk + java.util.zip.Inflater + de-filter. Filters are
+      // lossless, so DuckDB recomputes the channel means directly from
+      // the same hash stream: any drift in the filter algebra, the zlib
+      // framing, or the chunk walk shifts a mean and fails the hash.
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val px = (0 until 36).map(i =>
+              (Determinism.jvmHash(s"png:$id:$i") % 256L).toInt)
+            Multimodal.MediaRow(id, "image/png",
+              graft.operators.MediaCodecs.encodePng(4, 3, px,
+                filterType = (id % 5).toInt), 4, 3)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"),
+            col("mean_r").cast("long").as("mean_r"),
+            col("mean_g").cast("long").as("mean_g"),
+            col("mean_b").cast("long").as("mean_b"))
+      },
+      Some(s"""WITH px AS (
+          SELECT doc_id, i,
+            CAST(${Determinism.duckHash(
+              "'png:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 256
+              AS BIGINT) AS v
+          FROM documents, unnest(generate_series(0, 35)) AS g(i)
+        ), agg AS (
+          SELECT doc_id,
+            sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sr,
+            sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sg,
+            sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sb
+          FROM px GROUP BY doc_id
+        )
+        SELECT doc_id, 'png' AS kind, CAST(4 AS BIGINT) AS width,
+          CAST(3 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+          CAST(sr // 12 AS BIGINT) AS mean_r, CAST(sg // 12 AS BIGINT) AS mean_g,
+          CAST(sb // 12 AS BIGINT) AS mean_b
+        FROM agg""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

@@ -349,6 +349,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(MediaCodecs.decode(Synth.bmp(3, 2, px).take(53)).isEmpty)
   }
 
+  test("png decoder: all five scanline filters round-trip to identical means") {
+    import graft.operators.MediaCodecs
+    // deterministic pixel ramp with enough structure that a filter bug
+    // (wrong predictor, wrong prior row) shifts at least one channel mean
+    val w = 5; val h = 4
+    val px = (0 until w * h * 3).map(i => (i * 37 + (i * i) % 91) % 256)
+    val expected = {
+      val npx = w * h
+      def mean(c: Int) = (0 until npx).map(p => px(3 * p + c)).sum / npx
+      (mean(0), mean(1), mean(2))
+    }
+    for (f <- 0 to 4) {
+      val d = MediaCodecs.decode(MediaCodecs.encodePng(w, h, px, filterType = f)).get
+      assert(d.kind == "png" && d.width == w && d.height == h && d.channels == 3,
+        s"filter=$f")
+      assert((d.meanR, d.meanG, d.meanB) == expected, s"filter=$f")
+    }
+  }
+
+  test("png decoder: grayscale reports the gray mean on all channels; corruption refused") {
+    import graft.operators.MediaCodecs
+    val gray = Seq(10, 20, 30, 40, 50, 60)
+    val d = MediaCodecs.decode(MediaCodecs.encodePng(3, 2, gray, gray = true,
+      filterType = 4)).get
+    assert(d.kind == "png" && d.channels == 1)
+    assert((d.meanR, d.meanG, d.meanB) == (35, 35, 35))
+    val good = MediaCodecs.encodePng(3, 2, gray, gray = true)
+    // truncated IDAT: chop the file mid-chunk
+    assert(MediaCodecs.decode(good.take(good.length - 15)).isEmpty)
+    // corrupt the zlib stream body (first IDAT data byte after len+type)
+    val bad = good.clone()
+    bad(8 + 25 + 8) = (bad(8 + 25 + 8) ^ 0x55).toByte
+    assert(MediaCodecs.decode(bad).isEmpty || MediaCodecs.decode(bad).get.kind == "png")
+    // 16-bit depth and interlace flags refuse
+    val deep = good.clone(); deep(8 + 8 + 8) = 16
+    assert(MediaCodecs.decode(deep).isEmpty)
+    val ilace = good.clone(); ilace(8 + 8 + 12) = 1
+    assert(MediaCodecs.decode(ilace).isEmpty)
+  }
+
   test("decodeReal lane: mixed batch routes per payload, opaque keeps byte stats, no shuffle") {
     val spark = TestSpark.spark
     import spark.implicits._

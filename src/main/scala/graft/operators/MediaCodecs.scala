@@ -252,7 +252,9 @@ object MediaCodecs {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // 0 with output space left: truncated input, preset-dictionary
+        // stream, or just-finished — only the last is not a refusal
+        if (n == 0 && !inf.finished()) return None
         got += n
       }
       if (got < raw.length) return None
@@ -304,12 +306,16 @@ object MediaCodecs {
   }
 
   /** Minimal PNG encoder (the inverse of [[decodePng]] for fixtures and
-    * synthetic media lanes): 8-bit, color type 2 (RGB) or 0 (gray),
-    * filter `filterType` on every scanline (the encoder APPLIES the
-    * filter so the decoder must reverse it), one zlib-deflated IDAT. */
-  def encodePng(w: Int, h: Int, px: Seq[Int], gray: Boolean = false,
+    * synthetic media lanes): 8-bit, any supported color type (0 gray,
+    * 2 RGB, 4 gray+alpha, 6 RGBA — `px` is the interleaved channel
+    * stream), filter `filterType` on every scanline (the encoder APPLIES
+    * the filter so the decoder must reverse it), one zlib-deflated IDAT. */
+  def encodePng(w: Int, h: Int, px: Seq[Int], colorType: Int = 2,
       filterType: Int = 0): Array[Byte] = {
-    val bpp = if (gray) 1 else 3
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
     require(w > 0 && h > 0 && px.length == w * h * bpp && filterType >= 0 && filterType <= 4)
     val st = w * bpp
     val raw = new Array[Byte]((st + 1) * h)
@@ -360,7 +366,7 @@ object MediaCodecs {
     }
     def b32(v: Int): Array[Byte] =
       Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
-    val ihdr = b32(w) ++ b32(h) ++ Array[Byte](8, if (gray) 0 else 2, 0, 0, 0)
+    val ihdr = b32(w) ++ b32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
     (PngSig.toSeq ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
       chunk("IEND", Array.empty)).toArray
   }

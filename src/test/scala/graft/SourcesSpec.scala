@@ -368,14 +368,28 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("png decoder: grayscale reports the gray mean on all channels; corruption refused") {
+  test("png decoder: gray, gray+alpha and RGBA channel handling; corruption refused") {
     import graft.operators.MediaCodecs
     val gray = Seq(10, 20, 30, 40, 50, 60)
-    val d = MediaCodecs.decode(MediaCodecs.encodePng(3, 2, gray, gray = true,
+    val d = MediaCodecs.decode(MediaCodecs.encodePng(3, 2, gray, colorType = 0,
       filterType = 4)).get
     assert(d.kind == "png" && d.channels == 1)
     assert((d.meanR, d.meanG, d.meanB) == (35, 35, 35))
-    val good = MediaCodecs.encodePng(3, 2, gray, gray = true)
+    // gray+alpha: means ignore the alpha bytes (all 255 here)
+    val ga = gray.flatMap(v => Seq(v, 255))
+    val dga = MediaCodecs.decode(MediaCodecs.encodePng(3, 2, ga, colorType = 4,
+      filterType = 3)).get
+    assert(dga.channels == 2 && (dga.meanR, dga.meanG, dga.meanB) == (35, 35, 35))
+    // RGBA: same RGB means as the RGB encoding of the same pixels
+    val rgb = Seq(200, 100, 50, 40, 80, 120, 0, 255, 30, 90, 60, 10, 5, 15, 25, 35, 45, 55)
+    val rgba = rgb.grouped(3).flatMap(p => p :+ 128).toSeq
+    val dRgb = MediaCodecs.decode(MediaCodecs.encodePng(3, 2, rgb, colorType = 2,
+      filterType = 1)).get
+    val dRgba = MediaCodecs.decode(MediaCodecs.encodePng(3, 2, rgba, colorType = 6,
+      filterType = 2)).get
+    assert(dRgba.channels == 4)
+    assert((dRgba.meanR, dRgba.meanG, dRgba.meanB) == (dRgb.meanR, dRgb.meanG, dRgb.meanB))
+    val good = MediaCodecs.encodePng(3, 2, gray, colorType = 0)
     // truncated IDAT: chop the file mid-chunk
     assert(MediaCodecs.decode(good.take(good.length - 15)).isEmpty)
     // corrupt the zlib stream body (first IDAT data byte after len+type)
@@ -387,6 +401,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(MediaCodecs.decode(deep).isEmpty)
     val ilace = good.clone(); ilace(8 + 8 + 12) = 1
     assert(MediaCodecs.decode(ilace).isEmpty)
+  }
+
+  test("media codecs never throw: fuzzed random buffers and mutated valid files") {
+    import graft.operators.MediaCodecs
+    // the 100 TB contract: one corrupt payload must degrade, never kill a
+    // scan. Deterministic fuzz — random buffers, then random single-byte
+    // mutations and truncations of VALID files (far more likely to reach
+    // deep parser states than pure noise).
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    val magics = Seq("RIFF".getBytes, "P6\n".getBytes, "BM".getBytes,
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    for (_ <- 0 until 400) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      // half the time, graft a real magic onto the noise
+      if (rnd.nextBoolean() && b.nonEmpty) {
+        val m = magics(rnd.nextInt(magics.length))
+        System.arraycopy(m, 0, b, 0, math.min(m.length, b.length))
+      }
+      MediaCodecs.decode(b) // must not throw; result value irrelevant
+    }
+    val valids = Seq(
+      Synth.wav(2, 8000, 16, (0 until 32).map(i => i * 100 - 1600)),
+      Synth.ppm(4, 3, (0 until 12).map(i => (i, 2 * i, 3 * i))),
+      Synth.bmp(3, 3, (0 until 9).map(i => (i * 7, i * 11, i * 13))),
+      MediaCodecs.encodePng(4, 4, (0 until 48).map(i => (i * 5) % 256), filterType = 4))
+    for (v <- valids; _ <- 0 until 150) {
+      val b = v.clone()
+      rnd.nextInt(3) match {
+        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        case 1 => MediaCodecs.decode(b.take(rnd.nextInt(b.length))); ()
+        case 2 => // flip several length/header-region bytes
+          for (_ <- 0 to rnd.nextInt(4))
+            b(rnd.nextInt(math.min(60, b.length))) = rnd.nextInt(256).toByte
+      }
+      MediaCodecs.decode(b)
+    }
   }
 
   test("decodeReal lane: mixed batch routes per payload, opaque keeps byte stats, no shuffle") {

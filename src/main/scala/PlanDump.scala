@@ -49,7 +49,9 @@ object PlanDump extends App {
     "q65_ivf_lloyd_refine" -> "Lloyd step: codebook broadcast onto the corpus for the n x K argmin (min-of-struct aggregate), recompute = one Generate to (cell, dim) rows + map-side-combined aggregation; centroids stay K x dim rows end to end",
     "q67_sequence_packing_split" -> "boundary-splitting packing: identical shard-keyed running-sum window as q99, then ONE Generate explodes each doc into the sequences it touches — slice arithmetic is scan-fused column work, so the zero-waste layout costs exactly one window + one explode",
     "q68_incremental_dedup" -> "incremental dedup: the join's LEFT side is only the NEW docs' band keys (filter above the Generate), the right side the full band table — candidate generation scales with the shard x collisions; old-old pairs never exist in the plan",
-    "q53_temperature_allocation" -> "temperature mixing: the whole plan runs on a #sources-sized frame after the first aggregate — the sqrt weight is a scalar projection, the allocation the same bounded global window as q43")
+    "q53_temperature_allocation" -> "temperature mixing: the whole plan runs on a #sources-sized frame after the first aggregate — the sqrt weight is a scalar projection, the allocation the same bounded global window as q43",
+    "q66_mixed_strategy_batch" -> "composed batch with per-recipe negative dispatch: each strategy lane (WrongArticle / WrongDate / QA) is a keyed rank-pick over only ITS slots, unioned by name; slot and negative frames are localCheckpoint()ed so the visible plan is batch-sized — the corpus-scale work (chunk derivation) happened once behind the isin pushdown, which is why the top shows LocalTableScan/Scan ExistingRDD rather than a corpus scan",
+    "q69_multimodal_png_decode" -> "the real-codec lane is a NARROW object pipeline: DeserializeToObject -> MapPartitions (encode+inflate+de-filter per payload) -> SerializeFromObject with zero Exchange nodes — media bytes never shuffle; at 100 TB the decode cost is embarrassingly parallel and the only wide op would belong to a downstream consumer")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

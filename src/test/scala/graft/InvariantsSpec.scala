@@ -279,6 +279,25 @@ class InvariantsSpec extends AnyFunSuite {
       "decorated pin indistinguishable from undecorated run")
   }
 
+  /** Reference-length pin (src/sampler/tests.rs pins 45-batch sequences):
+    * 45 × 8 = 360 draws over the 25-record pool — the epoch wraps 14
+    * times inside the pinned window. Partition/batch-size invariance and
+    * the flag matrix are pinned above at 10 batches; this run guards the
+    * LONG-horizon composition (counter drift, wrap-boundary rotation,
+    * seen-set aging) at the reference's own sequence length. */
+  private val Golden45Hash = "96f93e53f32f1c0e015c4d6283bf8cd6"
+
+  test("golden sequence at reference length: 45 batches, 14 epoch wraps") {
+    val (batches, _, end) = runGolden(batch = 8, nBatches = 45, parts = 4,
+      seed = "gm45:default", cols = goldenCols :+ "reason")
+    assert(batches.length == 45 && batches.forall(_.length == 8))
+    assert(end.epoch == 14L && end.counter("draw") == 360L,
+      "expected 14 epoch wraps across the 45-batch window")
+    val d = seqDigest(batches)
+    info(s"45-batch digest: $d")
+    assert(d == Golden45Hash, "reference-length golden sequence drift")
+  }
+
   test("swap rate is ~50% and weights appear in both swap branches") {
     val docs = Tables.load(spark, sfDir, "documents")
     val t = Triplets.triplets(docs, TripletConfig())

@@ -126,6 +126,25 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(bigRows == graft.functions.Sentences.sentences(big))
   }
 
+  test("media decode completes at 200k payloads (narrow lane, real codecs)") {
+    import spark.implicits._
+    import graft.operators.{MediaCodecs, Multimodal}
+    // 200k small PNGs synthesized AND decoded inside one mapPartitions
+    // chain — the lane must stay shuffle-free end to end, and the real
+    // inflate+de-filter walk must hold up at volume
+    val media = spark.range(200000).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val px = (0 until 27).map(i => ((id * 31 + i * 17) % 256).toInt)
+        Multimodal.MediaRow(id, "image/png",
+          MediaCodecs.encodePng(3, 3, px, filterType = (id % 5).toInt), 3, 3)
+      }).toDF()
+    val decoded = Multimodal.extractDecoded(spark, media)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
+    val agg = decoded.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("png" -> 200000L), s"unexpected kinds: $agg")
+  }
+
   test("auto-pair stages complete at 200k docs (keyed windows only)") {
     // 80-token docs -> 3 context windows each, so Stage B keeps every record
     val docs = corpus(200000, tokens = 80)

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator demonstrations over `documents`:
@@ -505,6 +505,93 @@ object TextQueries extends QueryModule {
                 OR dup_trigram_e6 > ${Curation.DupTrigramMaxE6})
               THEN 1 ELSE 0 END AS BIGINT) AS repetitive
           FROM f"""
-      })
+      }),
+
+    QueryDef("q55_bpe_word_counts",
+      // the corpus-scale half of BPE training: one explode + map-side-
+      // combined aggregate, capped at the top-N words by the
+      // DETERMINISTIC total order (count DESC, word ASC) — the cap is
+      // what bounds the driver-side trainer at 100 TB
+      (s, dir) => Bpe.wordCounts(Tables.load(s, dir, "documents"),
+        maxWords = 300),
+      Some(s"""WITH words AS (
+          SELECT unnest(${TextFunctions.duckTokens("lower(text)")}) AS word
+          FROM documents
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 300""")),
+
+    QueryDef("q54_bpe_piece_counts",
+      // distributed BPE ENCODE under the pinned merge table: broadcast
+      // ranks + one narrow mapPartitions with a per-partition word memo.
+      // The oracle replays the exact greedy rule — merge the LEFTMOST
+      // occurrence of the lowest-rank adjacent pair until none matches —
+      // as a DuckDB recursive CTE over symbol lists, so the per-doc piece
+      // counts hash-match only if both engines segment every word
+      // identically.
+      (s, dir) => Bpe.pieceCounts(s, Tables.load(s, dir, "documents"),
+        Bpe.PinnedMerges),
+      Some(s"""$duckBpeCtes, per_doc AS (
+          SELECT o.doc_id, count(*) AS n_words, sum(f.np) AS n_pieces
+          FROM occurrences o JOIN fin f ON o.w = f.w
+          GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""")),
+
+    QueryDef("q56_bpe_segmentation",
+      // pins the actual SEGMENTATION, not just its length: the hash of
+      // each doc's first 12 pieces (word order preserved via ordered
+      // flatten) matches only if both engines produce identical piece
+      // STRINGS in identical order
+      (s, dir) => Bpe.segmentation(s, Tables.load(s, dir, "documents"),
+        Bpe.PinnedMerges),
+      Some(s"""$duckBpeCtes, flat AS (
+          SELECT o.doc_id, flatten(array_agg(f.syms ORDER BY o.idx)) AS pieces
+          FROM occurrences o JOIN fin f ON o.w = f.w
+          GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(len(p.pieces), 0) AS BIGINT) AS n_pieces,
+          ${Determinism.duckHash(
+            "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
+            AS head_pieces_hash
+        FROM documents d LEFT JOIN flat p ON d.doc_id = p.doc_id"""))
   )
+
+  /** Shared oracle scaffold for the BPE lanes: tokenize → distinct words
+    * → RECURSIVE greedy encode (leftmost lowest-rank pair per step, the
+    * exact [[Bpe.encodeWord]] rule) → `fin(w, syms, np)`. */
+  private lazy val duckBpeCtes: String = {
+    val rankMap = Bpe.duckRankMap(Bpe.PinnedMerges)
+    val bestExpr = s"""list_sort(list_filter(
+          list_transform(range(1, len(syms)),
+            p -> [coalesce(($rankMap[syms[p] || ' ' || syms[p+1]])[1],
+                   999999), p]),
+          x -> x[1] < 999999))[1]"""
+    s"""WITH RECURSIVE occurrences AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS idx, unnest(toks) AS w
+        FROM (SELECT doc_id,
+          ${TextFunctions.duckTokens("lower(text)")} AS toks FROM documents)
+      ), dw AS (
+        SELECT DISTINCT w FROM occurrences
+      ), enc(w, syms) AS (
+        SELECT w, list_append(string_split_regex(w, ''), '${Bpe.Eow}')
+        FROM dw
+        UNION ALL
+        SELECT w,
+          list_concat(list_concat(
+            list_slice(syms, 1, best[2] - 1),
+            [syms[best[2]] || syms[best[2] + 1]]),
+            list_slice(syms, best[2] + 2, len(syms)))
+        FROM (SELECT w, syms, $bestExpr AS best FROM enc)
+        WHERE best IS NOT NULL
+      ), fin AS (
+        SELECT w, syms, len(syms) AS np
+        FROM (SELECT w, syms, $bestExpr AS best FROM enc)
+        WHERE best IS NULL
+      )"""
+  }
 }

@@ -72,6 +72,25 @@ class BpeSpec extends AnyFunSuite {
     assert(all.filterNot(kv => inSet(kv._1)).forall(_._2 <= minIn))
   }
 
+  test("segmentation digest is consistent with pieceCounts and the driver encode") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val seg = Bpe.segmentation(spark, docs, Bpe.PinnedMerges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pc = Bpe.pieceCounts(spark, docs, Bpe.PinnedMerges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg.view.mapValues(_._1).toMap == pc,
+      "segmentation and pieceCounts disagree on n_pieces")
+    val ranks = Bpe.ranksOf(Bpe.PinnedMerges)
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val ws = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val head = ws.iterator.flatMap(w => Bpe.encodeWord(w, ranks))
+        .take(12).mkString(" ")
+      assert(seg(r.getLong(0))._2 == graft.core.Determinism.jvmHash(head),
+        s"head-pieces hash drift on doc ${r.getLong(0)}")
+    }
+  }
+
   test("distributed pieceCounts equals the driver-side encode") {
     val docs = Tables.load(spark, sfDir, "documents").limit(80)
     val got = Bpe.pieceCounts(spark, docs, Bpe.PinnedMerges).collect()

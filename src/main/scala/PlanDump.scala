@@ -51,7 +51,9 @@ object PlanDump extends App {
     "q68_incremental_dedup" -> "incremental dedup: the join's LEFT side is only the NEW docs' band keys (filter above the Generate), the right side the full band table — candidate generation scales with the shard x collisions; old-old pairs never exist in the plan",
     "q53_temperature_allocation" -> "temperature mixing: the whole plan runs on a #sources-sized frame after the first aggregate — the sqrt weight is a scalar projection, the allocation the same bounded global window as q43",
     "q66_mixed_strategy_batch" -> "composed batch with per-recipe negative dispatch: each strategy lane (WrongArticle / WrongDate / QA) is a keyed rank-pick over only ITS slots, unioned by name; slot and negative frames are localCheckpoint()ed so the visible plan is batch-sized — the corpus-scale work (chunk derivation) happened once behind the isin pushdown, which is why the top shows LocalTableScan/Scan ExistingRDD rather than a corpus scan",
-    "q69_multimodal_png_decode" -> "the real-codec lane is a NARROW object pipeline: DeserializeToObject -> MapPartitions (encode+inflate+de-filter per payload) -> SerializeFromObject with zero Exchange nodes — media bytes never shuffle; at 100 TB the decode cost is embarrassingly parallel and the only wide op would belong to a downstream consumer")
+    "q69_multimodal_png_decode" -> "the real-codec lane is a NARROW object pipeline: DeserializeToObject -> MapPartitions (encode+inflate+de-filter per payload) -> SerializeFromObject with zero Exchange nodes — media bytes never shuffle; at 100 TB the decode cost is embarrassingly parallel and the only wide op would belong to a downstream consumer",
+    "q55_bpe_word_counts" -> "BPE training's corpus-scale half: one Generate (explode to words) into a map-side-combined hash aggregate, then the deterministic top-N cap via TakeOrderedAndProject (per-partition top-k + merge, NO global sort) — the 300-row cap is what keeps the driver-side merge trainer corpus-independent",
+    "q54_bpe_piece_counts" -> "distributed BPE encode: merge ranks ride ONE broadcast; the encode is a narrow mapPartitions (per-partition word memo, so each distinct word is segmented once per partition) and the per-doc counts are produced inline in the same pass — ZERO Exchange nodes; corpus text never shuffles")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

@@ -114,18 +114,22 @@ object Bench {
     val suspects = rawResults.filter { case (_, dt, _, err, _) =>
       err.isEmpty && dt > math.max(2.0, 2 * medianSteady)
     }.map(_._1)
+    // only a retime whose timed run actually COMPLETED may replace the
+    // suite number: a query that errors out fast in the fresh session
+    // (bad session state, OOM) must not substitute a bogus small dt
     val retimes: Map[String, Double] =
-      suspects.map { name =>
+      suspects.flatMap { name =>
         spark.stop()
         spark = newSession(cpus)
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => }
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        name -> dt
+        if (ok) Some(name -> dt) else None
       }.toMap
     val results = rawResults.map { case r @ (name, dt, gcDt, err, cold) =>
       retimes.get(name).filter(_ < dt)

@@ -58,14 +58,18 @@ object MediaCodecs {
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
-    * opaque/unsupported/corrupt — callers take the byte-stat fallback. */
-  def decode(b: Array[Byte]): Option[Decoded] = sniff(b) match {
-    case "wav" => decodeWav(b)
-    case "ppm" => decodePpm(b)
-    case "bmp" => decodeBmp(b)
-    case "png" => decodePng(b)
-    case _ => None
-  }
+    * opaque/unsupported/corrupt — callers take the byte-stat fallback. The
+    * catch-all is a second line of defense behind the parsers' own bounds
+    * checks: the never-throw contract must hold for any byte pattern, and
+    * a 100 TB media scan can't die on one adversarial payload. */
+  def decode(b: Array[Byte]): Option[Decoded] =
+    try sniff(b) match {
+      case "wav" => decodeWav(b)
+      case "ppm" => decodePpm(b)
+      case "bmp" => decodeBmp(b)
+      case "png" => decodePng(b)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Canonical-layout PCM WAV encoder (16-bit signed LE, single `fmt ` +
     * `data` chunk pair) — the inverse of [[decodeWav]], for round-trip
@@ -93,7 +97,9 @@ object MediaCodecs {
     var data: Option[(Int, Int)] = None // (offset, len)
     while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val size = le32(b, pos + 4)
-      if (size < 0 || pos + 8 + size > b.length) return None
+      // Long arithmetic: a declared size near Int.MaxValue must not wrap
+      // the bounds check negative and admit an out-of-range read
+      if (size < 0 || pos.toLong + 8 + size > b.length) return None
       if (ascii(b, pos, "fmt ")) {
         if (size < 16) return None
         val audioFormat = le16(b, pos + 8)
@@ -222,7 +228,8 @@ object MediaCodecs {
     val idat = new java.io.ByteArrayOutputStream
     while (!ended && pos + 8 <= b.length) {
       val len = be32(b, pos)
-      if (len < 0 || pos + 12 + len > b.length) return None // len + type + crc must fit
+      // len + type + crc must fit; Long math so a near-MaxValue len can't wrap
+      if (len < 0 || pos.toLong + 12 + len > b.length) return None
       if (ascii(b, pos + 4, "IHDR")) {
         if (len != 13) return None
         w = be32(b, pos + 8); h = be32(b, pos + 12)

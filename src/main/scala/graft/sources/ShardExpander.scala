@@ -51,8 +51,15 @@ final class ShardExpander(
   private def targetOf(c: HfManifest.ShardCandidate): Path =
     Paths.get(landingDir, c.landedName)
 
-  private def landedBytes: Long =
-    order.map(targetOf).filter(Files.exists(_)).map(Files.size).sum
+  /** exists-then-size races with concurrent eviction (the caller may run
+    * [[HfManifest.evictionPlan]] while expansion is live); a file deleted
+    * between the two calls counts as not-landed rather than letting
+    * NoSuchFileException kill the worker. */
+  private def sizeOpt(t: Path): Option[Long] =
+    try { if (Files.exists(t)) Some(Files.size(t)) else None }
+    catch { case _: java.io.IOException => None }
+
+  private def landedBytes: Long = order.flatMap(c => sizeOpt(targetOf(c))).sum
 
   private val worker = new Thread(
     () => {
@@ -85,7 +92,12 @@ final class ShardExpander(
               }
           }
         }
-      } catch { case _: InterruptedException => () }
+      } catch {
+        case _: InterruptedException => ()
+        // anything unexpected must surface through failure, not vanish
+        // with finished=true and failure=None
+        case e: Throwable => if (failureOpt.isEmpty) failureOpt = Some(e)
+      }
       finally {
         done.countDown()
         progress.synchronized(progress.notifyAll())
@@ -100,7 +112,10 @@ final class ShardExpander(
     * network. */
   def landed(): Seq[Path] = order.flatMap { c =>
     val t = targetOf(c)
-    if (Files.exists(t) && c.expectedSize.forall(_ == Files.size(t))) Some(t) else None
+    sizeOpt(t) match {
+      case Some(sz) if c.expectedSize.forall(_ == sz) => Some(t)
+      case _ => None
+    }
   }
 
   /** Expansion thread has stopped (fully expanded, cap reached, gave up

@@ -438,6 +438,25 @@ class SourcesSpec extends AnyFunSuite {
       }
       MediaCodecs.decode(b)
     }
+    // adversarial chunk sizes near Int.MaxValue: the bounds check
+    // `pos + 8 + size > length` must not wrap negative and admit an
+    // out-of-range read (ADVICE r7) — both WAV chunk walk and PNG chunk walk
+    val wav = Synth.wav(1, 8000, 16, Seq(1, 2, 3, 4))
+    for (huge <- Seq(Int.MaxValue - 4, Int.MaxValue - 16, 0x7ffffff0)) {
+      val b = wav.clone()
+      // overwrite the fmt chunk's declared size (offset 16, LE32)
+      b(16) = (huge & 0xff).toByte; b(17) = ((huge >> 8) & 0xff).toByte
+      b(18) = ((huge >> 16) & 0xff).toByte; b(19) = ((huge >> 24) & 0xff).toByte
+      assert(MediaCodecs.decode(b).isEmpty)
+    }
+    val png = MediaCodecs.encodePng(2, 2, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    for (huge <- Seq(Int.MaxValue - 8, Int.MaxValue - 16, 0x7ffffff0)) {
+      val b = png.clone()
+      // overwrite the IHDR chunk's declared length (offset 8, BE32)
+      b(8) = ((huge >> 24) & 0xff).toByte; b(9) = ((huge >> 16) & 0xff).toByte
+      b(10) = ((huge >> 8) & 0xff).toByte; b(11) = (huge & 0xff).toByte
+      assert(MediaCodecs.decode(b).isEmpty)
+    }
   }
 
   test("decodeReal lane: mixed batch routes per payload, opaque keeps byte stats, no shuffle") {

@@ -88,20 +88,31 @@ object RecipeQueries extends QueryModule {
 
   /** Shared chunk-table CTE chain (the SQL twin of [[chunkTable]]):
     * `d0 → base → ach/cch → chunks`; `base` carries (doc_id, source, n)
-    * so callers can also derive record pools from it. */
-  private def duckChunkCtes(where: String): String =
+    * so callers can also derive record pools from it. Split in two so
+    * composed-batch oracles can place the EXPENSIVE window derivation
+    * AFTER their slot/negative CTEs with an id restriction — the SQL twin
+    * of the engine's `isin` pushdown (the corpus-wide chunk CTE is what
+    * made the q66 oracle OOM at sf0.1 while Spark answered in seconds;
+    * per-batch chunk cost must be ∝ batch size in BOTH engines). */
+  private[graft] def duckBaseCtes(where: String): String =
     s"""d0 AS (
         SELECT doc_id, source, ${TextFunctions.duckTokens("text")} AS toks FROM documents
         WHERE $where
       ), base AS (
         SELECT doc_id, source, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
-      ), ach AS (
+      )"""
+
+  /** `restrict` is an optional `WHERE` clause (e.g. `WHERE doc_id IN
+    * (SELECT rid FROM needed)`) applied to both section scans. */
+  private[graft] def duckChunkDerive(restrict: String = ""): String =
+    s"""ach AS (
         SELECT doc_id AS record_id, 0 AS section_idx, 'anchor' AS role,
           'window' AS view_kind, 0 AS window_index, $OV AS overlap,
           array_to_string(list_slice(toks, 1, $AT), ' ') AS wtext
-        FROM base
+        FROM base $restrict
       ), cq AS (
-        SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn FROM base
+        SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn
+        FROM base $restrict
       ), cq2 AS (
         SELECT doc_id, ctoks, cn, LEAST($W, cn) AS span,
           CASE WHEN cn <= $W THEN 1
@@ -115,6 +126,9 @@ object RecipeQueries extends QueryModule {
           array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
         FROM cwin
       ), chunks AS (SELECT * FROM ach UNION ALL SELECT * FROM cch)"""
+
+  private def duckChunkCtes(where: String): String =
+    duckBaseCtes(where) + ", " + duckChunkDerive()
 
   private def duckSlot(slot: String, draws: String = "draws"): String = {
     val seedHash = Determinism.duckHash(
@@ -359,7 +373,7 @@ object RecipeQueries extends QueryModule {
         val h = Determinism.duckSeeded _
         def dk(prefix: String) = Determinism.duckHash(
           s"'$prefix:$MixSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
-        s"""WITH ${duckChunkCtes("doc_id % 5 = 0")},
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 0")},
           pool AS (
             SELECT doc_id AS id, source,
               '2025-03-0' || CAST(${h("day3", "doc_id")} % 3 + 1 AS VARCHAR) AS pdate
@@ -455,6 +469,13 @@ object RecipeQueries extends QueryModule {
           negrec AS (
             SELECT * FROM negwa UNION ALL SELECT * FROM negqa UNION ALL SELECT * FROM negwd
           ),
+          -- chunk derivation ONLY for the batch's records (anchors +
+          -- negatives): the SQL twin of the engine's isin pushdown, so the
+          -- oracle scales like the engine instead of windowing the corpus
+          needed AS (
+            SELECT record_id AS rid FROM slotrec UNION SELECT nid FROM negrec
+          ),
+          ${duckChunkDerive("WHERE doc_id IN (SELECT rid FROM needed)")},
           ${duckSlot("a", "slotrec")},
           ${duckSlot("p", "slotrec")},
           ${duckSlot("n", "slotrec")},

@@ -50,14 +50,69 @@ case class SamplerBatch(core: DataFrame, rows: DataFrame, state: SamplerState)
 object Sampler {
 
   /** Selector → (mode, arg) for the broadcast draws frame of
-    * [[Recipes.selectChunksBatch]]. */
+    * [[Recipes.selectChunksBatch]]. TemporalOffset is CHUNK-level a
+    * context-role pick — the reference selects the as-of neighbor record
+    * and then its context chunk (src/sampler/mod.rs:1701-1704); the
+    * record-level swap is [[temporalDays]] + [[temporalNeighbors]] inside
+    * [[nextBatch]]. */
   def selectorDesc(s: Selector): (String, String) = s match {
     case Selector.RoleAnchor => ("role", "anchor")
     case Selector.RoleContext => ("role", "context")
     case Selector.Paragraph(i) => ("para", i.toString)
     case Selector.Random => ("random", "")
-    case Selector.TemporalOffset(_) =>
-      throw new IllegalArgumentException("TemporalOffset is record-level, not chunk-level")
+    case Selector.TemporalOffset(_) => ("role", "context")
+  }
+
+  /** Day offset of a temporal selector; None for chunk-level selectors. */
+  def temporalDays(s: Selector): Option[Int] = s match {
+    case Selector.TemporalOffset(d) => Some(d)
+    case _ => None
+  }
+
+  /** The as-of neighbor pick of `Selector::TemporalOffset` (reference
+    * select_temporal_neighbor, src/sampler/mod.rs:950-976): for each record
+    * in `forIds`, the pool candidate minimizing |sec − (record.sec +
+    * days·86400)| among same-`source` candidates — or same leading-taxonomy
+    * when the pool carries a `tax` column (the reference's source-or-key
+    * disjunction) — with the q61/q64 deterministic tiebreak
+    * (|Δsec|·1e7 + id) replacing the reference's map-order tie. Split
+    * isolation is structural: the composed driver's pool is per-split, so
+    * a neighbor can never cross splits (the contract src/config.rs:131-137
+    * re-checks inside the engine; here the pool IS the split).
+    *
+    * Scale shape: the left side is semi-joined down to the batch's records
+    * (broadcast of a batch-bounded id frame), so per-batch cost is
+    * batch-rows × the record's source/taxonomy group — the bounded-group
+    * pairwise form (q61); unbounded-cardinality callers use the q60
+    * union+window as-of instead. The OR-disjunction is a UNION of two
+    * equi-joins (never a theta join). */
+  def temporalNeighbors(pool: DataFrame, days: Int, forIds: DataFrame): DataFrame = {
+    require(pool.columns.contains("sec"),
+      "TemporalOffset recipes need a `sec` (epoch seconds) column in the pool")
+    val hasTax = pool.columns.contains("tax")
+    def side(idAs: String, pre: String) = {
+      val cs = Seq(col("id").as(idAs), col("source").as(pre + "source"),
+        col("sec").as(pre + "sec")) ++
+        (if (hasTax) Seq(col("tax").as(pre + "tax")) else Nil)
+      pool.select(cs: _*)
+    }
+    val left = side("record_id", "a_")
+      .join(broadcast(forIds.select(col("record_id")).distinct()), Seq("record_id"))
+    val cand = side("nbid", "n_")
+    val pairCols = Seq("record_id", "nbid", "a_sec", "n_sec").map(col)
+    val bySrc = left.join(cand,
+      col("a_source") === col("n_source") && col("record_id") =!= col("nbid"))
+      .select(pairCols: _*)
+    val pairs =
+      if (!hasTax) bySrc
+      else bySrc.unionByName(left.join(cand,
+          col("a_tax") === col("n_tax") && col("record_id") =!= col("nbid"))
+        .select(pairCols: _*)).dropDuplicates("record_id", "nbid")
+    pairs
+      .withColumn("selkey",
+        abs(col("n_sec") - (col("a_sec") + lit(days * 86400L))) * lit(10000000L) + col("nbid"))
+      .groupBy(col("record_id"))
+      .agg(min_by(col("nbid"), col("selkey")).as("nbid"))
   }
 
   /** Produce the next batch of `batch` triplets.
@@ -221,14 +276,48 @@ object Sampler {
       val (nm, na) = selectorDesc(r.negativeSelector)
       (draw, am, aa, pm, pa, nm, na, r.allowSameAnchorPositive)
     }.toDF("draw", "a_mode", "a_arg", "p_mode", "p_arg", "n_mode", "n_arg", "allow_same")
+    // ---- chunk-source records per slot: temporal selectors swap in the
+    // as-of neighbor (reference select_chunk, src/sampler/mod.rs:1701-1704:
+    // TemporalOffset resolves the neighbor record, then picks its CONTEXT
+    // chunk; no same-pool neighbor → the slot drops and pad_with_reuse
+    // fills the batch — the contract's "skip rather than contaminate",
+    // src/config.rs:131-137). Non-temporal slot sets return the base frame
+    // untouched, so recipe sets without temporal selectors plan exactly as
+    // before. Temporal lanes are checkpointed: their upstream is a
+    // pool-scale neighbor join that several consumers replay otherwise.
+    def chunkRecords(sel: TripletRecipe => Selector, base: DataFrame): DataFrame = {
+      val dayOf = recipes.map(r => r.name -> temporalDays(sel(r)))
+      val temporal = dayOf.collect { case (n, Some(d)) => (n, d) }
+      if (temporal.isEmpty) base.select(col("draw"), col("record_id"))
+      else {
+        val plainNames = dayOf.collect { case (n, None) => n }
+        val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
+          val forIds = base.filter(col("recipe").isin(rs.map(_._1): _*))
+            .select(col("draw"), col("record_id"))
+          forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
+            .select(col("draw"), col("nbid").as("record_id"))
+        }
+        val plain =
+          if (plainNames.isEmpty) Nil
+          else Seq(base.filter(col("recipe").isin(plainNames: _*))
+            .select(col("draw"), col("record_id")))
+        (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
+      }
+    }
     // batch id restriction as an isin PREDICATE, not a join: a broadcast
     // join sits above the chunk table's window/explode derivation and
     // cannot push through the Generate, so every batch would re-chunk the
-    // whole corpus. The id list is batch-bounded (≤ 2×batch longs — slot
+    // whole corpus. The id list is batch-bounded (≤ 3×batch longs — slot
     // schedule scale, which the driver already holds), and as a filter it
     // pushes below the derivation to the record scan: per-batch chunking
     // cost is ∝ batch size, not corpus size.
-    val ids = slotRec.select(col("record_id")).union(negRec.select(col("nid")))
+    val aRecs = chunkRecords(_.anchor, slotRec)
+    val pRecs = chunkRecords(_.positive, slotRec)
+    val nRecs = chunkRecords(_.negativeSelector,
+      negRec.select(col("draw"), col("recipe"), col("nid").as("record_id")))
+    val ids = aRecs.select(col("record_id"))
+      .union(pRecs.select(col("record_id")))
+      .union(nRecs.select(col("record_id")))
       .distinct().collect().map(_.getLong(0)).toSeq
     val chunksR = chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint()
     // the delivered text hash: raw chunk text, or the decorated text when a
@@ -246,20 +335,21 @@ object Sampler {
       Recipes.selectChunksBatch(chunksR,
           slotMeta.select(col("draw"), col(modeCol).as("mode"), col(argCol).as("arg")), slot)
         .join(recs, Seq("draw", "record_id"))
-        .select(col("draw"), col("record_id"),
+        // `draw` is unique per slot, so after the restrict join it alone
+        // keys the pick — and for temporal slots the chunk-source record
+        // (the neighbor) is NOT the slot's scheduled record, so the core
+        // join below is on draw, never on record_id
+        .select(col("draw"),
           col("window_index").cast("long").as(s"${slot}_widx"),
           Determinism.portableHash(slotText(slot)).as(s"${slot}_hash"))
-    val aRecs = slotRec.select(col("draw"), col("record_id"))
-    val nRecs = negRec.select(col("draw"), col("nid").as("record_id"))
     val aPick = pickFor("a", "a_mode", "a_arg", aRecs)
-    val pPick = pickFor("p", "p_mode", "p_arg", aRecs)
+    val pPick = pickFor("p", "p_mode", "p_arg", pRecs)
     val nPick = pickFor("n", "n_mode", "n_arg", nRecs)
-      .withColumnRenamed("record_id", "nid")
 
     val core = negRec
-      .join(aPick, Seq("draw", "record_id"))
-      .join(pPick, Seq("draw", "record_id"))
-      .join(nPick, Seq("draw", "nid"))
+      .join(aPick, Seq("draw"))
+      .join(pPick, Seq("draw"))
+      .join(nPick, Seq("draw"))
       .join(broadcast(slotMeta.select(col("draw"), col("allow_same"))), Seq("draw"))
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),

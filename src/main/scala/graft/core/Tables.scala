@@ -16,12 +16,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-      // (µs) refuses; read it as a raw nanosecond long instead. All event
-      // time math then stays in exact int64 nanos — no double roundtrip —
-      // and the DuckDB oracle mirrors it with epoch_ns(ts).
+      // events.ts arrives as parquet TIMESTAMP(NANOS) in some datasets
+      // (which Spark's µs TimestampType refuses — read as a raw nanosecond
+      // long via nanosAsLong) and plain TIMESTAMP(µs) in others. Normalize
+      // BOTH to an int64 nanosecond column so every downstream consumer
+      // does exact integer time math (`ts div 1000` = µs), and the DuckDB
+      // oracle mirrors it with epoch_ns(ts)/epoch_us(ts) — exact in either
+      // physical layout because µs→ns is a lossless ×1000. Sessions pin
+      // spark.sql.session.timeZone=UTC, so the NTZ reinterpretation below
+      // is the identity.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df // already int64 nanos
+        case _ => df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

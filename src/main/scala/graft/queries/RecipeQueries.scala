@@ -166,14 +166,39 @@ object RecipeQueries extends QueryModule {
     TripletRecipe("mix_qa_mismatch", Selector.Paragraph(1), Selector.Random,
       NegativeStrategy.QuestionAnswerMismatch, weight = 0.2f,
       negativeSelector = Selector.RoleAnchor))
-  private val mixByName = mixRecipes.map(r => r.name -> r).toMap
-  private val mixPlan = Recipes.ticketOrder(mixRecipes, MixSeed, epoch = 0L)
-  private def mixSlotValues: String = (0 until MixBatch).map { d =>
-    val r = mixByName(Recipes.pick(mixPlan, 0L, d.toLong))
-    val (am, aa) = selDesc(r.anchor); val (pm, pa) = selDesc(r.positive)
-    val (nm, na) = selDesc(r.negativeSelector)
-    s"($d, $d, '${r.name}', '${r.negative.reason}', '$am', '$aa', '$pm', '$pa', '$nm', '$na')"
-  }.mkString(", ")
+  /** The composed slot schedule as a SQL VALUES list — pure config (a
+    * deterministic function of recipes + seed), handed to DuckDB exactly
+    * like q87's draw table. Assumes no epoch wrap inside the batch (the
+    * callers' pools are sized well above one batch at every driver SF). */
+  private def composedSlotValues(recipes: Seq[TripletRecipe], seed: String,
+      batch: Int): String = {
+    val byN = recipes.map(r => r.name -> r).toMap
+    val plan0 = Recipes.ticketOrder(recipes, seed, epoch = 0L)
+    (0 until batch).map { d =>
+      val r = byN(Recipes.pick(plan0, 0L, d.toLong))
+      val (am, aa) = selDesc(r.anchor); val (pm, pa) = selDesc(r.positive)
+      val (nm, na) = selDesc(r.negativeSelector)
+      s"($d, $d, '${r.name}', '${r.negative.reason}', '$am', '$aa', '$pm', '$pa', '$nm', '$na')"
+    }.mkString(", ")
+  }
+  private def mixSlotValues: String = composedSlotValues(mixRecipes, MixSeed, MixBatch)
+
+  // ---- temporal composed batch (q57) ----
+  // A ticket plan mixing a TemporalOffset-anchor recipe with a plain one:
+  // the composed driver resolves the as-of neighbor record per slot
+  // (reference select_chunk, src/sampler/mod.rs:1701-1704 →
+  // select_temporal_neighbor 950-976) and picks the NEIGHBOR's context
+  // chunk as the anchor. The pool carries `sec` (epoch seconds) and `tax`
+  // (leading taxonomy) so both arms of the reference's source-or-key
+  // disjunction are exercised.
+  private[graft] val TmpSeed = "tmp"
+  private[graft] val TmpBatch = 40
+  private[graft] val TmpDays = 3
+  private[graft] val tmpRecipes: Seq[TripletRecipe] = Seq(
+    TripletRecipe("tmp_asof", Selector.TemporalOffset(TmpDays), Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.5f),
+    TripletRecipe("tmp_plain", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.5f))
 
   // KVP decoration on the oracle path: dropout/variant/value/shuffle rolls
   // + token-budget enforcement (reference: src/kvp.rs:10-217 sampling,
@@ -487,6 +512,134 @@ object RecipeQueries extends QueryModule {
             FROM slotrec sl
             JOIN negrec g ON g.draw = sl.draw
             JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+          )
+          SELECT * FROM f0 WHERE a_hash <> p_hash"""
+      }),
+
+    QueryDef("q57_temporal_composed_batch",
+      // TemporalOffset selectors INSIDE the composed Sampler.nextBatch
+      // (reference: src/sampler/mod.rs:1701-1704 dispatch, 950-976
+      // neighbor pick): the `tmp_asof` slots anchor on the as-of
+      // neighbor's context chunk — candidate minimizing |sec − (record.sec
+      // + days·86400)| among same-source OR same-leading-taxonomy records
+      // — while `tmp_plain` slots run the untouched lane in the SAME
+      // ticket plan. The oracle replays the epoch order, the neighbor
+      // argmin (with the deterministic |Δsec|·1e7 + id tiebreak), the
+      // swapped chunk source for the anchor pick, and the rejection.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 1"))
+        val chunks = chunkTable(docs)
+        val pool = docs
+          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
+          .select(col("doc_id").as("id"), col("source"),
+            (lit(1700000000L) +
+              pmod(Determinism.seeded("sec", col("doc_id")), lit(60)) * 21600L).as("sec"),
+            concat(lit("t"), pmod(col("doc_id"), lit(4)).cast("string")).as("tax"))
+        val out = Sampler.nextBatch(s, chunks, pool, tmpRecipes,
+          SamplerState(TmpSeed, 0L, Map.empty), TmpBatch)
+        out.core.filter(col("a_hash") =!= col("p_hash"))
+          .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
+            col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
+            col("nid"), col("n_hash"))
+      },
+      Some {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$TmpSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        val temporalNames = tmpRecipes
+          .filter(r => Sampler.temporalDays(r.anchor).isDefined)
+          .map(r => s"'${r.name}'").mkString(", ")
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 1")},
+          pool AS (
+            SELECT doc_id AS id, source,
+              1700000000 + (${h("sec", "doc_id")} % 60) * 21600 AS sec,
+              't' || CAST(doc_id % 4 AS VARCHAR) AS tax
+            FROM base
+          ),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          eo AS (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES ${composedSlotValues(tmpRecipes, TmpSeed, TmpBatch)}),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          -- as-of neighbor for temporal-anchor slots: same source OR same
+          -- leading taxonomy, argmin over |Δsec|·1e7 + id (the engine's
+          -- deterministic tiebreak)
+          nb0 AS (
+            SELECT sl.draw, sl.record_id, a.sec AS a_sec, a.source AS a_source, a.tax AS a_tax
+            FROM slotrec sl JOIN pool a ON a.id = sl.record_id
+            WHERE sl.recipe IN ($temporalNames)
+          ),
+          nbr AS (
+            SELECT w.draw, w.record_id,
+              arg_min(c.id, abs(c.sec - (w.a_sec + ${TmpDays.toLong * 86400L})) * 10000000 + c.id) AS nbid
+            FROM nb0 w JOIN pool c ON c.id <> w.record_id
+              AND (c.source = w.a_source OR c.tax = w.a_tax)
+            GROUP BY w.draw, w.record_id
+          ),
+          -- per-slot chunk-source record for the anchor pick: the neighbor
+          -- for temporal recipes, the scheduled record otherwise
+          achrec AS (
+            SELECT sl.draw, sl.record_id AS rid FROM slotrec sl
+            WHERE sl.recipe NOT IN ($temporalNames)
+            UNION ALL
+            SELECT n.draw, n.nbid AS rid FROM nbr n
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          negwa0 AS (
+            SELECT sl.draw, sl.source, a.rn AS a_rn,
+              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_article'
+          ),
+          negrec AS (
+            SELECT w.draw, n.id AS nid FROM negwa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          needed AS (
+            SELECT record_id AS rid FROM slotrec
+            UNION SELECT rid FROM achrec
+            UNION SELECT nid FROM negrec
+          ),
+          ${duckChunkDerive("WHERE doc_id IN (SELECT rid FROM needed)")},
+          ${duckSlot("a", "slotrec")},
+          ${duckSlot("p", "slotrec")},
+          ${duckSlot("n", "slotrec")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
+              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
+              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN achrec ar ON ar.draw = sl.draw
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = ar.rid
             JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
             JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
           )

@@ -109,16 +109,24 @@ class InvariantsSpec extends AnyFunSuite {
 
   /** 25 records over 3 sources; context sections wide enough for several
     * windows so selector picks have real freedom. `dated` adds the `date`
-    * column WrongPublicationDate recipes need (4 date groups per source). */
-  private def goldenCorpus(dated: Boolean = false) = {
+    * column WrongPublicationDate recipes need (4 date groups per source);
+    * `timed` adds the `sec`/`tax` columns TemporalOffset recipes need
+    * (seeded timestamps + 3 taxonomy keys crossing the sources, so both
+    * arms of the reference's source-or-key disjunction fire). */
+  private def goldenCorpus(dated: Boolean = false, timed: Boolean = false) = {
     import spark.implicits._
     val docs = (1 to 25).map(i =>
       (i.toLong, (s"head$i topic$i overview" +: (1 to 60).map(j => s"w${i}_$j")).mkString(" ")))
       .toDF("doc_id", "text")
     val chunks = graft.queries.RecipeQueries.chunkTable(docs)
     val pool0 = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
-    val pool = if (dated) pool0.withColumn("date",
+    val pool1 = if (dated) pool0.withColumn("date",
       concat(lit("2025-03-0"), (pmod(col("id"), lit(4)) + 1).cast("string"))) else pool0
+    val pool = if (timed) pool1
+      .withColumn("sec",
+        lit(1700000000L) + pmod(Determinism.seeded("gsec", col("id")), lit(40)) * 43200L)
+      .withColumn("tax", concat(lit("t"), pmod(col("id"), lit(3)).cast("string")))
+    else pool1
     (chunks, pool)
   }
   private val goldenRecipes =
@@ -149,7 +157,10 @@ class InvariantsSpec extends AnyFunSuite {
       seed: String = "gseq", dated: Boolean = false,
       cols: Seq[String] = goldenCols,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None) = {
-    val (chunks0, pool0) = goldenCorpus(dated)
+    val timed = recipes.exists(r =>
+      Seq(r.anchor, r.positive, r.negativeSelector)
+        .exists(Sampler.temporalDays(_).isDefined))
+    val (chunks0, pool0) = goldenCorpus(dated, timed)
     val chunks = chunks0.repartition(parts).cache()
     val pool = pool0.repartition(parts).cache()
     var st = SamplerState(seed, 0L, Map.empty)
@@ -241,7 +252,14 @@ class InvariantsSpec extends AnyFunSuite {
           negativeSelector = Selector.Random)), false, None),
       // KVP chunk decoration in the batch loop (prefix + token budget
       // fold into every slot hash; rejection compares decorated texts)
-      ("decorated", goldenRecipes, false, goldenDecoration))
+      ("decorated", goldenRecipes, false, goldenDecoration),
+      // TemporalOffset anchor in the composed loop: the anchor chunk comes
+      // from the as-of NEIGHBOR record (same source or leading taxonomy)
+      ("temporal", Seq(
+        TripletRecipe("gt_asof", Selector.TemporalOffset(2), Selector.RoleContext,
+          NegativeStrategy.WrongArticle, weight = 0.5f),
+        TripletRecipe("gt_plain", Selector.RoleAnchor, Selector.RoleContext,
+          NegativeStrategy.WrongArticle, weight = 0.5f)), false, None))
   }
 
   /** Re-pin ONLY for an intentional semantic change. */
@@ -249,7 +267,8 @@ class InvariantsSpec extends AnyFunSuite {
     "default" -> "6de1a9f7266687d98bcb73995e5f4b6b",
     "mixed_strategy" -> "4529892bd07e5ca0b698a2cba4c75b07",
     "weighted" -> "87f0fa64a85d628ce65f6e291ad3d39d",
-    "decorated" -> "f499d96b6e24d561400d129267797f8e")
+    "decorated" -> "f499d96b6e24d561400d129267797f8e",
+    "temporal" -> "76317e89571cf64e6729f282159a7d3b")
 
   test("golden matrix: per-config pins across partitionings, epoch wrap inside the window") {
     val got = goldenMatrix.map { case (cname, recipes, dated, dec) =>

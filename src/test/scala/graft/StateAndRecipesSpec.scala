@@ -240,4 +240,70 @@ class StateAndRecipesSpec extends AnyFunSuite {
       ("huggingface_anchor_context_wrong_article", 0.75f),
       ("huggingface_anchor_anchor_wrong_article", 0.25f)))
   }
+
+  test("temporal neighbors: as-of argmin, id tiebreak, source-or-taxonomy arms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target = a.sec + 2 days. Candidates for record 1 (s0, t0, sec=0):
+    //   id 2 (s0): |86400  - 172800| = 86400
+    //   id 3 (s0): |259200 - 172800| = 86400   -> tie, smaller id (2) wins
+    //   id 4 (s1, t0): exact hit but reachable only through the TAX arm
+    //   id 5 (s1, t9): neither arm for record 1
+    // Record 6 (s2, t9) has NO same-source candidate; its only arm is tax
+    // (id 5, t9).
+    val pool = Seq(
+      (1L, "s0", 0L, "t0"), (2L, "s0", 86400L, "t1"), (3L, "s0", 259200L, "t2"),
+      (4L, "s1", 172800L, "t0"), (5L, "s1", 999999L, "t9"), (6L, "s2", 500000L, "t9"))
+      .toDF("id", "source", "sec", "tax")
+    val forIds = Seq(1L, 6L).toDF("record_id")
+    val got = Sampler.temporalNeighbors(pool, days = 2, forIds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // record 1: id 4 is an EXACT target hit via the tax arm (selkey 0+4)
+    // beating the tied same-source pair (selkey 86400e7+2)
+    assert(got == Map(1L -> 4L, 6L -> 5L))
+    // without the tax column only the source arm exists: the tie between
+    // 2 and 3 resolves to the smaller id; record 6 has no neighbor
+    val gotSrc = Sampler.temporalNeighbors(pool.drop("tax"), days = 2, forIds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSrc == Map(1L -> 2L))
+  }
+
+  test("composed temporal slots anchor on the neighbor's context chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (s"head$i topic$i overview" +: (1 to 40).map(j => s"w${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.RecipeQueries.chunkTable(docs).cache()
+    val pool = (1 to 12).map(i => (i.toLong, s"s${i % 2}", i.toLong * 86400L))
+      .toDF("id", "source", "sec")
+    val recipes = Seq(
+      TripletRecipe("asof_only", Selector.TemporalOffset(1), Selector.RoleContext,
+        NegativeStrategy.WrongArticle))
+    val out = Sampler.nextBatch(spark, chunks, pool, recipes,
+      SamplerState("tn", 0L, Map.empty), batch = 6)
+    val core = out.core.collect()
+    assert(core.nonEmpty)
+    // sec = id days and offset = 1 day, so the as-of neighbor of record r
+    // is exactly id r+1 when same-source (id r+2)... compute expected via
+    // the operator's own record-level pick and cross-check the anchor HASH
+    // against the neighbor's context chunks — proving the anchor text came
+    // from the NEIGHBOR record, not the scheduled one.
+    val nb = Sampler.temporalNeighbors(pool, 1,
+        out.core.select(col("record_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ctxHashByRec = chunks.filter(col("role") === "context")
+      .select(col("record_id"),
+        graft.core.Determinism.portableHash(col("wtext")).as("h"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    core.foreach { r =>
+      val rec = r.getAs[Long]("record_id"); val aHash = r.getAs[Long]("a_hash")
+      val neighbor = nb(rec)
+      assert(neighbor != rec)
+      assert(ctxHashByRec(neighbor).contains(aHash),
+        s"anchor hash of record $rec must come from neighbor $neighbor's context pool")
+      assert(!ctxHashByRec(rec).contains(aHash) || ctxHashByRec(neighbor).contains(aHash))
+    }
+    chunks.unpersist()
+  }
 }

@@ -33,6 +33,21 @@ object NegativeStrategy {
   case object QuestionAnswerMismatch extends NegativeStrategy { val reason = "wrong_qa_pairing" }
 }
 
+/** Which machinery picks the negative RECORD within the strategy's pool
+  * (reference: src/sampler/backends/mod.rs — uniform-random
+  * `DefaultBackend` vs `Bm25Backend` chosen per sampler config,
+  * src/sampler/mod.rs:370-377; surfaced here per-recipe so one ticket
+  * plan can mix both). */
+sealed trait NegativeBackend
+object NegativeBackend {
+  /** The seeded rank pick (reference DefaultBackend's uniform draw). */
+  case object Default extends NegativeBackend
+  /** BM25 re-rank of the strategy pool + top-3 rotation, falling back to
+    * the rank pick when the scored intersection is empty
+    * (reference: bm25_backend.rs:120-174). */
+  case object Bm25 extends NegativeBackend
+}
+
 case class TripletRecipe(
     name: String,
     anchor: Selector,
@@ -43,7 +58,9 @@ case class TripletRecipe(
     allowSameAnchorPositive: Boolean = false,
     /** Which chunk of the negative record to use
       * (reference `negative_selector`, src/config.rs:201-215). */
-    negativeSelector: Selector = Selector.RoleContext)
+    negativeSelector: Selector = Selector.RoleContext,
+    /** How the negative record is picked within the strategy pool. */
+    negativeBackend: NegativeBackend = NegativeBackend.Default)
 
 case class TextRecipe(name: String, selector: Selector, weight: Float = 1.0f)
 

@@ -209,7 +209,45 @@ object Sampler {
           col("id").as("record_id"), col("source"))
     }.reduce(_ unionByName _).localCheckpoint()
 
-    // ---- negative record: per-recipe strategy dispatch ----
+    // ---- chunk-pick metadata (driver-side; used by both the negative
+    // backends below and the selector picks) ----
+    val slotMeta = slots.map { case (draw, _, _, name) =>
+      val r = byName(name)
+      val (am, aa) = selectorDesc(r.anchor)
+      val (pm, pa) = selectorDesc(r.positive)
+      val (nm, na) = selectorDesc(r.negativeSelector)
+      (draw, am, aa, pm, pa, nm, na, r.allowSameAnchorPositive)
+    }.toDF("draw", "a_mode", "a_arg", "p_mode", "p_arg", "n_mode", "n_arg", "allow_same")
+    // ---- chunk-source records per slot: temporal selectors swap in the
+    // as-of neighbor (reference select_chunk, src/sampler/mod.rs:1701-1704:
+    // TemporalOffset resolves the neighbor record, then picks its CONTEXT
+    // chunk; no same-pool neighbor → the slot drops and pad_with_reuse
+    // fills the batch — the contract's "skip rather than contaminate",
+    // src/config.rs:131-137). Non-temporal slot sets return the base frame
+    // untouched, so recipe sets without temporal selectors plan exactly as
+    // before. Temporal lanes are checkpointed: their upstream is a
+    // pool-scale neighbor join that several consumers replay otherwise.
+    def chunkRecords(sel: TripletRecipe => Selector, base: DataFrame): DataFrame = {
+      val dayOf = recipes.map(r => r.name -> temporalDays(sel(r)))
+      val temporal = dayOf.collect { case (n, Some(d)) => (n, d) }
+      if (temporal.isEmpty) base.select(col("draw"), col("record_id"))
+      else {
+        val plainNames = dayOf.collect { case (n, None) => n }
+        val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
+          val forIds = base.filter(col("recipe").isin(rs.map(_._1): _*))
+            .select(col("draw"), col("record_id"))
+          forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
+            .select(col("draw"), col("nbid").as("record_id"))
+        }
+        val plain =
+          if (plainNames.isEmpty) Nil
+          else Seq(base.filter(col("recipe").isin(plainNames: _*))
+            .select(col("draw"), col("record_id")))
+        (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
+      }
+    }
+
+    // ---- negative record: per-recipe strategy × backend dispatch ----
     val srcRank = pool
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("id"))).cast("long") - 1)
@@ -257,53 +295,118 @@ object Sampler {
           col("rn2").as("rpick"), col("id").as("nid")), Seq("source", "t_date", "rpick"))
         .select(negOut: _*)
     }
-    val negRec = slots.map(s => byName(s._4).negative).distinct.map {
-      case NegativeStrategy.WrongArticle =>
-        skipPick(slotRec.filter(col("reason") === NegativeStrategy.WrongArticle.reason), "neg")
-      case NegativeStrategy.QuestionAnswerMismatch =>
-        skipPick(slotRec.filter(
-          col("reason") === NegativeStrategy.QuestionAnswerMismatch.reason), "negq")
-      case NegativeStrategy.WrongPublicationDate =>
-        wrongDatePick(slotRec.filter(
-          col("reason") === NegativeStrategy.WrongPublicationDate.reason))
-    }.reduce(_ unionByName _).localCheckpoint()
+    /** DefaultBackend lanes: the seeded rank pick per strategy present. */
+    def strategyPick(anchors: DataFrame, strategies: Seq[NegativeStrategy]): Seq[DataFrame] =
+      strategies.map {
+        case NegativeStrategy.WrongArticle =>
+          skipPick(anchors.filter(col("reason") === NegativeStrategy.WrongArticle.reason), "neg")
+        case NegativeStrategy.QuestionAnswerMismatch =>
+          skipPick(anchors.filter(
+            col("reason") === NegativeStrategy.QuestionAnswerMismatch.reason), "negq")
+        case NegativeStrategy.WrongPublicationDate =>
+          wrongDatePick(anchors.filter(
+            col("reason") === NegativeStrategy.WrongPublicationDate.reason))
+      }
+    def strategiesOf(backend: NegativeBackend): Seq[NegativeStrategy] =
+      slots.map(s => byName(s._4)).filter(_.negativeBackend == backend)
+        .map(_.negative).distinct
+    val bmNames = recipes.filter(_.negativeBackend == NegativeBackend.Bm25).map(_.name)
+
+    /** Bm25Backend lanes (reference: bm25_backend.rs:120-174): re-rank the
+      * strategy pool by the BM25 score of the anchor's SELECTED chunk text
+      * against each candidate's `btoks`, rotate through the top-3 by the
+      * (seed, draw, anchor) hash stream — the stateless twin of the
+      * reference's per-(anchor, split) cursor — and fall back to the
+      * DefaultBackend pick for slots whose scored intersection is empty.
+      *
+      * Scale shape: candidates/tf/stats are semi-joined to the BATCH's
+      * anchor sources (broadcast of a batch-bounded source list), so
+      * per-batch scoring cost is ∝ the involved source groups — the same
+      * pool the reference scores per anchor. The anchor⋈candidate product
+      * passes through ONE (source, term) join after df/dl/avgdl fold into
+      * the tf table (the q85 lane's shape). A long-lived deployment would
+      * cache the per-source tf table across batches; per-batch derivation
+      * keeps this function pure. The anchor-text pick re-evaluates the
+      * same pure chunk-pick the final a-slot evaluates, over a chunk scan
+      * restricted to the bm25 anchors' records. */
+    def bm25Lanes(): Seq[DataFrame] = {
+      require(pool.columns.contains("btoks"),
+        "BM25-backend recipes need a `btoks` token-array column in the pool")
+      val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
+      val bmARecs = chunkRecords(_.anchor, bmSlots)
+      val bmAIds = bmARecs.select(col("record_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val bmChunks = chunks.filter(col("record_id").isin(bmAIds: _*)).localCheckpoint()
+      val bmDraws = slotMeta
+        .join(broadcast(bmSlots.select(col("draw"))), "draw")
+        .select(col("draw"), col("a_mode").as("mode"), col("a_arg").as("arg"))
+      val qterms = Recipes.selectChunksBatch(bmChunks, bmDraws, "a")
+        .join(bmARecs, Seq("draw", "record_id"))
+        .select(col("draw"), explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
+      val srcs = bmSlots.select(col("source")).distinct()
+      val cand = pool.join(broadcast(srcs), "source")
+      val tf = cand.select(col("source"), col("id").as("cand"),
+          size(col("btoks")).cast("long").as("dl"), explode(col("btoks")).as("term"))
+        .groupBy(col("source"), col("cand"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = cand.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("btoks"))).as("sum_dl"))
+      // df is a keyed window over tf (one row per (cand, term) ⇒ the
+      // per-term count IS the document frequency); exact-integer e6 floor
+      // per term, as everywhere (graft.operators.Bm25 scaladoc)
+      val wterm = tf
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("source"), col("term"))).cast("long"))
+        .join(broadcast(stats), "source")
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("tfpart",
+          (col("tf") * lit(Bm25.K1 + 1)) /
+            (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
+        .select(col("source"), col("term"), col("cand"),
+          floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long").as("term_e6"))
+      val scoredAll = bmSlots.select(col("draw"), col("record_id"), col("source"), col("reason"))
+        .join(qterms, "draw")
+        .join(wterm, Seq("source", "term"))
+        .filter(col("cand") =!= col("record_id"))
+      // wrong-date slots additionally require a different date group —
+      // the strategy pool predicate applies BEFORE the re-rank
+      val wdReason = NegativeStrategy.WrongPublicationDate.reason
+      val scoredF =
+        if (!strategiesOf(NegativeBackend.Bm25).contains(NegativeStrategy.WrongPublicationDate))
+          scoredAll
+        else scoredAll
+          .join(pool.select(col("id").as("record_id"), col("date").as("a_date")), "record_id")
+          .join(pool.select(col("id").as("cand"), col("date").as("c_date")), "cand")
+          .filter(col("reason") =!= wdReason || col("a_date") =!= col("c_date"))
+      val scored = scoredF.groupBy(col("draw"), col("record_id"), col("cand"))
+        .agg(sum(col("term_e6")).as("score_e6"))
+      val top3 = scored
+        .withColumn("brnk", row_number().over(Window.partitionBy(col("draw"))
+          .orderBy(col("score_e6").desc, col("cand"))).cast("long"))
+        .filter(col("brnk") <= 3)
+        .withColumn("c3", count(lit(1)).over(Window.partitionBy(col("draw"))).cast("long"))
+      // one scoring subtree for the whole batch: `picked` feeds the hit
+      // lane's join AND the fallback lane's anti-join (no cross-branch CSE)
+      val picked = top3
+        .filter(col("brnk") - 1 === pmod(drawKey("negb"), col("c3")))
+        .select(col("draw"), col("cand").as("nid"))
+        .localCheckpoint()
+      val hit = bmSlots.join(picked, "draw").select(negOut: _*)
+      val rest = bmSlots.join(picked.select(col("draw")), Seq("draw"), "left_anti")
+      Seq(hit) ++ strategyPick(rest, strategiesOf(NegativeBackend.Bm25))
+    }
+
+    val negRec =
+      (strategyPick(
+          if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
+          strategiesOf(NegativeBackend.Default)) ++
+        (if (bmNames.isEmpty) Nil else bm25Lanes()))
+      .reduce(_ unionByName _).localCheckpoint()
 
     // ---- chunk picks: selector windows on the batch-restricted table ----
-    val slotMeta = slots.map { case (draw, _, _, name) =>
-      val r = byName(name)
-      val (am, aa) = selectorDesc(r.anchor)
-      val (pm, pa) = selectorDesc(r.positive)
-      val (nm, na) = selectorDesc(r.negativeSelector)
-      (draw, am, aa, pm, pa, nm, na, r.allowSameAnchorPositive)
-    }.toDF("draw", "a_mode", "a_arg", "p_mode", "p_arg", "n_mode", "n_arg", "allow_same")
-    // ---- chunk-source records per slot: temporal selectors swap in the
-    // as-of neighbor (reference select_chunk, src/sampler/mod.rs:1701-1704:
-    // TemporalOffset resolves the neighbor record, then picks its CONTEXT
-    // chunk; no same-pool neighbor → the slot drops and pad_with_reuse
-    // fills the batch — the contract's "skip rather than contaminate",
-    // src/config.rs:131-137). Non-temporal slot sets return the base frame
-    // untouched, so recipe sets without temporal selectors plan exactly as
-    // before. Temporal lanes are checkpointed: their upstream is a
-    // pool-scale neighbor join that several consumers replay otherwise.
-    def chunkRecords(sel: TripletRecipe => Selector, base: DataFrame): DataFrame = {
-      val dayOf = recipes.map(r => r.name -> temporalDays(sel(r)))
-      val temporal = dayOf.collect { case (n, Some(d)) => (n, d) }
-      if (temporal.isEmpty) base.select(col("draw"), col("record_id"))
-      else {
-        val plainNames = dayOf.collect { case (n, None) => n }
-        val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
-          val forIds = base.filter(col("recipe").isin(rs.map(_._1): _*))
-            .select(col("draw"), col("record_id"))
-          forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
-            .select(col("draw"), col("nbid").as("record_id"))
-        }
-        val plain =
-          if (plainNames.isEmpty) Nil
-          else Seq(base.filter(col("recipe").isin(plainNames: _*))
-            .select(col("draw"), col("record_id")))
-        (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
-      }
-    }
     // batch id restriction as an isin PREDICATE, not a join: a broadcast
     // join sits above the chunk table's window/explode derivation and
     // cannot push through the Generate, so every batch would re-chunk the

@@ -4,7 +4,7 @@ import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
 import graft.functions.{KvpField, KvpPrefixSampler}
-import graft.operators.{Decoration, NegativeStrategy, Recipes, Sampler, SamplerState, Selector, TripletRecipe}
+import graft.operators.{Decoration, NegativeBackend, NegativeStrategy, Recipes, Sampler, SamplerState, Selector, TripletRecipe}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -103,38 +103,42 @@ object RecipeQueries extends QueryModule {
       )"""
 
   /** `restrict` is an optional `WHERE` clause (e.g. `WHERE doc_id IN
-    * (SELECT rid FROM needed)`) applied to both section scans. */
-  private[graft] def duckChunkDerive(restrict: String = ""): String =
-    s"""ach AS (
+    * (SELECT rid FROM needed)`) applied to both section scans. `prefix`
+    * namespaces the CTEs so one oracle can derive TWO restricted chunk
+    * tables (e.g. slot records vs negative records — the SQL twin of the
+    * engine's per-consumer isin-restricted scans). */
+  private[graft] def duckChunkDerive(restrict: String = "", prefix: String = ""): String =
+    s"""${prefix}ach AS (
         SELECT doc_id AS record_id, 0 AS section_idx, 'anchor' AS role,
           'window' AS view_kind, 0 AS window_index, $OV AS overlap,
           array_to_string(list_slice(toks, 1, $AT), ' ') AS wtext
         FROM base $restrict
-      ), cq AS (
+      ), ${prefix}cq AS (
         SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn
         FROM base $restrict
-      ), cq2 AS (
+      ), ${prefix}cq2 AS (
         SELECT doc_id, ctoks, cn, LEAST($W, cn) AS span,
           CASE WHEN cn <= $W THEN 1
                ELSE CAST(floor((cn - LEAST($W, cn) + ${ST - 1}) / $ST.0) AS INT) + 1 END AS k
-        FROM cq
-      ), cwin AS (
-        SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM cq2
-      ), cch AS (
+        FROM ${prefix}cq
+      ), ${prefix}cwin AS (
+        SELECT doc_id, ctoks, cn, span, unnest(generate_series(0, k - 1)) AS i FROM ${prefix}cq2
+      ), ${prefix}cch AS (
         SELECT doc_id AS record_id, 1 AS section_idx, 'context' AS role,
           'window' AS view_kind, CAST(i AS INT) AS window_index, $OV AS overlap,
           array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
-        FROM cwin
-      ), chunks AS (SELECT * FROM ach UNION ALL SELECT * FROM cch)"""
+        FROM ${prefix}cwin
+      ), ${prefix}chunks AS (SELECT * FROM ${prefix}ach UNION ALL SELECT * FROM ${prefix}cch)"""
 
   private def duckChunkCtes(where: String): String =
     duckBaseCtes(where) + ", " + duckChunkDerive()
 
-  private def duckSlot(slot: String, draws: String = "draws"): String = {
+  private def duckSlot(slot: String, draws: String = "draws",
+      chunksName: String = "chunks"): String = {
     val seedHash = Determinism.duckHash(
       s"'sel:$slot:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
     s"""elig_$slot AS (
-      SELECT dr.draw, dr.recipe, c.* FROM $draws dr JOIN chunks c ON
+      SELECT dr.draw, dr.recipe, c.* FROM $draws dr JOIN $chunksName c ON
         CASE dr.${slot}_mode WHEN 'role' THEN c.role = dr.${slot}_arg
              WHEN 'para' THEN c.section_idx = CAST(dr.${slot}_arg AS INT) ELSE TRUE END
     ), rank_$slot AS (
@@ -198,6 +202,21 @@ object RecipeQueries extends QueryModule {
     TripletRecipe("tmp_asof", Selector.TemporalOffset(TmpDays), Selector.RoleContext,
       NegativeStrategy.WrongArticle, weight = 0.5f),
     TripletRecipe("tmp_plain", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.5f))
+
+  // ---- BM25-backend composed batch (q58) ----
+  // One ticket plan mixing a BM25-backed wrong-article recipe with the
+  // default rank-pick: the composed driver re-ranks each bm25 slot's
+  // same-source pool by the BM25 score of the anchor's selected chunk text
+  // and rotates the top-3 (reference bm25_backend.rs:120-174), while plain
+  // slots keep the seeded rank pick.
+  private[graft] val BmSeed = "bmx"
+  private[graft] val BmBatch = 40
+  private[graft] val bmxRecipes: Seq[TripletRecipe] = Seq(
+    TripletRecipe("bmx_hard", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.5f,
+      negativeBackend = NegativeBackend.Bm25),
+    TripletRecipe("bmx_plain", Selector.RoleAnchor, Selector.RoleContext,
       NegativeStrategy.WrongArticle, weight = 0.5f))
 
   // KVP decoration on the oracle path: dropout/variant/value/shuffle rolls
@@ -640,6 +659,165 @@ object RecipeQueries extends QueryModule {
             JOIN achrec ar ON ar.draw = sl.draw
             JOIN negrec g ON g.draw = sl.draw
             JOIN pick_a a ON a.draw = sl.draw AND a.record_id = ar.rid
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+          )
+          SELECT * FROM f0 WHERE a_hash <> p_hash"""
+      }),
+
+    QueryDef("q58_bm25_composed_batch",
+      // the BM25 negative backend INSIDE the composed Sampler.nextBatch
+      // (reference: bm25_backend.rs:120-174 re-rank + top-3 rotation,
+      // mod.rs:1028-1045 dispatch): `bmx_hard` slots score their
+      // same-source pool with the anchor chunk's text (exact-integer e6
+      // BM25, graft.operators.Bm25 contract) and rotate the top-3 by the
+      // (seed, draw, anchor) hash stream; `bmx_plain` slots keep the
+      // seeded rank pick in the SAME ticket plan. The oracle replays the
+      // epoch order, the anchor pick, the per-source tf/df/stats, the
+      // rotation, and both negative lanes.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 2"))
+        val chunks = chunkTable(docs)
+        val pool = docs
+          .select(col("doc_id").as("id"), col("source"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= MinToks)
+          .select(col("id"), col("source"),
+            expr(s"slice(toks, ${AT + 1}, size(toks) - $AT)").as("btoks"))
+        val out = Sampler.nextBatch(s, chunks, pool, bmxRecipes,
+          SamplerState(BmSeed, 0L, Map.empty), BmBatch)
+        out.core.filter(col("a_hash") =!= col("p_hash"))
+          .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
+            col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
+            col("nid"), col("n_hash"))
+      },
+      Some {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$BmSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        val rot = Determinism.duckHash(
+          s"'negb:$BmSeed:' || CAST(t.draw AS VARCHAR) || ':' || CAST(t.record_id AS VARCHAR)")
+        val bmNames = bmxRecipes.filter(_.negativeBackend == NegativeBackend.Bm25)
+          .map(r => s"'${r.name}'").mkString(", ")
+        val K1 = graft.operators.Bm25.K1; val B = graft.operators.Bm25.B
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 2")},
+          pool AS (
+            SELECT doc_id AS id, source, list_slice(toks, ${AT + 1}, n) AS btoks,
+              CAST(n - $AT AS BIGINT) AS dl
+            FROM base
+          ),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          eo AS (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES ${composedSlotValues(bmxRecipes, BmSeed, BmBatch)}),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          -- anchor/positive chunk table: slot records only (first scan)
+          ${duckChunkDerive("WHERE doc_id IN (SELECT record_id FROM slotrec)", "s")},
+          ${duckSlot("a", "slotrec", "schunks")},
+          ${duckSlot("p", "slotrec", "schunks")},
+          -- BM25 scoring of the bm25 slots' same-source pools against the
+          -- anchor's SELECTED chunk text
+          qt AS (
+            SELECT a.draw, unnest(list_distinct(${TextFunctions.duckTokens("a.a_text")})) AS term
+            FROM pick_a a JOIN slotrec sl ON sl.draw = a.draw AND a.record_id = sl.record_id
+            WHERE sl.recipe IN ($bmNames)
+          ),
+          bsrc AS (SELECT DISTINCT source FROM slotrec WHERE recipe IN ($bmNames)),
+          candp AS (SELECT p.* FROM pool p JOIN bsrc USING (source)),
+          tfc AS (
+            SELECT source, id AS cand, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT source, id, dl, unnest(btoks) AS term FROM candp) u
+            GROUP BY source, id, dl, term
+          ),
+          tfd AS (
+            SELECT *, CAST(count(*) OVER (PARTITION BY source, term) AS BIGINT) AS df
+            FROM tfc
+          ),
+          bstats AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM candp GROUP BY source
+          ),
+          wterm AS (
+            SELECT t.source, t.term, t.cand,
+              CAST(floor(1000000.0 *
+                ((s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+                ((t.tf * ${K1 + 1}) / (t.tf + $K1 * (${1 - B} + $B * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+              ) AS BIGINT) AS term_e6
+            FROM tfd t JOIN bstats s USING (source)
+          ),
+          sc AS (
+            SELECT sl.draw, sl.record_id, w.cand, CAST(sum(w.term_e6) AS BIGINT) AS score_e6
+            FROM slotrec sl
+            JOIN qt q ON q.draw = sl.draw
+            JOIN wterm w ON w.source = sl.source AND w.term = q.term
+            WHERE w.cand <> sl.record_id
+            GROUP BY sl.draw, sl.record_id, w.cand
+          ),
+          top0 AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY draw
+              ORDER BY score_e6 DESC, cand) AS BIGINT) AS brnk
+            FROM sc
+          ),
+          top3 AS (
+            SELECT *, CAST(count(*) OVER (PARTITION BY draw) AS BIGINT) AS c3
+            FROM top0 WHERE brnk <= 3
+          ),
+          bmpick AS (
+            SELECT t.draw, t.cand AS nid FROM top3 t
+            WHERE t.brnk - 1 = $rot % t.c3
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          -- default-backend slots + empty-intersection bm25 fallbacks share
+          -- the seeded rank pick (hash stream `neg:`)
+          negwa0 AS (
+            SELECT sl.draw, sl.source, a.rn AS a_rn,
+              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_article'
+              AND (sl.recipe NOT IN ($bmNames)
+                   OR sl.draw NOT IN (SELECT draw FROM bmpick))
+          ),
+          negwa AS (
+            SELECT w.draw, n.id AS nid FROM negwa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          negrec AS (SELECT * FROM bmpick UNION ALL SELECT * FROM negwa),
+          -- negative chunk table: negative records only (second scan)
+          ${duckChunkDerive("WHERE doc_id IN (SELECT nid FROM negrec)", "n")},
+          ${duckSlot("n", "slotrec", "nchunks")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
+              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
+              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
             JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
             JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
           )

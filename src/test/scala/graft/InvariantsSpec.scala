@@ -112,8 +112,14 @@ class InvariantsSpec extends AnyFunSuite {
     * column WrongPublicationDate recipes need (4 date groups per source);
     * `timed` adds the `sec`/`tax` columns TemporalOffset recipes need
     * (seeded timestamps + 3 taxonomy keys crossing the sources, so both
-    * arms of the reference's source-or-key disjunction fire). */
-  private def goldenCorpus(dated: Boolean = false, timed: Boolean = false) = {
+    * arms of the reference's source-or-key disjunction fire); `lexical`
+    * adds the `btoks` full-document-token column BM25-backend recipes
+    * need (the reference's BM25 index covers record text; the shared
+    * `overview` token gives every same-source pair a non-empty BM25
+    * intersection, so the scored lane — not the fallback — is what the
+    * pin captures). */
+  private def goldenCorpus(dated: Boolean = false, timed: Boolean = false,
+      lexical: Boolean = false) = {
     import spark.implicits._
     val docs = (1 to 25).map(i =>
       (i.toLong, (s"head$i topic$i overview" +: (1 to 60).map(j => s"w${i}_$j")).mkString(" ")))
@@ -122,11 +128,15 @@ class InvariantsSpec extends AnyFunSuite {
     val pool0 = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
     val pool1 = if (dated) pool0.withColumn("date",
       concat(lit("2025-03-0"), (pmod(col("id"), lit(4)) + 1).cast("string"))) else pool0
-    val pool = if (timed) pool1
+    val pool2 = if (timed) pool1
       .withColumn("sec",
         lit(1700000000L) + pmod(Determinism.seeded("gsec", col("id")), lit(40)) * 43200L)
       .withColumn("tax", concat(lit("t"), pmod(col("id"), lit(3)).cast("string")))
     else pool1
+    val pool = if (lexical) pool2.join(
+      docs.select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("btoks")), "id")
+    else pool2
     (chunks, pool)
   }
   private val goldenRecipes =
@@ -160,7 +170,9 @@ class InvariantsSpec extends AnyFunSuite {
     val timed = recipes.exists(r =>
       Seq(r.anchor, r.positive, r.negativeSelector)
         .exists(Sampler.temporalDays(_).isDefined))
-    val (chunks0, pool0) = goldenCorpus(dated, timed)
+    val lexical = recipes.exists(
+      _.negativeBackend == graft.operators.NegativeBackend.Bm25)
+    val (chunks0, pool0) = goldenCorpus(dated, timed, lexical)
     val chunks = chunks0.repartition(parts).cache()
     val pool = pool0.repartition(parts).cache()
     var st = SamplerState(seed, 0L, Map.empty)
@@ -259,6 +271,14 @@ class InvariantsSpec extends AnyFunSuite {
         TripletRecipe("gt_asof", Selector.TemporalOffset(2), Selector.RoleContext,
           NegativeStrategy.WrongArticle, weight = 0.5f),
         TripletRecipe("gt_plain", Selector.RoleAnchor, Selector.RoleContext,
+          NegativeStrategy.WrongArticle, weight = 0.5f)), false, None),
+      // BM25 negative backend in the composed loop: scored top-3 rotation
+      // for gb_hard slots, the default rank pick for gb_plain
+      ("bm25", Seq(
+        TripletRecipe("gb_hard", Selector.RoleAnchor, Selector.RoleContext,
+          NegativeStrategy.WrongArticle, weight = 0.5f,
+          negativeBackend = graft.operators.NegativeBackend.Bm25),
+        TripletRecipe("gb_plain", Selector.RoleAnchor, Selector.RoleContext,
           NegativeStrategy.WrongArticle, weight = 0.5f)), false, None))
   }
 
@@ -268,7 +288,8 @@ class InvariantsSpec extends AnyFunSuite {
     "mixed_strategy" -> "4529892bd07e5ca0b698a2cba4c75b07",
     "weighted" -> "87f0fa64a85d628ce65f6e291ad3d39d",
     "decorated" -> "f499d96b6e24d561400d129267797f8e",
-    "temporal" -> "76317e89571cf64e6729f282159a7d3b")
+    "temporal" -> "76317e89571cf64e6729f282159a7d3b",
+    "bm25" -> "b0a91c82759f18cdee5030a1af4ebcae")
 
   test("golden matrix: per-config pins across partitionings, epoch wrap inside the window") {
     val got = goldenMatrix.map { case (cname, recipes, dated, dec) =>
@@ -296,6 +317,15 @@ class InvariantsSpec extends AnyFunSuite {
       seed = "gm:decorated", cols = goldenCols :+ "reason")
     assert(seqDigest(bPlain) != got("decorated"),
       "decorated pin indistinguishable from undecorated run")
+    // bm25 backend genuinely engaged: the same recipes with the Default
+    // backend yield a different sequence (the scored top-3 rotation must
+    // diverge from the rank pick somewhere in 80 draws)
+    val bmCfg = goldenMatrix.collect { case ("bm25", r, _, _) => r }.head
+    val (bDef, _, _) = runGolden(batch = 8, nBatches = 10, parts = 1,
+      recipes = bmCfg.map(_.copy(negativeBackend = graft.operators.NegativeBackend.Default)),
+      seed = "gm:bm25", cols = goldenCols :+ "reason")
+    assert(seqDigest(bDef) != got("bm25"),
+      "bm25 pin indistinguishable from the default backend")
   }
 
   /** Reference-length pin (src/sampler/tests.rs pins 45-batch sequences):

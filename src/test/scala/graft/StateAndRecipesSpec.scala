@@ -268,6 +268,45 @@ class StateAndRecipesSpec extends AnyFunSuite {
     assert(gotSrc == Map(1L -> 2L))
   }
 
+  test("composed bm25 backend: disjoint vocab falls back to the rank pick, shared vocab diverges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def corpus(shared: Boolean) = {
+      val mark = if (shared) "overview" else "solo"
+      val docs = (1 to 12).map { i =>
+        val m = if (shared) mark else s"$mark$i"
+        (i.toLong, (s"head$i topic$i $m" +: (1 to 40).map(j => s"w${i}_$j")).mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = graft.queries.RecipeQueries.chunkTable(docs)
+      // btoks = FULL document tokens (the reference's BM25 index covers
+      // record text, bm25_backend.rs ranked_candidates); the shared `mark`
+      // token sits in the anchor section, so the anchor-chunk query
+      // intersects candidates only in the shared case
+      val pool = (1 to 12).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "source")
+        .join(docs.select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("btoks")), "id")
+      (chunks, pool)
+    }
+    def run(shared: Boolean, backend: graft.operators.NegativeBackend) = {
+      val (chunks, pool) = corpus(shared)
+      val recipes = Seq(TripletRecipe("bmf", Selector.RoleAnchor, Selector.RoleContext,
+        NegativeStrategy.WrongArticle, negativeBackend = backend))
+      Sampler.nextBatch(spark, chunks, pool, recipes,
+          SamplerState("bmf", 0L, Map.empty), batch = 8)
+        .core.collect().map(_.toSeq).toSet
+    }
+    // every doc's context vocabulary is unique -> the scored intersection
+    // is empty for every slot -> the bm25 backend delivers EXACTLY the
+    // default backend's sequence (reference: bm25_backend.rs:157-174
+    // fallback to deterministic random within the pool)
+    assert(run(shared = false, NegativeBackend.Bm25)
+      == run(shared = false, NegativeBackend.Default))
+    // a shared token gives a non-empty intersection -> the scored top-3
+    // rotation must diverge from the rank pick somewhere in the batch
+    assert(run(shared = true, NegativeBackend.Bm25)
+      != run(shared = true, NegativeBackend.Default))
+  }
+
   test("composed temporal slots anchor on the neighbor's context chunk") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -53,7 +53,12 @@ object PlanDump extends App {
     "q66_mixed_strategy_batch" -> "composed batch with per-recipe negative dispatch: each strategy lane (WrongArticle / WrongDate / QA) is a keyed rank-pick over only ITS slots, unioned by name; slot and negative frames are localCheckpoint()ed so the visible plan is batch-sized — the corpus-scale work (chunk derivation) happened once behind the isin pushdown, which is why the top shows LocalTableScan/Scan ExistingRDD rather than a corpus scan",
     "q69_multimodal_png_decode" -> "the real-codec lane is a NARROW object pipeline: DeserializeToObject -> MapPartitions (encode+inflate+de-filter per payload) -> SerializeFromObject with zero Exchange nodes — media bytes never shuffle; at 100 TB the decode cost is embarrassingly parallel and the only wide op would belong to a downstream consumer",
     "q55_bpe_word_counts" -> "BPE training's corpus-scale half: one Generate (explode to words) into a map-side-combined hash aggregate, then the deterministic top-N cap via TakeOrderedAndProject (per-partition top-k + merge, NO global sort) — the 300-row cap is what keeps the driver-side merge trainer corpus-independent",
-    "q54_bpe_piece_counts" -> "distributed BPE encode: merge ranks ride ONE broadcast; the encode is a narrow mapPartitions (per-partition word memo, so each distinct word is segmented once per partition) and the per-doc counts are produced inline in the same pass — ZERO Exchange nodes; corpus text never shuffles")
+    "q54_bpe_piece_counts" -> "distributed BPE encode: merge ranks ride ONE broadcast; the encode is a narrow mapPartitions (per-partition word memo, so each distinct word is segmented once per partition) and the per-doc counts are produced inline in the same pass — ZERO Exchange nodes; corpus text never shuffles",
+    "q57_temporal_composed_batch" -> "TemporalOffset in the composed driver: the as-of neighbor join is a UNION of two equi-joins (source arm + taxonomy arm — never a theta join) with the left side semi-joined down to the batch's records via broadcast; the neighbor argmin is one keyed min_by aggregate; like every composed lane the visible top plan is batch-sized behind the checkpoint cuts",
+    "q58_bm25_composed_batch" -> "BM25 negative backend in the composed driver: candidates/tf/stats semi-join to the BATCH's anchor sources (broadcast source list), df rides a keyed window over tf, the anchor x candidate product passes through ONE (source, term) join (the q85 shape), rotation is a rank filter — the scored subtree is checkpointed ONCE and feeds both the hit join and the fallback anti-join",
+    "q59_fallback_composed_batch" -> "composed pool staging: same-date tier / same-source tier / cross-split fallback are three keyed rank-pick lanes unioned by name — lane membership is a filter on per-pool counts (dgs/nsrc/dcnt) joined from keyed windows, the fallback's source pick runs on a #sources-sized broadcast frame, and the suffixed recipe name is a projection",
+    "q17_pair_composed_batch" -> "composed pair batch: the triplet core is derived ONCE (checkpointed), the pair explosion is one Generate over batch-sized rows — labels/reasons are projections, no second pass over the corpus",
+    "q18_text_composed_batch" -> "composed text batch: text-recipe ticket schedule broadcast onto the epoch order; ONE selector pick window over the isin-restricted chunk table; seen-set dedup is a keyed row_number over batch-sized rows")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

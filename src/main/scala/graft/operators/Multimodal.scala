@@ -9,15 +9,15 @@ import graft.core.Determinism
   *
   * The real engine treats image/audio/video as binary columns plus a typed
   * metadata struct and runs decode/feature-extraction as partition-batched
-  * UDFs. The codec layer is REAL for the uncompressed containers —
-  * [[MediaCodecs]] parses WAV PCM, PPM P6 and BMP 24-bit with pure stdlib
-  * byte arithmetic ([[decodeReal]]/[[extractDecoded]]). Compressed formats
-  * (JPEG/PNG/MP3/...) need a codec library that is NOT in this container,
-  * so they route to the byte-stat fallback, and [[fakeDecode]] remains the
-  * deterministic oracle-checkable stub lane for fully-opaque payloads —
-  * the Spark-side contract (schema, encoders, batch iteration shape,
-  * partition-parallel execution, no shuffle) is identical in both lanes.
-  * Extending to a compressed format means adding one pure function.
+  * UDFs. **The default lane is [[decodeReal]]/[[extractDecoded]]**: REAL
+  * stdlib decoders in [[MediaCodecs]] for WAV PCM, PPM P6, BMP 24-bit and
+  * PNG (full chunk walk + Inflater + all five scanline filters). Formats
+  * that need a codec library NOT in this container (JPEG/MP3/...) route
+  * to the byte-stat fallback inside the same lane. [[fakeDecode]] is kept
+  * ONLY as the v1 oracle-checked contract stub for fully-opaque payloads
+  * (its byte-stat outputs are a subset of what the opaque fallback of
+  * [[decodeReal]] computes) — new callers should use [[extractDecoded]].
+  * Extending to another compressed format means adding one pure function.
   *
   * Scale notes: media rows are large — the media column must stay OUT of
   * every shuffle. Feature extraction is a narrow `mapPartitions`; anything
@@ -41,8 +41,8 @@ object Multimodal {
       (lit(320) + pmod(Determinism.seeded("w", col("doc_id")), lit(320))).cast("int").as("width"),
       (lit(240) + pmod(Determinism.seeded("h", col("doc_id")), lit(240))).cast("int").as("height"))
 
-  /** STUB decoder: a real build decodes `media` with an image/audio codec
-    * here; this deterministic fake computes byte statistics so the
+  /** v1 contract STUB (superseded by [[decodeReal]] — kept only for the
+    * oracle-pinned v1 feature query): deterministic byte statistics so the
     * partition-batched plumbing is exercised end-to-end. */
   def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
@@ -55,7 +55,8 @@ object Multimodal {
         "fake-v1")
     }
 
-  /** Partition-batched feature extraction (narrow; media never shuffles). */
+  /** v1-contract feature extraction (narrow; media never shuffles).
+    * Prefer [[extractDecoded]] — the real-codec lane. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(fakeDecode)

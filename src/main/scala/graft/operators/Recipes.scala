@@ -138,15 +138,24 @@ object Recipes {
     * tickets = clamp(round(w / w_min), 1, 16) per recipe; the ticket list
     * is shuffled with the epoch-mixed seed
     * (reference: src/sampler/mod.rs:2761-2784). */
-  def ticketOrder(recipes: Seq[TripletRecipe], seed: String, epoch: Long): Seq[String] = {
-    val active = recipes.filter(_.weight > 0f)
+  def ticketOrder(recipes: Seq[TripletRecipe], seed: String, epoch: Long): Seq[String] =
+    weightedTickets(recipes.map(r => r.name -> r.weight), s"recipe-order:$seed:$epoch")
+
+  /** Text-recipe ticket order — its own shuffle stream, the analogue of
+    * the reference's separate `text_recipe_rr_idx`
+    * (src/sampler/mod.rs:2229-2234). */
+  def textTicketOrder(recipes: Seq[TextRecipe], seed: String, epoch: Long): Seq[String] =
+    weightedTickets(recipes.map(r => r.name -> r.weight), s"text-recipe-order:$seed:$epoch")
+
+  private def weightedTickets(pairs: Seq[(String, Float)], shuffleSeed: String): Seq[String] = {
+    val active = pairs.filter(_._2 > 0f)
     if (active.isEmpty) return Nil
-    val wMin = active.map(_.weight).min
-    val tickets = active.flatMap { r =>
-      val n = math.max(1, math.min(MaxWeightMultiplier, math.round(r.weight / wMin)))
-      Seq.fill(n)(r.name)
+    val wMin = active.map(_._2).min
+    val tickets = active.flatMap { case (name, w) =>
+      val n = math.max(1, math.min(MaxWeightMultiplier, math.round(w / wMin)))
+      Seq.fill(n)(name)
     }
-    new Kvp.DetRng(s"recipe-order:$seed:$epoch").shuffle(tickets)
+    new Kvp.DetRng(shuffleSeed).shuffle(tickets)
   }
 
   /** Stateless round-robin pick over the ticket order. */

@@ -128,9 +128,16 @@ object Sampler {
     *     paired against this anchor's question;
     *   - `WrongPublicationDate`: two-level pick — a date group of the same
     *     source OTHER than the anchor's (`negd:`), then a record inside it
-    *     (`negr:`). Requires a `date` column in `pool`; slots whose source
-    *     has a single date group drop (pad_with_reuse fills the batch).
-    * Every delivered row carries the strategy's `reason` tag.
+    *     (`negr:`). Requires a `date` column in `pool`.
+    * When `pool` carries a `date` column, `WrongArticle` prefers
+    * same-source same-DATE candidates (tier 1, stream `nega:`) before the
+    * plain same-source pick — the reference's date preference
+    * (src/sampler/mod.rs:996-1032). Every strategy whose primary pool is
+    * empty (singleton source, or single date group for wrong-date) falls
+    * back to the cross-source same-split two-level pick (`negs:`/`negc:`)
+    * with the recipe name suffixed `_fallback_same_split`
+    * (src/sampler/mod.rs:1097-1151, 1391-1395). Every delivered row
+    * carries the strategy's `reason` tag.
     *
     * @param chunks chunk table (columns of [[graft.core.RecordChunk]]):
     *               record_id, section_idx, role, view_kind, window_index,
@@ -156,28 +163,28 @@ object Sampler {
     *               three slots roll independent prefixes, exactly like the
     *               decorated lane ([[Triplets.tripletRowsDecorated]])
     */
-  def nextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
-      recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
-      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
-    import spark.implicits._
-    require(batch > 0, "batch must be > 0")
-    val byName = recipes.map(r => r.name -> r).toMap
-    // the pool size is epoch-stable: count once, then serve every later
-    // batch from the persisted counter (a per-batch count() is corpus-scan
-    // work at 100 TB). Callers invalidate with `counters - "pool_size"`
-    // when the pool population changes (source refresh).
-    val poolSize = {
-      val cached = st.counter("pool_size")
-      if (cached > 0L) cached else pool.count()
-    }
-    require(poolSize > 0, "empty record pool")
-    val drawBase = st.counter("draw")
+  /** Epoch-stable pool size: count once, then serve every later batch
+    * from the persisted counter (a per-batch count() is corpus-scan work
+    * at 100 TB). Callers invalidate with `counters - "pool_size"` when
+    * the pool population changes (source refresh). */
+  private def poolSizeOf(pool: DataFrame, st: SamplerState): Long = {
+    val cached = st.counter("pool_size")
+    val n = if (cached > 0L) cached else pool.count()
+    require(n > 0, "empty record pool")
+    n
+  }
 
-    // ---- slot schedule: driver-side counter arithmetic only ----
+  /** Slot schedule: driver-side counter arithmetic only — (draw, epoch,
+    * pos, recipe) per slot, with the mid-batch epoch advance when the
+    * interleave cycle completes. `planFor` yields the (re-shuffled) ticket
+    * plan of an epoch. Returns (slots, endEpoch, endCursor). */
+  private def scheduleSlots(st: SamplerState, batch: Int, poolSize: Long,
+      planFor: Long => Seq[String]): (Seq[(Long, Long, Long, String)], Long, Long) = {
+    val drawBase = st.counter("draw")
     var e = st.epoch
     var cur = st.counter("cursor")
-    var plan = Recipes.ticketOrder(recipes, st.seed, e)
-    val slotsB = Seq.newBuilder[(Long, Long, Long, String)] // (draw, epoch, pos, recipe)
+    var plan = planFor(e)
+    val slotsB = Seq.newBuilder[(Long, Long, Long, String)]
     var i = 0
     while (i < batch) {
       val draw = drawBase + i
@@ -185,11 +192,39 @@ object Sampler {
       cur += 1
       if (cur == poolSize) { // cycle complete: mid-batch epoch advance
         cur = 0L; e += 1
-        plan = Recipes.ticketOrder(recipes, st.seed, e)
+        plan = planFor(e)
       }
       i += 1
     }
-    val slots = slotsB.result()
+    (slotsB.result(), e, cur)
+  }
+
+  def nextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
+      recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
+    val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, batch, decoration)
+    val rows = Mixing.padToBatch(spark,
+        deduped.select(col("draw").as("id")), batch, s"pad:${st.seed}:${st.counter("draw")}")
+      .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
+      .withColumnRenamed("id", "draw").withColumnRenamed("i", "slot")
+    SamplerBatch(core.drop("allow_same"), rows, st2)
+  }
+
+  /** The shared composed-triplet stream: returns (core, deduped, state) —
+    * `core` is the pre-rejection per-draw stream (with `allow_same`),
+    * `deduped` the post-rejection post-seen-set stream the entry points
+    * pad from. */
+  private def composed(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
+      recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None)
+      : (DataFrame, DataFrame, SamplerState) = {
+    import spark.implicits._
+    require(batch > 0, "batch must be > 0")
+    val byName = recipes.map(r => r.name -> r).toMap
+    val poolSize = poolSizeOf(pool, st)
+    val drawBase = st.counter("draw")
+    val (slots, e, cur) =
+      scheduleSlots(st, batch, poolSize, ep => Recipes.ticketOrder(recipes, st.seed, ep))
 
     // ---- record pick: per-epoch interleave joined on position ----
     // Each composed frame from here on is BATCH-sized and feeds several
@@ -228,20 +263,23 @@ object Sampler {
     // before. Temporal lanes are checkpointed: their upstream is a
     // pool-scale neighbor join that several consumers replay otherwise.
     def chunkRecords(sel: TripletRecipe => Selector, base: DataFrame): DataFrame = {
+      // fallback rows carry the `_fallback_same_split`-suffixed recipe
+      // name (crossSplitPick) — match both forms
+      def forms(ns: Seq[String]) = ns ++ ns.map(_ + Recipes.FallbackSuffix)
       val dayOf = recipes.map(r => r.name -> temporalDays(sel(r)))
       val temporal = dayOf.collect { case (n, Some(d)) => (n, d) }
       if (temporal.isEmpty) base.select(col("draw"), col("record_id"))
       else {
         val plainNames = dayOf.collect { case (n, None) => n }
         val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
-          val forIds = base.filter(col("recipe").isin(rs.map(_._1): _*))
+          val forIds = base.filter(col("recipe").isin(forms(rs.map(_._1)): _*))
             .select(col("draw"), col("record_id"))
           forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
             .select(col("draw"), col("nbid").as("record_id"))
         }
         val plain =
           if (plainNames.isEmpty) Nil
-          else Seq(base.filter(col("recipe").isin(plainNames: _*))
+          else Seq(base.filter(col("recipe").isin(forms(plainNames): _*))
             .select(col("draw"), col("record_id")))
         (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
       }
@@ -257,35 +295,72 @@ object Sampler {
       concat(lit(s"$prefix:${st.seed}:"), col("draw").cast("string"), lit(":"),
         col("record_id").cast("string")))
     val negOut = Seq("draw", "epoch", "recipe", "reason", "record_id", "nid").map(col)
-    // same source, skip-the-anchor rank pick (WrongArticle / QA-mismatch;
-    // the strategies differ by hash stream and downstream reason tag)
+    val hasDate = pool.columns.contains("date")
+    // per-(source, date) record ranks + group size (shared by the same-date
+    // preference tier and the wrong-date two-level pick)
+    lazy val dRank = pool
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("source"), col("date")).orderBy(col("id"))).cast("long") - 1)
+      .withColumn("dgs", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("date"))).cast("long"))
+    // same source, skip-the-anchor rank pick (WrongArticle tier 2 /
+    // QA-mismatch; the strategies differ by hash stream and reason tag)
     def skipPick(anchors: DataFrame, prefix: String): DataFrame = anchors
       .join(srcRank.select(col("id").as("record_id"), col("rn").as("a_rn"), col("nsrc")),
         Seq("record_id"))
       .withColumn("p0", pmod(drawKey(prefix), greatest(col("nsrc") - 1, lit(1L))))
-      // a source with a single record yields rank 1 → no match → slot drops
       .withColumn("n_rn", when(col("p0") >= col("a_rn"), col("p0") + 1).otherwise(col("p0")))
       .join(srcRank.select(col("source"), col("rn").as("n_rn"), col("id").as("nid")),
         Seq("source", "n_rn"))
       .select(negOut: _*)
+    // same source, SAME date group, skip-the-anchor (WrongArticle tier 1 —
+    // the reference's date preference, src/sampler/mod.rs:996-1014)
+    def sameDatePick(anchors: DataFrame): DataFrame = anchors
+      .join(dRank.select(col("id").as("record_id"), col("date"),
+        col("rn2").as("a_rn2"), col("dgs")), Seq("record_id"))
+      .withColumn("p0", pmod(drawKey("nega"), greatest(col("dgs") - 1, lit(1L))))
+      .withColumn("n_rn2", when(col("p0") >= col("a_rn2"), col("p0") + 1).otherwise(col("p0")))
+      .join(dRank.select(col("source"), col("date"), col("rn2").as("n_rn2"),
+        col("id").as("nid")), Seq("source", "date", "n_rn2"))
+      .select(negOut: _*)
+    // cross-source same-split fallback (reference Pool C,
+    // src/sampler/mod.rs:1097-1151 + suffix 1391-1395): a two-level pick —
+    // a source OTHER than the anchor's, then a record inside it (the q83
+    // lane's stateless form; the composed pool IS the split). The
+    // delivered recipe name gains `_fallback_same_split`. Slots whose pool
+    // holds no other source drop (empty pool in the reference).
+    def crossSplitPick(anchors: DataFrame): DataFrame = {
+      val sG = pool.groupBy(col("source")).agg(count(lit(1)).cast("long").as("ccnt"))
+        .withColumn("srnk", row_number().over(Window.partitionBy()
+          .orderBy(Determinism.seeded("fsord", col("source")), col("source"))).cast("long") - 1)
+        .withColumn("scnt", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      anchors
+        .join(broadcast(sG.select(col("source"), col("srnk"), col("scnt"))), Seq("source"))
+        .filter(col("scnt") >= 2)
+        .withColumn("s0", pmod(drawKey("negs"), greatest(col("scnt") - 1, lit(1L))))
+        .withColumn("t_srnk", when(col("s0") >= col("srnk"), col("s0") + 1).otherwise(col("s0")))
+        .join(broadcast(sG.select(col("srnk").as("t_srnk"),
+          col("source").as("t_source"), col("ccnt"))), Seq("t_srnk"))
+        .withColumn("rpick", pmod(drawKey("negc"), col("ccnt")))
+        .join(srcRank.select(col("source").as("t_source"), col("rn").as("rpick"),
+          col("id").as("nid")), Seq("t_source", "rpick"))
+        .withColumn("recipe", concat(col("recipe"), lit(Recipes.FallbackSuffix)))
+        .select(negOut: _*)
+    }
     // same source, DIFFERENT date group: hash-pick a date rank skipping the
     // anchor's, then a record rank inside the target group — three
     // equi-joins, date/source isolation structural (the q84 lane's shape,
-    // keyed by the composed driver's (seed, draw, record) stream)
+    // keyed by the composed driver's (seed, draw, record) stream).
+    // `anchors` must carry `m_dcnt` (date-group count of the source).
     def wrongDatePick(anchors: DataFrame): DataFrame = {
-      require(pool.columns.contains("date"),
-        "WrongPublicationDate recipes need a `date` column in the pool")
       val wSrc = Window.partitionBy(col("source"))
       val dG = pool.groupBy(col("source"), col("date")).agg(count(lit(1)).cast("long").as("dct"))
         .withColumn("drnk", row_number().over(wSrc.orderBy(col("date"))).cast("long") - 1)
         .withColumn("dcnt", count(lit(1)).over(wSrc).cast("long"))
-      val dRank = pool.withColumn("rn2", row_number().over(
-        Window.partitionBy(col("source"), col("date")).orderBy(col("id"))).cast("long") - 1)
       anchors
         .join(pool.select(col("id").as("record_id"), col("date").as("a_date")), Seq("record_id"))
         .join(dG.select(col("source"), col("date").as("a_date"),
           col("drnk").as("a_drnk"), col("dcnt")), Seq("source", "a_date"))
-        .filter(col("dcnt") >= 2)
         .withColumn("d0", pmod(drawKey("negd"), greatest(col("dcnt") - 1, lit(1L))))
         .withColumn("t_drnk", when(col("d0") >= col("a_drnk"), col("d0") + 1).otherwise(col("d0")))
         .join(dG.select(col("source"), col("date").as("t_date"),
@@ -295,17 +370,46 @@ object Sampler {
           col("rn2").as("rpick"), col("id").as("nid")), Seq("source", "t_date", "rpick"))
         .select(negOut: _*)
     }
-    /** DefaultBackend lanes: the seeded rank pick per strategy present. */
+    // per-anchor pool metadata for the tier split: same-source count, and
+    // (dated pools) same-date-group size + date-group count of the source
+    def withPoolMeta(anchors: DataFrame): DataFrame = {
+      val base = anchors.join(
+        srcRank.select(col("id").as("record_id"), col("nsrc").as("m_nsrc")), Seq("record_id"))
+      if (!hasDate) base
+      else base
+        .join(dRank.select(col("id").as("record_id"), col("dgs").as("m_dgs")), Seq("record_id"))
+        .join(pool.groupBy(col("source")).agg(
+          countDistinct(col("date")).cast("long").as("m_dcnt")), Seq("source"))
+    }
+    /** DefaultBackend lanes per strategy present — each with the
+      * reference's pool staging (src/sampler/mod.rs:994-1151):
+      * WrongArticle prefers same-source same-DATE candidates when the pool
+      * is dated, then same-source; every strategy falls back to the
+      * cross-source same-split pick (suffixed recipe) when its primary
+      * pool is empty. */
     def strategyPick(anchors: DataFrame, strategies: Seq[NegativeStrategy]): Seq[DataFrame] =
-      strategies.map {
+      strategies.flatMap {
         case NegativeStrategy.WrongArticle =>
-          skipPick(anchors.filter(col("reason") === NegativeStrategy.WrongArticle.reason), "neg")
+          val wa = withPoolMeta(
+            anchors.filter(col("reason") === NegativeStrategy.WrongArticle.reason))
+          val tiers =
+            if (hasDate) Seq(
+              sameDatePick(wa.filter(col("m_dgs") >= 2)),
+              skipPick(wa.filter(col("m_dgs") < 2 && col("m_nsrc") >= 2), "neg"))
+            else Seq(skipPick(wa.filter(col("m_nsrc") >= 2), "neg"))
+          tiers :+ crossSplitPick(wa.filter(col("m_nsrc") < 2))
         case NegativeStrategy.QuestionAnswerMismatch =>
-          skipPick(anchors.filter(
-            col("reason") === NegativeStrategy.QuestionAnswerMismatch.reason), "negq")
+          val qa = withPoolMeta(anchors.filter(
+            col("reason") === NegativeStrategy.QuestionAnswerMismatch.reason))
+          Seq(skipPick(qa.filter(col("m_nsrc") >= 2), "negq"),
+            crossSplitPick(qa.filter(col("m_nsrc") < 2)))
         case NegativeStrategy.WrongPublicationDate =>
-          wrongDatePick(anchors.filter(
+          require(hasDate,
+            "WrongPublicationDate recipes need a `date` column in the pool")
+          val wd = withPoolMeta(anchors.filter(
             col("reason") === NegativeStrategy.WrongPublicationDate.reason))
+          Seq(wrongDatePick(wd.filter(col("m_dcnt") >= 2)),
+            crossSplitPick(wd.filter(col("m_dcnt") < 2)))
       }
     def strategiesOf(backend: NegativeBackend): Seq[NegativeStrategy] =
       slots.map(s => byName(s._4)).filter(_.negativeBackend == backend)
@@ -459,21 +563,141 @@ object Sampler {
         col("nid"), col("n_hash"), col("reason"), col("allow_same"))
       .localCheckpoint()
 
-    // ---- batch-local stages: rejection → seen-set dedup → pad ----
+    // ---- batch-local stages: rejection → seen-set dedup (pad is the
+    // entry point's job — triplet and pair batches pad different grains) --
     val rejected = core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
     val seenW = Window.partitionBy(col("record_id"), col("a_widx"), col("p_widx"), col("nid"))
       .orderBy(col("draw"))
     val deduped = rejected
       .withColumn("rk", row_number().over(seenW)).filter(col("rk") === 1)
       .drop("rk", "allow_same")
-    val rows = Mixing.padToBatch(spark,
-        deduped.select(col("draw").as("id")), batch, s"pad:${st.seed}:$drawBase")
-      .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
-      .withColumnRenamed("id", "draw").withColumnRenamed("i", "slot")
 
     val st2 = st.copy(epoch = e, counters = st.counters
       .updated("draw", drawBase + batch).updated("cursor", cur)
       .updated("pool_size", poolSize))
-    SamplerBatch(core.drop("allow_same"), rows, st2)
+    (core, deduped, st2)
+  }
+
+  /** The composed pair batch (reference `next_pair_batch`,
+    * src/sampler/mod.rs:2011-2110): each composed triplet yields TWO
+    * labeled pairs — (anchor, positive, label=positive, reason NULL) and
+    * (anchor, negative, label=negative, reason = the strategy tag) — so a
+    * `batch`-pair request drives ⌈batch/2⌉ triplet draws through the SAME
+    * counters as [[nextBatch]] (shared cursor/epoch/draw: the entry points
+    * continue one global sequence, and resume covers them all). `core` is
+    * the post-rejection pair stream keyed by (draw, pair index);
+    * `rows` pads to exactly `batch` pairs. */
+  def nextPairBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
+      recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
+    val nTrip = (batch + 1) / 2
+    val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, nTrip, decoration)
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
+        col("nid"), col("a_hash"), col("reason").as("strategy"),
+        explode(array(
+          struct(lit(0L).as("pidx"), lit("positive").as("label"),
+            col("p_hash").as("r_hash"), lit(null).cast("string").as("reason")),
+          struct(lit(1L).as("pidx"), lit("negative").as("label"),
+            col("n_hash").as("r_hash"), col("reason").as("reason")))).as("pr"))
+      .select(col("draw"), (col("draw") * 2 + col("pr.pidx")).as("pair_id"),
+        col("epoch"), col("recipe"), col("record_id"), col("nid"),
+        col("pr.label").as("label"), col("a_hash").as("l_hash"),
+        col("pr.r_hash").as("r_hash"), col("pr.reason").as("reason"))
+    val pairCore = pairsOf(core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
+      .drop("allow_same"))
+    val pairDeduped = pairsOf(deduped)
+    val rows = Mixing.padToBatch(spark,
+        pairDeduped.select(col("pair_id").as("id")), batch,
+        s"padp:${st.seed}:${st.counter("draw")}")
+      .join(pairDeduped.withColumnRenamed("pair_id", "id"), Seq("id"))
+      .withColumnRenamed("id", "pair_id").withColumnRenamed("i", "slot")
+    SamplerBatch(pairCore, rows, st2)
+  }
+
+  /** The composed text batch (reference `next_text_batch`,
+    * src/sampler/mod.rs:2210-2364): text recipes scheduled by their own
+    * ticket plan ([[Recipes.textTicketOrder]] — the analogue of the
+    * separate `text_recipe_rr_idx`) over the SAME epoch-interleaved record
+    * order and counters as the triplet entry points; one selector chunk
+    * pick per draw (hash stream `sel:t:`), seen-set dedup by the chunk key
+    * (record, section, window) keeping the earliest draw, pad to `batch`.
+    * Temporal selectors swap in the as-of neighbor exactly like
+    * [[nextBatch]]'s anchor lane. */
+  def nextTextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
+      textRecipes: Seq[TextRecipe], st: SamplerState, batch: Int,
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
+    import spark.implicits._
+    require(batch > 0, "batch must be > 0")
+    val byName = textRecipes.map(r => r.name -> r).toMap
+    val poolSize = poolSizeOf(pool, st)
+    val drawBase = st.counter("draw")
+    val (slots, e, cur) = scheduleSlots(st, batch, poolSize,
+      ep => Recipes.textTicketOrder(textRecipes, st.seed, ep))
+    val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
+      val sdf = ss.map(s => (s._1, s._3, s._4)).toDF("draw", "pos", "recipe")
+      Mixing.epochOrder(pool, ep).join(broadcast(sdf), "pos")
+        .select(col("draw"), lit(ep).as("epoch"), col("recipe"),
+          col("id").as("record_id"), col("source"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val slotMeta = slots.map { case (draw, _, _, name) =>
+      val (m, a) = selectorDesc(byName(name).selector)
+      (draw, m, a)
+    }.toDF("draw", "mode", "arg")
+    // temporal selectors: the chunk-source record is the as-of neighbor
+    val tRecs = {
+      val dayOf = textRecipes.map(r => r.name -> temporalDays(r.selector))
+      val temporal = dayOf.collect { case (n, Some(d)) => (n, d) }
+      if (temporal.isEmpty) slotRec.select(col("draw"), col("record_id"))
+      else {
+        val plainNames = dayOf.collect { case (n, None) => n }
+        val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
+          val forIds = slotRec.filter(col("recipe").isin(rs.map(_._1): _*))
+            .select(col("draw"), col("record_id"))
+          forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
+            .select(col("draw"), col("nbid").as("record_id"))
+        }
+        val plain =
+          if (plainNames.isEmpty) Nil
+          else Seq(slotRec.filter(col("recipe").isin(plainNames: _*))
+            .select(col("draw"), col("record_id")))
+        (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
+      }
+    }
+    val ids = tRecs.select(col("record_id")).distinct().collect().map(_.getLong(0)).toSeq
+    val chunksR = chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint()
+    val tText: Column = decoration match {
+      case None => col("wtext")
+      case Some((smp, maxTok)) =>
+        Decoration.decorateColumn(smp,
+          concat(lit("dec:t:"), col("record_id").cast("string"),
+            lit(":"), col("draw").cast("string")),
+          split(col("wtext"), " "), maxTok).getField("text")
+    }
+    val pick = Recipes.selectChunksBatch(chunksR, slotMeta, "t")
+      .join(tRecs, Seq("draw", "record_id"))
+      .select(col("draw"), col("record_id").as("chunk_record"),
+        col("section_idx").cast("long").as("t_sidx"),
+        col("window_index").cast("long").as("t_widx"),
+        Determinism.portableHash(tText).as("t_hash"))
+    val core = slotRec
+      .join(pick, Seq("draw"))
+      .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
+        col("chunk_record"), col("t_sidx"), col("t_widx"), col("t_hash"))
+      .localCheckpoint()
+    // seen-set dedup by the chunk key, earliest draw wins (reference
+    // chunk_key dedup, src/sampler/mod.rs:2288-2292)
+    val seenW = Window.partitionBy(col("chunk_record"), col("t_sidx"), col("t_widx"))
+      .orderBy(col("draw"))
+    val deduped = core.withColumn("rk", row_number().over(seenW)).filter(col("rk") === 1)
+      .drop("rk")
+    val rows = Mixing.padToBatch(spark,
+        deduped.select(col("draw").as("id")), batch, s"padt:${st.seed}:$drawBase")
+      .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
+      .withColumnRenamed("id", "draw").withColumnRenamed("i", "slot")
+    val st2 = st.copy(epoch = e, counters = st.counters
+      .updated("draw", drawBase + batch).updated("cursor", cur)
+      .updated("pool_size", poolSize))
+    SamplerBatch(core, rows, st2)
   }
 }

@@ -4,7 +4,7 @@ import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
 import graft.functions.{KvpField, KvpPrefixSampler}
-import graft.operators.{Decoration, NegativeBackend, NegativeStrategy, Recipes, Sampler, SamplerState, Selector, TripletRecipe}
+import graft.operators.{Decoration, NegativeBackend, NegativeStrategy, Recipes, Sampler, SamplerState, Selector, TextRecipe, TripletRecipe}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,47 @@ object RecipeQueries extends QueryModule {
     TripletRecipe("bmx_plain", Selector.RoleAnchor, Selector.RoleContext,
       NegativeStrategy.WrongArticle, weight = 0.5f))
 
+  // ---- fallback + date-preference composed batch (q59) ----
+  // A corpus engineered with a SINGLETON source (src7 = one record): the
+  // wrong-article slot that lands on it has an empty same-source pool and
+  // takes the cross-source same-split fallback with the suffixed recipe
+  // name; wrong-date slots on it have a single date group and fall back
+  // the same way. The dated pool also engages the same-date preference
+  // tier for the regular wrong-article slots.
+  private[graft] val FbSeed = "fbk"
+  private[graft] val FbBatch = 26
+  private[graft] val fbRecipes: Seq[TripletRecipe] = Seq(
+    TripletRecipe("fb_wrong_article", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.6f),
+    TripletRecipe("fb_wrong_date", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongPublicationDate, weight = 0.4f))
+
+  // ---- composed pair / text batches (q17 / q18) ----
+  private[graft] val PrSeed = "prx"
+  private[graft] val PrBatch = 40 // pairs → 20 triplet draws
+  private[graft] val prRecipes: Seq[TripletRecipe] = Seq(
+    TripletRecipe("pr_main", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 0.5f),
+    TripletRecipe("pr_alt", Selector.Paragraph(1), Selector.Random,
+      NegativeStrategy.WrongArticle, weight = 0.5f,
+      negativeSelector = Selector.RoleAnchor))
+  private[graft] val TxSeed = "txx"
+  private[graft] val TxBatch = 40
+  private[graft] val txRecipes: Seq[TextRecipe] = Seq(
+    TextRecipe("tx_ctx", Selector.RoleContext, 0.6f),
+    TextRecipe("tx_anchor", Selector.RoleAnchor, 0.2f),
+    TextRecipe("tx_rand", Selector.Random, 0.2f))
+  private def textComposedSlotValues(recipes: Seq[TextRecipe], seed: String,
+      batch: Int): String = {
+    val byN = recipes.map(r => r.name -> r).toMap
+    val plan0 = Recipes.textTicketOrder(recipes, seed, epoch = 0L)
+    (0 until batch).map { d =>
+      val r = byN(Recipes.pick(plan0, 0L, d.toLong))
+      val (m, a) = selDesc(r.selector)
+      s"($d, $d, '${r.name}', '$m', '$a')"
+    }.mkString(", ")
+  }
+
   // KVP decoration on the oracle path: dropout/variant/value/shuffle rolls
   // + token-budget enforcement (reference: src/kvp.rs:10-217 sampling,
   // src/sampler/mod.rs:1470-1508 budget, prefix wins over body)
@@ -417,6 +458,10 @@ object RecipeQueries extends QueryModule {
         val h = Determinism.duckSeeded _
         def dk(prefix: String) = Determinism.duckHash(
           s"'$prefix:$MixSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        def dkB(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$MixSeed:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
+        def dkF(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$MixSeed:' || CAST(f.draw AS VARCHAR) || ':' || CAST(f.record_id AS VARCHAR)")
         s"""WITH ${duckBaseCtes("doc_id % 5 = 0")},
           pool AS (
             SELECT doc_id AS id, source,
@@ -454,28 +499,6 @@ object RecipeQueries extends QueryModule {
               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
             FROM pool
           ),
-          negwa0 AS (
-            SELECT sl.draw, sl.source, a.rn AS a_rn,
-              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
-            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
-            WHERE sl.reason = 'wrong_article'
-          ),
-          negwa AS (
-            SELECT w.draw, n.id AS nid FROM negwa0 w
-            JOIN srcrank n ON n.source = w.source
-              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
-          ),
-          negqa0 AS (
-            SELECT sl.draw, sl.source, a.rn AS a_rn,
-              ${dk("negq")} % GREATEST(a.nsrc - 1, 1) AS p0
-            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
-            WHERE sl.reason = 'wrong_qa_pairing'
-          ),
-          negqa AS (
-            SELECT w.draw, n.id AS nid FROM negqa0 w
-            JOIN srcrank n ON n.source = w.source
-              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
-          ),
           dg AS (
             SELECT source, pdate, CAST(count(*) AS BIGINT) AS dct
             FROM pool GROUP BY source, pdate
@@ -488,11 +511,51 @@ object RecipeQueries extends QueryModule {
           ),
           drk AS (
             SELECT id, source, pdate,
-              CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2
+              CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2,
+              CAST(count(*) OVER (PARTITION BY source, pdate) AS BIGINT) AS dgs
             FROM pool
           ),
+          -- wrong-article anchors with pool metadata for the tier split
+          -- (same-date preference, src/sampler/mod.rs:996-1032). Every
+          -- source in this corpus has >= 2 records, so the cross-split
+          -- fallback tier never fires for wrong-article/QA here (the
+          -- wrong-date fallback below CAN fire: a source may hash all its
+          -- records into one date group).
+          wam AS (
+            SELECT sl.draw, sl.recipe, sl.record_id, sl.source,
+              a.rn AS a_rn, a.nsrc, d.pdate AS a_date, d.rn2 AS a_rn2, d.dgs
+            FROM slotrec sl
+            JOIN srcrank a ON sl.record_id = a.id
+            JOIN drk d ON d.id = sl.record_id
+            WHERE sl.reason = 'wrong_article'
+          ),
+          negwa1 AS (
+            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
+            FROM (SELECT *, ${dkB("nega")} % GREATEST(dgs - 1, 1) AS p0
+                  FROM wam WHERE dgs >= 2) m
+            JOIN drk n ON n.source = m.source AND n.pdate = m.a_date
+              AND n.rn2 = CASE WHEN m.p0 >= m.a_rn2 THEN m.p0 + 1 ELSE m.p0 END
+          ),
+          negwa2 AS (
+            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
+            FROM (SELECT *, ${dkB("neg")} % GREATEST(nsrc - 1, 1) AS p0
+                  FROM wam WHERE dgs < 2 AND nsrc >= 2) m
+            JOIN srcrank n ON n.source = m.source
+              AND n.rn = CASE WHEN m.p0 >= m.a_rn THEN m.p0 + 1 ELSE m.p0 END
+          ),
+          negqa0 AS (
+            SELECT sl.draw, sl.recipe, sl.source, a.rn AS a_rn,
+              ${dk("negq")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_qa_pairing'
+          ),
+          negqa AS (
+            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negqa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
           negwd0 AS (
-            SELECT sl.draw, sl.source, g.drnk AS a_drnk,
+            SELECT sl.draw, sl.recipe, sl.source, g.drnk AS a_drnk,
               ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
               ${dk("negr")} AS rh
             FROM slotrec sl
@@ -506,12 +569,40 @@ object RecipeQueries extends QueryModule {
               AND t.drnk = CASE WHEN w.d0 >= w.a_drnk THEN w.d0 + 1 ELSE w.d0 END
           ),
           negwd AS (
-            SELECT w.draw, n.id AS nid FROM negwd1 w
+            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negwd1 w
             JOIN drk n ON n.source = w.source AND n.pdate = w.t_date
               AND n.rn2 = w.rh % w.t_dct
           ),
+          -- wrong-date slots whose source has a single date group: the
+          -- cross-source same-split two-level fallback, recipe suffixed
+          srk2 AS (
+            SELECT source, ccnt,
+              CAST(row_number() OVER (ORDER BY ${h("fsord", "source")}, source) AS BIGINT) - 1 AS srnk,
+              CAST(count(*) OVER () AS BIGINT) AS scnt
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS ccnt FROM pool GROUP BY source) q
+          ),
+          wdfb0 AS (
+            SELECT sl.draw, sl.recipe, sl.record_id, s.srnk, s.scnt,
+              ${dk("negs")} % GREATEST(s.scnt - 1, 1) AS s0
+            FROM slotrec sl
+            JOIN dg2 g ON g.source = sl.source AND g.drnk = 0
+            JOIN srk2 s ON s.source = sl.source
+            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt < 2
+          ),
+          wdfb1 AS (
+            SELECT f.draw, f.recipe, f.record_id, t.source AS t_source, t.ccnt
+            FROM wdfb0 f JOIN srk2 t
+              ON t.srnk = CASE WHEN f.s0 >= f.srnk THEN f.s0 + 1 ELSE f.s0 END
+          ),
+          wdfb AS (
+            SELECT f.draw, f.recipe || '${Recipes.FallbackSuffix}' AS recipe2, n.id AS nid
+            FROM wdfb1 f JOIN srcrank n ON n.source = f.t_source
+              AND n.rn = ${dkF("negc")} % f.ccnt
+          ),
           negrec AS (
-            SELECT * FROM negwa UNION ALL SELECT * FROM negqa UNION ALL SELECT * FROM negwd
+            SELECT * FROM negwa1 UNION ALL SELECT * FROM negwa2
+            UNION ALL SELECT * FROM negqa
+            UNION ALL SELECT * FROM negwd UNION ALL SELECT * FROM wdfb
           ),
           -- chunk derivation ONLY for the batch's records (anchors +
           -- negatives): the SQL twin of the engine's isin pushdown, so the
@@ -524,7 +615,7 @@ object RecipeQueries extends QueryModule {
           ${duckSlot("p", "slotrec")},
           ${duckSlot("n", "slotrec")},
           f0 AS (
-            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, g.recipe2 AS recipe, sl.reason, sl.record_id,
               CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
               CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
               g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
@@ -822,6 +913,351 @@ object RecipeQueries extends QueryModule {
             JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
           )
           SELECT * FROM f0 WHERE a_hash <> p_hash"""
+      }),
+
+    QueryDef("q59_fallback_composed_batch",
+      // cross-split fallback + date preference INSIDE the composed driver
+      // (reference: src/sampler/mod.rs:994-1053 pool staging, 1097-1151
+      // split-isolated fallback, 1391-1395 `_fallback_same_split` suffix):
+      // the 26-slot batch covers the ENTIRE pool at the driver's
+      // correctness SF, so the singleton-source record is guaranteed an
+      // anchor slot — wrong-article on it exercises the empty-pool
+      // fallback, wrong-date on it the single-date-group fallback, and
+      // the dated src4 records exercise the same-date preference tiers.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(expr("doc_id % 20 = 4 OR doc_id = 7"))
+        val chunks = chunkTable(docs)
+        val pool = docs
+          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
+          .select(col("doc_id").as("id"), col("source"),
+            concat(lit("2025-03-0"),
+              (pmod(Determinism.seeded("day3", col("doc_id")), lit(3)) + 1).cast("string"))
+              .as("date"))
+        val out = Sampler.nextBatch(s, chunks, pool, fbRecipes,
+          SamplerState(FbSeed, 0L, Map.empty), FbBatch)
+        out.core.filter(col("a_hash") =!= col("p_hash"))
+          .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
+            col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
+            col("nid"), col("n_hash"))
+      },
+      Some {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$FbSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        def dkB(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$FbSeed:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
+        def dkF(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$FbSeed:' || CAST(f.draw AS VARCHAR) || ':' || CAST(f.record_id AS VARCHAR)")
+        s"""WITH ${duckBaseCtes("doc_id % 20 = 4 OR doc_id = 7")},
+          pool AS (
+            SELECT doc_id AS id, source,
+              '2025-03-0' || CAST(${h("day3", "doc_id")} % 3 + 1 AS VARCHAR) AS pdate
+            FROM base
+          ),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          eo AS (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES ${composedSlotValues(fbRecipes, FbSeed, FbBatch)}),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          dg AS (
+            SELECT source, pdate, CAST(count(*) AS BIGINT) AS dct
+            FROM pool GROUP BY source, pdate
+          ),
+          dg2 AS (
+            SELECT *,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY pdate) AS BIGINT) - 1 AS drnk,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS dcnt
+            FROM dg
+          ),
+          drk AS (
+            SELECT id, source, pdate,
+              CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2,
+              CAST(count(*) OVER (PARTITION BY source, pdate) AS BIGINT) AS dgs
+            FROM pool
+          ),
+          srk2 AS (
+            SELECT source, ccnt,
+              CAST(row_number() OVER (ORDER BY ${h("fsord", "source")}, source) AS BIGINT) - 1 AS srnk,
+              CAST(count(*) OVER () AS BIGINT) AS scnt
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS ccnt FROM pool GROUP BY source) q
+          ),
+          -- wrong-article tiers: same-date preference, then same-source,
+          -- then the cross-split fallback for the singleton source
+          wam AS (
+            SELECT sl.draw, sl.recipe, sl.record_id, sl.source,
+              a.rn AS a_rn, a.nsrc, d.pdate AS a_date, d.rn2 AS a_rn2, d.dgs
+            FROM slotrec sl
+            JOIN srcrank a ON sl.record_id = a.id
+            JOIN drk d ON d.id = sl.record_id
+            WHERE sl.reason = 'wrong_article'
+          ),
+          negwa1 AS (
+            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
+            FROM (SELECT *, ${dkB("nega")} % GREATEST(dgs - 1, 1) AS p0
+                  FROM wam WHERE dgs >= 2) m
+            JOIN drk n ON n.source = m.source AND n.pdate = m.a_date
+              AND n.rn2 = CASE WHEN m.p0 >= m.a_rn2 THEN m.p0 + 1 ELSE m.p0 END
+          ),
+          negwa2 AS (
+            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
+            FROM (SELECT *, ${dkB("neg")} % GREATEST(nsrc - 1, 1) AS p0
+                  FROM wam WHERE dgs < 2 AND nsrc >= 2) m
+            JOIN srcrank n ON n.source = m.source
+              AND n.rn = CASE WHEN m.p0 >= m.a_rn THEN m.p0 + 1 ELSE m.p0 END
+          ),
+          wafb0 AS (
+            SELECT m.draw, m.recipe, m.record_id, s.srnk, s.scnt,
+              ${Determinism.duckHash(s"'negs:$FbSeed:' || CAST(m.draw AS VARCHAR) || ':' || CAST(m.record_id AS VARCHAR)")} % GREATEST(s.scnt - 1, 1) AS s0
+            FROM wam m JOIN srk2 s ON s.source = m.source
+            WHERE m.nsrc < 2
+          ),
+          wafb1 AS (
+            SELECT f.draw, f.recipe, f.record_id, t.source AS t_source, t.ccnt
+            FROM wafb0 f JOIN srk2 t
+              ON t.srnk = CASE WHEN f.s0 >= f.srnk THEN f.s0 + 1 ELSE f.s0 END
+          ),
+          wafb AS (
+            SELECT f.draw, f.recipe || '${Recipes.FallbackSuffix}' AS recipe2, n.id AS nid
+            FROM wafb1 f JOIN srcrank n ON n.source = f.t_source
+              AND n.rn = ${dkF("negc")} % f.ccnt
+          ),
+          -- wrong-date: two-level different-date pick, or the cross-split
+          -- fallback when the source has a single date group
+          negwd0 AS (
+            SELECT sl.draw, sl.recipe, sl.source, g.drnk AS a_drnk,
+              ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
+              ${dk("negr")} AS rh
+            FROM slotrec sl
+            JOIN pool p ON sl.record_id = p.id
+            JOIN dg2 g ON g.source = sl.source AND g.pdate = p.pdate
+            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt >= 2
+          ),
+          negwd1 AS (
+            SELECT w.*, t.pdate AS t_date, t.dct AS t_dct
+            FROM negwd0 w JOIN dg2 t ON t.source = w.source
+              AND t.drnk = CASE WHEN w.d0 >= w.a_drnk THEN w.d0 + 1 ELSE w.d0 END
+          ),
+          negwd AS (
+            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negwd1 w
+            JOIN drk n ON n.source = w.source AND n.pdate = w.t_date
+              AND n.rn2 = w.rh % w.t_dct
+          ),
+          wdfb0 AS (
+            SELECT sl.draw, sl.recipe, sl.record_id, s.srnk, s.scnt,
+              ${dk("negs")} % GREATEST(s.scnt - 1, 1) AS s0
+            FROM slotrec sl
+            JOIN dg2 g ON g.source = sl.source AND g.drnk = 0
+            JOIN srk2 s ON s.source = sl.source
+            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt < 2
+          ),
+          wdfb1 AS (
+            SELECT f.draw, f.recipe, f.record_id, t.source AS t_source, t.ccnt
+            FROM wdfb0 f JOIN srk2 t
+              ON t.srnk = CASE WHEN f.s0 >= f.srnk THEN f.s0 + 1 ELSE f.s0 END
+          ),
+          wdfb AS (
+            SELECT f.draw, f.recipe || '${Recipes.FallbackSuffix}' AS recipe2, n.id AS nid
+            FROM wdfb1 f JOIN srcrank n ON n.source = f.t_source
+              AND n.rn = ${dkF("negc")} % f.ccnt
+          ),
+          negrec AS (
+            SELECT * FROM negwa1 UNION ALL SELECT * FROM negwa2 UNION ALL SELECT * FROM wafb
+            UNION ALL SELECT * FROM negwd UNION ALL SELECT * FROM wdfb
+          ),
+          needed AS (
+            SELECT record_id AS rid FROM slotrec UNION SELECT nid FROM negrec
+          ),
+          ${duckChunkDerive("WHERE doc_id IN (SELECT rid FROM needed)")},
+          ${duckSlot("a", "slotrec")},
+          ${duckSlot("p", "slotrec")},
+          ${duckSlot("n", "slotrec")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, g.recipe2 AS recipe, sl.reason, sl.record_id,
+              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
+              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+          )
+          SELECT * FROM f0 WHERE a_hash <> p_hash"""
+      }),
+
+    QueryDef("q17_pair_composed_batch",
+      // the composed pair batch (reference next_pair_batch,
+      // src/sampler/mod.rs:2011-2110): each composed triplet yields TWO
+      // labeled pairs — (anchor, positive, reason NULL) and (anchor,
+      // negative, reason = strategy tag) — through the SAME counters as
+      // the triplet driver. The oracle replays the triplet core and the
+      // pair explosion.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 3"))
+        val chunks = chunkTable(docs)
+        val pool = docs
+          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
+          .select(col("doc_id").as("id"), col("source"))
+        val out = Sampler.nextPairBatch(s, chunks, pool, prRecipes,
+          SamplerState(PrSeed, 0L, Map.empty), PrBatch)
+        out.core.select(col("draw"), col("pair_id"), col("epoch"), col("recipe"),
+          col("record_id"), col("nid"), col("label"),
+          col("l_hash"), col("r_hash"), col("reason"))
+      },
+      Some {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$PrSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 3")},
+          pool AS (SELECT doc_id AS id, source FROM base),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          eo AS (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES ${composedSlotValues(prRecipes, PrSeed, (PrBatch + 1) / 2)}),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          negwa0 AS (
+            SELECT sl.draw, sl.source, a.rn AS a_rn,
+              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_article' AND a.nsrc >= 2
+          ),
+          negrec AS (
+            SELECT w.draw, n.id AS nid FROM negwa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          needed AS (
+            SELECT record_id AS rid FROM slotrec UNION SELECT nid FROM negrec
+          ),
+          ${duckChunkDerive("WHERE doc_id IN (SELECT rid FROM needed)")},
+          ${duckSlot("a", "slotrec")},
+          ${duckSlot("p", "slotrec")},
+          ${duckSlot("n", "slotrec")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
+              ${Determinism.duckHash("a.a_text")} AS a_hash,
+              ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+            WHERE ${Determinism.duckHash("a.a_text")} <> ${Determinism.duckHash("p.p_text")}
+          )
+          SELECT draw, draw * 2 AS pair_id, epoch, recipe, record_id, nid,
+            'positive' AS label, a_hash AS l_hash, p_hash AS r_hash,
+            CAST(NULL AS VARCHAR) AS reason
+          FROM f0
+          UNION ALL
+          SELECT draw, draw * 2 + 1 AS pair_id, epoch, recipe, record_id, nid,
+            'negative' AS label, a_hash AS l_hash, n_hash AS r_hash, reason
+          FROM f0"""
+      }),
+
+    QueryDef("q18_text_composed_batch",
+      // the composed text batch (reference next_text_batch,
+      // src/sampler/mod.rs:2210-2364): text recipes scheduled by their own
+      // ticket plan over the same epoch-interleaved record order; one
+      // selector pick per draw (hash stream sel:t:). Emitted rows are the
+      // pre-dedup core stream.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 4"))
+        val chunks = chunkTable(docs)
+        val pool = docs
+          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
+          .select(col("doc_id").as("id"), col("source"))
+        val out = Sampler.nextTextBatch(s, chunks, pool, txRecipes,
+          SamplerState(TxSeed, 0L, Map.empty), TxBatch)
+        out.core.select(col("draw"), col("epoch"), col("recipe"),
+          col("record_id"), col("chunk_record"), col("t_sidx"), col("t_widx"), col("t_hash"))
+      },
+      Some {
+        val h = Determinism.duckSeeded _
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 4")},
+          pool AS (SELECT doc_id AS id, source FROM base),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          eo AS (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, t_mode, t_arg)
+            AS (VALUES ${textComposedSlotValues(txRecipes, TxSeed, TxBatch)}),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.t_mode, s.t_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          ${duckChunkDerive("WHERE doc_id IN (SELECT record_id FROM slotrec)")},
+          ${duckSlot("t", "slotrec")}
+          SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.record_id,
+            sl.record_id AS chunk_record,
+            CAST(t.t_sidx AS BIGINT) AS t_sidx, CAST(t.t_widx AS BIGINT) AS t_widx,
+            ${Determinism.duckHash("t.t_text")} AS t_hash
+          FROM slotrec sl
+          JOIN pick_t t ON t.draw = sl.draw AND t.record_id = sl.record_id"""
       })
   )
 }

@@ -107,8 +107,12 @@ class InvariantsSpec extends AnyFunSuite {
   // ---- golden multi-batch sequence (reference: src/sampler/tests.rs:17-50
   // 45-batch FNV pins; tests/invariants.rs:207-867 cycle-before-repeat) ----
 
-  /** 25 records over 3 sources; context sections wide enough for several
-    * windows so selector picks have real freedom. `dated` adds the `date`
+  /** 25 records over 3 regular sources PLUS a singleton source (record 25
+    * is the only `s9` record), so every configuration's pin contains the
+    * cross-split fallback lane (`_fallback_same_split`-suffixed recipe)
+    * whenever a negative strategy lands on it; context sections wide
+    * enough for several windows so selector picks have real freedom.
+    * `dated` adds the `date`
     * column WrongPublicationDate recipes need (4 date groups per source);
     * `timed` adds the `sec`/`tax` columns TemporalOffset recipes need
     * (seeded timestamps + 3 taxonomy keys crossing the sources, so both
@@ -125,7 +129,8 @@ class InvariantsSpec extends AnyFunSuite {
       (i.toLong, (s"head$i topic$i overview" +: (1 to 60).map(j => s"w${i}_$j")).mkString(" ")))
       .toDF("doc_id", "text")
     val chunks = graft.queries.RecipeQueries.chunkTable(docs)
-    val pool0 = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
+    val pool0 = (1 to 25).map(i => (i.toLong, if (i == 25) "s9" else s"s${i % 3}"))
+      .toDF("id", "source")
     val pool1 = if (dated) pool0.withColumn("date",
       concat(lit("2025-03-0"), (pmod(col("id"), lit(4)) + 1).cast("string"))) else pool0
     val pool2 = if (timed) pool1
@@ -156,7 +161,7 @@ class InvariantsSpec extends AnyFunSuite {
   /** One golden pin guards the whole composed pipeline: recipe rotation ×
     * interleave × mid-batch epoch wrap × dedup × pad. Re-pin ONLY for an
     * intentional semantic change. */
-  private val GoldenSeqHash = "326058a240b187cb3b6ad9641f62b8de"
+  private val GoldenSeqHash = "302ffe9c63735e67ad028c7b4a106f9a"
 
   private val goldenCols = Seq("slot", "draw", "recipe", "record_id",
     "a_widx", "a_hash", "p_widx", "p_hash", "nid", "n_hash")
@@ -209,8 +214,10 @@ class InvariantsSpec extends AnyFunSuite {
       assert(recs.distinct.size == recs.size, s"repeat within epoch $ep")
     }
     assert(byEpoch(0L).map(_(3)).toSet.size == 25, "epoch 0 served the whole pool")
-    // recipe rotation reached both default lanes
-    assert(core.map(_(2)).distinct.size == goldenRecipes.size)
+    // recipe rotation reached both default lanes (fallback rows carry the
+    // suffixed name — count base recipes)
+    assert(core.map(_(2).asInstanceOf[String].stripSuffix(Recipes.FallbackSuffix))
+      .distinct.size == goldenRecipes.size)
   }
 
   test("golden sequence: mid-sequence resume through persisted state matches the pin") {
@@ -282,40 +289,51 @@ class InvariantsSpec extends AnyFunSuite {
           NegativeStrategy.WrongArticle, weight = 0.5f)), false, None))
   }
 
-  /** Re-pin ONLY for an intentional semantic change. */
+  /** Re-pin ONLY for an intentional semantic change. Each pin covers the
+    * REFERENCE-length 45-batch sequence (src/sampler/tests.rs:17-50 pins
+    * 45 batches per flag): 360 draws over the 25-record pool — the epoch
+    * wraps 14 times inside every pinned window, and the singleton source
+    * puts the cross-split fallback lane inside every pin. */
   private val MatrixPins = Map(
-    "default" -> "6de1a9f7266687d98bcb73995e5f4b6b",
-    "mixed_strategy" -> "4529892bd07e5ca0b698a2cba4c75b07",
-    "weighted" -> "87f0fa64a85d628ce65f6e291ad3d39d",
-    "decorated" -> "f499d96b6e24d561400d129267797f8e",
-    "temporal" -> "76317e89571cf64e6729f282159a7d3b",
-    "bm25" -> "b0a91c82759f18cdee5030a1af4ebcae")
+    "default" -> "dff8181ef62deae98e62749d05123ce5",
+    "mixed_strategy" -> "d56d294203aa1ec064d9693fb357f43d",
+    "weighted" -> "aba410c200ee689f790fec8191768555",
+    "decorated" -> "27dc98c9fb087d4264fea5ab5b8c6ec3",
+    "temporal" -> "533eb142f9757fd6bc275978780ca5fd",
+    "bm25" -> "7b9b847a03cf58786cbe4ee6c963a741")
 
-  test("golden matrix: per-config pins across partitionings, epoch wrap inside the window") {
+  test("golden matrix: 45-batch per-config pins, partition invariance, fallback inside the window") {
     val got = goldenMatrix.map { case (cname, recipes, dated, dec) =>
-      val (b1, _, end1) = runGolden(batch = 8, nBatches = 10, parts = 1,
+      val (b1, _, end1) = runGolden(batch = 8, nBatches = 45, parts = 1,
         recipes = recipes, seed = s"gm:$cname", dated = dated,
         cols = goldenCols :+ "reason", decoration = dec)
+      // partition invariance: the first 10 batches re-run at 13 partitions
       val (b13, _, _) = runGolden(batch = 8, nBatches = 10, parts = 13,
         recipes = recipes, seed = s"gm:$cname", dated = dated,
         cols = goldenCols :+ "reason", decoration = dec)
-      val (d1, d13) = (seqDigest(b1), seqDigest(b13))
-      assert(d1 == d13, s"$cname: sequence depends on partitioning")
-      // 80 draws over 25 records: wrapped at draw 25/50/75
-      assert(end1.epoch == 3L && end1.counter("draw") == 80L,
-        s"$cname: expected 3 epoch wraps inside the pinned window")
+      assert(seqDigest(b1.take(10)) == seqDigest(b13),
+        s"$cname: sequence depends on partitioning")
+      // 360 draws over 25 records: 14 epoch wraps inside the pinned window
+      assert(end1.epoch == 14L && end1.counter("draw") == 360L,
+        s"$cname: expected 14 epoch wraps inside the pinned window")
       // every declared strategy actually delivered rows
       val reasons = b1.flatten.map(_.getAs[String]("reason")).distinct.toSet
       assert(reasons == recipes.map(_.negative.reason).toSet,
         s"$cname: strategies delivered $reasons")
-      cname -> d1
-    }.toMap
-    assert(got == MatrixPins, s"golden matrix drift: $got")
+      // the singleton source forced at least one cross-split fallback row
+      assert(b1.flatten.exists(
+          _.getAs[String]("recipe").endsWith(Recipes.FallbackSuffix)),
+        s"$cname: no fallback row in the pinned window")
+      (cname, seqDigest(b1), seqDigest(b13))
+    }
+    assert(got.map(g => g._1 -> g._2).toMap == MatrixPins,
+      s"golden matrix drift: ${got.map(g => g._1 -> g._2).toMap}")
+    val got10 = got.map(g => g._1 -> g._3).toMap
     // decoration genuinely engaged: the same config without the sampler
     // yields a different sequence (prefix + budget fold into every hash)
     val (bPlain, _, _) = runGolden(batch = 8, nBatches = 10, parts = 1,
       seed = "gm:decorated", cols = goldenCols :+ "reason")
-    assert(seqDigest(bPlain) != got("decorated"),
+    assert(seqDigest(bPlain) != got10("decorated"),
       "decorated pin indistinguishable from undecorated run")
     // bm25 backend genuinely engaged: the same recipes with the Default
     // backend yield a different sequence (the scored top-3 rotation must
@@ -324,27 +342,54 @@ class InvariantsSpec extends AnyFunSuite {
     val (bDef, _, _) = runGolden(batch = 8, nBatches = 10, parts = 1,
       recipes = bmCfg.map(_.copy(negativeBackend = graft.operators.NegativeBackend.Default)),
       seed = "gm:bm25", cols = goldenCols :+ "reason")
-    assert(seqDigest(bDef) != got("bm25"),
+    assert(seqDigest(bDef) != got10("bm25"),
       "bm25 pin indistinguishable from the default backend")
   }
 
-  /** Reference-length pin (src/sampler/tests.rs pins 45-batch sequences):
-    * 45 × 8 = 360 draws over the 25-record pool — the epoch wraps 14
-    * times inside the pinned window. Partition/batch-size invariance and
-    * the flag matrix are pinned above at 10 batches; this run guards the
-    * LONG-horizon composition (counter drift, wrap-boundary rotation,
-    * seen-set aging) at the reference's own sequence length. */
-  private val Golden45Hash = "96f93e53f32f1c0e015c4d6283bf8cd6"
+  /** Re-pin ONLY for an intentional semantic change. */
+  private val EntryMixPins = Seq(
+    "74932834cf681d7208e4dc87130bace6",   // triplet batch
+    "9114e33c32a8556e7d142d02d17accfa",   // pair batch
+    "ccf702edddf3eb61fdb945d3f0c88f4c")   // text batch
 
-  test("golden sequence at reference length: 45 batches, 14 epoch wraps") {
-    val (batches, _, end) = runGolden(batch = 8, nBatches = 45, parts = 4,
-      seed = "gm45:default", cols = goldenCols :+ "reason")
-    assert(batches.length == 45 && batches.forall(_.length == 8))
-    assert(end.epoch == 14L && end.counter("draw") == 360L,
-      "expected 14 epoch wraps across the 45-batch window")
-    val d = seqDigest(batches)
-    info(s"45-batch digest: $d")
-    assert(d == Golden45Hash, "reference-length golden sequence drift")
+  test("composed entry points share counters: triplet→pair→text pinned and resume-safe") {
+    import graft.operators.Sampler
+    val (chunks0, pool0) = goldenCorpus()
+    val chunks = chunks0.repartition(4).cache()
+    val pool = pool0.repartition(4).cache()
+    val pairCols = Seq("slot", "pair_id", "recipe", "record_id", "nid",
+      "label", "l_hash", "r_hash", "reason")
+    val textCols = Seq("slot", "draw", "recipe", "record_id", "chunk_record",
+      "t_sidx", "t_widx", "t_hash")
+    def run(st0: SamplerState) = {
+      // one evolving state drives all three entry points — the reference
+      // advances the same source cursors from every batch type
+      val t = Sampler.nextBatch(spark, chunks, pool, goldenRecipes, st0, 8)
+      val p = Sampler.nextPairBatch(spark, chunks, pool, goldenRecipes, t.state, 8)
+      val x = Sampler.nextTextBatch(spark, chunks, pool,
+        Recipes.derivedTextRecipes(goldenRecipes), p.state, 8)
+      val ds = Seq(
+        seqDigest(Seq(t.rows.select(goldenCols.head, goldenCols.tail: _*).collect())),
+        seqDigest(Seq(p.rows.select(pairCols.head, pairCols.tail: _*).collect())),
+        seqDigest(Seq(x.rows.select(textCols.head, textCols.tail: _*).collect())))
+      (ds, t.state, x.state)
+    }
+    val (ds, afterTriplet, end) = run(SamplerState("emix", 0L, Map.empty))
+    // 8 triplet + 4 pair-backing + 8 text draws share one cursor stream
+    assert(end.counter("draw") == 20L && end.counter("cursor") == 20L && end.epoch == 0L)
+    assert(ds == EntryMixPins, s"entry-mix drift: $ds")
+    // resume: the pair+text tail re-run THROUGH a persisted state copy
+    // reproduces the same batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_emix").toString
+    SamplerState.save(afterTriplet, s"$dir/emix.json")
+    val st1 = SamplerState.load(s"$dir/emix.json").get
+    val p2 = Sampler.nextPairBatch(spark, chunks, pool, goldenRecipes, st1, 8)
+    val x2 = Sampler.nextTextBatch(spark, chunks, pool,
+      Recipes.derivedTextRecipes(goldenRecipes), p2.state, 8)
+    assert(seqDigest(Seq(p2.rows.select(pairCols.head, pairCols.tail: _*).collect())) == ds(1)
+      && seqDigest(Seq(x2.rows.select(textCols.head, textCols.tail: _*).collect())) == ds(2),
+      "resume through persisted state broke the pair/text tail")
+    chunks.unpersist(); pool.unpersist()
   }
 
   test("swap rate is ~50% and weights appear in both swap branches") {

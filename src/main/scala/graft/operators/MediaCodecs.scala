@@ -15,7 +15,12 @@ package graft.operators
   *     and the five scanline filters (None/Sub/Up/Average/Paeth) are
   *     reversed here
   *
-  * Other compressed formats (JPEG/MP3/...) still route to the opaque
+  *   - JPEG — via the JDK's own ImageIO baseline codec
+  *     (`javax.imageio`, stdlib in every JDK). JPEG is LOSSY, so oracle
+  *     queries pin tolerance BUCKETS of solid-color payloads instead of
+  *     exact means (see [[encodeJpegSolid]]).
+  *
+  * Other compressed formats (MP3/video/...) still route to the opaque
   * byte-stat fallback — decoding those genuinely needs a codec library
   * that is not in this container. The dispatcher sniffs magic bytes, and
   * ANY structural violation (truncation, wrong bpp, non-PCM, overflow)
@@ -28,7 +33,7 @@ package graft.operators
   */
 object MediaCodecs {
 
-  /** Decoded feature row; `kind` ∈ wav | ppm | bmp. Audio fills
+  /** Decoded feature row; `kind` ∈ wav | ppm | bmp | png | jpeg. Audio fills
     * channels/sampleRate/nSamples/durationMs/rmsE3; images fill
     * width/height/channels/meanR/meanG/meanB. */
   final case class Decoded(
@@ -49,12 +54,13 @@ object MediaCodecs {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Magic-byte sniff: wav | ppm | bmp | png | opaque. */
+  /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | opaque. */
   def sniff(b: Array[Byte]): String =
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "P6")) "ppm"
     else if (ascii(b, 0, "BM")) "bmp"
     else if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))) "png"
+    else if (b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) "jpeg"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -68,8 +74,57 @@ object MediaCodecs {
       case "ppm" => decodePpm(b)
       case "bmp" => decodeBmp(b)
       case "png" => decodePng(b)
+      case "jpeg" => decodeJpeg(b)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Solid-color JPEG encoder via the JDK's ImageIO plugin — for
+    * round-trip fixtures and the oracle lane. JPEG is lossy: decoded
+    * means drift a few units from the source color (DC quantization +
+    * YCbCr rounding), so oracle queries use colors ≡ 4 (mod 8) and pin
+    * `mean / 8` buckets, which absorb ±3 drift deterministically. */
+  def encodeJpegSolid(w: Int, h: Int, r: Int, g: Int, b0: Int,
+      quality: Float = 0.92f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b0
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wtr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wtr.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** JPEG via `javax.imageio` (the JDK's built-in baseline codec — no
+    * external library). Deterministic within one JVM; ImageIO failures
+    * (corrupt/truncated streams) return None directly or throw into
+    * [[decode]]'s catch-all — the never-throw contract holds. */
+  def decodeJpeg(b: Array[Byte]): Option[Decoded] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(Decoded("jpeg", width = w, height = h, channels = 3,
+      meanR = (sr / n).toInt, meanG = (sg / n).toInt, meanB = (sb / n).toInt))
+  }
 
   /** Canonical-layout PCM WAV encoder (16-bit signed LE, single `fmt ` +
     * `data` chunk pair) — the inverse of [[decodeWav]], for round-trip

@@ -10,10 +10,11 @@ import graft.core.Determinism
   * The real engine treats image/audio/video as binary columns plus a typed
   * metadata struct and runs decode/feature-extraction as partition-batched
   * UDFs. **The default lane is [[decodeReal]]/[[extractDecoded]]**: REAL
-  * stdlib decoders in [[MediaCodecs]] for WAV PCM, PPM P6, BMP 24-bit and
-  * PNG (full chunk walk + Inflater + all five scanline filters). Formats
-  * that need a codec library NOT in this container (JPEG/MP3/...) route
-  * to the byte-stat fallback inside the same lane. [[fakeDecode]] is kept
+  * stdlib decoders in [[MediaCodecs]] for WAV PCM, PPM P6, BMP 24-bit,
+  * PNG (full chunk walk + Inflater + all five scanline filters) and JPEG
+  * (the JDK's own ImageIO baseline codec). Formats that need a codec
+  * library NOT in this container (MP3/video/...) route to the byte-stat
+  * fallback inside the same lane. [[fakeDecode]] is kept
   * ONLY as the v1 oracle-checked contract stub for fully-opaque payloads
   * (its byte-stat outputs are a subset of what the opaque fallback of
   * [[decodeReal]] computes) — new callers should use [[extractDecoded]].

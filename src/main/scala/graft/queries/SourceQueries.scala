@@ -296,6 +296,46 @@ object SourceQueries extends QueryModule {
           CAST(sb // 12 AS BIGINT) AS mean_b
         FROM agg""")),
 
+    QueryDef("q19_multimodal_jpeg_decode",
+      // the LOSSY codec lane (MediaCodecs.decodeJpeg — the JDK's own
+      // ImageIO baseline codec, stdlib): hash-derived solid colors
+      // ≡ 4 (mod 8) are JPEG-encoded, decoded through the real
+      // entropy-decode + IDCT + YCbCr conversion, and the channel means
+      // land within ±3 of the source color (spec-pinned drift ≤ 1), so
+      // the /8 BUCKETS are deterministic and DuckDB recomputes them from
+      // the same hash stream — a tolerance oracle that still fails on
+      // any real decoder drift.
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            def c(ch: String) =
+              ((Determinism.jvmHash(s"jpg:$ch:$id") % 28L).toInt) * 8 + 4
+            Multimodal.MediaRow(id, "image/jpeg",
+              graft.operators.MediaCodecs.encodeJpegSolid(16, 8,
+                c("r"), c("g"), c("b")), 16, 8)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            expr("CAST(mean_r AS BIGINT) div 8").as("r_bucket"),
+            expr("CAST(mean_g AS BIGINT) div 8").as("g_bucket"),
+            expr("CAST(mean_b AS BIGINT) div 8").as("b_bucket"))
+      },
+      Some {
+        def c(ch: String) = s"(${Determinism.duckHash(
+          s"'jpg:$ch:' || CAST(doc_id AS VARCHAR)")} % 28)"
+        s"""SELECT doc_id, 'jpeg' AS kind, CAST(16 AS BIGINT) AS width,
+          CAST(8 AS BIGINT) AS height,
+          CAST(${c("r")} AS BIGINT) AS r_bucket,
+          CAST(${c("g")} AS BIGINT) AS g_bucket,
+          CAST(${c("b")} AS BIGINT) AS b_bucket
+        FROM documents"""
+      }),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

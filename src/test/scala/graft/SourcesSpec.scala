@@ -349,6 +349,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(MediaCodecs.decode(Synth.bmp(3, 2, px).take(53)).isEmpty)
   }
 
+  test("jpeg decoder: ImageIO round-trip drift stays inside the /8 oracle buckets") {
+    import graft.operators.MediaCodecs
+    // solid colors ≡ 4 (mod 8): lossy drift (DC quantization + YCbCr
+    // rounding) must stay within ±3 so mean/8 buckets are deterministic —
+    // the contract the q19 oracle pins. Sweep the whole bucket domain.
+    var maxDrift = 0
+    for (k <- 0 until 28) {
+      val (r, g, b) = (k * 8 + 4, ((k * 7) % 28) * 8 + 4, ((k * 11) % 28) * 8 + 4)
+      val d = MediaCodecs.decode(MediaCodecs.encodeJpegSolid(16, 8, r, g, b)).get
+      assert(d.kind == "jpeg" && d.width == 16 && d.height == 8 && d.channels == 3)
+      val drift = Seq(d.meanR - r, d.meanG - g, d.meanB - b).map(math.abs).max
+      maxDrift = math.max(maxDrift, drift)
+      assert(drift <= 3, s"k=$k rgb=($r,$g,$b) got=(${d.meanR},${d.meanG},${d.meanB})")
+      assert((d.meanR / 8, d.meanG / 8, d.meanB / 8) == (r / 8, g / 8, b / 8),
+        s"bucket drift at k=$k")
+    }
+    info(s"max channel drift across 28 buckets: $maxDrift")
+    // corrupt payloads refuse, never throw: truncated stream + magic-only
+    val ok = MediaCodecs.encodeJpegSolid(16, 8, 100, 100, 100)
+    assert(MediaCodecs.decode(ok.take(20)).isEmpty)
+    assert(MediaCodecs.decode(Array(0xff, 0xd8, 0xff, 0x00).map(_.toByte)).isEmpty)
+  }
+
   test("png decoder: all five scanline filters round-trip to identical means") {
     import graft.operators.MediaCodecs
     // deterministic pixel ramp with enough structure that a filter bug

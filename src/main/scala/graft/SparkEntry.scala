@@ -22,7 +22,8 @@ object SparkEntry {
     Bm25Queries,
     TemporalQueries,
     MetricsQueries,
-    SourceQueries)
+    SourceQueries,
+    IndexQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

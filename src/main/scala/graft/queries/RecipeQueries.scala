@@ -95,10 +95,10 @@ object RecipeQueries extends QueryModule {
     * made the q66 oracle OOM at sf0.1 while Spark answered in seconds;
     * per-batch chunk cost must be ∝ batch size in BOTH engines). */
   private[graft] def duckBaseCtes(where: String): String =
-    s"""d0 AS (
+    s"""d0 AS MATERIALIZED (
         SELECT doc_id, source, ${TextFunctions.duckTokens("text")} AS toks FROM documents
         WHERE $where
-      ), base AS (
+      ), base AS MATERIALIZED (
         SELECT doc_id, source, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
       )"""
 
@@ -128,7 +128,7 @@ object RecipeQueries extends QueryModule {
           'window' AS view_kind, CAST(i AS INT) AS window_index, $OV AS overlap,
           array_to_string(list_slice(ctoks, i * $ST + 1, i * $ST + LEAST(span, cn - i * $ST)), ' ') AS wtext
         FROM ${prefix}cwin
-      ), ${prefix}chunks AS (SELECT * FROM ${prefix}ach UNION ALL SELECT * FROM ${prefix}cch)"""
+      ), ${prefix}chunks AS MATERIALIZED (SELECT * FROM ${prefix}ach UNION ALL SELECT * FROM ${prefix}cch)"""
 
   private def duckChunkCtes(where: String): String =
     duckBaseCtes(where) + ", " + duckChunkDerive()
@@ -292,9 +292,9 @@ object RecipeQueries extends QueryModule {
       Some {
         val prefix = Decoration.duckDecorateSql(kvpSampler,
           "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)")
-        s"""WITH d0 AS (
+        s"""WITH d0 AS MATERIALIZED (
             SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
-          ), base AS (
+          ), base AS MATERIALIZED (
             SELECT doc_id, list_slice(toks, 1, LEAST(16, len(toks))) AS btoks
             FROM d0 WHERE len(toks) > 0
           ), dr AS (
@@ -341,10 +341,10 @@ object RecipeQueries extends QueryModule {
             floor(lit(1000000) / (abs(col("a_widx") - col("p_widx")) + 1))
               .cast("long").as("prox_e6"))
       },
-      Some(s"""WITH d0 AS (
+      Some(s"""WITH d0 AS MATERIALIZED (
           SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
           WHERE doc_id % 10 = 0
-        ), base AS (
+        ), base AS MATERIALIZED (
           SELECT doc_id, toks, len(toks) AS n FROM d0 WHERE len(toks) >= $MinToks
         ), cq AS (
           SELECT doc_id, list_slice(toks, ${AT + 1}, n) AS ctoks, n - $AT AS cn FROM base
@@ -480,7 +480,7 @@ object RecipeQueries extends QueryModule {
             FROM pool p
           ),
           -- dense epoch order: pos = lexicographic rank of (depth, source rank)
-          eo AS (
+          eo AS MATERIALIZED (
             SELECT o.id, o.source,
               CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
             FROM ordq o JOIN srk s USING (source)
@@ -509,7 +509,7 @@ object RecipeQueries extends QueryModule {
               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS dcnt
             FROM dg
           ),
-          drk AS (
+          drk AS MATERIALIZED (
             SELECT id, source, pdate,
               CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2,
               CAST(count(*) OVER (PARTITION BY source, pdate) AS BIGINT) AS dgs
@@ -554,7 +554,7 @@ object RecipeQueries extends QueryModule {
             JOIN srcrank n ON n.source = w.source
               AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
           ),
-          negwd0 AS (
+          negwd0 AS MATERIALIZED (
             SELECT sl.draw, sl.recipe, sl.source, g.drnk AS a_drnk,
               ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
               ${dk("negr")} AS rh
@@ -599,7 +599,7 @@ object RecipeQueries extends QueryModule {
             FROM wdfb1 f JOIN srcrank n ON n.source = f.t_source
               AND n.rn = ${dkF("negc")} % f.ccnt
           ),
-          negrec AS (
+          negrec AS MATERIALIZED (
             SELECT * FROM negwa1 UNION ALL SELECT * FROM negwa2
             UNION ALL SELECT * FROM negqa
             UNION ALL SELECT * FROM negwd UNION ALL SELECT * FROM wdfb
@@ -679,7 +679,7 @@ object RecipeQueries extends QueryModule {
                 ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
             FROM pool p
           ),
-          eo AS (
+          eo AS MATERIALIZED (
             SELECT o.id, o.source,
               CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
             FROM ordq o JOIN srk s USING (source)
@@ -727,7 +727,7 @@ object RecipeQueries extends QueryModule {
             FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
             WHERE sl.reason = 'wrong_article'
           ),
-          negrec AS (
+          negrec AS MATERIALIZED (
             SELECT w.draw, n.id AS nid FROM negwa0 w
             JOIN srcrank n ON n.source = w.source
               AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
@@ -808,7 +808,7 @@ object RecipeQueries extends QueryModule {
                 ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
             FROM pool p
           ),
-          eo AS (
+          eo AS MATERIALIZED (
             SELECT o.id, o.source,
               CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
             FROM ordq o JOIN srk s USING (source)
@@ -897,7 +897,7 @@ object RecipeQueries extends QueryModule {
             JOIN srcrank n ON n.source = w.source
               AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
           ),
-          negrec AS (SELECT * FROM bmpick UNION ALL SELECT * FROM negwa),
+          negrec AS MATERIALIZED (SELECT * FROM bmpick UNION ALL SELECT * FROM negwa),
           -- negative chunk table: negative records only (second scan)
           ${duckChunkDerive("WHERE doc_id IN (SELECT nid FROM negrec)", "n")},
           ${duckSlot("n", "slotrec", "nchunks")},
@@ -966,7 +966,7 @@ object RecipeQueries extends QueryModule {
                 ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
             FROM pool p
           ),
-          eo AS (
+          eo AS MATERIALIZED (
             SELECT o.id, o.source,
               CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
             FROM ordq o JOIN srk s USING (source)
@@ -995,7 +995,7 @@ object RecipeQueries extends QueryModule {
               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS dcnt
             FROM dg
           ),
-          drk AS (
+          drk AS MATERIALIZED (
             SELECT id, source, pdate,
               CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2,
               CAST(count(*) OVER (PARTITION BY source, pdate) AS BIGINT) AS dgs
@@ -1049,7 +1049,7 @@ object RecipeQueries extends QueryModule {
           ),
           -- wrong-date: two-level different-date pick, or the cross-split
           -- fallback when the source has a single date group
-          negwd0 AS (
+          negwd0 AS MATERIALIZED (
             SELECT sl.draw, sl.recipe, sl.source, g.drnk AS a_drnk,
               ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
               ${dk("negr")} AS rh
@@ -1086,7 +1086,7 @@ object RecipeQueries extends QueryModule {
             FROM wdfb1 f JOIN srcrank n ON n.source = f.t_source
               AND n.rn = ${dkF("negc")} % f.ccnt
           ),
-          negrec AS (
+          negrec AS MATERIALIZED (
             SELECT * FROM negwa1 UNION ALL SELECT * FROM negwa2 UNION ALL SELECT * FROM wafb
             UNION ALL SELECT * FROM negwd UNION ALL SELECT * FROM wdfb
           ),
@@ -1147,7 +1147,7 @@ object RecipeQueries extends QueryModule {
                 ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
             FROM pool p
           ),
-          eo AS (
+          eo AS MATERIALIZED (
             SELECT o.id, o.source,
               CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
             FROM ordq o JOIN srk s USING (source)
@@ -1172,7 +1172,7 @@ object RecipeQueries extends QueryModule {
             FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
             WHERE sl.reason = 'wrong_article' AND a.nsrc >= 2
           ),
-          negrec AS (
+          negrec AS MATERIALIZED (
             SELECT w.draw, n.id AS nid FROM negwa0 w
             JOIN srcrank n ON n.source = w.source
               AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
@@ -1238,7 +1238,7 @@ object RecipeQueries extends QueryModule {
                 ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
             FROM pool p
           ),
-          eo AS (
+          eo AS MATERIALIZED (
             SELECT o.id, o.source,
               CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
             FROM ordq o JOIN srk s USING (source)

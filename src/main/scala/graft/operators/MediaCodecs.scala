@@ -20,8 +20,17 @@ package graft.operators
   *     queries pin tolerance BUCKETS of solid-color payloads instead of
   *     exact means (see [[encodeJpegSolid]]).
   *
-  * Other compressed formats (MP3/video/...) still route to the opaque
-  * byte-stat fallback — decoding those genuinely needs a codec library
+  *   - GIF  (87a/89a) — palette + a from-scratch variable-width LZW
+  *     decoder (clear/end codes, table growth, KwKwK, early-change width
+  *     bumps, 12-bit cap); extension blocks skipped, first frame decoded
+  *   - MP3  — frame-HEADER walk (MPEG-1 Layer III): ID3v2 skip, per-frame
+  *     sync/bitrate/rate validation, exact length hops → duration,
+  *     sample count, channels, mean kbps. PCM samples are NOT decoded
+  *     (that needs a Huffman+IMDCT codec); this is the metadata plane a
+  *     training pipeline filters on, parsed from the real container.
+  *
+  * Video and full MP3 PCM still route to the opaque byte-stat fallback —
+  * decoding those genuinely needs a codec library
   * that is not in this container. The dispatcher sniffs magic bytes, and
   * ANY structural violation (truncation, wrong bpp, non-PCM, overflow)
   * degrades to the fallback instead of throwing: a 100 TB media scan must
@@ -33,9 +42,10 @@ package graft.operators
   */
 object MediaCodecs {
 
-  /** Decoded feature row; `kind` ∈ wav | ppm | bmp | png | jpeg. Audio fills
-    * channels/sampleRate/nSamples/durationMs/rmsE3; images fill
-    * width/height/channels/meanR/meanG/meanB. */
+  /** Decoded feature row; `kind` ∈ wav | ppm | bmp | png | jpeg | gif |
+    * mp3. Audio fills channels/sampleRate/nSamples/durationMs/rmsE3
+    * (for mp3 the rmsE3 slot carries mean kbps — no PCM is decoded);
+    * images fill width/height/channels/meanR/meanG/meanB. */
   final case class Decoded(
       kind: String,
       width: Int = 0, height: Int = 0, channels: Int = 0,
@@ -54,13 +64,16 @@ object MediaCodecs {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | opaque. */
+  /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | gif | mp3 | opaque. */
   def sniff(b: Array[Byte]): String =
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "P6")) "ppm"
     else if (ascii(b, 0, "BM")) "bmp"
     else if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))) "png"
     else if (b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) "jpeg"
+    else if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) "gif"
+    else if (ascii(b, 0, "ID3") ||
+      (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xfe) == 0xfa)) "mp3"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -75,6 +88,8 @@ object MediaCodecs {
       case "bmp" => decodeBmp(b)
       case "png" => decodePng(b)
       case "jpeg" => decodeJpeg(b)
+      case "gif" => decodeGif(b)
+      case "mp3" => decodeMp3Meta(b)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -431,5 +446,293 @@ object MediaCodecs {
     val ihdr = b32(w) ++ b32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
     (PngSig.toSeq ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
       chunk("IEND", Array.empty)).toArray
+  }
+
+  // ------------------------------------------------------------------
+  // GIF (87a/89a): palette + LZW — the OTHER compressed image container
+  // decodable with pure stdlib arithmetic (the LZW variable-width code
+  // stream is ~60 lines; no external codec). First frame only.
+  // ------------------------------------------------------------------
+
+  /** GIF LZW + palette decode: header, logical screen descriptor,
+    * global/local color table, extension-block skip, first image
+    * descriptor (incl. the 4-pass interlace layout), then the full
+    * variable-width LZW stream — clear/end codes, table growth, the
+    * "early change" width bump at every 2^width entries, 12-bit cap.
+    * Any structural violation returns None (the never-throw contract);
+    * channel means come from palette lookups, integer-exact. */
+  def decodeGif(b: Array[Byte]): Option[Decoded] = {
+    if (!(ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) || b.length < 13) return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    val packed = u8(b, 10)
+    var pos = 13
+    var gct: Array[Int] = null // packed 0xRRGGBB
+    def readColorTable(n: Int): Option[Array[Int]] = {
+      if (pos.toLong + 3L * n > b.length) return None
+      val t = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        t(i) = (u8(b, pos) << 16) | (u8(b, pos + 1) << 8) | u8(b, pos + 2)
+        pos += 3; i += 1
+      }
+      Some(t)
+    }
+    if ((packed & 0x80) != 0) {
+      gct = readColorTable(2 << (packed & 7)).getOrElse(return None)
+    }
+    // block walk to the first image descriptor
+    while (pos < b.length && u8(b, pos) == 0x21) { // extension: skip sub-blocks
+      pos += 2 // introducer + label
+      var sz = if (pos < b.length) u8(b, pos) else return None
+      while (sz != 0) {
+        pos += 1 + sz
+        if (pos >= b.length) return None
+        sz = u8(b, pos)
+      }
+      pos += 1 // terminator
+    }
+    if (pos >= b.length || u8(b, pos) != 0x2c) return None
+    if (pos + 10 > b.length) return None
+    val w = le16(b, pos + 5); val h = le16(b, pos + 7)
+    val ipacked = u8(b, pos + 9)
+    pos += 10
+    val interlaced = (ipacked & 0x40) != 0
+    val palette =
+      if ((ipacked & 0x80) != 0) readColorTable(2 << (ipacked & 7)).getOrElse(return None)
+      else gct
+    val _ = (sw, sh) // frame dims are authoritative for a feature scan
+    if (palette == null || w <= 0 || h <= 0) return None
+    val npx = w.toLong * h
+    if (npx > (1L << 26)) return None // 64M-pixel sanity bound for a feature scan
+    // LZW data: min code size byte + concatenated sub-blocks
+    if (pos >= b.length) return None
+    val minCode = u8(b, pos); pos += 1
+    if (minCode < 2 || minCode > 11) return None
+    val data = new java.io.ByteArrayOutputStream
+    var sz = if (pos < b.length) u8(b, pos) else return None
+    while (sz != 0) {
+      if (pos.toLong + 1 + sz > b.length) return None
+      data.write(b, pos + 1, sz)
+      pos += 1 + sz
+      if (pos >= b.length) return None
+      sz = u8(b, pos)
+    }
+    val codes = data.toByteArray
+    // LZW decode (prefix/suffix table form — O(1) per code, no string
+    // concat; outputs reversed tails into the pixel buffer)
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = end + 1
+    var codeSize = minCode + 1
+    val px = new Array[Int](npx.toInt)
+    var out = 0
+    var bitPos = 0L
+    val totalBits = codes.length.toLong * 8
+    var prev = -1
+    val tail = new Array[Int](4096)
+    def readCode(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if ((codes((bp >> 3).toInt) & (1 << (bp & 7))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    def emit(code: Int): Boolean = { // expand code into px; true on success
+      var c = code; var n = 0
+      while (c >= clear + 2) { tail(n) = suffix(c); n += 1; c = prefix(c) }
+      if (c >= clear) return false
+      tail(n) = c; n += 1
+      if (out + n > px.length) return false
+      var i = n - 1
+      while (i >= 0) { px(out) = tail(i); out += 1; i -= 1 }
+      true
+    }
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done && out < px.length) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) { next = end + 1; codeSize = minCode + 1; prev = -1 }
+      else if (code == end) done = true
+      else if (prev == -1) {
+        if (code >= clear || !emit(code)) return None
+        prev = code
+      } else {
+        if (code > next) return None
+        if (code == next) { // the KwKwK case: output = prev + firstChar(prev)
+          if (next >= 4096) return None
+          val fc = firstChar(prev)
+          if (!emit(prev)) return None
+          if (out >= px.length) return None
+          px(out) = fc; out += 1
+          prefix(next) = prev; suffix(next) = fc
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = next - 1
+        } else {
+          if (!emit(code)) return None
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstChar(code)
+            next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+    }
+    if (out < px.length) return None
+    // interlaced frames deliver rows in 4 passes (0,8.. / 4,8.. / 2,4.. /
+    // 1,2..) — a pure row PERMUTATION, so channel means (the only outputs)
+    // are identical with or without the reorder; `interlaced` is accepted
+    // and needs no layout pass here
+    val _ = interlaced
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val idx = px(i)
+      if (idx >= palette.length) return None
+      val c = palette(idx)
+      sr += (c >> 16) & 0xff; sg += (c >> 8) & 0xff; sb += c & 0xff
+      i += 1
+    }
+    Some(Decoded("gif", width = w, height = h, channels = 3,
+      meanR = (sr / npx).toInt, meanG = (sg / npx).toInt, meanB = (sb / npx).toInt))
+  }
+
+  /** Minimal valid GIF89a encoder for fixtures: global palette (padded to
+    * a power of two), one non-interlaced frame, literal LZW codes with a
+    * periodic Clear so the code width never grows — spec-valid output
+    * every decoder (incl. [[decodeGif]] and ImageIO) reads losslessly.
+    * The DECODER is the real artifact; real compressed streams (table
+    * growth, KwKwK) are exercised against ImageIO-written GIFs in specs. */
+  def encodeGif(w: Int, h: Int, palette: Seq[(Int, Int, Int)], indices: Seq[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h, "encodeGif: bad dims")
+    require(palette.nonEmpty && palette.length <= 256, "encodeGif: bad palette")
+    val bits = math.max(2, 32 - Integer.numberOfLeadingZeros(palette.length - 1))
+    val tableSize = 1 << bits
+    val out = new java.io.ByteArrayOutputStream
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(w); w16(h)
+    w8(0x80 | 0x70 | (bits - 1)); w8(0); w8(0) // GCT flag + size, bg, aspect
+    for (i <- 0 until tableSize) {
+      val (r, g, bl) = if (i < palette.length) palette(i) else (0, 0, 0)
+      w8(r); w8(g); w8(bl)
+    }
+    w8(0x2c); w16(0); w16(0); w16(w); w16(h); w8(0) // image descriptor
+    val minCode = bits
+    w8(minCode)
+    val clear = 1 << minCode
+    val end = clear + 1
+    val codeSize = minCode + 1
+    val bitBuf = new java.io.ByteArrayOutputStream
+    var acc = 0L; var nbits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    putCode(clear)
+    var sinceClear = 0
+    val resetEvery = (1 << minCode) - 2 // decoder table never reaches a width bump
+    for (ix <- indices) {
+      require(ix >= 0 && ix < palette.length, "encodeGif: index out of palette")
+      if (sinceClear >= resetEvery) { putCode(clear); sinceClear = 0 }
+      putCode(ix); sinceClear += 1
+    }
+    putCode(end)
+    if (nbits > 0) bitBuf.write((acc & 0xff).toInt)
+    val payload = bitBuf.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      w8(n); out.write(payload, off, n); off += n
+    }
+    w8(0) // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // MP3: frame-HEADER walk (MPEG-1 Layer III). Full PCM decode needs a
+  // Huffman+IMDCT codec; the header lattice alone yields the metadata a
+  // training pipeline filters on (duration, rate, channels) — a real
+  // parse of the real container, not a byte-stat guess.
+  // ------------------------------------------------------------------
+
+  private val Mp3Bitrates = // kbps, MPEG-1 Layer III, index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Walk MPEG-1 Layer III frames: optional ID3v2 tag skip (syncsafe
+    * length), then per-frame sync/bitrate/rate validation and the exact
+    * `144*bitrate/rate + pad` length hop. Accepts trailing garbage < one
+    * header; any malformed frame mid-stream returns None. nSamples =
+    * 1152 per frame; duration is integer-exact floor math. */
+  def decodeMp3Meta(b: Array[Byte]): Option[Decoded] = {
+    var pos = 0
+    if (ascii(b, 0, "ID3")) {
+      if (b.length < 10) return None
+      val size = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+        ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+      pos = 10 + size
+      if (pos < 0 || pos > b.length) return None
+    }
+    var frames = 0L
+    var rate = 0
+    var channels = 0
+    var brSum = 0L
+    while (pos + 4 <= b.length) {
+      if (u8(b, pos) != 0xff || (u8(b, pos + 1) & 0xfe) != 0xfa) return None // MPEG-1 L3
+      val brIdx = (u8(b, pos + 2) >> 4) & 0xf
+      val srIdx = (u8(b, pos + 2) >> 2) & 0x3
+      val pad = (u8(b, pos + 2) >> 1) & 0x1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val r = Mp3Rates(srIdx)
+      if (rate == 0) rate = r else if (r != rate) return None
+      val mode = (u8(b, pos + 3) >> 6) & 0x3
+      val ch = if (mode == 3) 1 else 2
+      if (channels == 0) channels = ch else if (ch != channels) return None
+      val br = Mp3Bitrates(brIdx)
+      brSum += br
+      val frameLen = 144 * br * 1000 / r + pad
+      if (frameLen <= 4) return None
+      frames += 1
+      pos += frameLen
+    }
+    if (frames == 0 || pos != b.length) return None // trailing partial = corrupt
+    val nSamples = frames * 1152L
+    Some(Decoded("mp3", channels = channels, sampleRate = rate,
+      nSamples = nSamples, durationMs = nSamples * 1000L / rate,
+      rmsE3 = brSum / frames)) // rmsE3 slot carries the mean kbps for audio meta
+  }
+
+  /** Synthesize a structurally-valid MPEG-1 Layer III frame sequence
+    * (headers + deterministic filler payload; no PCM) — the fixture lane
+    * for [[decodeMp3Meta]]. */
+  def encodeMp3Frames(nFrames: Int, bitrateKbps: Int, sampleRate: Int,
+      stereo: Boolean, fill: Byte = 0x55): Array[Byte] = {
+    val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val srIdx = Mp3Rates.indexOf(sampleRate)
+    require(brIdx >= 1 && srIdx >= 0, s"unsupported mp3 params $bitrateKbps/$sampleRate")
+    val out = new java.io.ByteArrayOutputStream
+    val frameLen = 144 * bitrateKbps * 1000 / sampleRate
+    for (_ <- 0 until nFrames) {
+      out.write(0xff); out.write(0xfb)
+      out.write((brIdx << 4) | (srIdx << 2))
+      out.write(if (stereo) 0x00 else 0xc0)
+      for (_ <- 4 until frameLen) out.write(fill & 0xff)
+    }
+    out.toByteArray
   }
 }

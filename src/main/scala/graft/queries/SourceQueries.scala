@@ -336,6 +336,99 @@ object SourceQueries extends QueryModule {
         FROM documents"""
       }),
 
+    QueryDef("q104_multimodal_gif_decode",
+      // the GIF codec lane (MediaCodecs.decodeGif — from-scratch LZW):
+      // hash-derived 8-color palettes + 5×4 index rasters are GIF-encoded
+      // and decoded through the real header walk + variable-width LZW +
+      // palette lookup. GIF is lossless, so DuckDB recomputes the channel
+      // means from the same hash streams: any drift in the LZW bit
+      // unpacking, sub-block reassembly, or palette indexing shifts a
+      // mean and fails the hash
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val pal = (0 until 8).map(p => (
+              (Determinism.jvmHash(s"gifr:$id:$p") % 256L).toInt,
+              (Determinism.jvmHash(s"gifg:$id:$p") % 256L).toInt,
+              (Determinism.jvmHash(s"gifb:$id:$p") % 256L).toInt))
+            val idx = (0 until 20).map(i =>
+              (Determinism.jvmHash(s"gifi:$id:$i") % 8L).toInt)
+            Multimodal.MediaRow(id, "image/gif",
+              graft.operators.MediaCodecs.encodeGif(5, 4, pal, idx), 5, 4)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("mean_r").cast("long").as("mean_r"),
+            col("mean_g").cast("long").as("mean_g"),
+            col("mean_b").cast("long").as("mean_b"))
+      },
+      Some(s"""WITH pal AS (
+          SELECT doc_id, p,
+            CAST(${Determinism.duckHash("'gifr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")} % 256 AS BIGINT) AS r,
+            CAST(${Determinism.duckHash("'gifg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")} % 256 AS BIGINT) AS g,
+            CAST(${Determinism.duckHash("'gifb:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")} % 256 AS BIGINT) AS b
+          FROM documents, unnest(generate_series(0, 7)) AS gp(p)
+        ), px AS (
+          SELECT doc_id,
+            CAST(${Determinism.duckHash("'gifi:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 8 AS BIGINT) AS p
+          FROM documents, unnest(generate_series(0, 19)) AS gi(i)
+        ), agg AS (
+          SELECT px.doc_id, sum(pal.r) AS sr, sum(pal.g) AS sg, sum(pal.b) AS sb
+          FROM px JOIN pal ON px.doc_id = pal.doc_id AND px.p = pal.p
+          GROUP BY px.doc_id)
+        SELECT doc_id, 'gif' AS kind, CAST(5 AS BIGINT) AS width,
+          CAST(4 AS BIGINT) AS height,
+          CAST(sr // 20 AS BIGINT) AS mean_r, CAST(sg // 20 AS BIGINT) AS mean_g,
+          CAST(sb // 20 AS BIGINT) AS mean_b
+        FROM agg""")),
+
+    QueryDef("q105_multimodal_mp3_meta",
+      // the MP3 metadata lane (MediaCodecs.decodeMp3Meta — frame-header
+      // walk, no PCM): hash-picked frame counts / bitrates / sample rates
+      // / channel modes synthesize structurally-valid MPEG-1 Layer III
+      // streams; the decoder re-derives duration, sample count, channels
+      // and mean kbps by walking the real frame lattice, and DuckDB
+      // recomputes them from the same hash draws
+      (s, dir) => {
+        import s.implicits._
+        val brs = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        val rates = Seq(44100, 48000, 32000)
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val nf = 20 + (Determinism.jvmHash(s"mp3n:$id") % 60L).toInt
+            val br = brs((Determinism.jvmHash(s"mp3b:$id") % 14L).toInt)
+            val rate = rates((Determinism.jvmHash(s"mp3r:$id") % 3L).toInt)
+            val stereo = Determinism.jvmHash(s"mp3c:$id") % 2L == 0L
+            Multimodal.MediaRow(id, "audio/mpeg",
+              graft.operators.MediaCodecs.encodeMp3Frames(nf, br, rate, stereo), 0, 0)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("duration_ms"),
+            col("channels").cast("long").as("channels"),
+            col("rms_e3").as("kbps"))
+      },
+      Some(s"""WITH draws AS (
+          SELECT doc_id,
+            20 + (${Determinism.duckHash("'mp3n:' || CAST(doc_id AS VARCHAR)")} % 60) AS nf,
+            ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(${Determinism.duckHash("'mp3b:' || CAST(doc_id AS VARCHAR)")} % 14 AS INT) + 1] AS br,
+            ([44100,48000,32000])[CAST(${Determinism.duckHash("'mp3r:' || CAST(doc_id AS VARCHAR)")} % 3 AS INT) + 1] AS rate,
+            CASE WHEN ${Determinism.duckHash("'mp3c:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 THEN 2 ELSE 1 END AS ch
+          FROM documents)
+        SELECT doc_id, 'mp3' AS kind, CAST(rate AS BIGINT) AS sample_rate,
+          CAST(nf * 1152 AS BIGINT) AS n_samples,
+          CAST((nf * 1152 * 1000) // rate AS BIGINT) AS duration_ms,
+          CAST(ch AS BIGINT) AS channels, CAST(br AS BIGINT) AS kbps
+        FROM draws""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

@@ -482,6 +482,102 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("gif decoder: encoder round-trip exact means; ImageIO reads the same pixels") {
+    import graft.operators.MediaCodecs
+    val rng = new scala.util.Random(1)
+    for (trial <- 1 to 12) {
+      val w = 1 + rng.nextInt(40); val h = 1 + rng.nextInt(30)
+      val np = 2 + rng.nextInt(200)
+      val pal = Seq.fill(np)((rng.nextInt(256), rng.nextInt(256), rng.nextInt(256)))
+      val idx = Seq.fill(w * h)(rng.nextInt(np))
+      val gif = MediaCodecs.encodeGif(w, h, pal, idx)
+      val d = MediaCodecs.decode(gif).get
+      val n = (w * h).toLong
+      assert(d.kind == "gif" && d.width == w && d.height == h && d.channels == 3)
+      assert(d.meanR == idx.map(pal(_)._1.toLong).sum / n &&
+        d.meanG == idx.map(pal(_)._2.toLong).sum / n &&
+        d.meanB == idx.map(pal(_)._3.toLong).sum / n, s"trial $trial")
+      // the hand-rolled GIF must be spec-valid for OTHER decoders too:
+      // ImageIO reproduces every pixel
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val (er, eg, eb) = pal(idx(y * w + x))
+        assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((er, eg, eb)),
+          s"pixel ($x,$y) trial $trial")
+      }
+    }
+  }
+
+  test("gif decoder: real compressed LZW (ImageIO-written, table growth + width bumps)") {
+    import graft.operators.MediaCodecs
+    val rng = new scala.util.Random(2)
+    for (trial <- 1 to 12) {
+      val w = 5 + rng.nextInt(60); val h = 5 + rng.nextInt(40)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // ≤16 distinct colors with runs → ImageIO's GIF write is lossless
+      // AND its LZW genuinely grows the code table
+      val pal = Seq.fill(16)((rng.nextInt(256), rng.nextInt(256), rng.nextInt(256)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pal(if (rng.nextInt(4) == 0) rng.nextInt(16) else (x / 7) % 16)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream
+      assert(javax.imageio.ImageIO.write(img, "gif", bos))
+      val gif = bos.toByteArray
+      val mine = MediaCodecs.decode(gif).get
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = back.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      val n = (w * h).toLong
+      assert(mine.kind == "gif" && mine.width == w && mine.height == h, s"trial $trial")
+      assert((mine.meanR, mine.meanG, mine.meanB) == ((sr / n, sg / n, sb / n)),
+        s"LZW means trial $trial")
+    }
+  }
+
+  test("mp3 frame walk: duration/samples/channels/kbps from the header lattice") {
+    import graft.operators.MediaCodecs
+    for ((nf, br, rate, st) <- Seq((50, 128, 44100, true), (7, 320, 48000, false),
+        (120, 32, 32000, true))) {
+      val d = MediaCodecs.decode(MediaCodecs.encodeMp3Frames(nf, br, rate, st)).get
+      assert(d.kind == "mp3" && d.sampleRate == rate && d.nSamples == nf * 1152L)
+      assert(d.durationMs == nf * 1152L * 1000 / rate)
+      assert(d.channels == (if (st) 2 else 1) && d.rmsE3 == br)
+    }
+    // ID3v2 tag (syncsafe length) skipped before the first frame
+    val core = MediaCodecs.encodeMp3Frames(10, 192, 44100, stereo = true)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++ Array.fill(20)(7.toByte)
+    assert(MediaCodecs.decode(id3 ++ core).get.nSamples == 10 * 1152L)
+    // malformed: mid-stream garbage frame and trailing partial refuse
+    val bad = core.clone(); bad(core.length / 2 - core.length / 2 % 418) = 0x00
+    assert(MediaCodecs.decodeMp3Meta(core.dropRight(3) ++ Array[Byte](1)).isEmpty)
+  }
+
+  test("gif/mp3 decoders never throw: mutations and truncations of valid files") {
+    import graft.operators.MediaCodecs
+    val rnd = new scala.util.Random(0x5eed)
+    val gifOk = MediaCodecs.encodeGif(6, 4, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)),
+      Seq.tabulate(24)(_ % 3))
+    val mp3Ok = MediaCodecs.encodeMp3Frames(5, 64, 44100, stereo = false)
+    for (base <- Seq(gifOk, mp3Ok); _ <- 0 until 300) {
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decode(b) // must not throw
+    }
+    for (base <- Seq(gifOk, mp3Ok); cut <- 0 until base.length)
+      MediaCodecs.decode(base.take(cut))
+    // adversarial: LZW stream truncated inside a sub-block; huge ID3 size
+    assert(MediaCodecs.decode(gifOk.dropRight(2)).isEmpty)
+    val hugeId3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(MediaCodecs.decode(hugeId3).isEmpty)
+  }
+
   test("decodeReal lane: mixed batch routes per payload, opaque keeps byte stats, no shuffle") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -107,6 +107,56 @@ object Mixing {
       .select(col("id"), col("source"), col("pos"))
   }
 
+  /** Resolve a BOUNDED set of dense epoch positions to their records
+    * WITHOUT materializing the full order — the batch sampler's pick
+    * lane. [[epochOrder]]'s dense position is analytically invertible
+    * from the #sources-sized stats table: with cum(r) = Σ_s min(n_s, r)
+    * (records served above depth r), a target position p sits at depth
+    * r = max{r : cum(r) <= p}, offset p - cum(r) into the sources still
+    * alive at that depth (srank order). So the driver maps each position
+    * to its (source, depth) in O(#sources · log) and the cluster only
+    * ranks the NEEDED sources' pools — one keyed window + a broadcast
+    * join, instead of ranking the whole corpus and cross-joining it with
+    * the source stats to build positions nobody reads. Identical values
+    * to `epochOrder(pool, epoch).filter(pos ∈ positions)` (law-pinned).
+    * Emits (pos, id, source). */
+  def epochPick(pool: DataFrame, epoch: Long, positions: Seq[Long]): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val srcs = pool.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, _) => (Determinism.jvmHash(s"so:$epoch:$s"), s) }
+    val ns = srcs.map(_._2)
+    val total = ns.sum
+    def cum(r: Long): Long = { var i = 0; var c = 0L
+      while (i < ns.length) { c += math.min(ns(i), r); i += 1 }; c }
+    val wanted = positions.distinct.map { p =>
+      require(p >= 0 && p < total, s"epochPick: position $p out of [0, $total)")
+      // largest r with cum(r) <= p (cum is nondecreasing, step <= #sources)
+      var lo = 0L; var hi = ns.max
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (cum(mid) <= p) lo = mid else hi = mid - 1
+      }
+      val r = lo
+      var k = p - cum(r)
+      var si = -1
+      var j = 0
+      while (si < 0 && j < srcs.length) {
+        if (ns(j) > r) { if (k == 0L) si = j else k -= 1 }
+        j += 1
+      }
+      require(si >= 0, s"epochPick: no source at depth $r for position $p")
+      (srcs(si)._1, r, p)
+    }
+    val needed = wanted.map(_._1).distinct
+    val ranked = pool.filter(col("source").isin(needed: _*))
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(Determinism.seeded(s"ro:$epoch", col("id")), col("id"))).cast("long") - 1)
+    ranked.join(broadcast(wanted.toDF("source", "r", "pos")), Seq("source", "r"))
+      .select(col("pos"), col("id"), col("source"))
+  }
+
   /** Unconsumed-first reorder after a population change
     * (reference: src/epoch.rs:187-229): records whose ids were already
     * consumed this epoch sort AFTER every unconsumed one, both sides

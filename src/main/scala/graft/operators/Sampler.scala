@@ -239,7 +239,9 @@ object Sampler {
     val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
       val sdf = ss.map(s => (s._1, s._3, s._4, byName(s._4).negative.reason))
         .toDF("draw", "pos", "recipe", "reason")
-      Mixing.epochOrder(pool, ep).join(broadcast(sdf), "pos")
+      // bounded-position pick: invert the dense order analytically instead
+      // of materializing a corpus-wide position column per batch
+      Mixing.epochPick(pool, ep, ss.map(_._3)).join(broadcast(sdf), "pos")
         .select(col("draw"), lit(ep).as("epoch"), col("recipe"), col("reason"),
           col("id").as("record_id"), col("source"))
     }.reduce(_ unionByName _).localCheckpoint()
@@ -636,7 +638,7 @@ object Sampler {
       ep => Recipes.textTicketOrder(textRecipes, st.seed, ep))
     val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
       val sdf = ss.map(s => (s._1, s._3, s._4)).toDF("draw", "pos", "recipe")
-      Mixing.epochOrder(pool, ep).join(broadcast(sdf), "pos")
+      Mixing.epochPick(pool, ep, ss.map(_._3)).join(broadcast(sdf), "pos")
         .select(col("draw"), lit(ep).as("epoch"), col("recipe"),
           col("id").as("record_id"), col("source"))
     }.reduce(_ unionByName _).localCheckpoint()

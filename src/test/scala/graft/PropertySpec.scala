@@ -17,6 +17,36 @@ class PropertySpec extends AnyFunSuite {
 
   private val anyString: Gen[String] = Gen.listOf(Gen.choose(0.toChar, 0x2FF.toChar)).map(_.mkString)
 
+  test("epochPick == epochOrder at the requested positions (random skewed pools)") {
+    // the sampler's pick lane inverts the dense epoch position
+    // analytically (Mixing.epochPick) instead of materializing the
+    // corpus-wide order; the law pins it to the full construction at
+    // every requested position, across skewed pools (incl. singleton
+    // sources) and epochs
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 6) {
+      val nSrc = 1 + rng.nextInt(6)
+      val pool = (0 until nSrc).flatMap { s =>
+        val n = 1 + rng.nextInt(if (s == 0) 1 else 40) // source 0 is a singleton-ish
+        (0 until n).map(i => (s.toLong * 1000 + i, s"src_$s"))
+      }
+      val df = pool.toDF("id", "source").repartition(5).cache()
+      val total = pool.size.toLong
+      val epoch = rng.nextInt(3).toLong
+      val positions = (Seq(0L, total - 1) ++
+        Seq.fill(10)(math.abs(rng.nextLong()) % total)).distinct
+      val full = graft.operators.Mixing.epochOrder(df, epoch)
+        .filter(org.apache.spark.sql.functions.col("pos").isin(positions: _*))
+        .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("id"))).toMap
+      val picked = graft.operators.Mixing.epochPick(df, epoch, positions)
+        .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("id"))).toMap
+      assert(picked == full, s"trial $trial (epoch $epoch, total $total)")
+      df.unpersist()
+    }
+  }
+
   test("smooth-WRR cumulative counts equal largest-remainder allocation after every full cycle") {
     // the documented delta: Mixing.weightedAllocation is the
     // largest-remainder replacement for the reference's smooth weighted

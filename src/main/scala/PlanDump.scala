@@ -58,7 +58,13 @@ object PlanDump extends App {
     "q58_bm25_composed_batch" -> "BM25 negative backend in the composed driver: candidates/tf/stats semi-join to the BATCH's anchor sources (broadcast source list), df rides a keyed window over tf, the anchor x candidate product passes through ONE (source, term) join (the q85 shape), rotation is a rank filter — the scored subtree is checkpointed ONCE and feeds both the hit join and the fallback anti-join",
     "q59_fallback_composed_batch" -> "composed pool staging: same-date tier / same-source tier / cross-split fallback are three keyed rank-pick lanes unioned by name — lane membership is a filter on per-pool counts (dgs/nsrc/dcnt) joined from keyed windows, the fallback's source pick runs on a #sources-sized broadcast frame, and the suffixed recipe name is a projection",
     "q17_pair_composed_batch" -> "composed pair batch: the triplet core is derived ONCE (checkpointed), the pair explosion is one Generate over batch-sized rows — labels/reasons are projections, no second pass over the corpus",
-    "q18_text_composed_batch" -> "composed text batch: text-recipe ticket schedule broadcast onto the epoch order; ONE selector pick window over the isin-restricted chunk table; seen-set dedup is a keyed row_number over batch-sized rows")
+    "q18_text_composed_batch" -> "composed text batch: text-recipe ticket schedule broadcast onto the epoch order; ONE selector pick window over the isin-restricted chunk table; seen-set dedup is a keyed row_number over batch-sized rows",
+    "q100_file_corpus_index" -> "persisted-index page read: the page's index set comes from the exact affine permutation computed on the DRIVER (O(limit) work, indices only), then ONE parquet scan with the isin pushdown (PushedFilters: In(idx, ...)) joined to the broadcast serve order — a refresh never re-lists or re-sorts the corpus, and record bytes would be read by a page-bounded wholetext scan downstream",
+    "q101_grouped_corpus_order" -> "grouped serve order: per-group item ranks are ONE (group)-keyed window; the window take-plan is a pure fold over the #DIRECTORIES-sized stats frame (driver, then broadcast) — the corpus-wide order materializes as rank arithmetic against that broadcast plan, no global window, no driver loop over items",
+    "q102_grouped_refresh_pick" -> "capped grouped refresh: the wraparound walk is a projection ((pos - start) % total), per-group caps ONE keyed row_number, the serve cut a second row_number over the TAKEN rows only (bounded by groups x cap ≈ limit) — the only unpartitioned window runs on a batch-sized set",
+    "q103_record_cache" -> "bounded record cache closed form: latest-per-id is a keyed window (the only corpus-wide shuffle, on the id key); the top-cap cut plans as TakeOrderedAndProject (per-partition top-cap + driver merge, NO global sort); the final rank window runs over <= cap rows",
+    "q104_multimodal_gif_decode" -> "GIF lane: same narrow object pipeline as PNG — encode + LZW decode + palette lookup inside ONE mapPartitions, zero Exchange nodes; the variable-width bit unpacking is per-payload CPU work, embarrassingly parallel at any corpus size",
+    "q105_multimodal_mp3_meta" -> "MP3 metadata lane: frame-header walk per payload in the same narrow mapPartitions shape — the parse cost is O(frames) pointer hops, no inflation, no shuffle; duration/rate/channels come out as plain columns for downstream relational filters")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

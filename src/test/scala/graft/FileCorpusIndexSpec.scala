@@ -201,6 +201,26 @@ class FileCorpusIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("page records: a served page reads ONLY its paths and builds FileSource-identical records") {
+    val dir = Files.createTempDirectory("fci_rec").toString
+    val rels = Seq("src/2025-01-01/alpha_doc.txt", "src/2025-01-02/beta_doc.txt",
+      "src/2025-01-03/gamma_doc.txt", "src/2025-01-04/delta_doc.txt")
+    val root = mkCorpus(dir, rels)
+    val fci = new FileCorpusIndex(FileCorpusIndexConfig(root, "pr", 9L, indexDir = dir + "/idx"))
+    fci.rebuild(spark)
+    val (page, _) = fci.refreshIndexable(spark, 0L, 2)
+    val recs = fci.pageRecords(spark, page).collect().sortBy(_.id)
+    assert(recs.length == 2)
+    // identical semantics to the full FileSource scan, restricted to the page
+    val pageRels = page.collect().map(_.getAs[String]("rel")).toSet
+    val full = graft.sources.FileSource.read(spark,
+        graft.sources.FileSourceConfig("pr", root))
+      .collect().filter(r => pageRels.contains(r.id.stripPrefix("pr::"))).sortBy(_.id)
+    assert(recs.toSeq == full.toSeq)
+    // stem → anchor and folder date both came through
+    assert(recs.forall(_.taxonomy.exists(_.startsWith("date=2025-01-"))))
+  }
+
   // ------------------------------------------------------------------
   // RecordCache vs a direct simulation of ingestion.rs:137-187
   // ------------------------------------------------------------------

@@ -67,4 +67,36 @@ class IngestionSpec extends AnyFunSuite {
       assert(pools.asScala.toSet == Set("probe.a", "probe.b", "probe.c"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("refresh drains into per-source bounded caches; replaced ids keep one live row") {
+    // the reference IngestionManager's register→refresh→cache population
+    // loop (ingestion.rs:274-355): each source owns a RecordCache capped
+    // at max_records; a second refresh REPLACES by id and the union of
+    // snapshots is the all_records view
+    import spark.implicits._
+    import graft.sources.RollingRecordCache
+    val caches = Map(
+      "alpha" -> new RollingRecordCache(spark, 5, "id", "seq"),
+      "beta" -> new RollingRecordCache(spark, 3, "id", "seq"))
+    def drain(pages: Seq[(String, org.apache.spark.sql.Dataset[(Long, Long)])]): Unit =
+      Ingestion.refreshAll(spark, pages).foreach { case (src, rows, _) =>
+        if (rows.nonEmpty) caches(src).ingest(rows.toSeq.toDF("id", "seq"))
+      }
+    drain(Seq(
+      "alpha" -> (1L to 8L).map(i => (i, i)).toDS(),        // 8 > cap 5
+      "beta" -> (1L to 2L).map(i => (i + 100, i)).toDS()))
+    assert(caches("alpha").len() == 5 && caches("beta").len() == 2)
+    // second cycle: alpha re-ingests ids 7,8 (replace) + new 9; beta overflows
+    drain(Seq(
+      "alpha" -> Seq((7L, 1L), (8L, 2L), (9L, 3L)).toDS(),
+      "beta" -> (3L to 6L).map(i => (i + 100, i)).toDS()))
+    val alpha = caches("alpha").snapshot().select("id").as[Long].collect().toSet
+    assert(alpha.size == 5 && Set(7L, 8L, 9L).subsetOf(alpha), s"got $alpha")
+    assert(caches("beta").len() == 3)
+    assert(caches("alpha").ingestCount == 2 && caches("beta").ingestCount == 2)
+    // the all-records view is the union of snapshots (ingestion.rs:327-335)
+    val all = caches.values.map(_.snapshot().select("id").as[Long].collect().toSet)
+      .reduce(_ union _)
+    assert(all.size == 8)
+  }
 }

@@ -145,6 +145,29 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(agg == Map("png" -> 200000L), s"unexpected kinds: $agg")
   }
 
+  test("gif + mp3 decode complete at 200k payloads (narrow lane)") {
+    import spark.implicits._
+    import graft.operators.{MediaCodecs, Multimodal}
+    // alternating GIF rasters (LZW bit stream) and MP3 frame sequences —
+    // both synthesized and decoded inside the same mapPartitions
+    val media = spark.range(200000).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0) {
+          val pal = Seq.tabulate(4)(p => (p * 60, p * 50, p * 40))
+          val idx = Seq.tabulate(12)(i => ((id + i) % 4).toInt)
+          Multimodal.MediaRow(id, "image/gif", MediaCodecs.encodeGif(4, 3, pal, idx), 4, 3)
+        } else {
+          Multimodal.MediaRow(id, "audio/mpeg",
+            MediaCodecs.encodeMp3Frames(3 + (id % 5).toInt, 128, 44100, id % 3 == 0), 0, 0)
+        }
+      }).toDF()
+    val decoded = Multimodal.extractDecoded(spark, media)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
+    val agg = decoded.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("gif" -> 100000L, "mp3" -> 100000L), s"unexpected kinds: $agg")
+  }
+
   test("auto-pair stages complete at 200k docs (keyed windows only)") {
     // 80-token docs -> 3 context windows each, so Stage B keeps every record
     val docs = corpus(200000, tokens = 80)

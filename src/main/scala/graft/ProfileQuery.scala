@@ -17,41 +17,51 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
+    // the listener bus delivers on its own thread; every access to these
+    // goes through `lock` (the sleeps below are NOT a happens-before edge)
+    val lock = new Object
     val jobs = scala.collection.mutable.Map[Int, (Long, String)]()
     val done = scala.collection.mutable.Buffer[(Int, Long, String)]()
     val stages = scala.collection.mutable.Buffer[(String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = lock.synchronized {
         jobs(js.jobId) = (js.time, Option(js.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))
             .orElse(Option(p.getProperty("spark.job.description"))))
           .getOrElse("?").take(90))
-      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = lock.synchronized {
         jobs.get(je.jobId).foreach { case (t0, d) => done += ((je.jobId, je.time - t0, d)) }
+      }
       override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = lock.synchronized {
         val si = sc.stageInfo
         val dur = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(0L)
         stages += ((si.name.take(100), dur, si.numTasks))
       }
     })
     val fn = SparkEntry.queries(qname)
+    // listenerBus is private[spark]; a short settle sleep after each run
+    // plus the lock above is enough for a diagnostic report
+    def drainBus(): Unit = Thread.sleep(500)
     // warmup
     fn(spark, sf).write.mode("overwrite").format("noop").save()
-    Thread.sleep(300)
-    done.clear()
+    drainBus()
+    lock.synchronized { done.clear(); stages.clear() }
     val t0 = System.nanoTime()
     fn(spark, sf).write.mode("overwrite").format("noop").save()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300)
-    println(f"WALL $wall%.2f s, jobs=${done.size}")
-    done.sortBy(-_._2).foreach { case (id, ms, d) => println(f"  job $id%3d ${ms / 1000.0}%6.2f s  $d") }
-    println(f"  sum of jobs: ${done.map(_._2).sum / 1000.0}%.2f s")
-    println("STAGES by site:")
-    stages.groupBy(_._1).map { case (n, ss) =>
-      (n, ss.map(_._2).sum, ss.size, ss.map(_._3).sum)
-    }.toSeq.sortBy(-_._2).take(20).foreach { case (n, ms, cnt, tasks) =>
-      println(f"  ${ms / 1000.0}%6.2f s  x$cnt%-3d tasks=$tasks%-4d $n")
+    drainBus()
+    lock.synchronized {
+      println(f"WALL $wall%.2f s, jobs=${done.size}")
+      done.sortBy(-_._2).foreach { case (id, ms, d) => println(f"  job $id%3d ${ms / 1000.0}%6.2f s  $d") }
+      println(f"  sum of jobs: ${done.map(_._2).sum / 1000.0}%.2f s")
+      println("STAGES by site:")
+      stages.groupBy(_._1).map { case (n, ss) =>
+        (n, ss.map(_._2).sum, ss.size, ss.map(_._3).sum)
+      }.toSeq.sortBy(-_._2).take(20).foreach { case (n, ms, cnt, tasks) =>
+        println(f"  ${ms / 1000.0}%6.2f s  x$cnt%-3d tasks=$tasks%-4d $n")
+      }
     }
     spark.stop()
   }

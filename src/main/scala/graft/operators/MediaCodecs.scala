@@ -518,6 +518,13 @@ object MediaCodecs {
       sz = u8(b, pos)
     }
     val codes = data.toByteArray
+    // allocation bound: a compressed byte carries >= 8/12 of a code and a
+    // code expands to at most 4096 pixels, so any DECODABLE raster obeys
+    // npx <= bytes * ceil(8/3 * 4096). A crafted header declaring 8192x8192
+    // over a 40-byte stream would otherwise force a 256 MB allocation per
+    // payload BEFORE the stream could prove itself short — the cheap
+    // arithmetic check keeps the never-throw lane also never-OOM
+    if (npx > codes.length.toLong * 10923L) return None
     // LZW decode (prefix/suffix table form — O(1) per code, no string
     // concat; outputs reversed tails into the pixel buffer)
     val clear = 1 << minCode
@@ -676,9 +683,10 @@ object MediaCodecs {
 
   /** Walk MPEG-1 Layer III frames: optional ID3v2 tag skip (syncsafe
     * length), then per-frame sync/bitrate/rate validation and the exact
-    * `144*bitrate/rate + pad` length hop. Accepts trailing garbage < one
-    * header; any malformed frame mid-stream returns None. nSamples =
-    * 1152 per frame; duration is integer-exact floor math. */
+    * `144*bitrate/rate + pad` length hop. Tolerates a sub-header tail
+    * (< 4 bytes) and the ubiquitous 128-byte ID3v1 `TAG` trailer; a
+    * malformed frame mid-stream or a truncated final frame returns None.
+    * nSamples = 1152 per frame; duration is integer-exact floor math. */
   def decodeMp3Meta(b: Array[Byte]): Option[Decoded] = {
     var pos = 0
     if (ascii(b, 0, "ID3")) {
@@ -692,7 +700,10 @@ object MediaCodecs {
     var rate = 0
     var channels = 0
     var brSum = 0L
-    while (pos + 4 <= b.length) {
+    var done = false
+    while (!done && pos + 4 <= b.length) {
+      if (ascii(b, pos, "TAG") && b.length - pos == 128) done = true // ID3v1 trailer
+      else {
       if (u8(b, pos) != 0xff || (u8(b, pos + 1) & 0xfe) != 0xfa) return None // MPEG-1 L3
       val brIdx = (u8(b, pos + 2) >> 4) & 0xf
       val srIdx = (u8(b, pos + 2) >> 2) & 0x3
@@ -709,8 +720,11 @@ object MediaCodecs {
       if (frameLen <= 4) return None
       frames += 1
       pos += frameLen
+      }
     }
-    if (frames == 0 || pos != b.length) return None // trailing partial = corrupt
+    // a frame running past the end = truncated = corrupt; otherwise a
+    // sub-header tail (< 4 bytes) or the ID3v1 trailer is tolerated
+    if (frames == 0 || pos > b.length) return None
     val nSamples = frames * 1152L
     Some(Decoded("mp3", channels = channels, sampleRate = rate,
       nSamples = nSamples, durationMs = nSamples * 1000L / rate,

@@ -130,8 +130,11 @@ object Mixing {
     val total = ns.sum
     def cum(r: Long): Long = { var i = 0; var c = 0L
       while (i < ns.length) { c += math.min(ns(i), r); i += 1 }; c }
-    val wanted = positions.distinct.map { p =>
-      require(p >= 0 && p < total, s"epochPick: position $p out of [0, $total)")
+    // out-of-range positions are DROPPED, not an error — the join-based
+    // construction this replaces silently unmatched them, and a stale
+    // cached pool_size (pool shrank without invalidation) must degrade to
+    // a padded batch, not a driver crash
+    val wanted = positions.distinct.filter(p => p >= 0 && p < total).map { p =>
       // largest r with cum(r) <= p (cum is nondecreasing, step <= #sources)
       var lo = 0L; var hi = ns.max
       while (lo < hi) {

@@ -36,12 +36,24 @@ object IndexQueries extends QueryModule {
     if (parts.length <= 1) "" else parts.dropRight(1).mkString("/")
   }
 
-  private val Total = 26L
+  private lazy val Total = IdxFiles.length.toLong // 26
   private val Divisor = 4
-  private val WSize = Total / Divisor // 6
+  private lazy val WSize = Total / Divisor // 6
+  // the oracle's affine-permutation constants derive from Total exactly
+  // like the engine's (next power of two; see IndexPermutation)
+  private lazy val Domain = new graft.core.IndexPermutation(Total, 0, 0).domainSize
+  private lazy val Mask = Domain - 1
 
   private def ensureIndexFixture(): String = {
     val root = Paths.get(FixDir, "corpusidx")
+    // reset for hermeticity: a stale file from an older fixture revision
+    // would desynchronize the engine's walk from the oracle's literal list
+    if (Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(root)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     IdxFiles.foreach { rel =>
       val p = root.resolve(rel)
       Files.createDirectories(p.getParent)
@@ -69,9 +81,9 @@ object IndexQueries extends QueryModule {
     * same portable-hash construction the engine uses
     * (FileCorpusIndex.orderSeed → IndexPermutation): domain 32 = next
     * power of two over 26, mask 31. */
-  private val duckPerm: String =
+  private lazy val duckPerm: String =
     s"""seedc AS (SELECT CAST('0x' || substr(md5('fci:$SrcId:$Total:$SamplerSeed'), 1, 8) AS BIGINT) AS s),
-       prm AS (SELECT ((s | 1) & 31) AS a, ((s >> 1) & 31) AS b, s FROM seedc)"""
+       prm AS (SELECT ((s | 1) & $Mask) AS a, ((s >> 1) & $Mask) AS b, s FROM seedc)"""
 
   /** Recursive window-state CTE replaying grouping.rs:46-139: one level
     * per window, state = per-group cumulative takes (a struct list in
@@ -141,14 +153,14 @@ object IndexQueries extends QueryModule {
       },
       Some(s"""WITH $duckPerm,
           $duckFiles,
-          h1 AS (SELECT t.i AS ctr, ((a * (t.i % 32) + b) & 31) AS v
-                 FROM range(0, 32) t(i) CROSS JOIN prm),
+          h1 AS (SELECT t.i AS ctr, ((a * (t.i % $Domain) + b) & $Mask) AS v
+                 FROM range(0, $Domain) t(i) CROSS JOIN prm),
           r1 AS (SELECT ctr, v, row_number() OVER (ORDER BY ctr) AS hit FROM h1 WHERE v < $Total),
           -- 26 < the 256 read batch, so page 1 drains a FULL sweep before
           -- noticing its limit; the stored cursor is (last counter + 1) % 26
           s2 AS (SELECT (max(ctr) + 1) % $Total AS st FROM r1),
-          h2 AS (SELECT t.i AS j, ((a * ((st + t.i) % 32) + b) & 31) AS v
-                 FROM range(0, 32) t(i) CROSS JOIN prm CROSS JOIN s2),
+          h2 AS (SELECT t.i AS j, ((a * ((st + t.i) % $Domain) + b) & $Mask) AS v
+                 FROM range(0, $Domain) t(i) CROSS JOIN prm CROSS JOIN s2),
           r2 AS (SELECT j, v, row_number() OVER (ORDER BY j) AS hit FROM h2 WHERE v < $Total),
           u AS (
             SELECT CAST(0 AS BIGINT) AS page, CAST(hit - 1 AS BIGINT) AS ord, CAST(v AS BIGINT) AS idx

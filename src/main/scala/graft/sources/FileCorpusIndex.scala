@@ -182,7 +182,8 @@ class FileCorpusIndex(cfg: FileCorpusIndexConfig) {
     val meta = loadOrBuild(spark)
     val (page, next) = pageIndices(meta.count, cursor, limit)
     if (page.isEmpty)
-      return (indexDf(spark).limit(0).withColumn("ord", lit(0L)), 0L)
+      return (indexDf(spark).limit(0).withColumn("ord", lit(0L))
+        .select(col("ord"), col("idx"), col("path"), col("rel"), col("group")), 0L)
     import spark.implicits._
     val order = page.zipWithIndex.map { case (ix, o) => (ix, o.toLong) }.toDF("idx", "ord")
     val rows = indexDf(spark).filter(col("idx").isin(page: _*))
@@ -237,7 +238,9 @@ class FileCorpusIndex(cfg: FileCorpusIndexConfig) {
     val meta = loadOrBuild(spark)
     val total = meta.count
     val idx = indexDf(spark)
-    if (total == 0) return idx.withColumn("pos", lit(0L))
+    if (total == 0)
+      return idx.withColumn("pos", lit(0L))
+        .select(col("pos"), col("idx"), col("path"), col("rel"), col("group"))
     val seed = orderSeed(total)
     val windowSize = math.max(total / math.max(cfg.groupWindowDivisor, 1), 1L)
     if (windowSize == 1L) {
@@ -288,7 +291,12 @@ class FileCorpusIndex(cfg: FileCorpusIndexConfig) {
   def refreshGrouped(spark: SparkSession, cursor: Long, limit: Int): (DataFrame, Long) = {
     val ord = groupedOrder(spark).localCheckpoint()
     val total = ord.count()
-    if (total == 0) return (ord.withColumn("sel", lit(0L)), 0L)
+    val emptyPage = ord.limit(0).withColumn("sel", lit(0L))
+      .select(col("sel"), col("pos"), col("idx"), col("path"), col("rel"), col("group"))
+    if (total == 0) return (emptyPage, 0L)
+    // limit 0: the reference's loop breaks before examining anything
+    // (records.len() >= max at the top) — empty page, cursor unchanged
+    if (limit <= 0) return (emptyPage, cursor % total)
     val start = if (cursor >= total) 0L else cursor
     val nGroups = ord.select("group").distinct().count()
     val cap = math.max((limit + nGroups - 1) / nGroups, 1L) // per_group_refresh_cap

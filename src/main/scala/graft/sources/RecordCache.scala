@@ -87,7 +87,11 @@ class RollingRecordCache(spark: SparkSession, cap: Int,
     lock.synchronized { ingestsVar += 1; lock.notifyAll() }
   }
 
-  /** Current cache contents with `cache_rank` (1 = newest). */
+  /** Current cache contents with `cache_rank` (1 = newest). A cache that
+    * never received a batch has NO schema to offer (the id/order column
+    * types come from the first ingest), so this returns the zero-column
+    * empty frame — check [[isEmpty]]/[[len]] before selecting columns,
+    * exactly as the reference's callers check before using snapshot(). */
   def snapshot(): DataFrame = pool match {
     case Some(p) => p.withColumn("cache_rank", row_number().over(
       Window.orderBy(col("version").desc, col(idCol))).cast("long"))

@@ -554,9 +554,16 @@ class SourcesSpec extends AnyFunSuite {
     val core = MediaCodecs.encodeMp3Frames(10, 192, 44100, stereo = true)
     val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++ Array.fill(20)(7.toByte)
     assert(MediaCodecs.decode(id3 ++ core).get.nSamples == 10 * 1152L)
-    // malformed: mid-stream garbage frame and trailing partial refuse
-    val bad = core.clone(); bad(core.length / 2 - core.length / 2 % 418) = 0x00
-    assert(MediaCodecs.decodeMp3Meta(core.dropRight(3) ++ Array[Byte](1)).isEmpty)
+    // real-world tails tolerated: < one header of junk, and the ID3v1 trailer
+    assert(MediaCodecs.decodeMp3Meta(core ++ Array[Byte](1, 2, 3)).get.nSamples == 10 * 1152L)
+    val id3v1 = "TAG".getBytes("US-ASCII") ++ Array.fill(125)(0x20.toByte)
+    assert(MediaCodecs.decodeMp3Meta(core ++ id3v1).get.nSamples == 10 * 1152L)
+    // malformed refuses: a corrupted SECOND frame header (frame length at
+    // 192 kbps / 44100 = 626 bytes), and a truncated final frame
+    val frameLen = 144 * 192 * 1000 / 44100
+    val bad = core.clone(); bad(frameLen) = 0x00
+    assert(MediaCodecs.decodeMp3Meta(bad).isEmpty)
+    assert(MediaCodecs.decodeMp3Meta(core.dropRight(7)).isEmpty)
   }
 
   test("gif/mp3 decoders never throw: mutations and truncations of valid files") {

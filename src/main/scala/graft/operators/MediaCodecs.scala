@@ -739,14 +739,15 @@ object MediaCodecs {
     val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
     val srIdx = Mp3Rates.indexOf(sampleRate)
     require(brIdx >= 1 && srIdx >= 0, s"unsupported mp3 params $bitrateKbps/$sampleRate")
-    val out = new java.io.ByteArrayOutputStream
     val frameLen = 144 * bitrateKbps * 1000 / sampleRate
-    for (_ <- 0 until nFrames) {
-      out.write(0xff); out.write(0xfb)
-      out.write((brIdx << 4) | (srIdx << 2))
-      out.write(if (stereo) 0x00 else 0xc0)
-      for (_ <- 4 until frameLen) out.write(fill & 0xff)
-    }
-    out.toByteArray
+    val frame = new Array[Byte](frameLen)
+    java.util.Arrays.fill(frame, fill)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+    frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+    frame(3) = (if (stereo) 0x00 else 0xc0).toByte
+    val out = new Array[Byte](frameLen * nFrames)
+    var i = 0
+    while (i < nFrames) { System.arraycopy(frame, 0, out, i * frameLen, frameLen); i += 1 }
+    out
   }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import graft.core.{Splits, Tables}
+import graft.operators.{Recipes, Sampler, SamplerState}
+import graft.queries.RecipeQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runnable end-user demos — the twin of the reference's example apps
+  * (reference: src/example_apps.rs — `run_multi_source_demo`
+  * :554-1100, `run_estimate_capacity` :222-549): wire the multi-source
+  * corpus through the composed sampler, draw batches, persist/resume the
+  * sampler state across invocations, or print the metadata-only capacity
+  * report.
+  *
+  * ```
+  * sbt "runMain graft.Demo --mode triplet --batches 3 --state /tmp/demo_state.json"
+  * sbt "runMain graft.Demo --mode pair"        # pair batches
+  * sbt "runMain graft.Demo --mode text"        # text batches
+  * sbt "runMain graft.Demo --mode capacity"    # estimate_capacity twin
+  * sbt "runMain graft.Demo --reset ..."        # drop persisted state first
+  * ```
+  *
+  * Flags: `--sf-dir` (default /root/testdata/sf0.001), `--batch N` (12),
+  * `--batches K` (2), `--seed S` ("demo"), `--split train|validation|test`
+  * (capacity table only — the sampler pool itself is the train split,
+  * mirroring the demo CLI's `allowed_splits`), `--state PATH`, `--reset`.
+  */
+object Demo {
+
+  case class DemoConfig(
+      sfDir: String = "/root/testdata/sf0.001",
+      mode: String = "triplet",
+      batch: Int = 12,
+      batches: Int = 2,
+      seed: String = "demo",
+      statePath: Option[String] = None,
+      reset: Boolean = false)
+
+  def parseArgs(args: Array[String]): DemoConfig = {
+    def loop(cfg: DemoConfig, rest: List[String]): DemoConfig = rest match {
+      case "--sf-dir" :: v :: t => loop(cfg.copy(sfDir = v), t)
+      case "--mode" :: v :: t => loop(cfg.copy(mode = v), t)
+      case "--batch" :: v :: t => loop(cfg.copy(batch = v.toInt), t)
+      case "--batches" :: v :: t => loop(cfg.copy(batches = v.toInt), t)
+      case "--seed" :: v :: t => loop(cfg.copy(seed = v), t)
+      case "--state" :: v :: t => loop(cfg.copy(statePath = Some(v)), t)
+      case "--reset" :: t => loop(cfg.copy(reset = true), t)
+      case Nil => cfg
+      case other :: _ => sys.error(s"unknown flag: $other")
+    }
+    loop(DemoConfig(), args.toList)
+  }
+
+  /** Reference format_u128_with_commas (example_apps uses it for the
+    * capacity table; heuristics.rs:64-75). */
+  def withCommas(v: Long): String =
+    v.toString.reverse.grouped(3).mkString(",").reverse
+
+  /** Reference format_replay_factor (heuristics.rs:77-84): how often a
+    * shorter source replays relative to the longest. */
+  def replayFactor(longest: Long, n: Long): String =
+    if (longest == 0 || n == 0) "n/a" else f"${longest.toDouble / n}%.2fx"
+
+  /** The demo's sampler inputs: the multi-source documents corpus staged
+    * as (chunks, train-split pool) exactly like the composed-batch lanes. */
+  def stagePool(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val chunks = RecipeQueries.chunkTable(docs)
+    val pool = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= RecipeQueries.MinToks)
+      .filter(Splits.splitCol(col("doc_id"), "demo_split") === "train")
+      .select(col("doc_id").as("id"), col("source"))
+    (chunks, pool)
+  }
+
+  /** Draw `batches` batches of the requested kind, printing a compact
+    * per-slot line, and return the end state (persisted by main). */
+  def run(spark: SparkSession, cfg: DemoConfig, st0: SamplerState): SamplerState = {
+    val (chunks, pool) = stagePool(spark, cfg.sfDir)
+    val recipes = Recipes.resolve(Nil, Seq(
+      operators.TripletRecipe("demo_ctx", operators.Selector.RoleAnchor,
+        operators.Selector.RoleContext, operators.NegativeStrategy.WrongArticle, 2f),
+      operators.TripletRecipe("demo_rand", operators.Selector.RoleAnchor,
+        operators.Selector.Random, operators.NegativeStrategy.QuestionAnswerMismatch, 1f)))
+    var st = st0
+    for (b <- 1 to cfg.batches) {
+      val out = cfg.mode match {
+        case "triplet" => Sampler.nextBatch(spark, chunks, pool, recipes, st, cfg.batch)
+        case "pair" => Sampler.nextPairBatch(spark, chunks, pool, recipes, st, cfg.batch)
+        case "text" => Sampler.nextTextBatch(spark, chunks, pool,
+          Recipes.derivedTextRecipes(recipes), st, cfg.batch)
+        case m => sys.error(s"unknown mode: $m")
+      }
+      val rows = out.rows.collect()
+      println(s"-- ${cfg.mode} batch $b (epoch ${out.state.epoch}, " +
+        s"draws ${out.state.counter("draw")}, ${rows.length} rows) --")
+      rows.sortBy(_.getAs[Long]("slot")).take(6).foreach { r =>
+        val cols = r.schema.fieldNames.take(7)
+        println("  " + cols.map(c => s"$c=${r.getAs[Any](c)}").mkString(" "))
+      }
+      if (rows.length > 6) println(s"  … ${rows.length - 6} more")
+      st = out.state
+    }
+    st
+  }
+
+  /** Metadata-only capacity report — the estimate_capacity app: counts
+    * per (source, split) with raw-pair and effective capacities plus the
+    * replay factor against the largest source (never reads record text
+    * beyond the one aggregate). */
+  def capacityReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
+    val rows = Tables.load(spark, cfg.sfDir, "documents")
+      .select(col("source"), Splits.splitCol(col("doc_id"), "demo_split").as("split"))
+      .groupBy("source", "split").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val longest = rows.groupBy(_._1).map(_._2.map(_._3).sum).maxOption.getOrElse(0L)
+    val header = f"${"source"}%-12s ${"split"}%-11s ${"records"}%12s ${"raw_pairs"}%16s ${"effective"}%14s replay"
+    header +: rows.map { case (src, split, n) =>
+      val srcTotal = rows.filter(_._1 == src).map(_._3).sum
+      f"$src%-12s $split%-11s ${withCommas(n)}%12s ${withCommas(n * (n - 1))}%16s " +
+        f"${withCommas(n * 4)}%14s ${replayFactor(longest, srcTotal)}"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      if (cfg.mode == "capacity") {
+        capacityReport(spark, cfg).foreach(println)
+      } else {
+        val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
+        if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+        val st0 = SamplerState.load(path)
+          .getOrElse(SamplerState(cfg.seed, 0L, Map.empty))
+        println(s"state: $path (epoch ${st0.epoch}, draws ${st0.counter("draw")})")
+        val end = run(spark, cfg, st0)
+        SamplerState.save(end, path)
+        println(s"saved: epoch ${end.epoch}, draws ${end.counter("draw")}")
+      }
+    } finally spark.stop()
+  }
+}

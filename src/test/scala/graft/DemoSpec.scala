@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.SamplerState
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-user demo wiring (the example-apps twin): batches draw, state
+  * round-trips, capacity report formats. */
+class DemoSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val cfg = Demo.DemoConfig(batch = 6, batches = 2)
+
+  test("demo run: two triplet batches advance the persisted counters; resume continues") {
+    val end = Demo.run(spark, cfg, SamplerState("demospec", 0L, Map.empty))
+    assert(end.counter("draw") == 12L)
+    // resume from the returned state: next batch draws 12..17
+    val end2 = Demo.run(spark, cfg.copy(batches = 1), end)
+    assert(end2.counter("draw") == 18L)
+    // JSON round-trip is what main persists between invocations
+    val path = java.nio.file.Files.createTempFile("demo_state", ".json").toString
+    SamplerState.save(end2, path)
+    assert(SamplerState.load(path).contains(end2))
+  }
+
+  test("capacity report: formatted rows for every (source, split), commas + replay") {
+    val lines = Demo.capacityReport(spark, cfg)
+    assert(lines.head.contains("raw_pairs"))
+    assert(lines.length > 10)
+    assert(lines.tail.forall(_.matches(".*\\d.*(\\d+\\.\\d\\dx|n/a)\\s*$")))
+    assert(Demo.withCommas(1234567L) == "1,234,567")
+    assert(Demo.withCommas(42L) == "42")
+    assert(Demo.replayFactor(100, 40) == "2.50x" && Demo.replayFactor(0, 5) == "n/a")
+  }
+}

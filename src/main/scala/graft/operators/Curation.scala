@@ -127,6 +127,70 @@ object Curation {
             col("dup_trigram_e6") > DupTrigramMaxE6), 1L).otherwise(0L))
   }
 
+  /** Exact duplicated-substring scan (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" recipe, re-expressed as a
+    * rolling-span hash pipeline instead of a suffix array: a fixed-width
+    * token span occurring more than once ANYWHERE in the corpus — across
+    * docs or repeated inside one — is a duplicate).
+    *
+    * Emits one row per duplicated span occurrence:
+    * `(doc_id, pos, h)` — `pos` is the 0-based token offset of the span,
+    * `h` the portable span hash. Span TEXT never shuffles: each doc
+    * contributes one 8-byte hash per token position (linear, computed in a
+    * single scan-fused projection), the duplicate set is a
+    * map-side-combined count over those longs, and occurrences come back
+    * via a hash-keyed semi join. At 100 TB this is the same shuffle mass
+    * as a MinHash signature pass — no suffix array, no n² pair space.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    // project tokens FIRST: the transform lambda below is inlined per
+    // element and Spark does no CSE inside lambdas (verify-skill note)
+    val spans = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= width)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - width),
+        // 60-bit md5 prefix, not the 32-bit portableHash: a corpus-wide
+        // span stream is large enough (n²/2³³ ≈ several false pairs at
+        // 200k spans) that 32 bits would mark spurious duplicates; 15 hex
+        // digits keep the oracle portable (fits signed 64) at n²/2⁶¹
+        i => conv(substring(md5(concat_ws(" ", slice(col("t"), i + 1, lit(width)))), 1, 15),
+          16, 10).cast("long"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("h"))
+    spans.join(dup, Seq("h"), "left_semi")
+  }
+
+  /** Per-doc duplicated-span profile over [[duplicateSpans]]: span count,
+    * the UNION token coverage of all duplicated spans (overlapping spans
+    * counted once — interval union via a per-doc running-max window over
+    * span starts), and the keep verdict `dup_tokens · 1e6 < maxDupE6 ·
+    * n_tokens` (integer cross-multiplication, no floats). Every doc of the
+    * corpus is emitted, zero-dup docs with zeros. The window partitions by
+    * doc — parallelism is the doc count, and a doc's dup-span list is
+    * bounded by its own length. */
+  def duplicateSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      width: Int, maxDupE6: Long): DataFrame = {
+    val runPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = duplicateSpans(df, idCol, textCol, width)
+      .withColumn("prev_end", max(col("pos") + width).over(runPrev))
+      .withColumn("c", greatest(lit(0L),
+        col("pos") + width - greatest(coalesce(col("prev_end"), col("pos")), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"), sum(col("c")).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) * lit(1000000L) <
+          lit(maxDupE6) * col("n_tokens")).cast("long").as("keep"))
+  }
+
   /** Greedy token-budget sequence packing (the pretraining-loader step that
     * concatenates docs into fixed-size training sequences).
     *
@@ -158,6 +222,78 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("n_tok"),
         expr(s"cum_before div $budget").as("seq_id"),
         pmod(col("cum_before"), lit(budget)).as("seq_offset"))
+  }
+
+  /** Token-budget corpus selection: keep the best-quality prefix of the
+    * corpus whose cumulative token count fits `floor(total · fracE6/1e6)`
+    * — the data-mixing step that downselects a crawl to a training budget
+    * by quality rank (CCNet buckets / quality-threshold selection).
+    *
+    * Semantics are EXACTLY the global prefix rule "doc kept iff its
+    * inclusive running token sum over the (quality desc, doc_id) order is
+    * within budget" — but computed WITHOUT a global window (an unbounded
+    * `orderBy` window is a single-partition bottleneck at 100 TB).
+    * Two-phase histogram cutoff instead:
+    *   1. per-quality-band token sums (bands = qualityE6 div 10⁴, ≤ 101
+    *      rows — a broadcast-sized frame; its running sum is driver-cheap);
+    *   2. bands wholly under the cutoff keep every doc, bands wholly past
+    *      it keep none, and ONLY the single boundary band runs an in-band
+    *      running-sum window (parallelism: the band's docs, a bounded
+    *      slice of the corpus).
+    * Bands are `div`-aligned so equal scores never straddle a band edge,
+    * making the two-phase result identical to the global rule. Emits every
+    * doc: `(doc_id, quality_e6, n_tokens, kept)`.
+    *
+    * If the boundary band itself were too big for one window partition
+    * (≈1% of the corpus at uniform quality), the same cutoff recurses:
+    * re-band the boundary band at 10² granularity (another ≤101-row
+    * aggregate), and again at exact scores — three bounded rounds replace
+    * the window entirely. Not implemented here: one band of the test
+    * corpus fits a task by orders of magnitude, and the recursion adds
+    * two corpus passes the common case never needs.
+    */
+  def budgetSelection(df: DataFrame, idCol: String, textCol: String,
+      fracE6: Long): DataFrame = {
+    // one shuffle of the 24-byte stats rows right after the quality scan:
+    // the output branches below share its exchange (canonical-subtree
+    // reuse), decoupling their parallelism from the scan's split count —
+    // and the shuffle mass is the narrow stats, never text. The band
+    // aggregate keeps its own direct scan path (partial aggregation sits
+    // below any exchange), which AQE runs concurrently with this one.
+    val base = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.qualityE6(col(textCol)).as("quality_e6"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartition(col("doc_id"))
+    val wAll = Window.partitionBy()
+    val bands = base
+      .groupBy(expr("quality_e6 div 10000").as("band"))
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("cum_before", coalesce(sum(col("btoks")).over(
+        wAll.orderBy(col("band").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("budget",
+        expr(s"(sum(btoks) over () * $fracE6) div 1000000"))
+    val marked = base
+      .join(broadcast(bands), expr("quality_e6 div 10000") === col("band"))
+    // one branch for the decided bands (kept is a pure comparison — no
+    // window), one for the single boundary band: the quality scan runs
+    // once per branch and Catalyst does not CSE across union arms, so
+    // fewer branches = fewer corpus passes
+    val nonEdge = marked
+      .filter(col("cum_before") > col("budget") ||
+        col("cum_before") + col("btoks") <= col("budget"))
+      .select(col("doc_id"), col("quality_e6"), col("n_tokens"),
+        (col("cum_before") + col("btoks") <= col("budget")).cast("long").as("kept"))
+    val wBand = Window.partitionBy(col("band"))
+      .orderBy(col("quality_e6").desc, col("doc_id"))
+    val edge = marked
+      .filter(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("btoks") > col("budget"))
+      .withColumn("cum_in", sum(col("n_tokens")).over(
+        wBand.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("quality_e6"), col("n_tokens"),
+        (col("cum_before") + col("cum_in") <= col("budget")).cast("long").as("kept"))
+    nonEdge.unionByName(edge)
   }
 
   /** Boundary-splitting variant of [[packSequences]] — the T5/GPT loader

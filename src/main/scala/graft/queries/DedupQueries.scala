@@ -18,6 +18,10 @@ object DedupQueries extends QueryModule {
   // q94 quality gate: docs at or above this composite score (e6 scale)
   // pass stage 1 of the curation funnel
   private val QualityMin = 500000L
+  // q106 substring dedup: span width (tokens) and max duplicated-token
+  // coverage (e6 fraction) a kept doc may carry
+  private val SpanW = 15
+  private val SpanMaxDupE6 = 200000L
 
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
@@ -406,6 +410,42 @@ object DedupQueries extends QueryModule {
             CAST(CASE WHEN ${isNew("a")} THEN 1 ELSE 0 END AS BIGINT) AS a_new,
             CAST(CASE WHEN ${isNew("b")} THEN 1 ELSE 0 END AS BIGINT) AS b_new
           FROM pairs"""
+      }),
+
+    QueryDef("q106_duplicate_spans",
+      // exact duplicated-substring dedup (Lee et al. 2022) as a
+      // rolling-span hash pipeline: any 15-token span occurring >= 2
+      // times in the corpus is a duplicate; per-doc profile = dup-span
+      // count, UNION token coverage (overlaps counted once via a per-doc
+      // running-max window), keep = coverage < 20%. Span text never
+      // shuffles — one 60-bit hash per token position, map-side-combined
+      // counts, hash-keyed semi join back (operators.Curation scaladoc).
+      (s, dir) => Curation.duplicateSpanProfile(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        width = SpanW, maxDupE6 = SpanMaxDupE6),
+      Some {
+        val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
+          s"list_slice(t, i, i + ${SpanW - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
+        s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          spans AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
+            FROM toks, unnest(range(1, len(t) - ${SpanW - 2})) AS r(i)
+            WHERE len(t) >= $SpanW),
+          dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
+          cov AS (SELECT doc_id, greatest(0, pos + $SpanW - greatest(coalesce(
+              max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
+            FROM ds),
+          prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+              CAST(sum(c) AS BIGINT) AS dup_tokens
+            FROM cov GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+            coalesce(p.dup_spans, 0) AS dup_spans,
+            coalesce(p.dup_tokens, 0) AS dup_tokens,
+            CAST(CASE WHEN coalesce(p.dup_tokens, 0) * 1000000
+              < $SpanMaxDupE6 * len(t.t) THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM toks t LEFT JOIN prof p ON t.doc_id = p.doc_id"""
       })
   )
 }

@@ -206,6 +206,34 @@ object MetricsQueries extends QueryModule {
           FROM documents WHERE ${Splits.duckSplitSql("doc_id", Seed)} = 'validation'
         )
         SELECT CAST(i AS BIGINT) AS i, doc_id
-        FROM generate_series(0, 63) t(i) JOIN cands ON i % nc = rn"""))
+        FROM generate_series(0, 63) t(i) JOIN cands ON i % nc = rn""")),
+
+    QueryDef("q108_budget_selection",
+      // token-budget corpus selection (operators.Curation.budgetSelection):
+      // keep the best-quality prefix whose cumulative tokens fit 30% of
+      // the corpus — computed WITHOUT a global window (histogram cutoff:
+      // ≤101 quality bands aggregate + ONE in-band window on the single
+      // boundary band). The oracle states the global prefix rule directly
+      // with an unbounded window — the two-phase plan must match it
+      // exactly, which is the law being checked.
+      (s, dir) => graft.operators.Curation.budgetSelection(
+        Tables.load(s, dir, "documents"), "doc_id", "text", fracE6 = 300000L),
+      Some {
+        val toks = graft.functions.TextFunctions.duckTokens("text")
+        s"""WITH base AS (
+            SELECT doc_id,
+              ${TextAnalysis.duckQualityE6("text", toks)} AS quality_e6,
+              CAST(len($toks) AS BIGINT) AS n_tokens
+            FROM documents),
+          tot AS (SELECT CAST((sum(n_tokens) * 300000) // 1000000 AS BIGINT)
+            AS budget FROM base),
+          r AS (SELECT doc_id, quality_e6, n_tokens,
+              sum(n_tokens) OVER (ORDER BY quality_e6 DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM base)
+          SELECT doc_id, quality_e6, n_tokens,
+            CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM r CROSS JOIN tot"""
+      })
   )
 }

@@ -558,7 +558,47 @@ object TextQueries extends QueryModule {
           ${Determinism.duckHash(
             "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
             AS head_pieces_hash
-        FROM documents d LEFT JOIN flat p ON d.doc_id = p.doc_id"""))
+        FROM documents d LEFT JOIN flat p ON d.doc_id = p.doc_id""")),
+
+    QueryDef("q107_lm_quality",
+      // CCNet-style LM quality gate (operators.NgramLm): an add-one
+      // bigram model trained on the in-domain slice (source = src0)
+      // scores every doc's cross-entropy; per-bigram costs are e6-floored
+      // BEFORE summation so scores are exact longs. The model tables
+      // broadcast (the KenLM-artifact analogue) — the candidate scan's
+      // only shuffle is its per-doc aggregate.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (bg, ctx, vocab) = graft.operators.NgramLm.train(
+          docs.filter(col("source") === "src0"), "text")
+        graft.operators.NgramLm.score(docs, "doc_id", "text", bg, ctx, vocab)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, $duckToks AS t FROM documents),
+        bg AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
+          FROM toks, unnest(range(1, len(t))) AS r(i)
+          WHERE source = 'src0' AND len(t) >= 2 GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bg GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+        st AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        costs AS (SELECT doc_id,
+            CAST(floor(1000000.0 * ln(
+              (coalesce(ctx.ctx, 0) + v.v) / (coalesce(bg.c, 0) + 1)))
+              AS BIGINT) AS cost_e6
+          FROM st LEFT JOIN ctx USING (w1) LEFT JOIN bg USING (w1, w2)
+            CROSS JOIN v),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(cost_e6) AS BIGINT) AS cost_e6
+          FROM costs GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(a.n_bigrams, 0) AS n_bigrams,
+          coalesce(a.cost_e6, 0) AS cost_e6,
+          CASE WHEN coalesce(a.n_bigrams, 0) > 0
+            THEN coalesce(a.cost_e6, 0) // a.n_bigrams ELSE 0 END
+            AS avg_cost_e6
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
   )
 
   /** Shared oracle scaffold for the BPE lanes: tokenize → distinct words

@@ -207,4 +207,128 @@ class CurationSpec extends AnyFunSuite {
     val df = (1L to 150L).map(i => i -> s"g${i % 4}").toDF("id", "group")
     invariantUnderRepartition(Mixing.stratifiedSample(_, 40L, "s"), df)
   }
+
+  // ---- duplicateSpans / duplicateSpanProfile ----
+
+  test("duplicateSpanProfile: exact coverage of a planted cross-doc run") {
+    // docs 1 and 2 share a verbatim 20-token run; width 15 → 6 dup-span
+    // starts per doc, union coverage exactly the 20 shared tokens
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val df = docs(
+      1L -> (shared + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      2L -> ((1 to 5).map(i => s"v$i").mkString(" ") + " " + shared),
+      3L -> (1 to 30).map(i => s"w$i").mkString(" "))
+    val out = Curation.duplicateSpanProfile(df, "doc_id", "text", 15, 200000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((30L, 6L, 20L, 0L))) // 20M dup·e6 >= 0.2·30M → drop
+    assert(out(2L) == ((25L, 6L, 20L, 0L)))
+    assert(out(3L) == ((30L, 0L, 0L, 1L)))
+  }
+
+  test("duplicateSpanProfile: a span repeated INSIDE one doc is a duplicate") {
+    // Lee et al. semantics: >= 2 occurrences anywhere, including the same
+    // doc. r1..r15 twice → dup spans at pos 0 and 15, full 30-token cover.
+    val run = (1 to 15).map(i => s"r$i").mkString(" ")
+    val out = Curation.duplicateSpanProfile(
+        docs(1L -> (run + " " + run), 2L -> (1 to 20).map(i => s"x$i").mkString(" ")),
+        "doc_id", "text", 15, 200000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 30L)))
+    assert(out(2L) == ((0L, 0L)))
+  }
+
+  test("duplicateSpanProfile: overlapping dup spans count coverage once") {
+    // one doc carries a 16-token run shared with another doc → two
+    // overlapping width-15 spans, union coverage 16 (not 30)
+    val run = (1 to 16).map(i => s"o$i").mkString(" ")
+    val out = Curation.duplicateSpanProfile(
+        docs(1L -> (run + " tail1 tail2 tail3 tail4"),
+          2L -> ("pre1 pre2 " + run)),
+        "doc_id", "text", 15, 900000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 16L, 1L))) // 16/20 = 80% < 90% → keep
+    assert(out(2L) == ((2L, 16L, 1L)))
+  }
+
+  test("duplicateSpanProfile is partition-invariant") {
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val df = (1L to 40L).map(i =>
+      i -> (if (i % 5 == 0) shared else (1 to 25).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    invariantUnderRepartition(
+      Curation.duplicateSpanProfile(_, "doc_id", "text", 15, 200000L), df)
+  }
+
+  // ---- budgetSelection ----
+
+  /** The global prefix rule stated directly (driver-side): kept iff the
+    * inclusive running token sum over (quality desc, doc_id) order fits
+    * floor(total · frac). */
+  private def budgetOracle(rows: Seq[(Long, Long, Long)], fracE6: Long): Map[Long, Long] = {
+    val budget = rows.map(_._3).sum * fracE6 / 1000000L
+    var cum = 0L
+    rows.sortBy(r => (-r._2, r._1)).map { case (id, _, n) =>
+      cum += n; id -> (if (cum <= budget) 1L else 0L)
+    }.toMap
+  }
+
+  test("budgetSelection matches the global prefix rule exactly (boundary band included)") {
+    // varied digit/stopword mixes → spread of quality scores, several docs
+    // per band so the boundary band genuinely splits
+    val df = (1L to 120L).map { i =>
+      val stops = Seq.fill((i % 7).toInt)("the of and").mkString(" ")
+      val digits = Seq.fill((i % 5).toInt)("42 7").mkString(" ")
+      val words = (1 to 10 + (i % 13).toInt).map(j => s"w${(i + j) % 31}").mkString(" ")
+      i -> s"$stops $digits $words"
+    }.toDF("doc_id", "text")
+    val got = Curation.budgetSelection(df, "doc_id", "text", 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = budgetOracle(got.map(r => (r._1, r._2, r._3)).toSeq, 300000L)
+    assert(got.length == 120)
+    got.foreach { case (id, _, _, kept) =>
+      assert(kept == expect(id), s"doc $id kept=$kept expected ${expect(id)}") }
+    // the budget genuinely bites: some kept, some dropped
+    assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L))
+  }
+
+  test("budgetSelection is partition-invariant") {
+    val df = (1L to 80L).map(i =>
+      i -> ((1 to 8 + (i % 9).toInt).map(j => s"z${(i * j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    invariantUnderRepartition(Curation.budgetSelection(_, "doc_id", "text", 500000L), df)
+  }
+
+  // ---- NgramLm ----
+
+  test("NgramLm: exact hand-computed add-one bigram costs") {
+    import graft.operators.NgramLm
+    // model "a b a c": bg {(a,b):1,(b,a):1,(a,c):1}, ctx {a:2,b:1}, V=3
+    val (bg, ctx, v) = NgramLm.train(docs(1L -> "a b a c"), "text")
+    val out = NgramLm.score(
+        docs(10L -> "a b", 11L -> "z z", 12L -> "solo", 13L -> "a c a b"),
+        "doc_id", "text", bg, ctx, v)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // (a,b): ln((2+3)/(1+1)) = ln 2.5 → 916290
+    assert(out(10L) == ((1L, 916290L, 916290L)))
+    // (z,z): unseen ctx and pair → ln((0+3)/(0+1)) = ln 3 → 1098612
+    assert(out(11L) == ((1L, 1098612L, 1098612L)))
+    // single token: no bigrams, zero cost
+    assert(out(12L) == ((0L, 0L, 0L)))
+    // (a,c)=ln2.5, (c,a)=ln((0+3)/1)=ln3, (a,b)=ln2.5 → 916290·2+1098612
+    assert(out(13L) == ((3L, 2931192L, 977064L)))
+    // in-domain text scores strictly lower than out-of-domain
+    assert(out(10L)._3 < out(11L)._3)
+  }
+
+  test("NgramLm score is partition-invariant") {
+    import graft.operators.NgramLm
+    val model = (1L to 30L).map(i =>
+      i -> ((1 to 12).map(j => s"m${(i + j) % 9}").mkString(" "))).toDF("doc_id", "text")
+    val cands = (1L to 50L).map(i =>
+      i -> ((1 to 10).map(j => s"m${(i * j) % 14}").mkString(" "))).toDF("doc_id", "text")
+    val (bg, ctx, v) = NgramLm.train(model, "text")
+    invariantUnderRepartition(NgramLm.score(_, "doc_id", "text", bg, ctx, v), cands)
+  }
 }

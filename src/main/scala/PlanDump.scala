@@ -64,7 +64,11 @@ object PlanDump extends App {
     "q102_grouped_refresh_pick" -> "capped grouped refresh: the wraparound walk is a projection ((pos - start) % total), per-group caps ONE keyed row_number, the serve cut a second row_number over the TAKEN rows only (bounded by groups x cap ≈ limit) — the only unpartitioned window runs on a batch-sized set",
     "q103_record_cache" -> "bounded record cache closed form: latest-per-id is a keyed window (the only corpus-wide shuffle, on the id key); the top-cap cut plans as TakeOrderedAndProject (per-partition top-cap + driver merge, NO global sort); the final rank window runs over <= cap rows",
     "q104_multimodal_gif_decode" -> "GIF lane: same narrow object pipeline as PNG — encode + LZW decode + palette lookup inside ONE mapPartitions, zero Exchange nodes; the variable-width bit unpacking is per-payload CPU work, embarrassingly parallel at any corpus size",
-    "q105_multimodal_mp3_meta" -> "MP3 metadata lane: frame-header walk per payload in the same narrow mapPartitions shape — the parse cost is O(frames) pointer hops, no inflation, no shuffle; duration/rate/channels come out as plain columns for downstream relational filters")
+    "q105_multimodal_mp3_meta" -> "MP3 metadata lane: frame-header walk per payload in the same narrow mapPartitions shape — the parse cost is O(frames) pointer hops, no inflation, no shuffle; duration/rate/channels come out as plain columns for downstream relational filters",
+    "q106_duplicate_spans" -> "exact substring dedup: ONE Generate per doc emits a 60-bit hash per token position (span text never leaves the scan), dup set = map-side-combined count over longs, occurrences come back via a hash-keyed semi join, and the union coverage is a (doc)-keyed running-max window — no suffix array, no n² pair space; shuffle mass ≈ one long per corpus token",
+    "q107_lm_quality" -> "CCNet-style LM gate: the bigram model is two map-side-combined aggregates over the SMALL in-domain slice, then rides TWO BroadcastExchanges onto the candidate bigram stream (the KenLM-artifact analogue) — the 100 TB candidate scan's only wide op is its per-doc aggregate; per-bigram e6 floors make map-side partial sums exact",
+    "q108_budget_selection" -> "token-budget selection: the global quality-ranked prefix rule WITHOUT a global window — a ≤101-row band histogram (broadcast) decides whole bands, and the single boundary band runs the only windowed pass; the narrow stats exchange decouples output parallelism from the scan's split count",
+    "q109_incremental_span_dedup" -> "incremental substring dedup: the NEW shard's span hashes aggregate and LEFT-join the standing span index (an index a deployment maintains as a table); per-refresh cost ∝ |new| × collisions — the old corpus contributes one index derivation here and nothing at steady state, and old-old duplication never enters the plan")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

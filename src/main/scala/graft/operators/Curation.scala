@@ -142,22 +142,27 @@ object Curation {
     * via a hash-keyed semi join. At 100 TB this is the same shuffle mass
     * as a MinHash signature pass — no suffix array, no n² pair space.
     */
+  /** `(doc_id, pos, h)` rolling-span hash stream of a corpus: one 60-bit
+    * hash per token position. Tokens are projected FIRST (the transform
+    * lambda below is inlined per element and Spark does no CSE inside
+    * lambdas — verify-skill note). */
+  def spanStream(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = df
+    .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+    .filter(size(col("t")) >= width)
+    .select(col("doc_id"), posexplode(transform(
+      sequence(lit(0), size(col("t")) - width),
+      // 60-bit md5 prefix, not the 32-bit portableHash: a corpus-wide
+      // span stream is large enough (n²/2³³ ≈ several false pairs at
+      // 200k spans) that 32 bits would mark spurious duplicates; 15 hex
+      // digits keep the oracle portable (fits signed 64) at n²/2⁶¹
+      i => conv(substring(md5(concat_ws(" ", slice(col("t"), i + 1, lit(width)))), 1, 15),
+        16, 10).cast("long"))))
+    .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
-    // project tokens FIRST: the transform lambda below is inlined per
-    // element and Spark does no CSE inside lambdas (verify-skill note)
-    val spans = df
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= width)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("t")) - width),
-        // 60-bit md5 prefix, not the 32-bit portableHash: a corpus-wide
-        // span stream is large enough (n²/2³³ ≈ several false pairs at
-        // 200k spans) that 32 bits would mark spurious duplicates; 15 hex
-        // digits keep the oracle portable (fits signed 64) at n²/2⁶¹
-        i => conv(substring(md5(concat_ws(" ", slice(col("t"), i + 1, lit(width)))), 1, 15),
-          16, 10).cast("long"))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val spans = spanStream(df, idCol, textCol, width)
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("h"))
     spans.join(dup, Seq("h"), "left_semi")
@@ -172,10 +177,17 @@ object Curation {
     * doc — parallelism is the doc count, and a doc's dup-span list is
     * bounded by its own length. */
   def duplicateSpanProfile(df: DataFrame, idCol: String, textCol: String,
-      width: Int, maxDupE6: Long): DataFrame = {
+      width: Int, maxDupE6: Long): DataFrame =
+    spanCoverageProfile(df, duplicateSpans(df, idCol, textCol, width),
+      idCol, textCol, width, maxDupE6)
+
+  /** Fold a duplicated-span occurrence stream `(doc_id, pos, h)` into the
+    * per-doc profile (shared by the full-corpus and incremental lanes). */
+  private def spanCoverageProfile(df: DataFrame, dupOccurrences: DataFrame,
+      idCol: String, textCol: String, width: Int, maxDupE6: Long): DataFrame = {
     val runPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cov = duplicateSpans(df, idCol, textCol, width)
+    val cov = dupOccurrences
       .withColumn("prev_end", max(col("pos") + width).over(runPrev))
       .withColumn("c", greatest(lit(0L),
         col("pos") + width - greatest(coalesce(col("prev_end"), col("pos")), col("pos"))))
@@ -189,6 +201,34 @@ object Curation {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)) * lit(1000000L) <
           lit(maxDupE6) * col("n_tokens")).cast("long").as("keep"))
+  }
+
+  /** Incremental [[duplicateSpanProfile]] for a newly-arrived shard — the
+    * streaming-refresh twin (the q68 incremental-MinHash shape applied to
+    * substring dedup): profile ONLY the new docs, against the union of the
+    * standing corpus and themselves. A new span is duplicated when its
+    * occurrences among new docs plus its count in the standing span index
+    * reach 2 — exactly the full-corpus rule restricted to new docs, so
+    * `incrementalSpanProfile(new, old) ≡ duplicateSpanProfile(old ∪ new)
+    * .filter(doc ∈ new)` (the refresh-equivalence law, pinned in spec).
+    *
+    * Scale shape: the standing index `(h, occ)` is an aggregate a real
+    * deployment maintains as a table (here derived from `oldDocs` for
+    * purity); the join against it is restricted to the NEW shard's span
+    * hashes, so per-refresh cost is ∝ |new shard| × collisions — the old
+    * corpus is never re-profiled.
+    */
+  def incrementalSpanProfile(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, width: Int, maxDupE6: Long): DataFrame = {
+    val newSpans = spanStream(newDocs, idCol, textCol, width)
+    val index = spanStream(oldDocs, idCol, textCol, width)
+      .groupBy(col("h")).agg(count(lit(1)).as("old_occ"))
+    val dup = newSpans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .join(index, Seq("h"), "left")
+      .filter(col("occ") + coalesce(col("old_occ"), lit(0L)) >= 2)
+      .select(col("h"))
+    spanCoverageProfile(newDocs, newSpans.join(dup, Seq("h"), "left_semi"),
+      idCol, textCol, width, maxDupE6)
   }
 
   /** Greedy token-budget sequence packing (the pretraining-loader step that

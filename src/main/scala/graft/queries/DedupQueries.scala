@@ -446,6 +446,49 @@ object DedupQueries extends QueryModule {
             CAST(CASE WHEN coalesce(p.dup_tokens, 0) * 1000000
               < $SpanMaxDupE6 * len(t.t) THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM toks t LEFT JOIN prof p ON t.doc_id = p.doc_id"""
+      }),
+
+    QueryDef("q109_incremental_span_dedup",
+      // the streaming-refresh twin of q106 (the q68 shape for substring
+      // dedup): a fifth of the corpus "arrives" as the new shard and is
+      // profiled against the standing span index — per-refresh cost
+      // ∝ |new| × collisions, the old corpus is never re-profiled. The
+      // ORACLE states the refresh-equivalence law instead of mirroring
+      // the plan: full-corpus profile restricted to the new docs. A
+      // hash-match verifies both the incremental implementation and the
+      // law itself.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isNew = pmod(Determinism.seeded("incs", col("doc_id")), lit(5L)) === 0
+        Curation.incrementalSpanProfile(
+          docs.filter(isNew), docs.filter(!isNew),
+          "doc_id", "text", width = SpanW, maxDupE6 = SpanMaxDupE6)
+      },
+      Some {
+        val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
+          s"list_slice(t, i, i + ${SpanW - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
+        val isNew = s"${Determinism.duckSeeded("incs", "doc_id")} % 5 = 0"
+        s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          spans AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
+            FROM toks, unnest(range(1, len(t) - ${SpanW - 2})) AS r(i)
+            WHERE len(t) >= $SpanW),
+          dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
+          cov AS (SELECT doc_id, greatest(0, pos + $SpanW - greatest(coalesce(
+              max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
+            FROM ds),
+          prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+              CAST(sum(c) AS BIGINT) AS dup_tokens
+            FROM cov GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+            coalesce(p.dup_spans, 0) AS dup_spans,
+            coalesce(p.dup_tokens, 0) AS dup_tokens,
+            CAST(CASE WHEN coalesce(p.dup_tokens, 0) * 1000000
+              < $SpanMaxDupE6 * len(t.t) THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM toks t LEFT JOIN prof p ON t.doc_id = p.doc_id
+          WHERE ${isNew.replace("doc_id", "t.doc_id")}"""
       })
   )
 }

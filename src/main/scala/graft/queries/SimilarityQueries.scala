@@ -276,6 +276,57 @@ object SimilarityQueries extends QueryModule {
         SELECT vec_id, cluster_id,
           CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep,
           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-        FROM cl"""))
+        FROM cl""")),
+
+    QueryDef("q110_cluster_balanced_sample",
+      // semantic diversification (the D4/SemDeDup-family selection step):
+      // assign every embedding to its IVF cell (q29's exact-integer
+      // argmin against the broadcast codebook), then draw an exact
+      // largest-remainder stratified sample ACROSS cells (q48's
+      // machinery) — every semantic cluster contributes within 1 of its
+      // proportional share, so the sample can't collapse onto one dense
+      // region. Pure composition of two verified operators; the only new
+      // shuffle is the #cells-sized allocation broadcast.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+        val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        graft.operators.Mixing.stratifiedSample(
+            assign.select(col("vec_id").as("id"), col("cell").as("group")),
+            120L, "cbal")
+          .select(col("id").as("vec_id"), col("group").as("cell"), col("r"))
+      },
+      Some {
+        def dist(a: String, b: String) =
+          s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
+            s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
+        s"""WITH picked AS (
+          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+        ), cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
+            embedding AS cemb
+          FROM picked
+        ), asg0 AS (
+          SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
+          FROM embeddings e CROSS JOIN cents c
+        ), asg AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM asg0) t WHERE rn = 1
+        ), c AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+        t AS (SELECT cell, n,
+          (120 * n) // (sum(n) OVER ()) AS flo,
+          (120 * n) % (sum(n) OVER ()) AS rem FROM c),
+        r AS (SELECT *, 120 - sum(flo) OVER () AS short,
+          CAST(row_number() OVER (ORDER BY rem DESC, cell) AS BIGINT) AS rr FROM t),
+        a AS (SELECT cell, flo + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS alloc FROM r),
+        rk AS (SELECT vec_id, cell,
+          CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY ${graft.core.Determinism.duckSeeded("ss:cbal", "vec_id")}, vec_id) AS BIGINT) AS r
+          FROM asg)
+        SELECT rk.vec_id, rk.cell, rk.r
+        FROM rk JOIN a ON rk.cell = a.cell WHERE rk.r <= a.alloc"""
+      })
   )
 }

@@ -251,6 +251,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 16L, 1L)))
   }
 
+  test("incrementalSpanProfile: refresh equivalence — incremental ≡ full restricted to new") {
+    // 30 docs, every 4th a verbatim copy of doc 1 (cross-shard dups in
+    // both directions), plus a within-new repeat; split 1/3 "new"
+    val base = (1 to 15).map(j => s"c$j").mkString(" ")
+    val df = (1L to 30L).map(i =>
+      i -> (if (i % 4 == 0) base + s" tail$i" else (1 to 18).map(j => s"d${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(3)) === 0
+    val inc = Curation.incrementalSpanProfile(
+      df.filter(isNew), df.filter(!isNew), "doc_id", "text", 15, 200000L)
+    val full = Curation.duplicateSpanProfile(df, "doc_id", "text", 15, 200000L)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    assert(sortedRows(inc) == sortedRows(full))
+    // the law is not vacuous: some new doc actually carries dup spans
+    assert(inc.filter(col("dup_spans") > 0).count() > 0)
+  }
+
+  test("incrementalSpanProfile is partition-invariant") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val df = (1L to 30L).map(i =>
+      i -> (if (i % 6 == 0) shared else (1 to 20).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    invariantUnderRepartition(
+      d => Curation.incrementalSpanProfile(
+        d.filter(col("doc_id") <= 10), d.filter(col("doc_id") > 10),
+        "doc_id", "text", 15, 200000L), df)
+  }
+
   test("duplicateSpanProfile is partition-invariant") {
     val shared = (1 to 25).map(i => s"s$i").mkString(" ")
     val df = (1L to 40L).map(i =>

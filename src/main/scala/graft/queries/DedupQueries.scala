@@ -22,6 +22,10 @@ object DedupQueries extends QueryModule {
   // coverage (e6 fraction) a kept doc may carry
   private val SpanW = 15
   private val SpanMaxDupE6 = 200000L
+  // q111 pipeline: LM-gate ceiling (~78th percentile of avg_cost_e6 on
+  // the testdata) and the selection budget (half the surviving tokens)
+  private val LmMaxE6 = 3600000L
+  private val SelFracE6 = 500000L
 
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
@@ -489,6 +493,160 @@ object DedupQueries extends QueryModule {
               < $SpanMaxDupE6 * len(t.t) THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM toks t LEFT JOIN prof p ON t.doc_id = p.doc_id
           WHERE ${isNew.replace("doc_id", "t.doc_id")}"""
+      }),
+
+    QueryDef("q111_pretraining_pipeline",
+      // the WHOLE pretraining-data pipeline as ONE declarative plan — the
+      // "switch your corpus pipeline to this library" flagship. Seven
+      // stages, each an operator verified in isolation, composed end to
+      // end over the train/eval split:
+      //   quality gate → language check → exact dedup (content-hash
+      //   canonical) → substring-dedup coverage gate (q106) →
+      //   benchmark decontamination (q97) → LM quality gate (q107) →
+      //   token-budget selection over the survivors (q108, 50% budget).
+      // Output = the per-source funnel (docs surviving each stage,
+      // monotone by construction, and the final selected token mass).
+      // Scale shape: the gates are scan-fused columns or broadcast-model
+      // joins; the only wide ops belong to the dedup/span/selection
+      // machinery, each individually audited in PLANS.md.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isEval = pmod(Determinism.seeded("ev", col("doc_id")), lit(20L)) === 0L
+        val train = docs.filter(!isEval)
+        val evalSet = docs.filter(isEval)
+        val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        val flags = train
+          .withColumn("fp", TextAnalysis.fingerprintFull(col("text")))
+          .withColumn("g_dedup",
+            (col("doc_id") === min(col("doc_id")).over(fpW)).cast("long"))
+          .withColumn("g_quality",
+            (TextAnalysis.qualityE6(col("text")) >= QualityMin).cast("long"))
+          .withColumn("g_lang",
+            (TextAnalysis.langId(TextFunctions.tokens(col("text"))) === col("lang"))
+              .cast("long"))
+          .select(col("doc_id"), col("source"), col("text"),
+            col("g_quality"), col("g_lang"), col("g_dedup"))
+        val span = Curation.duplicateSpanProfile(train, "doc_id", "text", SpanW, SpanMaxDupE6)
+          .select(col("doc_id"), col("keep").as("g_span"))
+        val decon = Curation.contaminationScan(train, evalSet, "doc_id", "text", 4)
+          .select(col("doc_id"), (col("contaminated") === 0L).cast("long").as("g_decon"))
+        val (bg, ctx, v) = graft.operators.NgramLm.train(
+          train.filter(col("source") === "src0"), "text")
+        val lm = graft.operators.NgramLm.score(train, "doc_id", "text", bg, ctx, v)
+          .select(col("doc_id"), (col("avg_cost_e6") <= LmMaxE6).cast("long").as("g_lm"))
+        val staged = flags.join(span, "doc_id").join(decon, "doc_id").join(lm, "doc_id")
+          .withColumn("g_all",
+            col("g_quality") * col("g_lang") * col("g_dedup") *
+              col("g_span") * col("g_decon") * col("g_lm"))
+        val sel = Curation.budgetSelection(
+            staged.filter(col("g_all") === 1L).select(col("doc_id"), col("text")),
+            "doc_id", "text", SelFracE6)
+          .select(col("doc_id"), col("kept").as("g_sel"), col("n_tokens"))
+        staged.join(sel, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("g_quality")).as("n_quality"),
+            sum(col("g_quality") * col("g_lang")).as("n_lang"),
+            sum(col("g_quality") * col("g_lang") * col("g_dedup")).as("n_dedup"),
+            sum(col("g_quality") * col("g_lang") * col("g_dedup") * col("g_span"))
+              .as("n_span"),
+            sum(col("g_quality") * col("g_lang") * col("g_dedup") * col("g_span") *
+              col("g_decon")).as("n_decon"),
+            sum(col("g_all")).as("n_lm"),
+            sum(coalesce(col("g_sel"), lit(0L))).as("n_selected"),
+            sum(coalesce(col("g_sel") * col("n_tokens"), lit(0L))).as("tokens_selected"))
+      },
+      Some {
+        val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
+          s"list_slice(toks, i, i + ${SpanW - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
+        val hs = Dedup.duckShingleHashes(Dedup.duckShingles("toks", 4))
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, source, lang, text,
+            $duckToks AS toks,
+            ${Determinism.duckSeeded("ev", "doc_id")} % 20 AS ev FROM documents),
+          tr AS MATERIALIZED (SELECT * FROM t WHERE ev <> 0),
+          gates AS (SELECT doc_id, source, toks,
+            CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+              ${Determinism.duckHash(TextFunctions.duckNormalizeWs("text"))})
+              THEN 1 ELSE 0 END AS g_dedup,
+            CASE WHEN ${TextAnalysis.duckQualityE6("text", "toks")} >= $QualityMin
+              THEN 1 ELSE 0 END AS g_quality,
+            CASE WHEN ${TextAnalysis.duckLangId("toks")} = lang
+              THEN 1 ELSE 0 END AS g_lang
+            FROM tr),
+          spans AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
+            FROM tr, unnest(range(1, len(toks) - ${SpanW - 2})) AS r(i)
+            WHERE len(toks) >= $SpanW),
+          dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
+          cov AS (SELECT doc_id, greatest(0, pos + $SpanW - greatest(coalesce(
+              max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
+            FROM ds),
+          spanprof AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+            FROM cov GROUP BY doc_id),
+          spang AS (SELECT tr.doc_id, CASE WHEN coalesce(p.dup_tokens, 0) * 1000000
+              < $SpanMaxDupE6 * len(tr.toks) THEN 1 ELSE 0 END AS g_span
+            FROM tr LEFT JOIN spanprof p ON tr.doc_id = p.doc_id),
+          sh AS (SELECT doc_id, ev, $hs AS hs FROM t WHERE len(toks) > 0),
+          trsh AS (SELECT DISTINCT tid, h FROM
+            (SELECT doc_id AS tid, unnest(hs) AS h FROM sh WHERE ev <> 0)),
+          evsh AS (SELECT DISTINCT h FROM
+            (SELECT unnest(hs) AS h FROM sh WHERE ev = 0)),
+          hits AS (SELECT DISTINCT tid FROM trsh JOIN evsh USING (h)),
+          decong AS (SELECT tr.doc_id,
+            CASE WHEN hits.tid IS NULL THEN 1 ELSE 0 END AS g_decon
+            FROM tr LEFT JOIN hits ON tr.doc_id = hits.tid),
+          bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
+            FROM tr, unnest(range(1, len(toks))) AS r(i)
+            WHERE source = 'src0' AND len(toks) >= 2 GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bg GROUP BY 1),
+          v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+            FROM (SELECT unnest(toks) AS w FROM tr WHERE source = 'src0')),
+          st AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+            FROM tr, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+          costs AS (SELECT doc_id, CAST(floor(1000000.0 * ln(
+              (coalesce(ctx.ctx, 0) + v.v) / (coalesce(bg.c, 0) + 1))) AS BIGINT)
+              AS cost_e6
+            FROM st LEFT JOIN ctx USING (w1) LEFT JOIN bg USING (w1, w2)
+              CROSS JOIN v),
+          lmagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+              CAST(sum(cost_e6) AS BIGINT) AS ce FROM costs GROUP BY doc_id),
+          lmg AS (SELECT tr.doc_id, CASE WHEN
+              (CASE WHEN coalesce(l.nb, 0) > 0 THEN l.ce // l.nb ELSE 0 END)
+              <= $LmMaxE6 THEN 1 ELSE 0 END AS g_lm
+            FROM tr LEFT JOIN lmagg l ON tr.doc_id = l.doc_id),
+          staged AS MATERIALIZED (SELECT g.doc_id, g.source, g.toks,
+              g.g_quality, g.g_lang, g.g_dedup, s.g_span, d.g_decon, l.g_lm,
+              g.g_quality * g.g_lang * g.g_dedup * s.g_span * d.g_decon * l.g_lm
+                AS g_all,
+              ${TextAnalysis.duckQualityE6("tr2.text", "g.toks")} AS qe6
+            FROM gates g JOIN spang s ON g.doc_id = s.doc_id
+              JOIN decong d ON g.doc_id = d.doc_id
+              JOIN lmg l ON g.doc_id = l.doc_id
+              JOIN tr tr2 ON g.doc_id = tr2.doc_id),
+          base AS (SELECT doc_id, qe6, CAST(len(toks) AS BIGINT) AS n
+            FROM staged WHERE g_all = 1),
+          tot AS (SELECT CAST((sum(n) * $SelFracE6) // 1000000 AS BIGINT)
+            AS budget FROM base),
+          selr AS (SELECT doc_id, n, sum(n) OVER (ORDER BY qe6 DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM base),
+          sel AS (SELECT doc_id, n,
+              CASE WHEN cum <= budget THEN 1 ELSE 0 END AS g_sel
+            FROM selr CROSS JOIN tot)
+          SELECT staged.source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(g_quality) AS BIGINT) AS n_quality,
+            CAST(sum(g_quality * g_lang) AS BIGINT) AS n_lang,
+            CAST(sum(g_quality * g_lang * g_dedup) AS BIGINT) AS n_dedup,
+            CAST(sum(g_quality * g_lang * g_dedup * g_span) AS BIGINT) AS n_span,
+            CAST(sum(g_quality * g_lang * g_dedup * g_span * g_decon) AS BIGINT)
+              AS n_decon,
+            CAST(sum(g_all) AS BIGINT) AS n_lm,
+            CAST(sum(coalesce(sel.g_sel, 0)) AS BIGINT) AS n_selected,
+            CAST(sum(coalesce(sel.g_sel * sel.n, 0)) AS BIGINT) AS tokens_selected
+          FROM staged LEFT JOIN sel ON staged.doc_id = sel.doc_id
+          GROUP BY staged.source"""
       })
   )
 }

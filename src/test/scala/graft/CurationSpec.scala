@@ -350,6 +350,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(10L)._3 < out(11L)._3)
   }
 
+  test("q111 pipeline funnel is monotone and every stage engages") {
+    // the end-to-end pipeline (quality → lang → dedup → span → decon →
+    // LM → selection) must only ever shrink, and the corpus-level funnel
+    // must genuinely drop docs at the gates (values themselves are
+    // hash-pinned by the q111 oracle; this is the structural law)
+    val out = SparkEntry.queries("q111_pretraining_pipeline")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val cols = Seq("n_docs", "n_quality", "n_lang", "n_dedup", "n_span",
+      "n_decon", "n_lm", "n_selected")
+    out.foreach { r =>
+      val seq = cols.map(c => r.getAs[Long](c))
+      assert(seq.zip(seq.tail).forall { case (a, b) => a >= b },
+        s"funnel not monotone: $seq for ${r.getAs[String]("source")}")
+    }
+    val totals = cols.map(c => out.map(_.getAs[Long](c)).sum)
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
+    assert(totals.last > 0 && totals.last < totals.head,
+      s"selection did not engage: $totals")
+  }
+
   test("NgramLm score is partition-invariant") {
     import graft.operators.NgramLm
     val model = (1L to 30L).map(i =>

@@ -127,3 +127,99 @@ class TripletSamplerStage(
     }
   }
 }
+
+/** Drops docs whose duplicated-substring coverage (exact 15-token-span
+  * dedup, [[graft.operators.Curation.duplicateSpanProfile]]) reaches
+  * `maxDupE6`. Schema unchanged — a pure filter stage. */
+class SubstringDedupFilter(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    width: Int = 15,
+    maxDupE6: Long = 200000L) extends GraftTransformer("substring_dedup") {
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val keep = graft.operators.Curation
+      .duplicateSpanProfile(df.toDF(), idCol, textCol, width, maxDupE6)
+      .filter(col("keep") === 1L).select(col("doc_id").as(idCol))
+    df.toDF().join(keep, Seq(idCol), "left_semi")
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+}
+
+/** Drops docs sharing any token `k`-gram with the eval suite
+  * ([[graft.operators.Curation.contaminationScan]] — the eval side is
+  * broadcast; the train scan never shuffles). */
+class DecontaminationFilter(
+    evalSet: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    k: Int = 4) extends GraftTransformer("decontamination") {
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val keep = graft.operators.Curation
+      .contaminationScan(df.toDF(), evalSet, idCol, textCol, k)
+      .filter(col("contaminated") === 0L).select(col("doc_id").as(idCol))
+    df.toDF().join(keep, Seq(idCol), "left_semi")
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+}
+
+/** Keeps the best-quality token-budget prefix
+  * ([[graft.operators.Curation.budgetSelection]], `fracE6` of the corpus
+  * tokens) — the terminal downselection stage of a curation pipeline. */
+class BudgetSelector(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    fracE6: Long = 300000L) extends GraftTransformer("budget_selector") {
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val keep = graft.operators.Curation
+      .budgetSelection(df.toDF(), idCol, textCol, fracE6)
+      .filter(col("kept") === 1L).select(col("doc_id").as(idCol))
+    df.toDF().join(keep, Seq(idCol), "left_semi")
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+}
+
+/** The CCNet-style LM quality gate as a proper `Estimator`/`Model` pair:
+  * `fit` trains the add-one bigram model on the (caller-filtered)
+  * in-domain corpus; the fitted [[NgramLmModel]] adds `avg_cost_e6`
+  * (lower = more in-domain) for downstream thresholding — the MLlib
+  * idiom for the train-then-score shape of
+  * [[graft.operators.NgramLm]]. */
+class NgramLmEstimator(
+    idCol: String = "doc_id",
+    textCol: String = "text")
+    extends org.apache.spark.ml.Estimator[NgramLmModel] {
+  override val uid: String = Identifiable.randomUID("ngram_lm")
+  override def copy(extra: ParamMap): NgramLmEstimator = this
+
+  override def fit(df: Dataset[_]): NgramLmModel = {
+    val (bg, ctx, v) = graft.operators.NgramLm.train(df.toDF(), textCol)
+    new NgramLmModel(bg, ctx, v, idCol, textCol)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField("avg_cost_e6", LongType))
+}
+
+class NgramLmModel private[ml] (
+    bg: DataFrame, ctx: DataFrame, vocab: DataFrame,
+    idCol: String, textCol: String)
+    extends org.apache.spark.ml.Model[NgramLmModel] {
+  override val uid: String = Identifiable.randomUID("ngram_lm_model")
+  override def copy(extra: ParamMap): NgramLmModel = this
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val scores = graft.operators.NgramLm
+      .score(df.toDF(), idCol, textCol, bg, ctx, vocab)
+      .select(col("doc_id").as(idCol), col("avg_cost_e6"))
+    df.toDF().join(scores, Seq(idCol))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField("avg_cost_e6", LongType))
+}

@@ -78,6 +78,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(dec.columns.contains("a_dec") && dec.count() > 0)
   }
 
+  test("curation pipeline: dedup -> decontaminate -> LM-score -> budget as one Pipeline") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val isEval = pmod(graft.core.Determinism.seeded("ev", col("doc_id")), lit(20L)) === 0L
+    val train = docs.filter(!isEval)
+    val evalSet = docs.filter(isEval)
+    // fit the LM on the in-domain slice, then chain filters + the fitted
+    // model as one Pipeline (all stages are Transformers after fit)
+    val lm = new NgramLmEstimator().fit(train.filter(col("source") === "src0"))
+    val pipeline = new Pipeline().setStages(Array(
+      new SubstringDedupFilter(),
+      new DecontaminationFilter(evalSet),
+      lm,
+      new BudgetSelector(fracE6 = 500000L)))
+    val out = pipeline.fit(train).transform(train)
+    assert(out.columns.contains("avg_cost_e6"))
+    val n = out.count()
+    assert(n > 0 && n < train.count(), "curation pipeline must drop something")
+    // facade == operator kit composed directly
+    val direct = {
+      val d1 = new SubstringDedupFilter().transform(train)
+      val d2 = new DecontaminationFilter(evalSet).transform(d1)
+      graft.operators.Curation.budgetSelection(d2, "doc_id", "text", 500000L)
+        .filter(col("kept") === 1L)
+    }
+    assert(n == direct.count())
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == direct.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

@@ -150,4 +150,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming span-index refresh: arriving shards profile against the standing corpus") {
+    // the incremental substring-dedup operator driven by Structured
+    // Streaming: shard files arrive one micro-batch at a time; each
+    // batch profiles against the docs already landed (the maintained
+    // span index). Per the refresh-equivalence law, each micro-batch's
+    // profile must equal the full-corpus profile restricted to that
+    // batch's docs over (standing ∪ batch) — checked per batch.
+    import graft.operators.Curation
+    val dir = Files.createTempDirectory("graft_span_stream").toString
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"sp$i").mkString(" ")
+    def mkDocs(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 4 == 0) run + s" tail$i"
+        else (1 to 20).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    mkDocs(1 to 40).write.mode("overwrite").parquet(dir) // standing corpus
+    new java.io.File(s"$dir/incoming").mkdirs()
+    val schema = mkDocs(1 to 1).schema
+    val landed = new java.util.concurrent.atomic.AtomicReference(
+      spark.read.parquet(dir))
+    val failures = scala.collection.mutable.Buffer[String]()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/incoming")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val standing = landed.get()
+          val inc = Curation.incrementalSpanProfile(
+              batch, standing, "doc_id", "text", 15, 200000L)
+            .collect().map(_.toSeq).toSet
+          val ids = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+          val full = Curation.duplicateSpanProfile(
+              standing.unionByName(batch), "doc_id", "text", 15, 200000L)
+            .filter(org.apache.spark.sql.functions.col("doc_id")
+              .isin(ids.toSeq: _*))
+            .collect().map(_.toSeq).toSet
+          if (inc != full) failures += s"batch $ids diverged"
+          landed.set(standing.unionByName(batch).localCheckpoint())
+        }
+        ()
+      }.start()
+    try {
+      // two shards arrive: one duplicating the standing run, one clean
+      mkDocs(41 to 50).write.mode("append").parquet(s"$dir/incoming")
+      q.processAllAvailable()
+      mkDocs(51 to 60).write.mode("append").parquet(s"$dir/incoming")
+      q.processAllAvailable()
+      assert(failures.isEmpty, failures.mkString("; "))
+      // the index genuinely grew across batches
+      assert(landed.get().count() == 60L)
+    } finally q.stop()
+  }
 }

@@ -234,6 +234,55 @@ object MetricsQueries extends QueryModule {
           SELECT doc_id, quality_e6, n_tokens,
             CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS BIGINT) AS kept
           FROM r CROSS JOIN tot"""
+      }),
+
+    QueryDef("q112_corpus_stats_report",
+      // the mixture-design report: per-source doc/token mass plus EXACT
+      // token-count quantiles as order statistics (type-1: the value at
+      // rank ceil(p·n) in (n_tokens, doc_id) order) — approx_percentile
+      // sketches are not cross-engine portable, rank arithmetic is. One
+      // keyed window per source (rank + count share the sort), then a
+      // conditional aggregate pivots the three quantile rows; quality is
+      // the e6-exact mean (sum div n).
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextAnalysis.qualityE6(col("text")).as("qe6"))
+        val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+        val ranked = base
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+        def atQ(p: Int) = max(when(
+          col("rk") === expr(s"(n * $p + 99) div 100"), col("n_tok")))
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            min(col("n_tok")).as("tok_min"),
+            atQ(25).as("tok_p25"), atQ(50).as("tok_p50"), atQ(75).as("tok_p75"),
+            max(col("n_tok")).as("tok_max"),
+            expr("sum(qe6) div count(1)").as("quality_mean_e6"))
+      },
+      Some {
+        val toks = graft.functions.TextFunctions.duckTokens("text")
+        s"""WITH base AS (SELECT doc_id, source,
+            CAST(len($toks) AS BIGINT) AS n_tok,
+            ${TextAnalysis.duckQualityE6("text", toks)} AS qe6
+          FROM documents),
+        ranked AS (SELECT *,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS rk,
+            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM base)
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          CAST(min(n_tok) AS BIGINT) AS tok_min,
+          CAST(max(CASE WHEN rk = (n * 25 + 99) // 100 THEN n_tok END) AS BIGINT) AS tok_p25,
+          CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN n_tok END) AS BIGINT) AS tok_p50,
+          CAST(max(CASE WHEN rk = (n * 75 + 99) // 100 THEN n_tok END) AS BIGINT) AS tok_p75,
+          CAST(max(n_tok) AS BIGINT) AS tok_max,
+          CAST(sum(qe6) // count(*) AS BIGINT) AS quality_mean_e6
+        FROM ranked GROUP BY source"""
       })
   )
 }

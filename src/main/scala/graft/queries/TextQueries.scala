@@ -598,7 +598,59 @@ object TextQueries extends QueryModule {
           CASE WHEN coalesce(a.n_bigrams, 0) > 0
             THEN coalesce(a.cost_e6, 0) // a.n_bigrams ELSE 0 END
             AS avg_cost_e6
-        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
+
+    QueryDef("q113_hll_distinct",
+      // the portable-HLL sketch (operators.Sketches): per-source distinct
+      // tokens AND distinct trigrams, each estimated by a 64-register
+      // HyperLogLog whose registers are md5-derived — so the DuckDB
+      // oracle reproduces the ESTIMATE bit-for-bit, not just its error
+      // bound (built-in approx_count_distinct can never be
+      // oracle-checked). Tokens exercise the small-range linear-counting
+      // lane, trigrams the raw harmonic lane; exact distinct counts ride
+      // along so the artifact shows the sketch error directly.
+      (s, dir) => {
+        import graft.operators.Sketches
+        val toksed = Tables.load(s, dir, "documents")
+          .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
+        val tokP = toksed.select(col("source").as("group"), explode(col("t")).as("elem"))
+        val triP = toksed.filter(size(col("t")) >= 3)
+          .select(col("source").as("group"), posexplode(transform(
+            sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(3))))))
+          .select(col("group"), col("col").as("elem"))
+        val tokE = tokP.groupBy(col("group"))
+          .agg(countDistinct(col("elem")).as("tok_exact"))
+        val triE = triP.groupBy(col("group"))
+          .agg(countDistinct(col("elem")).as("tri_exact"))
+        tokE
+          .join(Sketches.hllDistinct(tokP, "group", "elem")
+            .withColumnRenamed("hll_est", "tok_hll"), "group")
+          .join(triE, "group")
+          .join(Sketches.hllDistinct(triP, "group", "elem")
+            .withColumnRenamed("hll_est", "tri_hll"), "group")
+          .withColumnRenamed("group", "source")
+      },
+      Some {
+        import graft.operators.Sketches
+        s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+          tokp AS (SELECT source AS grp, unnest(toks) AS elem FROM t),
+          trip AS (SELECT source AS grp,
+              list_aggregate(list_slice(toks, i, i + 2), 'string_agg', ' ') AS elem
+            FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+            WHERE len(toks) >= 3),
+          tokh AS ${Sketches.duckHllDistinct("tokp")},
+          trih AS ${Sketches.duckHllDistinct("trip")},
+          toke AS (SELECT grp, CAST(count(DISTINCT elem) AS BIGINT) AS tok_exact
+            FROM tokp GROUP BY grp),
+          trie AS (SELECT grp, CAST(count(DISTINCT elem) AS BIGINT) AS tri_exact
+            FROM trip GROUP BY grp)
+          SELECT toke.grp AS source, toke.tok_exact, tokh.hll_est AS tok_hll,
+            trie.tri_exact, trih.hll_est AS tri_hll
+          FROM toke JOIN tokh ON toke.grp = tokh.grp
+            JOIN trie ON toke.grp = trie.grp
+            JOIN trih ON toke.grp = trih.grp"""
+      })
   )
 
   /** Shared oracle scaffold for the BPE lanes: tokenize → distinct words

@@ -68,7 +68,11 @@ object PlanDump extends App {
     "q106_duplicate_spans" -> "exact substring dedup: ONE Generate per doc emits a 60-bit hash per token position (span text never leaves the scan), dup set = map-side-combined count over longs, occurrences come back via a hash-keyed semi join, and the union coverage is a (doc)-keyed running-max window — no suffix array, no n² pair space; shuffle mass ≈ one long per corpus token",
     "q107_lm_quality" -> "CCNet-style LM gate: the bigram model is two map-side-combined aggregates over the SMALL in-domain slice, then rides TWO BroadcastExchanges onto the candidate bigram stream (the KenLM-artifact analogue) — the 100 TB candidate scan's only wide op is its per-doc aggregate; per-bigram e6 floors make map-side partial sums exact",
     "q108_budget_selection" -> "token-budget selection: the global quality-ranked prefix rule WITHOUT a global window — a ≤101-row band histogram (broadcast) decides whole bands, and the single boundary band runs the only windowed pass; the narrow stats exchange decouples output parallelism from the scan's split count",
-    "q109_incremental_span_dedup" -> "incremental substring dedup: the NEW shard's span hashes aggregate and LEFT-join the standing span index (an index a deployment maintains as a table); per-refresh cost ∝ |new| × collisions — the old corpus contributes one index derivation here and nothing at steady state, and old-old duplication never enters the plan")
+    "q109_incremental_span_dedup" -> "incremental substring dedup: the NEW shard's span hashes aggregate and LEFT-join the standing span index (an index a deployment maintains as a table); per-refresh cost ∝ |new| × collisions — the old corpus contributes one index derivation here and nothing at steady state, and old-old duplication never enters the plan",
+    "q110_cluster_balanced_sample" -> "cluster-balanced selection: IVF argmin assignment against the BROADCAST codebook (min-of-struct aggregate, no window), then the largest-remainder allocation on a #cells-sized frame broadcast back over ONE per-cell rank window — the sample can't collapse onto a dense semantic region and nothing global ever sorts",
+    "q111_pretraining_pipeline" -> "the whole pipeline as one plan: quality/language gates scan-fused, content-hash dedup one keyed window, span/decontamination/LM lanes each their audited shape (q106/q97/q107), selection the q108 histogram cutoff — the funnel aggregate at the top is #sources-sized; this is the plan a user gets when they chain the ML-facade stages",
+    "q112_corpus_stats_report" -> "stats report: ONE keyed window per source (rank and count share the sort) feeding a conditional aggregate that pivots the three order-statistic quantiles — exact percentiles with no global ordering and no sketch",
+    "q113_hll_distinct" -> "portable HLL: bucket/ρ are scan-fused integer projections of the portable hash (bin() string length — no float log near registers), the register table ONE map-side-combined max keyed by (source, bucket) — 64 rows per source at ANY corpus size — and the estimate a #sources-sized projection; exact countDistinct lanes ride alongside for the error report")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

@@ -168,6 +168,35 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(agg == Map("gif" -> 100000L, "mp3" -> 100000L), s"unexpected kinds: $agg")
   }
 
+  test("substring dedup + budget selection + HLL complete at 100k docs (~4M spans)") {
+    // the span stream is one hash per token position: 100k docs x 40
+    // tokens ≈ 4M span rows (26 remaining positions each) — linear scan
+    // work with a single map-side-combined count and a keyed window.
+    // Every 100th doc is a verbatim duplicate-pair member, so the dup
+    // lane carries real mass at this size.
+    import spark.implicits._
+    val docs = spark.range(100000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) < 2,
+        lit((1 to 40).map(j => s"dup$j").mkString(" ")))
+        .otherwise(concat_ws(" ", (0 until 40).map(j =>
+          concat(lit("w"), (col("id") * (j + 11) + j).cast("string"))): _*))
+        .as("text"))
+    val prof = graft.operators.Curation
+      .duplicateSpanProfile(docs, "doc_id", "text", 15, 200000L)
+    assert(prof.count() == 100000L)
+    // exactly the planted 2-per-100 duplicates are fully covered
+    assert(prof.filter(col("dup_tokens") === 40L).count() == 2000L)
+    assert(prof.filter(col("keep") === 1L).count() == 98000L)
+    val sel = graft.operators.Curation.budgetSelection(docs, "doc_id", "text", 300000L)
+    assert(sel.count() == 100000L)
+    val hll = graft.operators.Sketches.hllDistinct(
+      docs.select(lit("all").as("group"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("elem")),
+      "group", "elem")
+    assert(hll.collect().head.getLong(1) > 1000000L) // ~3.9M distinct tokens
+  }
+
   test("auto-pair stages complete at 200k docs (keyed windows only)") {
     // 80-token docs -> 3 context windows each, so Stage B keeps every record
     val docs = corpus(200000, tokens = 80)

@@ -166,7 +166,9 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"steady-state: 1 untimed warmup execution per query, fresh plan re-timed; each suite outlier re-timed in its own fresh session (best-of-two)","cold_total_sec":${r3(coldTotal)},"queries":$qsShort,"gc_sec":${r3(gcTotal)},"failed":$failed,"retimed":${retimes.size},"sf":$sfNum}""")
+    // keep `method` short: ~113 qNN keys already fill most of the
+    // 2000-char stdout capture window
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"steady-state; suite outliers re-timed in own fresh session (best-of-two)","cold_total_sec":${r3(coldTotal)},"queries":$qsShort,"gc_sec":${r3(gcTotal)},"failed":$failed,"retimed":${retimes.size},"sf":$sfNum}""")
     spark.stop()
   }
 }

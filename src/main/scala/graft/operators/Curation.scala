@@ -150,14 +150,15 @@ object Curation {
       width: Int): DataFrame = df
     .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
     .filter(size(col("t")) >= width)
+    // span text = Dedup.shingles' k-gram convention (the >= width filter
+    // keeps its whole-text fallback branch unreachable); the hash is a
+    // 60-bit md5 prefix, not the 32-bit portableHash: a corpus-wide span
+    // stream is large enough (n²/2³³ ≈ several false pairs at 200k
+    // spans) that 32 bits would mark spurious duplicates; 15 hex digits
+    // keep the oracle portable (fits signed 64) at n²/2⁶¹
     .select(col("doc_id"), posexplode(transform(
-      sequence(lit(0), size(col("t")) - width),
-      // 60-bit md5 prefix, not the 32-bit portableHash: a corpus-wide
-      // span stream is large enough (n²/2³³ ≈ several false pairs at
-      // 200k spans) that 32 bits would mark spurious duplicates; 15 hex
-      // digits keep the oracle portable (fits signed 64) at n²/2⁶¹
-      i => conv(substring(md5(concat_ws(" ", slice(col("t"), i + 1, lit(width)))), 1, 15),
-        16, 10).cast("long"))))
+      Dedup.shingles(col("t"), width),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
     .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
 
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
@@ -166,6 +167,29 @@ object Curation {
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("h"))
     spans.join(dup, Seq("h"), "left_semi")
+  }
+
+  /** DuckDB twin of the [[duplicateSpanProfile]] span/coverage algebra as
+    * a CTE block (`spans`/`dups`/`ds`/`cov`/`prof`): `rel` must expose
+    * `(doc_id, <tokCol>)`. Shared by the q106 unit oracle, the q109
+    * incremental-law oracle, and the q111 composed-pipeline oracle so the
+    * coverage algebra can never drift between them. */
+  def duckSpanProfileCtes(rel: String, tokCol: String, width: Int): String = {
+    val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
+      s"list_slice($tokCol, i, i + ${width - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
+    s"""spans AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
+        FROM $rel, unnest(range(1, len($tokCol) - ${width - 2})) AS r(i)
+        WHERE len($tokCol) >= $width),
+      dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+      ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
+      cov AS (SELECT doc_id, greatest(0, pos + $width - greatest(coalesce(
+          max(pos + $width) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
+        FROM ds),
+      prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+          CAST(sum(c) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id)"""
   }
 
   /** Per-doc duplicated-span profile over [[duplicateSpans]]: span count,

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * Determinism: per-bigram costs are floored at e6 scale BEFORE summation
   * (`floor(1e6 · ln((ctx + V) / (c + 1)))` — a non-negative integer), so
   * document scores are exact longs and summation order cannot change them
-  * — the same doctrine as the BM25 per-term e6 floor.
+  * — the same doctrine as the BM25 per-term e6 floor. The floor of a
+  * transcendental is the one residual cross-engine hazard (a 1-ulp libm
+  * divergence in `ln` flips the integer when 1e6·ln(r) sits within ~1e-9
+  * of a boundary); it is shared with — and bounded exactly like — the
+  * BM25 idf/tf floors that have hash-matched since round 4, because both
+  * engines' `ln` are correctly-rounded to well under the e6 grid.
   *
   * Scale shape: the model is two aggregates over the in-domain corpus
   * (map-side-combined (w1,w2) and w1 counts — the model corpus is the
@@ -27,11 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  /** Adjacent token pairs of a token-array column as `(w1, w2)` structs.
-    * Tokens are projected by the caller (no CSE inside lambdas). */
+  /** Adjacent token pairs of a token-array column as `(w1, w2)` structs
+    * (empty for arrays shorter than 2 — `sequence` would otherwise count
+    * DOWN from 0 to -1 and index element 0). Tokens are projected by the
+    * caller (no CSE inside lambdas). */
   def bigrams(toks: Column): Column =
-    transform(sequence(lit(0), size(toks) - 2),
-      i => struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2")))
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
   /** Train the add-one bigram model: returns (bigram counts `(w1, w2, c)`,
     * context counts `(w1, ctx)`, vocab size). Counts are exact longs. */
@@ -46,6 +55,33 @@ object NgramLm {
       .agg(countDistinct(col("w")).as("v"))
     (bg, ctx, vocab)
   }
+
+  /** DuckDB twin of [[train]] + the per-doc cost aggregation of [[score]]
+    * as a CTE block (`bg`/`ctx`/`v`/`st`/`costs`/`lmagg`): `rel` must
+    * expose `(doc_id, source, <tokCol>)`; the model trains on the rows
+    * matching `inDomainPred`. Shared by the q107 unit oracle and the
+    * q111 composed-pipeline oracle so the smoothing formula can never
+    * drift between them. */
+  def duckLmCtes(rel: String, tokCol: String, inDomainPred: String): String =
+    s"""bg AS (SELECT $tokCol[i] AS w1, $tokCol[i+1] AS w2,
+          CAST(count(*) AS BIGINT) AS c
+        FROM $rel, unnest(range(1, len($tokCol))) AS r(i)
+        WHERE $inDomainPred AND len($tokCol) >= 2 GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bg GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest($tokCol) AS w FROM $rel WHERE $inDomainPred)),
+      st AS (SELECT doc_id, $tokCol[i] AS w1, $tokCol[i+1] AS w2
+        FROM $rel, unnest(range(1, len($tokCol))) AS r(i)
+        WHERE len($tokCol) >= 2),
+      costs AS (SELECT doc_id,
+          CAST(floor(1000000.0 * ln(
+            (coalesce(ctx.ctx, 0) + v.v) / (coalesce(bg.c, 0) + 1)))
+            AS BIGINT) AS cost_e6
+        FROM st LEFT JOIN ctx USING (w1) LEFT JOIN bg USING (w1, w2)
+          CROSS JOIN v),
+      lmagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(cost_e6) AS BIGINT) AS cost_e6
+        FROM costs GROUP BY doc_id)"""
 
   /** Score candidate docs under the trained model: per-doc
     * `(doc_id, n_bigrams, cost_e6, avg_cost_e6)` where `cost_e6` sums the

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   * dyadic rational 2^-ρ (ρ ≤ 27), so doubles carry the sum with zero
   * rounding — determinism needs no scaled-integer detour here.
   * Small-range correction (est ≤ 2.5m with empty registers) uses linear
-  * counting, the standard HLL hybrid.
+  * counting, and past 2³²/30 the standard 32-bit large-range correction
+  * `-2³²·ln(1 − E/2³²)` applies — the full Flajolet hybrid.
+  *
+  * Ceiling: the portable hash is 32 bits, so cardinalities approaching
+  * 2³² saturate the hash space itself (collisions, not register noise) —
+  * per-GROUP cardinalities beyond ~10⁹ need a 64-bit register layout
+  * (the md5 prefix has bits to spare; only the oracle's signed-BIGINT
+  * convenience pins 32 here).
   */
 object Sketches {
 
@@ -29,6 +36,8 @@ object Sketches {
   val HllRemBits: Int = 32 - HllBucketBits // 26
   /** α₆₄ (the HLL bias constant for m = 64). */
   val HllAlpha = 0.709
+  /** 2³² as a double (the 32-bit hash-space size). */
+  val TwoP32: Double = 4294967296.0
 
   /** HLL distinct-count estimate per group over a `(group, elem)` stream
     * (duplicates are free — the sketch is a max). Emits
@@ -51,6 +60,11 @@ object Sketches {
       .withColumn("hll_est",
         when(col("raw") <= lit((2.5 * HllBuckets).toLong) && col("zeros") > 0,
           floor(lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("zeros"))).cast("long"))
+          .when(col("raw") > lit(TwoP32.toLong / 30),
+            // clamp: a fully-saturated register file can push raw past
+            // 2^32; the correction's argument must stay positive
+            floor(lit(-TwoP32) * log(lit(1.0) -
+              least(col("raw"), lit(TwoP32.toLong - 1)).cast("double") / lit(TwoP32))).cast("long"))
           .otherwise(col("raw")))
       .select(col("group"), col("hll_est"))
   }
@@ -62,6 +76,8 @@ object Sketches {
     val rem = s"($h % ${1L << HllRemBits})"
     s"""(SELECT grp, CASE WHEN raw <= ${(2.5 * HllBuckets).toLong} AND zeros > 0
           THEN CAST(floor(${HllBuckets.toDouble} * ln(${HllBuckets.toDouble} / zeros)) AS BIGINT)
+          WHEN raw > ${TwoP32.toLong / 30}
+          THEN CAST(floor(-$TwoP32 * ln(1.0 - least(raw, ${TwoP32.toLong - 1}) / $TwoP32)) AS BIGINT)
           ELSE raw END AS hll_est
         FROM (
           SELECT grp, CAST(${HllBuckets} - count(*) AS BIGINT) AS zeros,

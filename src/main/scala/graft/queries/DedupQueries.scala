@@ -428,22 +428,8 @@ object DedupQueries extends QueryModule {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         width = SpanW, maxDupE6 = SpanMaxDupE6),
       Some {
-        val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
-          s"list_slice(t, i, i + ${SpanW - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
         s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-          spans AS (
-            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
-            FROM toks, unnest(range(1, len(t) - ${SpanW - 2})) AS r(i)
-            WHERE len(t) >= $SpanW),
-          dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
-          ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
-          cov AS (SELECT doc_id, greatest(0, pos + $SpanW - greatest(coalesce(
-              max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
-            FROM ds),
-          prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
-              CAST(sum(c) AS BIGINT) AS dup_tokens
-            FROM cov GROUP BY doc_id)
+          ${Curation.duckSpanProfileCtes("toks", "t", SpanW)}
           SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
             coalesce(p.dup_spans, 0) AS dup_spans,
             coalesce(p.dup_tokens, 0) AS dup_tokens,
@@ -469,23 +455,9 @@ object DedupQueries extends QueryModule {
           "doc_id", "text", width = SpanW, maxDupE6 = SpanMaxDupE6)
       },
       Some {
-        val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
-          s"list_slice(t, i, i + ${SpanW - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
         val isNew = s"${Determinism.duckSeeded("incs", "doc_id")} % 5 = 0"
         s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-          spans AS (
-            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
-            FROM toks, unnest(range(1, len(t) - ${SpanW - 2})) AS r(i)
-            WHERE len(t) >= $SpanW),
-          dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
-          ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
-          cov AS (SELECT doc_id, greatest(0, pos + $SpanW - greatest(coalesce(
-              max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
-            FROM ds),
-          prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
-              CAST(sum(c) AS BIGINT) AS dup_tokens
-            FROM cov GROUP BY doc_id)
+          ${Curation.duckSpanProfileCtes("toks", "t", SpanW)}
           SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
             coalesce(p.dup_spans, 0) AS dup_spans,
             coalesce(p.dup_tokens, 0) AS dup_tokens,
@@ -557,8 +529,6 @@ object DedupQueries extends QueryModule {
             sum(coalesce(col("g_sel") * col("n_tokens"), lit(0L))).as("tokens_selected"))
       },
       Some {
-        val spanHash = "CAST('0x' || substr(md5(list_aggregate(" +
-          s"list_slice(toks, i, i + ${SpanW - 1}), 'string_agg', ' ')), 1, 15) AS BIGINT)"
         val hs = Dedup.duckShingleHashes(Dedup.duckShingles("toks", 4))
         s"""WITH t AS MATERIALIZED (SELECT doc_id, source, lang, text,
             $duckToks AS toks,
@@ -573,20 +543,10 @@ object DedupQueries extends QueryModule {
             CASE WHEN ${TextAnalysis.duckLangId("toks")} = lang
               THEN 1 ELSE 0 END AS g_lang
             FROM tr),
-          spans AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $spanHash AS h
-            FROM tr, unnest(range(1, len(toks) - ${SpanW - 2})) AS r(i)
-            WHERE len(toks) >= $SpanW),
-          dups AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
-          ds AS (SELECT doc_id, pos FROM spans JOIN dups USING (h)),
-          cov AS (SELECT doc_id, greatest(0, pos + $SpanW - greatest(coalesce(
-              max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c
-            FROM ds),
-          spanprof AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
-            FROM cov GROUP BY doc_id),
+          ${Curation.duckSpanProfileCtes("tr", "toks", SpanW)},
           spang AS (SELECT tr.doc_id, CASE WHEN coalesce(p.dup_tokens, 0) * 1000000
               < $SpanMaxDupE6 * len(tr.toks) THEN 1 ELSE 0 END AS g_span
-            FROM tr LEFT JOIN spanprof p ON tr.doc_id = p.doc_id),
+            FROM tr LEFT JOIN prof p ON tr.doc_id = p.doc_id),
           sh AS (SELECT doc_id, ev, $hs AS hs FROM t WHERE len(toks) > 0),
           trsh AS (SELECT DISTINCT tid, h FROM
             (SELECT doc_id AS tid, unnest(hs) AS h FROM sh WHERE ev <> 0)),
@@ -596,23 +556,10 @@ object DedupQueries extends QueryModule {
           decong AS (SELECT tr.doc_id,
             CASE WHEN hits.tid IS NULL THEN 1 ELSE 0 END AS g_decon
             FROM tr LEFT JOIN hits ON tr.doc_id = hits.tid),
-          bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
-            FROM tr, unnest(range(1, len(toks))) AS r(i)
-            WHERE source = 'src0' AND len(toks) >= 2 GROUP BY 1, 2),
-          ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bg GROUP BY 1),
-          v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-            FROM (SELECT unnest(toks) AS w FROM tr WHERE source = 'src0')),
-          st AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-            FROM tr, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
-          costs AS (SELECT doc_id, CAST(floor(1000000.0 * ln(
-              (coalesce(ctx.ctx, 0) + v.v) / (coalesce(bg.c, 0) + 1))) AS BIGINT)
-              AS cost_e6
-            FROM st LEFT JOIN ctx USING (w1) LEFT JOIN bg USING (w1, w2)
-              CROSS JOIN v),
-          lmagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
-              CAST(sum(cost_e6) AS BIGINT) AS ce FROM costs GROUP BY doc_id),
+          ${graft.operators.NgramLm.duckLmCtes("tr", "toks", "source = 'src0'")},
           lmg AS (SELECT tr.doc_id, CASE WHEN
-              (CASE WHEN coalesce(l.nb, 0) > 0 THEN l.ce // l.nb ELSE 0 END)
+              (CASE WHEN coalesce(l.n_bigrams, 0) > 0
+                THEN l.cost_e6 // l.n_bigrams ELSE 0 END)
               <= $LmMaxE6 THEN 1 ELSE 0 END AS g_lm
             FROM tr LEFT JOIN lmagg l ON tr.doc_id = l.doc_id),
           staged AS MATERIALIZED (SELECT g.doc_id, g.source, g.toks,

@@ -575,30 +575,14 @@ object TextQueries extends QueryModule {
       },
       Some(s"""WITH toks AS (
           SELECT doc_id, source, $duckToks AS t FROM documents),
-        bg AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
-          FROM toks, unnest(range(1, len(t))) AS r(i)
-          WHERE source = 'src0' AND len(t) >= 2 GROUP BY 1, 2),
-        ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM bg GROUP BY 1),
-        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-          FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
-        st AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-          FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
-        costs AS (SELECT doc_id,
-            CAST(floor(1000000.0 * ln(
-              (coalesce(ctx.ctx, 0) + v.v) / (coalesce(bg.c, 0) + 1)))
-              AS BIGINT) AS cost_e6
-          FROM st LEFT JOIN ctx USING (w1) LEFT JOIN bg USING (w1, w2)
-            CROSS JOIN v),
-        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-            CAST(sum(cost_e6) AS BIGINT) AS cost_e6
-          FROM costs GROUP BY doc_id)
+        ${graft.operators.NgramLm.duckLmCtes("toks", "t", "source = 'src0'")}
         SELECT d.doc_id,
           coalesce(a.n_bigrams, 0) AS n_bigrams,
           coalesce(a.cost_e6, 0) AS cost_e6,
           CASE WHEN coalesce(a.n_bigrams, 0) > 0
             THEN coalesce(a.cost_e6, 0) // a.n_bigrams ELSE 0 END
             AS avg_cost_e6
-        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
+        FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id""")),
 
     QueryDef("q113_hll_distinct",
       // the portable-HLL sketch (operators.Sketches): per-source distinct
@@ -615,10 +599,8 @@ object TextQueries extends QueryModule {
           .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
         val tokP = toksed.select(col("source").as("group"), explode(col("t")).as("elem"))
         val triP = toksed.filter(size(col("t")) >= 3)
-          .select(col("source").as("group"), posexplode(transform(
-            sequence(lit(0), size(col("t")) - 3),
-            i => concat_ws(" ", slice(col("t"), i + 1, lit(3))))))
-          .select(col("group"), col("col").as("elem"))
+          .select(col("source").as("group"),
+            explode(Dedup.shingles(col("t"), 3)).as("elem"))
         val tokE = tokP.groupBy(col("group"))
           .agg(countDistinct(col("elem")).as("tok_exact"))
         val triE = triP.groupBy(col("group"))

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.Demo --mode pair"        # pair batches
   * sbt "runMain graft.Demo --mode text"        # text batches
   * sbt "runMain graft.Demo --mode capacity"    # estimate_capacity twin
+  * sbt "runMain graft.Demo --mode curate"      # q111 curation funnel report
   * sbt "runMain graft.Demo --reset ..."        # drop persisted state first
   * ```
   *
@@ -124,6 +125,24 @@ object Demo {
     }
   }
 
+  /** The q111 pipeline as a user-facing report: per-source funnel with a
+    * corpus-total footer — "what survives each curation stage and how
+    * many training tokens come out the other end". */
+  def curateReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
+    val rows = SparkEntry.queries("q111_pretraining_pipeline")(spark, cfg.sfDir)
+      .collect().sortBy(_.getAs[String]("source"))
+    val cols = Seq("n_docs", "n_quality", "n_lang", "n_dedup", "n_span",
+      "n_decon", "n_lm", "n_selected", "tokens_selected")
+    val header = f"${"source"}%-10s" + cols.map(c => f"${c.stripPrefix("n_")}%10s").mkString
+    val body = rows.map { r =>
+      f"${r.getAs[String]("source")}%-10s" +
+        cols.map(c => f"${withCommas(r.getAs[Long](c))}%10s").mkString
+    }
+    val totals = cols.map(c => rows.map(_.getAs[Long](c)).sum)
+    val footer = f"${"TOTAL"}%-10s" + totals.map(v => f"${withCommas(v)}%10s").mkString
+    (header +: body.toSeq) :+ footer
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
     val spark = SparkSession.builder()
@@ -138,6 +157,8 @@ object Demo {
     try {
       if (cfg.mode == "capacity") {
         capacityReport(spark, cfg).foreach(println)
+      } else if (cfg.mode == "curate") {
+        curateReport(spark, cfg).foreach(println)
       } else {
         val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
         if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))

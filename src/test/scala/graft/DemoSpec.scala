@@ -31,4 +31,15 @@ class DemoSpec extends AnyFunSuite {
     assert(Demo.withCommas(42L) == "42")
     assert(Demo.replayFactor(100, 40) == "2.50x" && Demo.replayFactor(0, 5) == "n/a")
   }
+
+  test("curate report: header + per-source rows + TOTAL footer, funnel visible") {
+    val lines = Demo.curateReport(spark, cfg)
+    assert(lines.head.contains("selected") && lines.head.contains("quality"))
+    assert(lines.last.startsWith("TOTAL"))
+    assert(lines.length > 10)
+    // the footer's funnel columns are monotone left to right
+    val totals = lines.last.split("\\s+").tail.take(8)
+      .map(_.replace(",", "").toLong)
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
+  }
 }

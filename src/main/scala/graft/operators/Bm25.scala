@@ -35,19 +35,29 @@ object Bm25 {
   /** Query token cap (reference: BM25_QUERY_TOKEN_LIMIT, constants.rs:145-154). */
   val QueryTokenLimit = 64
 
-  /** Per-(qid, doc) integer BM25 scores for literal queries. */
-  def scores(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-      queries: Seq[(Int, String)]): DataFrame = {
-    import spark.implicits._
-    // one tokenization pass feeds tf, and tf feeds df, dl, and the corpus
-    // stats — no re-scan of the text column
-    val terms = docs
+  /** The (doc, term) frequency table — the whole "inverted index" in
+    * relational form (see scaladoc): one tokenization pass, one map-side-
+    * combined aggregate. [[Bm25Index]] persists exactly this frame. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Per-(qid, doc) integer BM25 scores for literal queries. */
+  def scores(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)]): DataFrame =
+    scoreFrom(spark, termFrequencies(docs, idCol, textCol), queries)
+
+  /** Scoring core over a prebuilt `(doc_id, term, tf)` table — shared by
+    * the from-text path ([[scores]]) and the persisted-index path
+    * ([[Bm25Index.scores]]) so both produce bit-identical integers. */
+  def scoreFrom(spark: SparkSession, tf: DataFrame,
+      queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
     // no cache: both consumers (dl and the query-restricted tf) sit on the
     // same (doc_id, term) aggregate, so its shuffle is shared via
     // ReusedExchange — nothing persists past the query, no unpersist leak
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = queries.flatMap { case (qid, q) =>

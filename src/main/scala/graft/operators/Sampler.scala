@@ -201,8 +201,10 @@ object Sampler {
 
   def nextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
-      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
-    val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, batch, decoration)
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
+      bm25Index: Option[Bm25PoolIndex] = None): SamplerBatch = {
+    val (core, deduped, st2) =
+      composed(spark, chunks, pool, recipes, st, batch, decoration, bm25Index)
     val rows = Mixing.padToBatch(spark,
         deduped.select(col("draw").as("id")), batch, s"pad:${st.seed}:${st.counter("draw")}")
       .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
@@ -216,7 +218,8 @@ object Sampler {
     * pad from. */
   private def composed(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
-      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None)
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
+      bm25Index: Option[Bm25PoolIndex] = None)
       : (DataFrame, DataFrame, SamplerState) = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
@@ -436,8 +439,9 @@ object Sampler {
       * same pure chunk-pick the final a-slot evaluates, over a chunk scan
       * restricted to the bm25 anchors' records. */
     def bm25Lanes(): Seq[DataFrame] = {
-      require(pool.columns.contains("btoks"),
-        "BM25-backend recipes need a `btoks` token-array column in the pool")
+      require(bm25Index.nonEmpty || pool.columns.contains("btoks"),
+        "BM25-backend recipes need a `btoks` token-array column in the pool " +
+          "(or a prebuilt Bm25PoolIndex)")
       val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
       val bmARecs = chunkRecords(_.anchor, bmSlots)
       val bmAIds = bmARecs.select(col("record_id")).distinct()
@@ -451,13 +455,25 @@ object Sampler {
         .select(col("draw"), explode(array_distinct(
           graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
       val srcs = bmSlots.select(col("source")).distinct()
-      val cand = pool.join(broadcast(srcs), "source")
-      val tf = cand.select(col("source"), col("id").as("cand"),
-          size(col("btoks")).cast("long").as("dl"), explode(col("btoks")).as("term"))
-        .groupBy(col("source"), col("cand"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val stats = cand.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(size(col("btoks"))).as("sum_dl"))
+      // Postings + per-source stats: from the prebuilt [[Bm25PoolIndex]]
+      // when the caller carries one across batches (restriction is then a
+      // broadcast semi-join on the persisted table — the tokenize+agg cost
+      // is paid once, off the batch path), else derived per batch from the
+      // source-restricted pool (the pure-function default). Both shapes
+      // are per-source keyed, so values are bit-identical (pinned).
+      val (tf, stats) = bm25Index match {
+        case Some(ix) =>
+          (ix.postings.join(broadcast(srcs), "source"),
+            ix.srcStats.join(broadcast(srcs), "source"))
+        case None =>
+          val cand = pool.join(broadcast(srcs), "source")
+          (cand.select(col("source"), col("id").as("cand"),
+              size(col("btoks")).cast("long").as("dl"), explode(col("btoks")).as("term"))
+            .groupBy(col("source"), col("cand"), col("dl"), col("term"))
+            .agg(count(lit(1)).as("tf")),
+            cand.groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"), sum(size(col("btoks"))).as("sum_dl")))
+      }
       // df is a keyed window over tf (one row per (cand, term) ⇒ the
       // per-term count IS the document frequency); exact-integer e6 floor
       // per term, as everywhere (graft.operators.Bm25 scaladoc)

@@ -90,4 +90,151 @@ object Sketches {
             FROM $src GROUP BY 1, 2) regs
           GROUP BY grp) agg)"""
   }
+
+  // -------------------------------------------------------------------
+  // Bloom filter (Bloom 1970): portable membership sketch
+  // -------------------------------------------------------------------
+
+  /** Bloom layout: `BloomBits` total bits packed 32 per BIGINT word —
+    * 32, not 64, because the oracle's `<<` must never reach the sign bit
+    * (DuckDB raises on `1::BIGINT << 63`). 4096 bits / k=3 keeps the
+    * fixture FP rate visible but small (~2% at 500 inserted elements);
+    * a production decontamination filter sizes m from the eval-suite
+    * n-gram count (m ≈ 10·n for ~1% FP) — still KBs-to-MBs broadcast
+    * where the raw n-gram set would be GBs.
+    */
+  val BloomBits = 4096
+  val BloomHashes = 3
+  val BloomWordBits = 32
+
+  /** Build the filter over an `elemCol` stream (duplicates free): one
+    * narrow scan → `bit_or` aggregate keyed by word index. Emits
+    * `(word, bits)` with only the non-zero words present (≤ 128 rows).
+    * Map-side combine applies (bit_or is commutative/associative), so the
+    * shuffle is ≤ 128 rows per task at any corpus size. */
+  def bloomBuild(elems: DataFrame, elemCol: String): DataFrame = {
+    val posArr = array((0 until BloomHashes).map(i =>
+      pmod(Determinism.seeded(s"bl$i", col(elemCol)), lit(BloomBits.toLong))): _*)
+    elems.select(explode(posArr).as("pos"))
+      .select((col("pos") / BloomWordBits).cast("long").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, $BloomWordBits) AS INT))").as("m"))
+      .groupBy(col("word")).agg(expr("bit_or(m)").as("bits"))
+  }
+
+  /** Probe: for each `(idCol, elemCol)` row, `maybe = 1` iff all k bit
+    * positions are set (classic one-sided error: every inserted element
+    * reports 1; a non-member reports 1 with prob ≈ (set-bit fraction)^k).
+    * The filter side is broadcast (≤ 128 rows); the probe scan never
+    * shuffles until the final per-id aggregate. */
+  def bloomProbe(probe: DataFrame, filter: DataFrame, idCol: String,
+      elemCol: String): DataFrame = {
+    val slots = probe
+      .select(col(idCol).as("pid"), col(elemCol).as("elem"))
+      .withColumn("pos", explode(array((0 until BloomHashes).map(i =>
+        pmod(Determinism.seeded(s"bl$i", col("elem")), lit(BloomBits.toLong))): _*)))
+      .select(col("pid"), col("elem"),
+        (col("pos") / BloomWordBits).cast("long").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, $BloomWordBits) AS INT))").as("m"))
+    slots.join(broadcast(filter), Seq("word"), "left")
+      .withColumn("hit",
+        when(col("bits").isNotNull && expr("(bits & m) != 0"), 1L).otherwise(0L))
+      .groupBy(col("pid"), col("elem"))
+      .agg((sum(col("hit")) === BloomHashes).cast("long").as("maybe"))
+      .select(col("pid").as(idCol), col("elem").as(elemCol), col("maybe"))
+  }
+
+  /** DuckDB twin of [[bloomBuild]]: expects a relation `(elem)` named by
+    * `src`, yields `(word, bits)`. */
+  def duckBloomBuild(src: String): String = {
+    val lanes = (0 until BloomHashes).map { i =>
+      s"SELECT ${Determinism.duckSeeded(s"bl$i", "elem")} % $BloomBits AS pos FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""(SELECT pos // $BloomWordBits AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INT)) AS bits
+        FROM ($lanes) GROUP BY 1)"""
+  }
+
+  /** DuckDB twin of [[bloomProbe]]: `probeSrc` is a relation
+    * `(pid, elem)`, `filterRel` the [[duckBloomBuild]] relation; yields
+    * `(pid, elem, maybe)`. */
+  def duckBloomProbe(probeSrc: String, filterRel: String): String = {
+    val lanes = (0 until BloomHashes).map { i =>
+      s"""SELECT pid, elem,
+            ${Determinism.duckSeeded(s"bl$i", "elem")} % $BloomBits AS pos
+          FROM $probeSrc"""
+    }.mkString(" UNION ALL ")
+    s"""(SELECT pid, elem,
+          CAST(sum(CASE WHEN f.bits IS NOT NULL
+              AND (f.bits & (CAST(1 AS BIGINT) << CAST(s.pos % $BloomWordBits AS INT))) != 0
+            THEN 1 ELSE 0 END) = $BloomHashes AS BIGINT) AS maybe
+        FROM ($lanes) s
+        LEFT JOIN $filterRel f ON s.pos // $BloomWordBits = f.word
+        GROUP BY 1, 2)"""
+  }
+
+  // -------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005): portable frequency
+  // sketch
+  // -------------------------------------------------------------------
+
+  /** CMS layout: d=4 rows × w=512 counters. The table is (d·w) BIGINTs —
+    * 16 KB — regardless of corpus size, and rows merge across shards by
+    * plain addition (the aggregate IS the merge). Estimates are
+    * one-sided: `est ≥ true`, with overshoot ≤ εN (ε = e/w) at
+    * probability 1−δ (δ = e^−d). */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** Build the counter table over an `elemCol` stream (multiplicities
+    * COUNT — unlike the HLL/Bloom this is a frequency sketch). Emits
+    * `(row, pos, cnt)`, only non-zero cells present (≤ d·w rows). */
+  def cmsBuild(elems: DataFrame, elemCol: String): DataFrame =
+    elems
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i.toLong).as("row"),
+          pmod(Determinism.seeded(s"cm$i", col(elemCol)), lit(CmsWidth.toLong)).as("pos"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for the items in `queryCol`: min over the d cells the
+    * item maps to (an absent cell is 0). The sketch side is broadcast
+    * (≤ 16 KB). Emits `(queryCol, cms_est)`. */
+  def cmsEstimate(items: DataFrame, sketch: DataFrame, queryCol: String): DataFrame = {
+    val slots = items
+      .select(col(queryCol).as("q"))
+      .withColumn("cell", explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i.toLong).as("row"),
+          pmod(Determinism.seeded(s"cm$i", col("q")), lit(CmsWidth.toLong)).as("pos"))): _*)))
+      .select(col("q"), col("cell.row").as("row"), col("cell.pos").as("pos"))
+    slots.join(broadcast(sketch), Seq("row", "pos"), "left")
+      .groupBy(col("q"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .select(col("q").as(queryCol), col("cms_est"))
+  }
+
+  /** DuckDB twin of [[cmsBuild]]: expects a relation `(elem)` named by
+    * `src`, yields `(row, pos, cnt)`. */
+  def duckCmsBuild(src: String): String = {
+    val lanes = (0 until CmsDepth).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS row,
+            ${Determinism.duckSeeded(s"cm$i", "elem")} % $CmsWidth AS pos
+          FROM $src"""
+    }.mkString(" UNION ALL ")
+    s"(SELECT row, pos, CAST(count(*) AS BIGINT) AS cnt FROM ($lanes) GROUP BY 1, 2)"
+  }
+
+  /** DuckDB twin of [[cmsEstimate]]: `itemsSrc` is a relation `(q)`,
+    * `sketchRel` the [[duckCmsBuild]] relation; yields `(q, cms_est)`. */
+  def duckCmsEstimate(itemsSrc: String, sketchRel: String): String = {
+    val lanes = (0 until CmsDepth).map { i =>
+      s"""SELECT q, CAST($i AS BIGINT) AS row,
+            ${Determinism.duckSeeded(s"cm$i", "q")} % $CmsWidth AS pos
+          FROM $itemsSrc"""
+    }.mkString(" UNION ALL ")
+    s"""(SELECT s.q, CAST(min(coalesce(k.cnt, 0)) AS BIGINT) AS cms_est
+        FROM ($lanes) s
+        LEFT JOIN $sketchRel k ON s.row = k.row AND s.pos = k.pos
+        GROUP BY 1)"""
+  }
 }

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule}
-import graft.core.Tables
-import graft.operators.Bm25
+import graft.core.{Determinism, Tables}
+import graft.operators.{Bm25, Bm25Index}
 import org.apache.spark.sql.functions._
 
 /** BM25 ranking + hard-negative rotation demonstrations.
@@ -17,6 +17,7 @@ object Bm25Queries extends QueryModule {
   private val TopK = 10
   private val RotTopK = 3 // reference BM25_HARD_NEGATIVE_ROTATION_TOP_K
   private val RotDraws = 6
+  private val IdxTopK = 8 // q116: distinct from q50's TopK so the lanes differ
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -73,6 +74,35 @@ object Bm25Queries extends QueryModule {
         top3 AS (SELECT *, CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS pool FROM ranked WHERE rank <= $RotTopK),
         draws AS (SELECT unnest(generate_series(0, ${RotDraws - 1})) AS draw)
         SELECT CAST(qid AS BIGINT) AS qid, CAST(draw AS BIGINT) AS draw, doc_id, rank
-        FROM top3 CROSS JOIN draws WHERE rank = (draw % pool) + 1"""))
+        FROM top3 CROSS JOIN draws WHERE rank = (draw % pool) + 1""")),
+
+    QueryDef("q116_bm25_index_refresh",
+      // PERSISTED postings + incremental refresh (reference
+      // bm25_backend.rs:42-47 index map, 60-118 rebuild-on-refresh): the
+      // corpus lands in two waves — postings built over the standing ~75%,
+      // then refreshed with the seeded ~25% shard (cost ∝ shard, a plain
+      // union of immutable parquet) — and the refreshed index scores
+      // bit-identically to a from-scratch pass over the full corpus, which
+      // is exactly what the oracle computes. `from_refresh` tags the hits
+      // that only exist because the refresh landed.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isNew = pmod(Determinism.seeded("bmix", col("doc_id")), lit(4L)) === 0L
+        val idx = Bm25Index.refresh(
+          Bm25Index.build(docs.filter(!isNew), "doc_id", "text"),
+          docs.filter(isNew), "doc_id", "text")
+        Bm25.topK(Bm25Index.scores(s, idx, Queries), IdxTopK)
+          .select(col("qid").cast("long").as("qid"), col("doc_id"),
+            (pmod(Determinism.seeded("bmix", col("doc_id")), lit(4L)) === 0L)
+              .cast("long").as("from_refresh"),
+            col("score_e6"), col("rank"))
+      },
+      Some(s"""${Bm25.duckScoresCtes(Queries)},
+        ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank FROM agg)
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+          CAST(CASE WHEN ${Determinism.duckSeeded("bmix", "doc_id")} % 4 = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS from_refresh,
+          score_e6, rank
+        FROM ranked WHERE rank <= $IdxTopK"""))
   )
 }

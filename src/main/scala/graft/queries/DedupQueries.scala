@@ -383,6 +383,67 @@ object DedupQueries extends QueryModule {
           FROM t LEFT JOIN hits ON t.doc_id = hits.tid WHERE t.ev <> 0"""
       }),
 
+    QueryDef("q114_bloom_decontamination",
+      // decontamination behind a BLOOM FILTER: the q97 scan broadcasts the
+      // eval suite's distinct shingle hashes — fine for MB-scale suites,
+      // but a 10⁹-n-gram suite is GBs. The Bloom filter caps the broadcast
+      // at m bits (here 4096 = 128 BIGINT words) with one-sided error:
+      // every truly-shared n-gram is flagged (no contaminated doc ever
+      // slips through), a small FP fraction of clean docs is over-flagged
+      // (re-checked exactly against only the flagged docs in a second
+      // pass when FPs matter). The sketch is cross-engine portable — the
+      // oracle rebuilds the SAME bit words and the SAME probe verdicts,
+      // and `exact_contaminated` rides along so the artifact shows the
+      // one-sided error directly (bloom ⊇ exact, pinned in SketchesSpec).
+      (s, dir) => {
+        import graft.operators.Sketches
+        val docs = Tables.load(s, dir, "documents")
+        val isEval = pmod(Determinism.seeded("ev", col("doc_id")), lit(20L)) === 0L
+        def sh(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), explode(Dedup.shingles(col("toks"), 4)).as("elem"))
+          .distinct()
+        val evalSh = sh(docs.filter(isEval))
+        val trainSh = sh(docs.filter(!isEval))
+        val filt = Sketches.bloomBuild(evalSh, "elem")
+        val maybes = Sketches.bloomProbe(trainSh, filt, "doc_id", "elem")
+          .groupBy(col("doc_id")).agg(sum(col("maybe")).as("n_maybe"))
+        val exact = trainSh
+          .join(evalSh.select(col("elem")).distinct(), "elem")
+          .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
+        docs.filter(!isEval).select(col("doc_id"))
+          .join(maybes, Seq("doc_id"), "left")
+          .join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+            (coalesce(col("n_maybe"), lit(0L)) > 0).cast("long").as("bloom_contaminated"),
+            coalesce(col("ex"), lit(0L)).as("exact_contaminated"))
+      },
+      Some {
+        import graft.operators.Sketches
+        val sg = Dedup.duckShingles("toks", 4)
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks,
+            ${Determinism.duckSeeded("ev", "doc_id")} % 20 AS ev FROM documents),
+          sh AS MATERIALIZED (SELECT doc_id, ev, $sg AS sg FROM t WHERE len(toks) > 0),
+          evel AS MATERIALIZED (SELECT DISTINCT elem FROM
+            (SELECT unnest(sg) AS elem FROM sh WHERE ev = 0)),
+          filt AS MATERIALIZED ${Sketches.duckBloomBuild("evel")},
+          tp AS MATERIALIZED (SELECT DISTINCT doc_id AS pid, elem FROM
+            (SELECT doc_id, unnest(sg) AS elem FROM sh WHERE ev <> 0)),
+          pr AS ${Sketches.duckBloomProbe("tp", "filt")},
+          agg AS (SELECT pid, CAST(sum(maybe) AS BIGINT) AS n_maybe FROM pr GROUP BY 1),
+          ex AS (SELECT DISTINCT tp.pid FROM tp JOIN evel USING (elem))
+          SELECT t.doc_id,
+            coalesce(agg.n_maybe, 0) AS n_maybe,
+            CAST(CASE WHEN coalesce(agg.n_maybe, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+              AS bloom_contaminated,
+            CAST(CASE WHEN ex.pid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS exact_contaminated
+          FROM t LEFT JOIN agg ON t.doc_id = agg.pid
+          LEFT JOIN ex ON t.doc_id = ex.pid WHERE t.ev <> 0"""
+      }),
+
     QueryDef("q68_incremental_dedup",
       // INCREMENTAL dedup — the corpus-growth path: a freshly-landed
       // shard (the seeded ~20% here) is checked against the standing

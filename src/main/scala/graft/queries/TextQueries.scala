@@ -632,6 +632,39 @@ object TextQueries extends QueryModule {
           FROM toke JOIN tokh ON toke.grp = tokh.grp
             JOIN trie ON toke.grp = trie.grp
             JOIN trih ON toke.grp = trih.grp"""
+      }),
+
+    QueryDef("q115_cms_heavy_hitters",
+      // heavy-hitter token frequencies through a COUNT-MIN sketch
+      // (operators.Sketches): the counter table is d·w = 2048 BIGINTs (16
+      // KB) at ANY corpus size, rows merge across shards by plain addition
+      // (the aggregate IS the merge — pinned in SketchesSpec), and
+      // estimates are one-sided (`cms_est ≥ exact`, overshoot ≤ εN). The
+      // md5-derived cells make the ESTIMATES bit-identical cross-engine,
+      // so the oracle checks the sketch itself, not a tolerance band.
+      // Exact counts for the true top-15 ride along so the artifact shows
+      // the overshoot directly.
+      (s, dir) => {
+        import graft.operators.Sketches
+        val tok = Tables.load(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("elem"))
+        val sketch = Sketches.cmsBuild(tok, "elem")
+        val top = tok.groupBy(col("elem"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("elem")).limit(15)
+        top.join(Sketches.cmsEstimate(top.select(col("elem")), sketch, "elem"), "elem")
+          .select(col("elem").as("term"), col("exact_cnt"), col("cms_est"))
+      },
+      Some {
+        import graft.operators.Sketches
+        s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+          tok AS MATERIALIZED (SELECT unnest(toks) AS elem FROM t),
+          sk AS MATERIALIZED ${Sketches.duckCmsBuild("tok")},
+          ex AS MATERIALIZED (SELECT elem AS q, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM tok GROUP BY 1 ORDER BY exact_cnt DESC, q LIMIT 15),
+          est AS ${Sketches.duckCmsEstimate("ex", "sk")}
+          SELECT ex.q AS term, ex.exact_cnt, est.cms_est
+          FROM ex JOIN est ON ex.q = est.q"""
       })
   )
 

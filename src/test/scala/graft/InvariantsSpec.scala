@@ -171,7 +171,8 @@ class InvariantsSpec extends AnyFunSuite {
       recipes: Seq[graft.operators.TripletRecipe] = goldenRecipes,
       seed: String = "gseq", dated: Boolean = false,
       cols: Seq[String] = goldenCols,
-      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None) = {
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
+      useBm25Index: Boolean = false) = {
     val timed = recipes.exists(r =>
       Seq(r.anchor, r.positive, r.negativeSelector)
         .exists(Sampler.temporalDays(_).isDefined))
@@ -180,6 +181,13 @@ class InvariantsSpec extends AnyFunSuite {
     val (chunks0, pool0) = goldenCorpus(dated, timed, lexical)
     val chunks = chunks0.repartition(parts).cache()
     val pool = pool0.repartition(parts).cache()
+    // the cross-batch postings cache: built ONCE (checkpointed), reused by
+    // every nextBatch call — the Bm25PoolIndex contract
+    val poolIdx = if (!useBm25Index) None else {
+      val ix = graft.operators.Bm25PoolIndex.fromPool(pool)
+      Some(graft.operators.Bm25PoolIndex(
+        ix.postings.localCheckpoint(), ix.srcStats.localCheckpoint()))
+    }
     var st = SamplerState(seed, 0L, Map.empty)
     val batches = Seq.newBuilder[Array[org.apache.spark.sql.Row]]
     val core = Seq.newBuilder[Seq[Any]]
@@ -190,7 +198,8 @@ class InvariantsSpec extends AnyFunSuite {
         SamplerState.save(st, p)
         st = SamplerState.load(p).get
       }
-      val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, batch, decoration)
+      val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, batch,
+        decoration, poolIdx)
       batches += out.rows.select(cols.head, cols.tail: _*).collect()
       core ++= out.core.collect().map(_.toSeq)
       st = out.state
@@ -344,6 +353,21 @@ class InvariantsSpec extends AnyFunSuite {
       seed = "gm:bm25", cols = goldenCols :+ "reason")
     assert(seqDigest(bDef) != got10("bm25"),
       "bm25 pin indistinguishable from the default backend")
+  }
+
+  test("prebuilt Bm25PoolIndex: index-backed composed batches == per-batch derivation") {
+    // the cache the per-batch derivation recomputes (Bm25PoolIndex
+    // scaladoc): same recipes, same seed, postings built once and carried
+    // across 10 batches — the delivered sequence must be bit-identical to
+    // the pure per-batch path (which the golden bm25 pin already covers)
+    val bmCfg = goldenMatrix.collect { case ("bm25", r, _, _) => r }.head
+    val (noIdx, _, _) = runGolden(batch = 8, nBatches = 10, parts = 4,
+      recipes = bmCfg, seed = "gm:bm25", cols = goldenCols :+ "reason")
+    val (withIdx, _, _) = runGolden(batch = 8, nBatches = 10, parts = 4,
+      recipes = bmCfg, seed = "gm:bm25", cols = goldenCols :+ "reason",
+      useBm25Index = true)
+    assert(seqDigest(noIdx) == seqDigest(withIdx),
+      "index-backed bm25 lane diverged from the per-batch derivation")
   }
 
   /** Re-pin ONLY for an intentional semantic change. */

@@ -37,4 +37,101 @@ class SketchesSpec extends AnyFunSuite {
     val pairs = (1 to 3000).map(i => s"g${i % 3}" -> s"e$i")
     assert(est(pairs, parts = 1) == est(pairs, parts = 13))
   }
+
+  // ---- Bloom filter laws ----
+
+  private def bloomVerdicts(inserted: Seq[String], probed: Seq[String],
+      parts: Int = 4): Map[String, Long] = {
+    val filt = Sketches.bloomBuild(
+      inserted.toDF("elem").repartition(parts), "elem")
+    Sketches.bloomProbe(
+        probed.map(e => (e, e)).toDF("pid", "elem").repartition(parts),
+        filt, "pid", "elem")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+  }
+
+  test("bloom: one-sided error — every inserted element reports maybe, FP rate inside the envelope") {
+    val inserted = (1 to 500).map(i => s"in$i")
+    val disjoint = (1 to 2000).map(i => s"out$i")
+    val v = bloomVerdicts(inserted, inserted ++ disjoint)
+    assert(inserted.forall(v(_) == 1L), "a member reported not-present")
+    // expected FP ≈ (1 − e^(−kn/m))^k ≈ 2.6% at n=500, m=4096, k=3;
+    // allow a wide band (binomial noise) but require BOTH that FPs are
+    // rare AND that the filter isn't saturated-vacuous
+    val fp = disjoint.count(v(_) == 1L)
+    assert(fp < 200, s"FP rate too high: $fp/2000")
+    assert(disjoint.exists(v(_) == 0L), "filter saturated: everything reports maybe")
+  }
+
+  test("bloom: duplicates free, partition invariant, filter ≤ 128 words") {
+    val ins = (1 to 300).map(i => s"x$i")
+    val probe = (1 to 600).map(i => s"x$i")
+    assert(bloomVerdicts(ins, probe) == bloomVerdicts(ins ++ ins, probe))
+    assert(bloomVerdicts(ins, probe, parts = 1) == bloomVerdicts(ins, probe, parts = 13))
+    val words = Sketches.bloomBuild(ins.toDF("elem"), "elem").count()
+    assert(words <= Sketches.BloomBits / Sketches.BloomWordBits)
+  }
+
+  // ---- Count-Min laws ----
+
+  private def cmsOf(elems: Seq[String], parts: Int = 4) =
+    Sketches.cmsBuild(elems.toDF("elem").repartition(parts), "elem")
+
+  private def estimates(sketch: org.apache.spark.sql.DataFrame,
+      items: Seq[String]): Map[String, Long] =
+    Sketches.cmsEstimate(items.distinct.toDF("q"), sketch, "q")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("cms: one-sided — est ≥ true for every item, exact on dominant keys") {
+    // zipf-ish stream: item i appears ~1500/i times
+    val stream = (1 to 80).flatMap(i => Seq.fill(1500 / i)(s"t$i"))
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val e = estimates(cmsOf(stream), truth.keys.toSeq)
+    truth.foreach { case (k, n) =>
+      assert(e(k) >= n, s"$k: est ${e(k)} < true $n") }
+    // overshoot bound: ≤ εN with ε = e/w at prob 1−e^−d; the heavy head
+    // should estimate exactly or near-exactly
+    val n = stream.size
+    val bound = math.ceil(math.E / Sketches.CmsWidth * n).toLong * 3
+    truth.foreach { case (k, t) =>
+      assert(e(k) - t <= bound, s"$k overshoot ${e(k) - t} > $bound") }
+  }
+
+  test("cms: the aggregate IS the merge — sharded build sums to the whole") {
+    import org.apache.spark.sql.functions._
+    val a = (1 to 1000).map(i => s"e${i % 60}")
+    val b = (1 to 800).map(i => s"e${i % 45}")
+    val merged = cmsOf(a).unionByName(cmsOf(b))
+      .groupBy(col("row"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+    val whole = cmsOf(a ++ b)
+    assert(merged.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
+    assert(estimates(merged, a ++ b) == estimates(whole, a ++ b))
+  }
+
+  // ---- persisted BM25 index laws ----
+
+  test("bm25 index: refresh ≡ from-scratch, save/load round-trips, scores match the text path") {
+    import graft.operators.{Bm25, Bm25Index}
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, (1 to 12).map(j => s"w${(i * j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(4)) === 0
+    val refreshed = Bm25Index.refresh(
+      Bm25Index.build(docs.filter(!isNew), "doc_id", "text"),
+      docs.filter(isNew), "doc_id", "text")
+    val scratch = Bm25Index.build(docs, "doc_id", "text")
+    assert(refreshed.postings.collect().map(_.toSeq).toSet ==
+      scratch.postings.collect().map(_.toSeq).toSet, "refresh != from-scratch build")
+    val qs = Seq(1 -> "w3 w5 w11", 2 -> "w0 w16")
+    val fromIdx = Bm25Index.scores(spark, refreshed, qs)
+      .collect().map(_.toSeq).toSet
+    assert(fromIdx == Bm25.scores(spark, docs, "doc_id", "text", qs)
+      .collect().map(_.toSeq).toSet, "index path != text path")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25Index.save(refreshed, s"$dir/postings")
+    val loaded = Bm25Index.load(spark, s"$dir/postings")
+    assert(Bm25Index.scores(spark, loaded, qs).collect().map(_.toSeq).toSet == fromIdx,
+      "persisted index scores drifted")
+  }
 }

@@ -72,7 +72,10 @@ object PlanDump extends App {
     "q110_cluster_balanced_sample" -> "cluster-balanced selection: IVF argmin assignment against the BROADCAST codebook (min-of-struct aggregate, no window), then the largest-remainder allocation on a #cells-sized frame broadcast back over ONE per-cell rank window — the sample can't collapse onto a dense semantic region and nothing global ever sorts",
     "q111_pretraining_pipeline" -> "the whole pipeline as one plan: quality/language gates scan-fused, content-hash dedup one keyed window, span/decontamination/LM lanes each their audited shape (q106/q97/q107), selection the q108 histogram cutoff — the funnel aggregate at the top is #sources-sized; this is the plan a user gets when they chain the ML-facade stages",
     "q112_corpus_stats_report" -> "stats report: ONE keyed window per source (rank and count share the sort) feeding a conditional aggregate that pivots the three order-statistic quantiles — exact percentiles with no global ordering and no sketch",
-    "q113_hll_distinct" -> "portable HLL: bucket/ρ are scan-fused integer projections of the portable hash (bin() string length — no float log near registers), the register table ONE map-side-combined max keyed by (source, bucket) — 64 rows per source at ANY corpus size — and the estimate a #sources-sized projection; exact countDistinct lanes ride alongside for the error report")
+    "q113_hll_distinct" -> "portable HLL: bucket/ρ are scan-fused integer projections of the portable hash (bin() string length — no float log near registers), the register table ONE map-side-combined max keyed by (source, bucket) — 64 rows per source at ANY corpus size — and the estimate a #sources-sized projection; exact countDistinct lanes ride alongside for the error report",
+    "q114_bloom_decontamination" -> "Bloom-filtered decontamination: the filter build is one explode + ONE bit_or aggregate keyed by word index (≤128 rows at ANY eval-suite size — that bounded table is the BroadcastExchange, where q97 broadcasts the whole distinct shingle set); the probe is the train scan joined to the broadcast words, all-k-bits verdicts one keyed aggregate — one-sided error by construction, exact verdicts ride along",
+    "q115_cms_heavy_hitters" -> "Count-Min estimates: the counter build is one explode (d cells per element) into a map-side-combined count keyed by (row, pos) — ≤2048 rows regardless of corpus size; estimation joins the 15 probed terms' cells against the BROADCAST sketch and takes one keyed min; rows merge across shards by plain addition, so a sharded deployment unions counter tables instead of re-scanning",
+    "q116_bm25_index_refresh" -> "persisted BM25 postings + refresh: the index IS the (doc, term, tf) relation — refresh is a UNION of the new shard's one-pass aggregate (cost ∝ shard, standing postings immutable); scoring restricts postings to the broadcast query vocabulary FIRST (tf semi-join) so df/dl/stats all derive from the restricted frame, and the plan is identical to the from-text path above the tf leaf — which is why a refreshed index hash-matches the full-corpus oracle")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"
   out ++= "Generated by PlanDump (AQE off for readability). What to look for\nin each plan is noted inline; regenerate with `sbt \"runMain PlanDump\"`.\n"

@@ -206,4 +206,32 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(n > 300000L, s"unexpectedly few auto pairs: $n") // ~200k records x 2 draws
     assert(pairs.filter(col("a_widx") === col("p_widx")).count() == 0)
   }
+
+  test("sketch lanes complete at 8M elements (bounded outputs, pure aggregates)") {
+    // 200k docs x 40 tokens = 8M elements through each sketch: outputs
+    // stay bounded (<= 128 bloom words, <= 2048 cms cells, one HLL row
+    // per group) regardless of input size — the whole point of the
+    // sketch lanes at 100 TB.
+    import graft.operators.Sketches
+    val elems = corpus(200000)
+      .select(col("source").as("group"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("elem"))
+    assert(Sketches.bloomBuild(elems, "elem").count()
+      <= Sketches.BloomBits / Sketches.BloomWordBits)
+    assert(Sketches.cmsBuild(elems, "elem").count()
+      <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    val hll = Sketches.hllDistinct(elems, "group", "elem")
+    assert(hll.count() == 200L) // one estimate per source group
+    // vocabulary is 997 tokens spread over 200 sources; estimates must
+    // be in a sane band, not degenerate
+    assert(hll.filter(col("hll_est") < 1L).count() == 0)
+  }
+
+  test("persisted bm25 postings complete at 200k docs, query restriction stays bounded") {
+    import graft.operators.{Bm25, Bm25Index}
+    val idx = Bm25Index.build(corpus(200000), "doc_id", "text")
+    val scored = Bm25.topK(
+      Bm25Index.scores(spark, idx, Seq(1 -> "w3 w500 w996", 2 -> "w13 w77")), 5)
+    assert(scored.count() == 10L)
+  }
 }

@@ -202,4 +202,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(landed.get().count() == 60L)
     } finally q.stop()
   }
+
+  test("streaming sketch maintenance: per-shard CMS/Bloom merges equal the whole-corpus sketch") {
+    // corpus-stats sketches maintained under Structured Streaming: each
+    // arriving shard contributes a partial sketch; the standing state is
+    // the MERGE (CMS cells add, Bloom words OR) — so the maintained
+    // sketch equals the batch build over everything landed, which is the
+    // property that lets a 100 TB deployment keep stats hot without
+    // re-scanning the corpus per refresh.
+    import graft.operators.Sketches
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sketch_stream").toString
+    val docs = (0 until 240).map(i =>
+      (i.toLong, (0 until 12).map(j => s"tk${(i * 13 + j * 5) % 301}").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.repartition(6).write.mode("overwrite").parquet(dir)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("elem"))
+    val cmsParts = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val bloomParts = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cmsParts ++= Sketches.cmsBuild(toks(b), "elem").collect().map(_.toSeq)
+        bloomParts ++= Sketches.bloomBuild(toks(b), "elem").collect().map(_.toSeq)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val mergedCms = cmsParts.map(s => (s(0), s(1)) -> s(2).asInstanceOf[Long])
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val batchCms = Sketches.cmsBuild(toks(docs), "elem").collect()
+        .map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+      assert(mergedCms == batchCms, "shard-merged CMS != whole-corpus CMS")
+      val mergedBloom = bloomParts.map(s => s(0) -> s(1).asInstanceOf[Long])
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).reduce(_ | _) }
+      val batchBloom = Sketches.bloomBuild(toks(docs), "elem").collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      assert(mergedBloom == batchBloom, "shard-OR'd Bloom != whole-corpus Bloom")
+    } finally q.stop()
+  }
 }

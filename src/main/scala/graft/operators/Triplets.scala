@@ -71,7 +71,7 @@ object Triplets {
       } yield (r.id, r.source, a.text, c.text)
     }.toDF("doc_id", "source", "atext", "ctext")
     val prepared = prepareSections(corpus, cfg)
-    projectRows(finish(joinWrongArticle(prepared), cfg), lit(cfg.recipeName))
+    projectRows(finish(joinWrongArticle(prepared, cfg.seed), cfg), lit(cfg.recipeName))
   }
 
   /** Prep from explicit anchor/context texts: split label, normalized
@@ -112,10 +112,10 @@ object Triplets {
 
   /** Seeded rank + pool size within (source, split) — the shared pool
     * shape every negative lane picks from. */
-  private def rankBySourceSplit(prepared: DataFrame): DataFrame =
+  private def rankBySourceSplit(prepared: DataFrame, seed: String): DataFrame =
     prepared
       .withColumn("rnk", row_number().over(Window.partitionBy(col("source"), col("split"))
-        .orderBy(Determinism.seeded("ord", col("doc_id")), col("doc_id"))).cast("long") - 1)
+        .orderBy(Determinism.seeded(s"ord:$seed", col("doc_id")), col("doc_id"))).cast("long") - 1)
       .withColumn("gs", count(lit(1)).over(
         Window.partitionBy(col("source"), col("split"))).cast("long"))
 
@@ -129,12 +129,12 @@ object Triplets {
     * `hash(neg:id) mod (gs-1)` with a +1 skip over its own rank; one
     * equi-join on (source, split, rank) fetches the negative. `anchors`
     * must be a subset of `ranked` (carries rnk/gs). */
-  private def sameSourceJoin(ranked: DataFrame, anchors: DataFrame): DataFrame = {
+  private def sameSourceJoin(ranked: DataFrame, anchors: DataFrame, seed: String): DataFrame = {
     val anch = anchors
       // greatest(..., 1) never changes a surviving row (anchors carry
       // gs >= 2) — it guards ANSI mode against Catalyst evaluating the
       // projection speculatively on rows a pushed-down filter will drop
-      .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")),
+      .withColumn("pick0", pmod(Determinism.seeded(s"neg:$seed", col("doc_id")),
         greatest(col("gs") - 1, lit(1L))))
       .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
@@ -151,17 +151,17 @@ object Triplets {
     * source cardinality (broadcast-sized) and inside single-source pools —
     * no record-grained window keyed only by `split`, which would collapse
     * the corpus into #splits partitions at scale. */
-  private def crossSourceJoin(ranked: DataFrame, anchors: DataFrame): DataFrame = {
+  private def crossSourceJoin(ranked: DataFrame, anchors: DataFrame, seed: String): DataFrame = {
     val srcs = ranked.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).cast("long").as("ccnt"))
       .withColumn("srnk", row_number().over(Window.partitionBy(col("split"))
-        .orderBy(Determinism.seeded("fsord", col("source")), col("source"))).cast("long") - 1)
+        .orderBy(Determinism.seeded(s"fsord:$seed", col("source")), col("source"))).cast("long") - 1)
       .withColumn("scnt", count(lit(1)).over(Window.partitionBy(col("split"))).cast("long"))
     val anch = anchors
       .join(broadcast(srcs.select(col("split"), col("source"), col("srnk"), col("scnt"))),
         Seq("split", "source"))
       .filter(col("scnt") >= 2)
-      .withColumn("spick0", pmod(Determinism.seeded("fsrc", col("doc_id")),
+      .withColumn("spick0", pmod(Determinism.seeded(s"fsrc:$seed", col("doc_id")),
         greatest(col("scnt") - 1, lit(1L))))
       .withColumn("spick", when(col("spick0") >= col("srnk"), col("spick0") + 1).otherwise(col("spick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
@@ -170,16 +170,16 @@ object Triplets {
     val tgt = srcs.select(col("split").as("tsplit"), col("source").as("tsource"),
       col("srnk").as("tsrnk"), col("ccnt").as("tccnt"))
     anch.join(broadcast(tgt), col("split") === col("tsplit") && col("tsrnk") === col("spick"))
-      .withColumn("rpick", pmod(Determinism.seeded("frec", col("aid")), col("tccnt")))
+      .withColumn("rpick", pmod(Determinism.seeded(s"frec:$seed", col("aid")), col("tccnt")))
       .join(negSide(ranked),
         col("split") === col("nsplit") && col("tsource") === col("nsource") &&
           col("nrnk") === col("rpick"))
   }
 
   /** WrongArticle rank-pick join over a prepared pool. */
-  private def joinWrongArticle(prepared: DataFrame): DataFrame = {
-    val ranked = rankBySourceSplit(prepared).cache()
-    sameSourceJoin(ranked, ranked.filter(col("gs") >= 2))
+  private def joinWrongArticle(prepared: DataFrame, seed: String): DataFrame = {
+    val ranked = rankBySourceSplit(prepared, seed).cache()
+    sameSourceJoin(ranked, ranked.filter(col("gs") >= 2), seed)
   }
 
   /** Standard triplet-row projection with swap applied; `extra` columns
@@ -198,21 +198,21 @@ object Triplets {
     * The ranked pool inside [[joinWrongArticle]] is materialized once —
     * the distributed analogue of the reference's synced record pool. */
   def triplets(docs: DataFrame, cfg: TripletConfig): DataFrame =
-    finish(joinWrongArticle(prepare(docs, cfg)), cfg)
+    finish(joinWrongArticle(prepare(docs, cfg), cfg.seed), cfg)
 
   /** Chunk picks, swap, weights, and rejection — shared by every negative
     * strategy; expects the anchor↔negative joined shape. */
   private def finish(joined: DataFrame, cfg: TripletConfig): DataFrame = {
     val st = cfg.stride
     joined
-      .withColumn("pidx", pmod(Determinism.seeded("pos", col("aid")), col("ak")))
-      .withColumn("nidx", pmod(Determinism.seeded("negc",
+      .withColumn("pidx", pmod(Determinism.seeded(s"pos:${cfg.seed}", col("aid")), col("ak")))
+      .withColumn("nidx", pmod(Determinism.seeded(s"negc:${cfg.seed}",
         concat(col("aid").cast("string"), lit(":"), col("nid").cast("string"))), col("nk")))
       .withColumn("ptext", array_join(
         expr(s"slice(actoks, pidx * $st + 1, least(aspan, acn - pidx * $st))"), " "))
       .withColumn("ntext", array_join(
         expr(s"slice(nctoks, nidx * $st + 1, least(nspan, ncn - nidx * $st))"), " "))
-      .withColumn("swapped", pmod(Determinism.seeded("swap", col("aid")), lit(2)) === 0)
+      .withColumn("swapped", pmod(Determinism.seeded(s"swap:${cfg.seed}", col("aid")), lit(2)) === 0)
       .withColumn("pw_e6", greatest(lit(100000L), floor(lit(1000000) / (col("pidx") + 1)).cast("long")))
       .withColumn("nw_e6", greatest(lit(100000L), floor(lit(1000000) / (col("nidx") + 1)).cast("long")))
       .withColumn("weight_e6",
@@ -246,15 +246,15 @@ object Triplets {
     * anchor cut is one per-source keyed window over the pool. */
   def tripletRowsWeighted(docs: DataFrame, cfg: TripletConfig, weights: DataFrame,
       batch: Long, split: String, recipeName: String): DataFrame = {
-    val ranked = rankBySourceSplit(prepare(docs, cfg))
+    val ranked = rankBySourceSplit(prepare(docs, cfg), cfg.seed)
       .filter(col("split") === split).cache()
     val alloc = Mixing.weightedAllocation(weights, batch)
     val anchors = ranked.filter(col("gs") >= 2)
       .withColumn("arank", row_number().over(Window.partitionBy(col("source"))
-        .orderBy(Determinism.seeded("wmix", col("doc_id")), col("doc_id"))).cast("long") - 1)
+        .orderBy(Determinism.seeded(s"wmix:${cfg.seed}", col("doc_id")), col("doc_id"))).cast("long") - 1)
       .join(broadcast(alloc.select(col("group").as("source"), col("alloc"))), Seq("source"))
       .filter(col("arank") < col("alloc"))
-    projectRows(finish(sameSourceJoin(ranked, anchors), cfg), lit(recipeName))
+    projectRows(finish(sameSourceJoin(ranked, anchors, cfg.seed), cfg), lit(recipeName))
   }
 
   /** DuckDB mirror of [[tripletRowsWeighted]]; `weightSql` must compute
@@ -262,7 +262,7 @@ object Triplets {
     * Spark caller feeds in as the weights table). */
   def duckWeightedSql(cfg: TripletConfig, weightSql: String, batch: Long,
       split: String, recipeName: String): String = {
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s"""${duckPoolCtes(cfg)}, grp AS (
         -- weights derive from the corpus' source set (the caller-side
         -- weights table), NOT the per-split pool: a source with no pool
@@ -307,9 +307,9 @@ object Triplets {
     * projection changes. */
   def tripletRowsNegAnchor(docs: DataFrame, cfg: TripletConfig, recipeName: String): DataFrame = {
     val st = cfg.stride
-    val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
+    val ranked = rankBySourceSplit(prepare(docs, cfg), cfg.seed).cache()
     val anch = ranked.filter(col("gs") >= 2)
-      .withColumn("pick0", pmod(Determinism.seeded("neg", col("doc_id")),
+      .withColumn("pick0", pmod(Determinism.seeded(s"neg:${cfg.seed}", col("doc_id")),
         greatest(col("gs") - 1, lit(1L))))
       .withColumn("pick", when(col("pick0") >= col("rnk"), col("pick0") + 1).otherwise(col("pick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
@@ -320,12 +320,12 @@ object Triplets {
     val joined = anch.join(negA,
         col("source") === col("nsource") && col("split") === col("nsplit") &&
           col("nrnk") === col("pick"))
-      .withColumn("pidx", pmod(Determinism.seeded("pos", col("aid")), col("ak")))
+      .withColumn("pidx", pmod(Determinism.seeded(s"pos:${cfg.seed}", col("aid")), col("ak")))
       .withColumn("nidx", lit(0L))
       .withColumn("ptext", array_join(
         expr(s"slice(actoks, pidx * $st + 1, least(aspan, acn - pidx * $st))"), " "))
       .withColumn("ntext", col("natext"))
-      .withColumn("swapped", pmod(Determinism.seeded("swap", col("aid")), lit(2)) === 0)
+      .withColumn("swapped", pmod(Determinism.seeded(s"swap:${cfg.seed}", col("aid")), lit(2)) === 0)
       .withColumn("pw_e6", greatest(lit(100000L), floor(lit(1000000) / (col("pidx") + 1)).cast("long")))
       .withColumn("weight_e6",
         floor((lit(1000000L) + col("pw_e6") + lit(1000000L)) / lit(3.0)).cast("long"))
@@ -337,7 +337,7 @@ object Triplets {
   /** DuckDB mirror of [[tripletRowsNegAnchor]]. */
   def duckNegAnchorSql(cfg: TripletConfig, recipeName: String): String = {
     val st = cfg.stride
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     val dh = Determinism.duckHash _
     s"""${duckPoolCtes(cfg)}, joinedA AS (
         SELECT a.doc_id AS aid, a.split AS split, a.atext AS atext,
@@ -462,7 +462,7 @@ object Triplets {
     val drawn = prepare(docs, cfg)
       .withColumn("draw0", explode(sequence(lit(fromDraw), lit(untilDraw - 1))))
       .withColumn("draw", col("draw0").cast("long")).drop("draw0")
-      .withColumn("widx", pmod(Determinism.seeded("txt",
+      .withColumn("widx", pmod(Determinism.seeded(s"txt:${cfg.seed}",
         concat(col("doc_id").cast("string"), lit(":"), col("draw").cast("string"))), col("k")))
     val dedup = drawn.groupBy(col("doc_id"), col("split"), col("widx"),
         col("ctoks"), col("cn"), col("span"))
@@ -496,7 +496,7 @@ object Triplets {
       anchorFilter: Column = lit(true)): DataFrame = {
     // anchors are a batch subset (the reference emits batch_size triplets
     // per call, never the full corpus); candidates/tf/df stay full-pool
-    val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
+    val ranked = rankBySourceSplit(prepare(docs, cfg), cfg.seed).cache()
     // carry dl (= cn, constant per doc) through the term aggregation so no
     // later join has to fetch it back from the pool
     val tf = ranked.select(col("source"), col("split"), col("doc_id"),
@@ -538,7 +538,7 @@ object Triplets {
       .filter(col("brnk") <= 3)
       .withColumn("c3", count(lit(1)).over(Window.partitionBy(col("aid"))).cast("long"))
     val picked = top3
-      .filter(col("brnk") - 1 === pmod(Determinism.seeded("bmpick", col("aid")), col("c3")))
+      .filter(col("brnk") - 1 === pmod(Determinism.seeded(s"bmpick:${cfg.seed}", col("aid")), col("c3")))
       .select(col("aid").as("baid"), col("cand").as("bnid"))
       // one scoring subtree for the whole query: `picked` feeds the bm25
       // lane's join AND the fallback lane's anti-join, and Spark does no
@@ -558,7 +558,7 @@ object Triplets {
       .withColumn("lane", lit("bm25"))
     val fb = finish(sameSourceJoin(ranked,
         ranked.filter(col("gs") >= 2 && anchorFilter)
-          .join(picked, col("doc_id") === col("baid"), "left_anti")), cfg)
+          .join(picked, col("doc_id") === col("baid"), "left_anti"), cfg.seed), cfg)
       .withColumn("lane", lit("random_fallback"))
     Seq(bm, fb)
       .map(d => projectRows(d.withColumn("recipe", lit(recipeName)), col("recipe"), Seq("lane")))
@@ -579,15 +579,15 @@ object Triplets {
     val wDate = Window.partitionBy(col("source"), col("split"), col("pub_date"))
     val dates = base.select(col("source"), col("split"), col("pub_date")).distinct()
       .withColumn("drnk", row_number().over(Window.partitionBy(col("source"), col("split"))
-        .orderBy(Determinism.seeded("dord", col("pub_date")), col("pub_date"))).cast("long") - 1)
+        .orderBy(Determinism.seeded(s"dord:${cfg.seed}", col("pub_date")), col("pub_date"))).cast("long") - 1)
       .withColumn("dcnt", count(lit(1)).over(Window.partitionBy(col("source"), col("split"))).cast("long"))
     val cranked = base
       .withColumn("crnk", row_number().over(wDate
-        .orderBy(Determinism.seeded("cord", col("doc_id")), col("doc_id"))).cast("long") - 1)
+        .orderBy(Determinism.seeded(s"cord:${cfg.seed}", col("doc_id")), col("doc_id"))).cast("long") - 1)
       .withColumn("ccnt", count(lit(1)).over(wDate).cast("long"))
     val anch = base.join(dates, Seq("source", "split", "pub_date"))
       .filter(col("dcnt") >= 2)
-      .withColumn("dpick0", pmod(Determinism.seeded("dpick", col("doc_id")),
+      .withColumn("dpick0", pmod(Determinism.seeded(s"dpick:${cfg.seed}", col("doc_id")),
         greatest(col("dcnt") - 1, lit(1L))))
       .withColumn("dpick", when(col("dpick0") >= col("drnk"), col("dpick0") + 1).otherwise(col("dpick0")))
       .select(col("doc_id").as("aid"), col("source"), col("split"), col("atext"),
@@ -605,7 +605,7 @@ object Triplets {
     val joined = withTarget.join(negSide,
       col("source") === col("nsource") && col("split") === col("nsplit") &&
         col("tdate") === col("ndate") &&
-        col("crnk") === pmod(Determinism.seeded("cpick", col("aid")), col("ccnt")))
+        col("crnk") === pmod(Determinism.seeded(s"cpick:${cfg.seed}", col("aid")), col("ccnt")))
     finish(joined, cfg)
   }
 
@@ -620,10 +620,10 @@ object Triplets {
     * name gains the `_fallback_same_split` suffix
     * (reference: src/sampler/mod.rs:994-1053, 1391-1395). */
   def tripletRowsWithFallback(docs: DataFrame, cfg: TripletConfig): DataFrame = {
-    val ranked = rankBySourceSplit(prepare(docs, cfg)).cache()
-    val main = finish(sameSourceJoin(ranked, ranked.filter(col("gs") >= 2)), cfg)
+    val ranked = rankBySourceSplit(prepare(docs, cfg), cfg.seed).cache()
+    val main = finish(sameSourceJoin(ranked, ranked.filter(col("gs") >= 2), cfg.seed), cfg)
       .withColumn("recipe", lit(cfg.recipeName))
-    val fallback = finish(crossSourceJoin(ranked, ranked.filter(col("gs") < 2)), cfg)
+    val fallback = finish(crossSourceJoin(ranked, ranked.filter(col("gs") < 2), cfg.seed), cfg)
       .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
     projectRows(main, col("recipe")).unionByName(projectRows(fallback, col("recipe")))
   }
@@ -641,14 +641,14 @@ object Triplets {
     val withDate = docs.select(col("doc_id").as("did"), dateExpr.cast("string").as("pub_date"))
     val prepared = prepare(docs, cfg).join(withDate, col("doc_id") === col("did")).drop("did")
     val wD = Window.partitionBy(col("source"), col("split"), col("pub_date"))
-    val ranked = rankBySourceSplit(prepared)
+    val ranked = rankBySourceSplit(prepared, cfg.seed)
       .withColumn("drnk", row_number().over(wD
-        .orderBy(Determinism.seeded("dord2", col("doc_id")), col("doc_id"))).cast("long") - 1)
+        .orderBy(Determinism.seeded(s"dord2:${cfg.seed}", col("doc_id")), col("doc_id"))).cast("long") - 1)
       .withColumn("dgs", count(lit(1)).over(wD).cast("long"))
       .cache()
     val sameDate = {
       val anch = ranked.filter(col("dgs") >= 2)
-        .withColumn("pick0", pmod(Determinism.seeded("dneg", col("doc_id")),
+        .withColumn("pick0", pmod(Determinism.seeded(s"dneg:${cfg.seed}", col("doc_id")),
           greatest(col("dgs") - 1, lit(1L))))
         .withColumn("pick", when(col("pick0") >= col("drnk"), col("pick0") + 1).otherwise(col("pick0")))
         .select(col("doc_id").as("aid"), col("source"), col("split"), col("pub_date"), col("atext"),
@@ -663,10 +663,10 @@ object Triplets {
         .withColumn("lane", lit("same_date"))
         .withColumn("recipe", lit(cfg.recipeName))
     }
-    val anyDate = finish(sameSourceJoin(ranked, ranked.filter(col("dgs") < 2 && col("gs") >= 2)), cfg)
+    val anyDate = finish(sameSourceJoin(ranked, ranked.filter(col("dgs") < 2 && col("gs") >= 2), cfg.seed), cfg)
       .withColumn("lane", lit("any_date"))
       .withColumn("recipe", lit(cfg.recipeName))
-    val fallback = finish(crossSourceJoin(ranked, ranked.filter(col("gs") < 2)), cfg)
+    val fallback = finish(crossSourceJoin(ranked, ranked.filter(col("gs") < 2), cfg.seed), cfg)
       .withColumn("lane", lit("fallback_same_split"))
       .withColumn("recipe", lit(cfg.recipeName + Recipes.FallbackSuffix))
     Seq(sameDate, anyDate, fallback)
@@ -683,7 +683,7 @@ object Triplets {
     val st = cfg.stride
     val W = cfg.windowTokens
     val at = cfg.anchorTokens
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s"""WITH recs AS (
       SELECT doc_id, source, ${Splits.duckSplitSql("doc_id", cfg.seed, cfg.ratios)} AS split,
         ${TextFunctions.duckTokens("text")} AS toks
@@ -714,7 +714,7 @@ object Triplets {
   /** Full CTE chain computing the `tripf` relation in DuckDB. */
   def duckTripletCtes(cfg: TripletConfig): String = {
     val st = cfg.stride
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s"""${duckPoolCtes(cfg)}, joined AS (
       SELECT a.doc_id AS aid, a.source AS source, a.split AS split, a.atext AS atext,
         a.ctoks AS actoks, a.cn AS acn, a.span AS aspan, a.k AS ak,
@@ -775,7 +775,7 @@ object Triplets {
         FROM prepared
       ), picked AS (
         SELECT doc_id, split, ctoks, cn, span, CAST(draw AS BIGINT) AS draw,
-          ${Determinism.duckSeeded("txt", "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)")} % k AS widx
+          ${Determinism.duckSeeded(s"txt:${cfg.seed}", "CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)")} % k AS widx
         FROM drawn
       ), dd AS (
         SELECT doc_id, split, widx, ctoks, cn, span, CAST(min(draw) AS BIGINT) AS draw
@@ -813,7 +813,7 @@ object Triplets {
 
   private def duckTailCtes(cfg: TripletConfig, joinedName: String, sfx: String): String = {
     val st = cfg.stride
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s""", sel$sfx AS (
       SELECT *,
         ${h("pos", "aid")} % ak AS pidx,
@@ -847,8 +847,8 @@ object Triplets {
   /** Mirror of [[crossSourceJoin]]: two-level split→source→record pick for
     * anchors satisfying `anchorWhere` (over alias `r`). Expects a `ranked`
     * CTE with rnk/gs; emits `srcs`, `anch_f`, `joined_f`. */
-  private def duckCrossLaneCtes(anchorWhere: String): String = {
-    val h = Determinism.duckSeeded _
+  private def duckCrossLaneCtes(cfg: TripletConfig, anchorWhere: String): String = {
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s""", srcs0 AS (
       SELECT split, source, CAST(count(*) AS BIGINT) AS ccnt FROM ranked GROUP BY split, source
     ), srcs AS (
@@ -876,7 +876,7 @@ object Triplets {
 
   /** Oracle for [[tripletsWrongDate]] projected as triplet rows. */
   def duckWrongDateSql(cfg: TripletConfig, dateExpr: String, recipeName: String): String = {
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s"""${duckPreparedCtes(cfg, "TRUE", Some(dateExpr))}, dates AS (
       SELECT source, split, pub_date,
         CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("dord", "pub_date")}, pub_date) AS BIGINT) - 1 AS drnk,
@@ -909,7 +909,7 @@ object Triplets {
 
   /** Oracle for [[tripletRowsWithFallback]] over a filtered corpus. */
   def duckFallbackSql(cfg: TripletConfig, where: String): String = {
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s"""${duckPreparedCtes(cfg, where, None)}, ranked AS (
       SELECT *,
         CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
@@ -927,7 +927,7 @@ object Triplets {
         n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
       FROM anch_m a JOIN ranked n
         ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
-    )${duckTailCtes(cfg, "joined_m", "_m")}${duckCrossLaneCtes("r.gs < 2")}${duckTailCtes(cfg, "joined_f", "_f")}
+    )${duckTailCtes(cfg, "joined_m", "_m")}${duckCrossLaneCtes(cfg, "r.gs < 2")}${duckTailCtes(cfg, "joined_f", "_f")}
     ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_m")}
     UNION ALL
     ${duckProjectSql(s"'${cfg.recipeName}${Recipes.FallbackSuffix}'", "tripf_f")}"""
@@ -936,7 +936,7 @@ object Triplets {
   /** Oracle for [[tripletRowsBm25]] over a filtered corpus. */
   def duckBm25Sql(cfg: TripletConfig, where: String, recipeName: String,
       anchorWhere: String = "TRUE"): String = {
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     val K1 = Bm25.K1; val B = Bm25.B
     s"""${duckPreparedCtes(cfg, where, None)}, ranked AS (
       SELECT *,
@@ -1005,7 +1005,7 @@ object Triplets {
 
   /** Oracle for [[tripletRowsDatePreferred]] over a filtered corpus. */
   def duckDatePreferredSql(cfg: TripletConfig, where: String, dateExpr: String): String = {
-    val h = Determinism.duckSeeded _
+    val h = (p: String, e: String) => Determinism.duckSeeded(s"$p:${cfg.seed}", e)
     s"""${duckPreparedCtes(cfg, where, Some(dateExpr))}, ranked AS (
       SELECT *,
         CAST(row_number() OVER (PARTITION BY source, split ORDER BY ${h("ord", "doc_id")}, doc_id) AS BIGINT) - 1 AS rnk,
@@ -1038,7 +1038,7 @@ object Triplets {
         n.doc_id AS nid, n.ctoks AS nctoks, n.cn AS ncn, n.span AS nspan, n.k AS nk
       FROM anch_m a JOIN ranked n
         ON a.source = n.source AND a.split = n.split AND n.rnk = a.pick
-    )${duckTailCtes(cfg, "joined_m", "_m")}${duckCrossLaneCtes("r.gs < 2")}${duckTailCtes(cfg, "joined_f", "_f")}
+    )${duckTailCtes(cfg, "joined_m", "_m")}${duckCrossLaneCtes(cfg, "r.gs < 2")}${duckTailCtes(cfg, "joined_f", "_f")}
     ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_d", ", 'same_date' AS lane")}
     UNION ALL
     ${duckProjectSql(s"'${cfg.recipeName}'", "tripf_m", ", 'any_date' AS lane")}

@@ -355,6 +355,49 @@ class InvariantsSpec extends AnyFunSuite {
       "bm25 pin indistinguishable from the default backend")
   }
 
+  test("sparse sections: a record lacking the targeted section skips that recipe only") {
+    // the reference's source-within-a-source contract (README "Sparse
+    // sections"): a recipe targeting Selector::Paragraph(2) skips records
+    // without a third section FOR THAT RECIPE ONLY — the record keeps
+    // serving every other recipe, the slot drops, and pad_with_reuse
+    // keeps the batch exactly batch-sized.
+    import spark.implicits._
+    import graft.operators.{NegativeStrategy, Selector, TripletRecipe}
+    val chunks = (1 to 12).flatMap { i =>
+      val base = Seq(
+        (i.toLong, 0, "anchor", "window", 0L, 0, s"a$i title"),
+        (i.toLong, 1, "context", "window", 0L, 0, s"c$i body one"),
+        (i.toLong, 1, "context", "window", 1L, 0, s"c$i body two"))
+      // only EVEN records carry the optional third section (transcript)
+      val sparse = if (i % 2 == 0)
+        Seq((i.toLong, 2, "extra", "window", 0L, 0, s"t$i transcript")) else Nil
+      base ++ sparse
+    }.toDF("record_id", "section_idx", "role", "view_kind",
+      "window_index", "overlap", "wtext").repartition(4).cache()
+    val pool = (1 to 12).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "source")
+      .repartition(4).cache()
+    val recipes = Seq(
+      TripletRecipe("dense_cross_view", Selector.RoleAnchor, Selector.RoleContext,
+        NegativeStrategy.WrongArticle, weight = 0.5f),
+      TripletRecipe("sparse_transcript", Selector.RoleAnchor, Selector.Paragraph(2),
+        NegativeStrategy.WrongArticle, weight = 0.5f))
+    var st = SamplerState("sparse", 0L, Map.empty)
+    val rows = (0 until 4).flatMap { _ =>
+      val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, 8)
+      val got = out.rows.select("recipe", "record_id").collect()
+      assert(got.length == 8, "pad_with_reuse must keep the batch exact")
+      st = out.state
+      got.map(r => r.getString(0) -> r.getLong(1))
+    }
+    val sparseRecs = rows.collect { case ("sparse_transcript", id) => id }
+    val denseRecs = rows.collect { case ("dense_cross_view", id) => id }
+    assert(sparseRecs.nonEmpty && sparseRecs.forall(_ % 2 == 0),
+      s"sparse recipe delivered a record without section 2: $sparseRecs")
+    assert(denseRecs.exists(_ % 2 == 1),
+      "records without the optional section must keep serving the dense recipe")
+    chunks.unpersist(); pool.unpersist()
+  }
+
   test("triplet diversity: 30 batches never collapse onto a few negatives (two seeds)") {
     // the reference's no-collapse contract (tests/triplet_diversity.rs:
     // 78-170): over 30 batches x 8 slots, anchors cover the pool broadly

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.Demo --mode text"        # text batches
   * sbt "runMain graft.Demo --mode capacity"    # estimate_capacity twin
   * sbt "runMain graft.Demo --mode curate"      # q111 curation funnel report
+  * sbt "runMain graft.Demo --mode stats"       # sketch-backed corpus stats
   * sbt "runMain graft.Demo --reset ..."        # drop persisted state first
   * ```
   *
@@ -143,6 +144,40 @@ object Demo {
     (header +: body.toSeq) :+ footer
   }
 
+  /** Sketch-backed corpus stats — what a mixture designer reads before
+    * setting source weights: per-source doc/token mass, HLL-estimated
+    * distinct vocabulary (64 registers per source at any corpus size),
+    * and the CMS-estimated counts of the corpus-wide top tokens. All
+    * sketch arithmetic is the oracle-checked q113/q115 machinery. */
+  def statsReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions
+    val toksed = Tables.load(spark, cfg.sfDir, "documents")
+      .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
+    val tokP = toksed.select(col("source").as("group"), explode(col("t")).as("elem"))
+    val mass = toksed.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(size(col("t"))).as("tokens"))
+    val perSource = mass
+      .join(Sketches.hllDistinct(tokP, "group", "elem")
+        .withColumnRenamed("group", "source"), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val header = f"${"source"}%-12s ${"docs"}%10s ${"tokens"}%14s ${"~vocab(hll)"}%12s"
+    val body = perSource.map { case (src, d, tk, v) =>
+      f"$src%-12s ${withCommas(d)}%10s ${withCommas(tk)}%14s ${withCommas(v)}%12s"
+    }
+    val sketch = Sketches.cmsBuild(tokP.select(col("elem")), "elem")
+    val top = tokP.groupBy(col("elem")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("elem")).limit(8)
+    val est = top.join(Sketches.cmsEstimate(top.select(col("elem")), sketch, "elem"), "elem")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    val topLines = "top tokens (exact vs cms-estimate):" +:
+      est.toSeq.map { case (t, n, e) =>
+        f"  $t%-16s ${withCommas(n)}%12s ${withCommas(e)}%12s" }
+    (header +: body.toSeq) ++ topLines
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
     val spark = SparkSession.builder()
@@ -159,6 +194,8 @@ object Demo {
         capacityReport(spark, cfg).foreach(println)
       } else if (cfg.mode == "curate") {
         curateReport(spark, cfg).foreach(println)
+      } else if (cfg.mode == "stats") {
+        statsReport(spark, cfg).foreach(println)
       } else {
         val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
         if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))

@@ -42,4 +42,21 @@ class DemoSpec extends AnyFunSuite {
       .map(_.replace(",", "").toLong)
     assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
   }
+
+  test("stats report: per-source mass + hll vocab, cms top-token estimates one-sided") {
+    val lines = Demo.statsReport(spark, cfg)
+    assert(lines.head.contains("vocab(hll)"))
+    val split = lines.indexWhere(_.startsWith("top tokens"))
+    assert(split > 1, "no top-tokens section")
+    val srcRows = lines.slice(1, split)
+    assert(srcRows.nonEmpty && srcRows.forall(_.matches("^src.*\\d.*$")))
+    val tok = lines.drop(split + 1).map(_.trim.split("\\s+"))
+    assert(tok.nonEmpty)
+    // cms estimates are one-sided: est >= exact on every reported token
+    tok.foreach { parts =>
+      val exact = parts(1).replace(",", "").toLong
+      val est = parts(2).replace(",", "").toLong
+      assert(est >= exact, s"cms under-estimated ${parts(0)}: $est < $exact")
+    }
+  }
 }

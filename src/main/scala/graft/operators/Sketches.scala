@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Determinism
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-engine-portable cardinality sketch: HyperLogLog (Flajolet et al.
@@ -236,5 +237,59 @@ object Sketches {
         FROM ($lanes) s
         LEFT JOIN $sketchRel k ON s.row = k.row AND s.pos = k.pos
         GROUP BY 1)"""
+  }
+
+  // -------------------------------------------------------------------
+  // Bottom-k hash-sample quantile sketch
+  // -------------------------------------------------------------------
+
+  /** Quantile estimation from a BOTTOM-K HASH SAMPLE: per group, keep the
+    * k rows with the smallest seeded hash of their id — a uniform sample
+    * whose MEMBERSHIP is a pure hash function, so it is partition- and
+    * order-invariant (unlike KLL/t-digest, whose compactions depend on
+    * insertion order and can never hash-match across engines) and
+    * mergeable (the union's bottom-k is the bottom-k of the parts'
+    * bottom-k's). The p-quantile estimate is the type-1 order statistic
+    * `value at rank ceil(p·m/100)` WITHIN the sample — the same rank
+    * arithmetic the exact q112 report uses on the full data, so `k` past
+    * the group size degrades gracefully to the exact quantile. Standard
+    * sample-quantile error: the estimate's true rank is within
+    * ~√(p(1−p)/k) of p with high probability.
+    *
+    * Scale shape: one keyed top-k window (rank + filter — per-partition
+    * top-k then merge under AQE) where the exact quantile needs a full
+    * per-group sort; the sample is ≤ k rows per group at any corpus
+    * size. Input `(group, id, value)`; `ps` are integer percents; emits
+    * `(group, p, q_est)`. */
+  def sampleQuantiles(rows: DataFrame, k: Int, ps: Seq[Int]): DataFrame = {
+    val wS = Window.partitionBy(col("group"))
+      .orderBy(Determinism.seeded("qsamp", col("id")), col("id"))
+    val samp = rows
+      .withColumn("srnk", row_number().over(wS).cast("long"))
+      .filter(col("srnk") <= k).drop("srnk")
+    val wV = Window.partitionBy(col("group")).orderBy(col("value"), col("id"))
+    val ranked = samp
+      .withColumn("vrnk", row_number().over(wV).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("group"))).cast("long"))
+    ps.map(p => ranked
+        .filter(col("vrnk") === expr(s"(m * $p + 99) div 100"))
+        .select(col("group"), lit(p.toLong).as("p"), col("value").as("q_est")))
+      .reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[sampleQuantiles]]: expects a relation
+    * `(grp, id, value)` named by `src`, yields `(grp, p, q_est)`. */
+  def duckSampleQuantiles(src: String, k: Int, ps: Seq[Int]): String = {
+    val ranked =
+      s"""(SELECT grp, value,
+          CAST(row_number() OVER (PARTITION BY grp ORDER BY value, id) AS BIGINT) AS vrnk,
+          CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+        FROM (SELECT grp, id, value FROM (
+          SELECT grp, id, value, row_number() OVER (PARTITION BY grp
+            ORDER BY ${Determinism.duckSeeded("qsamp", "id")}, id) AS srnk
+          FROM $src) s0 WHERE srnk <= $k) s1)"""
+    val lanes = ps.map(p =>
+      s"SELECT grp, CAST($p AS BIGINT) AS p, value AS q_est FROM $ranked r WHERE vrnk = (m * $p + 99) // 100")
+    s"(${lanes.mkString(" UNION ALL ")})"
   }
 }

@@ -283,6 +283,41 @@ object MetricsQueries extends QueryModule {
           CAST(max(n_tok) AS BIGINT) AS tok_max,
           CAST(sum(qe6) // count(*) AS BIGINT) AS quality_mean_e6
         FROM ranked GROUP BY source"""
+      }),
+
+    QueryDef("q117_sample_quantiles",
+      // quantiles from a BOTTOM-K HASH SAMPLE (operators.Sketches): at
+      // 100 TB the q112 exact quantiles cost a full per-group sort; the
+      // sketch keeps the 64 rows with the smallest seeded id-hash per
+      // source (one keyed top-k window) and reads the type-1 order
+      // statistic off the sample. Sample membership is a pure hash
+      // function — partition/order invariant and mergeable (bottom-k of
+      // a union = bottom-k of the parts' bottom-k's) where KLL/t-digest
+      // never hash-match across engines. The exact quantile rides along
+      // (same operator with k past the group size) so the artifact shows
+      // the sample error directly.
+      (s, dir) => {
+        import graft.operators.Sketches
+        val rows = Tables.load(s, dir, "documents")
+          .select(col("source").as("group"), col("doc_id").as("id"),
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("value"))
+        val ps = Seq(10, 50, 90)
+        val est = Sketches.sampleQuantiles(rows, 64, ps)
+        val exact = Sketches.sampleQuantiles(rows, Int.MaxValue, ps)
+          .withColumnRenamed("q_est", "q_exact")
+        est.join(exact, Seq("group", "p"))
+          .select(col("group").as("source"), col("p"), col("q_est"), col("q_exact"))
+      },
+      Some {
+        import graft.operators.Sketches
+        val toks = graft.functions.TextFunctions.duckTokens("text")
+        val ps = Seq(10, 50, 90)
+        s"""WITH rows0 AS MATERIALIZED (SELECT source AS grp, doc_id AS id,
+            CAST(len($toks) AS BIGINT) AS value FROM documents),
+          est AS ${Sketches.duckSampleQuantiles("rows0", 64, ps)},
+          exact AS ${Sketches.duckSampleQuantiles("rows0", Int.MaxValue, ps)}
+          SELECT est.grp AS source, est.p, est.q_est, exact.q_est AS q_exact
+          FROM est JOIN exact ON est.grp = exact.grp AND est.p = exact.p"""
       })
   )
 }

@@ -108,6 +108,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(estimates(merged, a ++ b) == estimates(whole, a ++ b))
   }
 
+  // ---- bottom-k hash-sample quantile laws ----
+
+  private def quantRows(n: Int, parts: Int = 4) =
+    (1 to n).map(i => ("g", i.toLong, i.toLong)).toDF("group", "id", "value")
+      .repartition(parts)
+
+  test("sample quantiles: k past the group size is exactly the type-1 quantile") {
+    val got = Sketches.sampleQuantiles(quantRows(200), Int.MaxValue, Seq(10, 50, 90))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // value i at rank i: type-1 quantile p over 1..200 = ceil(p*200/100)
+    assert(got == Map(10L -> 20L, 50L -> 100L, 90L -> 180L))
+  }
+
+  test("sample quantiles: k=64 estimates land inside the sampling-error envelope") {
+    // uniform 1..5000; sample-quantile rank error ~ sqrt(p(1-p)/k):
+    // 4 sigma at p=0.5, k=64 is 0.25 — assert the loose band
+    val got = Sketches.sampleQuantiles(quantRows(5000), 64, Seq(10, 50, 90))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    Seq(10, 50, 90).foreach { p =>
+      val err = math.abs(got(p.toLong) / 5000.0 - p / 100.0)
+      val bound = 4 * math.sqrt(p / 100.0 * (1 - p / 100.0) / 64) + 0.02
+      assert(err <= bound, s"p$p: est ${got(p.toLong)} rank error $err > $bound")
+    }
+  }
+
+  test("sample quantiles: membership is a pure hash — partition invariant") {
+    def run(parts: Int) = Sketches.sampleQuantiles(quantRows(1000, parts), 64, Seq(25, 75))
+      .collect().map(_.toSeq).toSet
+    assert(run(1) == run(13))
+  }
+
   // ---- persisted BM25 index laws ----
 
   test("bm25 index: refresh ≡ from-scratch, save/load round-trips, scores match the text path") {

@@ -75,7 +75,7 @@ object PlanDump extends App {
     "q113_hll_distinct" -> "portable HLL: bucket/ρ are scan-fused integer projections of the portable hash (bin() string length — no float log near registers), the register table ONE map-side-combined max keyed by (source, bucket) — 64 rows per source at ANY corpus size — and the estimate a #sources-sized projection; exact countDistinct lanes ride alongside for the error report",
     "q114_bloom_decontamination" -> "Bloom-filtered decontamination: the filter build is one explode + ONE bit_or aggregate keyed by word index (≤128 rows at ANY eval-suite size — that bounded table is the BroadcastExchange, where q97 broadcasts the whole distinct shingle set); the probe is the train scan joined to the broadcast words, all-k-bits verdicts one keyed aggregate — one-sided error by construction, exact verdicts ride along",
     "q115_cms_heavy_hitters" -> "Count-Min estimates: the counter build is one explode (d cells per element) into a map-side-combined count keyed by (row, pos) — ≤2048 rows regardless of corpus size; estimation joins the 15 probed terms' cells against the BROADCAST sketch and takes one keyed min; rows merge across shards by plain addition, so a sharded deployment unions counter tables instead of re-scanning",
-    "q116_bm25_index_refresh" -> "persisted BM25 postings + refresh: the index IS the (doc, term, tf) relation — refresh is a UNION of the new shard's one-pass aggregate (cost ∝ shard, standing postings immutable); scoring restricts postings to the broadcast query vocabulary FIRST (tf semi-join) so df/dl/stats all derive from the restricted frame, and the plan is identical to the from-text path above the tf leaf — which is why a refreshed index hash-matches the full-corpus oracle",
+    "q116_bm25_index_refresh" -> "persisted BM25 postings + refresh: the index is TWO append-only relations — (doc, term, tf) postings and the #docs-sized doc lengths (dl covers all of a doc's terms, so it is persisted, never derived from a restricted frame); refresh is a UNION of the new shard's one-pass aggregates. Scoring restricts postings to the broadcast query vocabulary FIRST (tf semi-join), df derives from the restricted frame and the corpus stats from one map-side-combined aggregate over the lengths table — no corpus-wide aggregate remains on the score path, and the plan is identical to the from-text path above the tf/dl leaves, which is why a refreshed index hash-matches the full-corpus oracle",
     "q117_sample_quantiles" -> "bottom-k hash-sample quantiles: the sample cut is ONE keyed rank window + filter (per-partition top-k then merge) where the exact lane needs the full per-group sort; everything after the cut runs on ≤ k rows per group — the value-rank window, the quantile filters, and the est↔exact join are all sample-sized; at 100 TB only the hash-rank window sees the corpus, and it carries (group, id-hash) pairs, never the text")
   val out = new StringBuilder
   out ++= "# PLANS — formatted physical plans of representative queries\n\n"

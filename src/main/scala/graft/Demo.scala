@@ -152,30 +152,39 @@ object Demo {
   def statsReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
     import graft.operators.Sketches
     import graft.functions.TextFunctions
+    // one tokenization pass feeds all four consumers (mass, HLL, CMS,
+    // exact top tokens) — cache it for the report's lifetime
     val toksed = Tables.load(spark, cfg.sfDir, "documents")
       .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
-    val tokP = toksed.select(col("source").as("group"), explode(col("t")).as("elem"))
-    val mass = toksed.groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"), sum(size(col("t"))).as("tokens"))
-    val perSource = mass
-      .join(Sketches.hllDistinct(tokP, "group", "elem")
-        .withColumnRenamed("group", "source"), "source")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
-    val header = f"${"source"}%-12s ${"docs"}%10s ${"tokens"}%14s ${"~vocab(hll)"}%12s"
-    val body = perSource.map { case (src, d, tk, v) =>
-      f"$src%-12s ${withCommas(d)}%10s ${withCommas(tk)}%14s ${withCommas(v)}%12s"
-    }
-    val sketch = Sketches.cmsBuild(tokP.select(col("elem")), "elem")
-    val top = tokP.groupBy(col("elem")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("elem")).limit(8)
-    val est = top.join(Sketches.cmsEstimate(top.select(col("elem")), sketch, "elem"), "elem")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(t => (-t._2, t._1))
-    val topLines = "top tokens (exact vs cms-estimate):" +:
-      est.toSeq.map { case (t, n, e) =>
-        f"  $t%-16s ${withCommas(n)}%12s ${withCommas(e)}%12s" }
-    (header +: body.toSeq) ++ topLines
+      .cache()
+    try {
+      val tokP = toksed.select(col("source").as("group"), explode(col("t")).as("elem"))
+      val mass = toksed.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(size(col("t"))).as("tokens"))
+      // left join: a source whose docs all tokenize empty has no HLL row
+      // but must still appear in the mixture-design view (vocab 0)
+      val perSource = mass
+        .join(Sketches.hllDistinct(tokP, "group", "elem")
+          .withColumnRenamed("group", "source"), Seq("source"), "left")
+        .select(col("source"), col("docs"), col("tokens"),
+          coalesce(col("hll_est"), lit(0L)).as("hll_est"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val header = f"${"source"}%-12s ${"docs"}%10s ${"tokens"}%14s ${"~vocab(hll)"}%12s"
+      val body = perSource.map { case (src, d, tk, v) =>
+        f"$src%-12s ${withCommas(d)}%10s ${withCommas(tk)}%14s ${withCommas(v)}%12s"
+      }
+      val sketch = Sketches.cmsBuild(tokP.select(col("elem")), "elem")
+      val top = tokP.groupBy(col("elem")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("elem")).limit(8)
+      val est = top.join(Sketches.cmsEstimate(top.select(col("elem")), sketch, "elem"), "elem")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (-t._2, t._1))
+      val topLines = "top tokens (exact vs cms-estimate):" +:
+        est.toSeq.map { case (t, n, e) =>
+          f"  $t%-16s ${withCommas(n)}%12s ${withCommas(e)}%12s" }
+      (header +: body.toSeq) ++ topLines
+    } finally toksed.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

@@ -44,21 +44,32 @@ object Bm25 {
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Per-doc token counts off the tf table (dl covers ALL of a doc's
+    * terms, so it must be derived — or persisted — corpus-wide, never
+    * from a query-restricted frame). */
+  def docLengths(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
   /** Per-(qid, doc) integer BM25 scores for literal queries. */
   def scores(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-      queries: Seq[(Int, String)]): DataFrame =
-    scoreFrom(spark, termFrequencies(docs, idCol, textCol), queries)
-
-  /** Scoring core over a prebuilt `(doc_id, term, tf)` table — shared by
-    * the from-text path ([[scores]]) and the persisted-index path
-    * ([[Bm25Index.scores]]) so both produce bit-identical integers. */
-  def scoreFrom(spark: SparkSession, tf: DataFrame,
       queries: Seq[(Int, String)]): DataFrame = {
-    import spark.implicits._
     // no cache: both consumers (dl and the query-restricted tf) sit on the
     // same (doc_id, term) aggregate, so its shuffle is shared via
     // ReusedExchange — nothing persists past the query, no unpersist leak
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tf = termFrequencies(docs, idCol, textCol)
+    scoreFrom(spark, tf, docLengths(tf), queries)
+  }
+
+  /** Scoring core over a prebuilt `(doc_id, term, tf)` table plus its
+    * `(doc_id, dl)` lengths — shared by the from-text path ([[scores]])
+    * and the persisted-index path ([[Bm25Index.scores]]) so both produce
+    * bit-identical integers. With `dl` supplied from a persisted table,
+    * the only touch of the full postings is the query-vocabulary
+    * semi-join below — no corpus-wide aggregate remains on the score
+    * path. */
+  def scoreFrom(spark: SparkSession, tf: DataFrame, dl: DataFrame,
+      queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = queries.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.take(QueryTokenLimit).map(t => (qid, t))

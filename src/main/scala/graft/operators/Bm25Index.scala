@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * pass over a 100 TB corpus. Build once, refresh per landed shard
   * (`refresh` cost ∝ |new shard|, a plain union — no read-modify-write of
   * the standing postings, which stay immutable parquet), score many times.
-  * `dl`, `df` and the corpus stats are all derived from the postings at
-  * query time (cheap keyed aggregates over the restricted frame), so the
-  * persisted state is ONE append-only relation — the same
-  * build-once/append-forever shape as the span index (q109) and the
-  * minhash index (q68).
+  * The persisted state is TWO append-only relations — postings and the
+  * per-doc lengths (`dl` covers all of a doc's terms, so it can never be
+  * derived from a query-restricted frame; persisting it keeps the score
+  * path free of corpus-wide aggregates). Both refresh by plain union —
+  * the same build-once/append-forever shape as the span index (q109)
+  * and the minhash index (q68). `df` and the corpus stats derive at
+  * query time: df from the vocabulary-restricted postings, stats from a
+  * map-side-combined aggregate over the #docs-sized lengths table.
   *
   * Determinism: [[scores]] delegates to the same scoring core as
   * [[Bm25.scores]], so a refreshed index scores bit-identically to a
@@ -30,43 +33,55 @@ import org.apache.spark.sql.functions._
   * that cross-engine (the DuckDB side scores the full corpus; the Spark
   * side scores base+refresh).
   */
-case class Bm25Index(postings: DataFrame)
+case class Bm25Index(postings: DataFrame, docLens: DataFrame)
 
 object Bm25Index {
 
-  /** Build postings from scratch (one tokenization pass). */
-  def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
-    Bm25Index(Bm25.termFrequencies(docs, idCol, textCol))
+  /** Build postings + doc lengths from scratch (one tokenization pass;
+    * the lengths ride the same tf aggregate). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val tf = Bm25.termFrequencies(docs, idCol, textCol)
+    Bm25Index(tf, Bm25.docLengths(tf))
+  }
 
   /** Append a landed shard's postings: cost ∝ |newDocs|. Caller contract
     * (same as the reference's rebuild trigger): `newDocs` holds only docs
     * NOT already indexed — postings are keyed by (doc_id, term) and a
     * double-indexed doc would double its tf. */
   def refresh(idx: Bm25Index, newDocs: DataFrame, idCol: String,
-      textCol: String): Bm25Index =
-    Bm25Index(idx.postings.unionByName(Bm25.termFrequencies(newDocs, idCol, textCol)))
+      textCol: String): Bm25Index = {
+    val delta = build(newDocs, idCol, textCol)
+    Bm25Index(idx.postings.unionByName(delta.postings),
+      idx.docLens.unionByName(delta.docLens))
+  }
 
   /** Score literal queries from the index — bit-identical to
     * [[Bm25.scores]] over the same corpus. */
   def scores(spark: SparkSession, idx: Bm25Index,
       queries: Seq[(Int, String)]): DataFrame =
-    Bm25.scoreFrom(spark, idx.postings, queries)
+    Bm25.scoreFrom(spark, idx.postings, idx.docLens, queries)
 
   /** Persist / reload. Postings are repartitioned by `term` on write so a
     * query-vocabulary restriction touches few files; at cluster scale the
-    * same write would bucket by term (`bucketBy` via a table catalog). */
-  def save(idx: Bm25Index, dir: String): Unit =
-    idx.postings.repartition(col("term")).write.mode("overwrite").parquet(dir)
+    * same write would bucket by term (`bucketBy` via a table catalog).
+    * Lengths are #docs rows alongside. */
+  def save(idx: Bm25Index, dir: String): Unit = {
+    idx.postings.repartition(col("term")).write.mode("overwrite")
+      .parquet(s"$dir/postings")
+    idx.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+  }
 
   def load(spark: SparkSession, dir: String): Bm25Index =
-    Bm25Index(spark.read.parquet(dir))
+    Bm25Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclens"))
 }
 
 /** Per-source postings + per-source corpus stats for the composed
   * sampler's pool — the cache the per-batch [[Sampler]] derivation
   * otherwise recomputes every batch (see `Sampler.bm25Lanes`). Built from
   * the pool's pre-tokenized `btoks`, so index-backed and per-batch scoring
-  * are bit-identical (pinned by the golden bm25 config in SketchesSpec).
+  * are bit-identical (pinned in InvariantsSpec against the golden bm25
+  * config).
   *
   * `srcStats` counts ALL pool docs per source (including zero-token docs),
   * matching the per-batch derivation; it cannot be derived from postings

@@ -466,13 +466,11 @@ object Sampler {
           (ix.postings.join(broadcast(srcs), "source"),
             ix.srcStats.join(broadcast(srcs), "source"))
         case None =>
-          val cand = pool.join(broadcast(srcs), "source")
-          (cand.select(col("source"), col("id").as("cand"),
-              size(col("btoks")).cast("long").as("dl"), explode(col("btoks")).as("term"))
-            .groupBy(col("source"), col("cand"), col("dl"), col("term"))
-            .agg(count(lit(1)).as("tf")),
-            cand.groupBy(col("source"))
-              .agg(count(lit(1)).as("n_docs"), sum(size(col("btoks"))).as("sum_dl")))
+          // the per-batch derivation IS fromPool over the source-restricted
+          // pool — one definition, so the pinned index≡per-batch equality
+          // can't silently diverge
+          val ix = Bm25PoolIndex.fromPool(pool.join(broadcast(srcs), "source"))
+          (ix.postings, ix.srcStats)
       }
       // df is a keyed window over tf (one row per (cand, term) ⇒ the
       // per-term count IS the document frequency); exact-integer e6 floor

@@ -140,7 +140,11 @@ object Sketches {
       .withColumn("hit",
         when(col("bits").isNotNull && expr("(bits & m) != 0"), 1L).otherwise(0L))
       .groupBy(col("pid"), col("elem"))
-      .agg((sum(col("hit")) === BloomHashes).cast("long").as("maybe"))
+      // min, not sum==k: a duplicated (pid, elem) probe row doubles the
+      // lane count and a sum==k verdict would report a TRUE MEMBER as
+      // absent — the one failure mode a Bloom filter must never have.
+      // min(hit)=1 ⇔ every lane hit, regardless of multiplicity.
+      .agg(min(col("hit")).as("maybe"))
       .select(col("pid").as(idCol), col("elem").as(elemCol), col("maybe"))
   }
 
@@ -165,9 +169,9 @@ object Sketches {
           FROM $probeSrc"""
     }.mkString(" UNION ALL ")
     s"""(SELECT pid, elem,
-          CAST(sum(CASE WHEN f.bits IS NOT NULL
+          CAST(min(CASE WHEN f.bits IS NOT NULL
               AND (f.bits & (CAST(1 AS BIGINT) << CAST(s.pos % $BloomWordBits AS INT))) != 0
-            THEN 1 ELSE 0 END) = $BloomHashes AS BIGINT) AS maybe
+            THEN 1 ELSE 0 END) AS BIGINT) AS maybe
         FROM ($lanes) s
         LEFT JOIN $filterRel f ON s.pos // $BloomWordBits = f.word
         GROUP BY 1, 2)"""
@@ -262,6 +266,7 @@ object Sketches {
     * size. Input `(group, id, value)`; `ps` are integer percents; emits
     * `(group, p, q_est)`. */
   def sampleQuantiles(rows: DataFrame, k: Int, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty, "sampleQuantiles needs at least one percentile")
     val wS = Window.partitionBy(col("group"))
       .orderBy(Determinism.seeded("qsamp", col("id")), col("id"))
     val samp = rows
@@ -280,16 +285,17 @@ object Sketches {
   /** DuckDB twin of [[sampleQuantiles]]: expects a relation
     * `(grp, id, value)` named by `src`, yields `(grp, p, q_est)`. */
   def duckSampleQuantiles(src: String, k: Int, ps: Seq[Int]): String = {
-    val ranked =
-      s"""(SELECT grp, value,
+    // the ranked sample is a nested CTE so the two window sorts run ONCE,
+    // not once per percentile lane
+    val lanes = ps.map(p =>
+      s"SELECT grp, CAST($p AS BIGINT) AS p, value AS q_est FROM rnked WHERE vrnk = (m * $p + 99) // 100")
+    s"""(WITH rnked AS (SELECT grp, value,
           CAST(row_number() OVER (PARTITION BY grp ORDER BY value, id) AS BIGINT) AS vrnk,
           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
         FROM (SELECT grp, id, value FROM (
           SELECT grp, id, value, row_number() OVER (PARTITION BY grp
             ORDER BY ${Determinism.duckSeeded("qsamp", "id")}, id) AS srnk
-          FROM $src) s0 WHERE srnk <= $k) s1)"""
-    val lanes = ps.map(p =>
-      s"SELECT grp, CAST($p AS BIGINT) AS p, value AS q_est FROM $ranked r WHERE vrnk = (m * $p + 99) // 100")
-    s"(${lanes.mkString(" UNION ALL ")})"
+          FROM $src) s0 WHERE srnk <= $k) s1)
+      ${lanes.mkString(" UNION ALL ")})"""
   }
 }

@@ -55,6 +55,10 @@ class SketchesSpec extends AnyFunSuite {
     val disjoint = (1 to 2000).map(i => s"out$i")
     val v = bloomVerdicts(inserted, inserted ++ disjoint)
     assert(inserted.forall(v(_) == 1L), "a member reported not-present")
+    // one-sidedness survives DUPLICATE probe rows (the verdict is a min
+    // over lanes, not a lane count — a sum==k verdict would flip here)
+    val vd = bloomVerdicts(inserted, inserted ++ inserted)
+    assert(inserted.forall(vd(_) == 1L), "duplicated probe rows flipped a member")
     // expected FP ≈ (1 − e^(−kn/m))^k ≈ 2.6% at n=500, m=4096, k=3;
     // allow a wide band (binomial noise) but require BOTH that FPs are
     // rare AND that the filter isn't saturated-vacuous
@@ -154,14 +158,16 @@ class SketchesSpec extends AnyFunSuite {
     val scratch = Bm25Index.build(docs, "doc_id", "text")
     assert(refreshed.postings.collect().map(_.toSeq).toSet ==
       scratch.postings.collect().map(_.toSeq).toSet, "refresh != from-scratch build")
+    assert(refreshed.docLens.collect().map(_.toSeq).toSet ==
+      scratch.docLens.collect().map(_.toSeq).toSet, "refreshed doc lengths drifted")
     val qs = Seq(1 -> "w3 w5 w11", 2 -> "w0 w16")
     val fromIdx = Bm25Index.scores(spark, refreshed, qs)
       .collect().map(_.toSeq).toSet
     assert(fromIdx == Bm25.scores(spark, docs, "doc_id", "text", qs)
       .collect().map(_.toSeq).toSet, "index path != text path")
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
-    Bm25Index.save(refreshed, s"$dir/postings")
-    val loaded = Bm25Index.load(spark, s"$dir/postings")
+    Bm25Index.save(refreshed, dir)
+    val loaded = Bm25Index.load(spark, dir)
     assert(Bm25Index.scores(spark, loaded, qs).collect().map(_.toSeq).toSet == fromIdx,
       "persisted index scores drifted")
   }

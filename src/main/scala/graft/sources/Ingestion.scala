@@ -30,6 +30,36 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   */
 object Ingestion {
 
+  /** The reference's refresh-selection policy (refresh_all_internal,
+    * reference: src/ingestion.rs:433-448): a source refreshes iff the
+    * caller forces it (buffers discarded first) or its buffer is EMPTY —
+    * a non-empty buffer is never re-fetched by a routine cycle
+    * (test_refresh_all_skips_non_empty_buffers). The returned ids are the
+    * cycle's `last_refreshed_sources` report
+    * (refreshed_sources_are_reported_per_cycle: empty when nothing
+    * refreshed). Feed the selected subset to [[refreshAll]]. */
+  def refreshPlan(buffers: Seq[(String, Long)], force: Boolean = false): Seq[String] =
+    buffers.collect { case (id, n) if force || n == 0L => id }
+
+  /** Weight validation before any refresh runs (reference
+    * advance_with_weights, src/ingestion.rs:366-374 + validate_weights
+    * 407-425): every weighted id must be registered and non-negative;
+    * the error carries the offending source. Zero weights are legal —
+    * they exclude a source from the weighted drain without shrinking the
+    * requested batch (test_weighted_refresh_all_zero_weight_does_not_
+    * reduce_batch — the drain side is [[graft.operators.Mixing
+    * .weightedAllocation]], which allocates 0 slots to weight-0 groups
+    * and redistributes by largest remainder). */
+  def validateWeights(registered: Set[String],
+      weights: Map[String, Double]): Either[String, Unit] = {
+    weights.collectFirst {
+      case (id, _) if !registered.contains(id) =>
+        s"invalid weight: source '$id' is not registered"
+      case (id, w) if w < 0 =>
+        s"invalid weight: source '$id' weight $w is negative"
+    }.toLeft(())
+  }
+
   /** Refresh every `(sourceId, page)` concurrently and return
     * `(sourceId, rows, stats)` in INPUT order (reference joins handles in
     * source order). `page` should already be cursor-bounded, as with

@@ -99,4 +99,33 @@ class IngestionSpec extends AnyFunSuite {
       .reduce(_ union _)
     assert(all.size == 8)
   }
+
+  test("refresh plan: non-empty buffers skip, force refreshes all, report per cycle") {
+    // reference refresh_all_internal (ingestion.rs:433-448): routine
+    // cycles only touch empty buffers; force discards and refreshes
+    // everything; the returned ids ARE the cycle's refreshed-sources
+    // report (empty when nothing refreshed)
+    val buffers = Seq("alpha" -> 0L, "beta" -> 5L, "gamma" -> 0L)
+    assert(graft.sources.Ingestion.refreshPlan(buffers) == Seq("alpha", "gamma"))
+    assert(graft.sources.Ingestion.refreshPlan(buffers, force = true)
+      == Seq("alpha", "beta", "gamma"))
+    assert(graft.sources.Ingestion.refreshPlan(Seq("a" -> 2L, "b" -> 1L)).isEmpty)
+  }
+
+  test("weight validation: unregistered and negative rejected, zero legal") {
+    import graft.sources.Ingestion.validateWeights
+    val reg = Set("alpha", "beta")
+    assert(validateWeights(reg, Map("alpha" -> 1.0, "beta" -> 0.0)).isRight)
+    assert(validateWeights(reg, Map("ghost" -> 1.0)).swap.exists(_.contains("ghost")))
+    assert(validateWeights(reg, Map("alpha" -> -0.5)).swap.exists(_.contains("negative")))
+    // zero weight excludes from the drain without shrinking the batch:
+    // the allocation gives 0 to the zero-weight group, full total overall
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val alloc = graft.operators.Mixing.weightedAllocation(
+      Seq(("alpha", 3L), ("beta", 0L)).toDF("group", "w"), 12L)
+      .select("group", "alloc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(alloc == Map("alpha" -> 12L, "beta" -> 0L))
+  }
 }

@@ -208,7 +208,10 @@ object Demo {
       } else {
         val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
         if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
-        val st0 = SamplerState.load(path)
+        // seed-mismatch guard: resuming an existing state under a different
+        // --seed must fail loudly (pass --reset to start over)
+        val st0 = SamplerState.loadFor(path, cfg.seed)
+          .fold(msg => sys.error(msg + "; pass --reset to start over"), identity)
           .getOrElse(SamplerState(cfg.seed, 0L, Map.empty))
         println(s"state: $path (epoch ${st0.epoch}, draws ${st0.counter("draw")})")
         val end = run(spark, cfg, st0)

@@ -112,6 +112,23 @@ object SamplerState {
     if (!Files.exists(p)) None
     else fromJson(Files.readString(p))
   }
+
+  /** Resume guard (reference file_store_rejects_seed_mismatch,
+    * src/splits.rs tests): a persisted state whose seed differs from the
+    * caller's configured seed must SURFACE, never silently win or lose —
+    * a changed seed re-derives every split assignment and roll stream, so
+    * resuming across seeds would contaminate eval splits and break every
+    * golden sequence. Returns the state (or None for a fresh start) only
+    * when the seeds agree. */
+  def loadFor(path: String, expectedSeed: String): Either[String, Option[SamplerState]] =
+    load(path) match {
+      case None => Right(None)
+      case Some(st) if st.seed == expectedSeed => Right(Some(st))
+      case Some(st) => Left(
+        s"persisted sampler state at $path was built with seed '${st.seed}' " +
+          s"but the caller configured '$expectedSeed' — refusing to resume " +
+          "(a changed seed re-assigns splits and roll streams)")
+    }
 }
 
 /** Exhaustion-retry driver loop (reference: src/sampler/mod.rs:2846-2909):

@@ -12,6 +12,18 @@ class StateAndRecipesSpec extends AnyFunSuite {
 
   // ---- sampler-state persistence (reference: FileSplitStore semantics) ----
 
+  test("resume guard: seed mismatch surfaces instead of silently winning") {
+    // reference file_store_rejects_seed_mismatch (src/splits.rs): a
+    // persisted store built under another seed must refuse to open
+    val path = java.nio.file.Files.createTempDirectory("st_guard").toString + "/st.json"
+    assert(SamplerState.loadFor(path, "a") == Right(None)) // fresh start
+    SamplerState.save(SamplerState("a", 2L, Map("draw" -> 7L)), path)
+    assert(SamplerState.loadFor(path, "a")
+      .exists(_.exists(_.counter("draw") == 7L)))
+    val err = SamplerState.loadFor(path, "b")
+    assert(err.isLeft && err.swap.exists(m => m.contains("'a'") && m.contains("'b'")))
+  }
+
   test("sampler state: save/load roundtrip, temp-then-publish") {
     val dir = Files.createTempDirectory("graft_state").toString
     val path = s"$dir/state.json"

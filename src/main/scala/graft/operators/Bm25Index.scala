@@ -64,11 +64,28 @@ object Bm25Index {
   /** Persist / reload. Postings are repartitioned by `term` on write so a
     * query-vocabulary restriction touches few files; at cluster scale the
     * same write would bucket by term (`bucketBy` via a table catalog).
-    * Lengths are #docs rows alongside. */
+    * Lengths are #docs rows alongside.
+    *
+    * Temp-then-publish (the SamplerState.save discipline): both relations
+    * land in a `.tmp` sibling first and move into place together — two
+    * sequential in-place overwrites could be interrupted between them,
+    * leaving NEW postings with STALE lengths that `load` would accept and
+    * score silently wrong. A torn publish here instead leaves the target
+    * absent or the old generation intact — loud or consistent, never
+    * mixed. */
   def save(idx: Bm25Index, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val tmp = Paths.get(dir + ".tmp")
+    rmTree(tmp)
     idx.postings.repartition(col("term")).write.mode("overwrite")
-      .parquet(s"$dir/postings")
-    idx.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+      .parquet(s"$tmp/postings")
+    idx.docLens.write.mode("overwrite").parquet(s"$tmp/doclens")
+    rmTree(Paths.get(dir))
+    Files.move(tmp, Paths.get(dir))
   }
 
   def load(spark: SparkSession, dir: String): Bm25Index =

@@ -122,7 +122,10 @@ object SamplerState {
     * when the seeds agree. */
   def loadFor(path: String, expectedSeed: String): Either[String, Option[SamplerState]] =
     load(path) match {
-      case None => Right(None)
+      case None if !Files.exists(Paths.get(path)) => Right(None) // fresh start
+      case None => Left( // file present but unparseable: never silently restart
+        s"persisted sampler state at $path exists but does not parse — " +
+          "refusing to restart from scratch over it (fix or delete the file)")
       case Some(st) if st.seed == expectedSeed => Right(Some(st))
       case Some(st) => Left(
         s"persisted sampler state at $path was built with seed '${st.seed}' " +

@@ -285,6 +285,7 @@ object Sketches {
   /** DuckDB twin of [[sampleQuantiles]]: expects a relation
     * `(grp, id, value)` named by `src`, yields `(grp, p, q_est)`. */
   def duckSampleQuantiles(src: String, k: Int, ps: Seq[Int]): String = {
+    require(ps.nonEmpty, "duckSampleQuantiles needs at least one percentile")
     // the ranked sample is a nested CTE so the two window sorts run ONCE,
     // not once per percentile lane
     val lanes = ps.map(p =>

@@ -32,12 +32,16 @@ object Ingestion {
 
   /** The reference's refresh-selection policy (refresh_all_internal,
     * reference: src/ingestion.rs:433-448): a source refreshes iff the
-    * caller forces it (buffers discarded first) or its buffer is EMPTY —
-    * a non-empty buffer is never re-fetched by a routine cycle
+    * caller forces it or its buffer is EMPTY — a non-empty buffer is
+    * never re-fetched by a routine cycle
     * (test_refresh_all_skips_non_empty_buffers). The returned ids are the
     * cycle's `last_refreshed_sources` report
     * (refreshed_sources_are_reported_per_cycle: empty when nothing
-    * refreshed). Feed the selected subset to [[refreshAll]]. */
+    * refreshed). This is the SELECTION only: under `force` the caller
+    * must also discard the selected sources' buffered rows (e.g.
+    * `RecordCache.clear`) before draining the refreshAll results — the
+    * reference clears inside the same loop. Feed the selected subset to
+    * [[refreshAll]]. */
   def refreshPlan(buffers: Seq[(String, Long)], force: Boolean = false): Seq[String] =
     buffers.collect { case (id, n) if force || n == 0L => id }
 
@@ -55,8 +59,10 @@ object Ingestion {
     weights.collectFirst {
       case (id, _) if !registered.contains(id) =>
         s"invalid weight: source '$id' is not registered"
-      case (id, w) if w < 0 =>
-        s"invalid weight: source '$id' weight $w is negative"
+      // !(w >= 0), not (w < 0): NaN fails both comparisons and must be
+      // rejected here, not poison the largest-remainder allocation later
+      case (id, w) if !(w >= 0) =>
+        s"invalid weight: source '$id' weight $w is negative or NaN"
     }.toLeft(())
   }
 

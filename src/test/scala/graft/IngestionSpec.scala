@@ -118,6 +118,7 @@ class IngestionSpec extends AnyFunSuite {
     assert(validateWeights(reg, Map("alpha" -> 1.0, "beta" -> 0.0)).isRight)
     assert(validateWeights(reg, Map("ghost" -> 1.0)).swap.exists(_.contains("ghost")))
     assert(validateWeights(reg, Map("alpha" -> -0.5)).swap.exists(_.contains("negative")))
+    assert(validateWeights(reg, Map("alpha" -> Double.NaN)).isLeft)
     // zero weight excludes from the drain without shrinking the batch:
     // the allocation gives 0 to the zero-weight group, full total overall
     val spark0 = TestSpark.spark

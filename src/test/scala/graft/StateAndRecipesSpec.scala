@@ -22,6 +22,9 @@ class StateAndRecipesSpec extends AnyFunSuite {
       .exists(_.exists(_.counter("draw") == 7L)))
     val err = SamplerState.loadFor(path, "b")
     assert(err.isLeft && err.swap.exists(m => m.contains("'a'") && m.contains("'b'")))
+    // a CORRUPT state file surfaces too — never a silent fresh restart
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), "{not json")
+    assert(SamplerState.loadFor(path, "a").swap.exists(_.contains("does not parse")))
   }
 
   test("sampler state: save/load roundtrip, temp-then-publish") {

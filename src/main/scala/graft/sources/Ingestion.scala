@@ -66,6 +66,18 @@ object Ingestion {
     }.toLeft(())
   }
 
+  /** Advance-cycle limits (reference refresh_all_internal,
+    * src/ingestion.rs:431-436 contract, 461 fetch_limit, 576 drain
+    * target; pinned by advance_on_empty_buffer_fills_to_max_records_
+    * not_step): the SOURCE fetch limit is ALWAYS `maxRecords` — an empty
+    * buffer refills to capacity so a step-2 advance doesn't trigger a
+    * shard fetch every other step — while the DRAIN target is `step` for
+    * a rolling advance (no cache clear) and `maxRecords` with a cache
+    * clear for a full refresh (`step = None`). Returns
+    * `(fetchLimit, drainTarget, clearCaches)`. */
+  def advanceLimits(step: Option[Long], maxRecords: Long): (Long, Long, Boolean) =
+    (maxRecords, step.getOrElse(maxRecords), step.isEmpty)
+
   /** Refresh every `(sourceId, page)` concurrently and return
     * `(sourceId, rows, stats)` in INPUT order (reference joins handles in
     * source order). `page` should already be cursor-bounded, as with

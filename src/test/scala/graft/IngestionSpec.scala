@@ -112,6 +112,15 @@ class IngestionSpec extends AnyFunSuite {
     assert(graft.sources.Ingestion.refreshPlan(Seq("a" -> 2L, "b" -> 1L)).isEmpty)
   }
 
+  test("advance limits: empty buffer refills to max_records, drain is the step") {
+    // the reference's pinned regression (advance_on_empty_buffer_fills_
+    // to_max_records_not_step): fetch_limit = step would drain-and-refetch
+    // on every other advance(2); the source limit is ALWAYS max_records
+    import graft.sources.Ingestion.advanceLimits
+    assert(advanceLimits(Some(2L), 10L) == ((10L, 2L, false)))  // rolling
+    assert(advanceLimits(None, 10L) == ((10L, 10L, true)))      // full refresh
+  }
+
   test("weight validation: unregistered and negative rejected, zero legal") {
     import graft.sources.Ingestion.validateWeights
     val reg = Set("alpha", "beta")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule}
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Bm25, Dedup, Pq, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -24,6 +24,18 @@ object SimilarityQueries extends QueryModule {
   // recall/cost dial a real corpus tunes the same way
   private val Planes95 = 5
   private val CosMin = 350000L
+  // q118 product quantization: 64 dims → M=8 subspaces × 8 dims, Ks=8
+  // codewords each — 8 small codes per vector (the ~32× compression dial;
+  // production uses M=8..64, Ks=256 — same plans, bigger broadcast)
+  private val PqM = 8
+  private val PqKs = 8
+  // q119 reciprocal-rank fusion: top-20 from each system, fuse to top-10
+  private val RrfDepth = 20
+  private val FuseK = 10
+  private val RrfQueries = Seq(
+    1 -> "spark join table scan",
+    2 -> "hash agg window batch",
+    3 -> "customer order line value")
 
   private def duckNorms =
     s"""norms AS (SELECT vec_id, ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
@@ -327,6 +339,131 @@ object SimilarityQueries extends QueryModule {
           FROM asg)
         SELECT rk.vec_id, rk.cell, rk.r
         FROM rk JOIN a ON rk.cell = a.cell WHERE rk.r <= a.alloc"""
+      }),
+
+    QueryDef("q118_pq_adc_search",
+      // product quantization + asymmetric distance computation — the
+      // memory-compression ANN path (IVF-PQ's PQ half): the corpus is
+      // M=8 codes/vector, queries score by summing M broadcast
+      // lookup-table entries, and the float corpus is never read at
+      // query time. See [[graft.operators.Pq]].
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
+        val codes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, cb)
+        val adc = Pq.adcTables(
+          emb.filter(col("vec_id") < NQueries), "vec_id", "embedding",
+          Dim, PqM, cb)
+        val scored = Pq.adcScores(codes, adc)
+          .filter(col("id") =!= col("qid"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("qid"), col("id").as("vec_id"), col("adist"), col("rank"))
+      },
+      Some {
+        val sub = Dim / PqM
+        s"""WITH ${Pq.duckPqCtes(Dim, PqM, PqKs)},
+        qd AS (
+          SELECT s.vec_id AS qid, c.m, c.code,
+            ${Pq.duckDistE3("s.semb", "c.cemb", sub)} AS d
+          FROM pq_sub s JOIN pq_cb c ON s.m = c.m
+          WHERE s.vec_id < $NQueries
+        ), ad AS (
+          SELECT q.qid, k.vec_id, CAST(sum(q.d) AS BIGINT) AS adist
+          FROM pq_codes k JOIN qd q ON k.m = q.m AND k.code = q.code
+          WHERE k.vec_id <> q.qid
+          GROUP BY q.qid, k.vec_id
+        )
+        SELECT qid, vec_id, adist, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rank
+          FROM ad) t
+        WHERE rank <= $TopK"""
+      }),
+
+    QueryDef("q119_rrf_hybrid_fusion",
+      // hybrid retrieval for hard-negative mining: fuse the BM25 lexical
+      // ranking (q50 machinery) with the dense cosine ranking (q25
+      // machinery) by reciprocal-rank fusion (Cormack et al. 2009):
+      // rrf = Σ_systems 1e9 div (60 + rank) — integer division, so the
+      // fused scores are exact and the oracle reproduces them bit-for-bit.
+      // Each system contributes its top-RrfDepth; docs found by both rank
+      // first. The fusion itself adds ONE keyed sum over two
+      // candidate-sized frames — at 100 TB the cost lives in the systems,
+      // not the fusion.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val lex = Bm25.topK(
+            Bm25.scores(s, docs, "doc_id", "text", RrfQueries), RrfDepth)
+          .select(col("qid").cast("long").as("qid"), col("doc_id"),
+            col("rank").as("r"))
+        val emb = Tables.load(s, dir, "embeddings")
+          .withColumn("nrm", Similarity.normE3(col("embedding")))
+        val qids = RrfQueries.map(_._1.toLong)
+        val q = emb.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("nrm").as("qnrm"))
+        val dw = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_e6").desc, col("vec_id"))
+        val dense = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosE6(
+              Similarity.dotE3(col("qemb"), col("embedding")),
+              col("qnrm"), col("nrm")).as("cos_e6"))
+          .withColumn("r", row_number().over(dw).cast("long"))
+          .filter(col("r") <= RrfDepth)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("r"))
+        val pts = expr("CAST(1000000000 div (60 + r) AS BIGINT)")
+        val contrib = lex
+          .select(col("qid"), col("doc_id"), pts.as("pts"),
+            lit(1L).as("l"), lit(0L).as("d"))
+          .unionByName(dense.select(col("qid"), col("doc_id"), pts.as("pts"),
+            lit(0L).as("l"), lit(1L).as("d")))
+        val fused = contrib.groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("pts")).as("rrf_e9"),
+            max(col("l")).as("in_lex"), max(col("d")).as("in_dense"))
+        val fw = Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_e9").desc, col("doc_id"))
+        fused.withColumn("rank", row_number().over(fw).cast("long"))
+          .filter(col("rank") <= FuseK)
+      },
+      Some {
+        val qidList = RrfQueries.map(_._1).mkString(", ")
+        s"""${Bm25.duckScoresCtes(RrfQueries)},
+        lexr AS (
+          SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS r
+          FROM agg
+        ), lex AS (SELECT * FROM lexr WHERE r <= $RrfDepth),
+        dq AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+               WHERE vec_id IN ($qidList)),
+        dsc AS (
+          SELECT dq.qid, e.vec_id,
+            ${Similarity.duckCosE6(
+              Similarity.duckDotE3("dq.qemb", "e.embedding", Dim),
+              Similarity.duckDotE3("dq.qemb", "dq.qemb", Dim),
+              Similarity.duckDotE3("e.embedding", "e.embedding", Dim))} AS cos_e6
+          FROM embeddings e CROSS JOIN dq WHERE e.vec_id <> dq.qid
+        ), dr AS (
+          SELECT qid, vec_id AS doc_id, r FROM (
+            SELECT qid, vec_id,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS r
+            FROM dsc) t
+          WHERE r <= $RrfDepth
+        ), contrib AS (
+          SELECT qid, doc_id, 1000000000 // (60 + r) AS pts, 1 AS l, 0 AS d FROM lex
+          UNION ALL
+          SELECT qid, doc_id, 1000000000 // (60 + r), 0, 1 FROM dr
+        ), fused AS (
+          SELECT qid, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_e9,
+            CAST(max(l) AS BIGINT) AS in_lex, CAST(max(d) AS BIGINT) AS in_dense
+          FROM contrib GROUP BY qid, doc_id
+        )
+        SELECT qid, doc_id, rrf_e9, in_lex, in_dense, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rank
+          FROM fused) t
+        WHERE rank <= $FuseK"""
       })
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Bpe, Curation, Dedup, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, TextAnalysis, WordPiece}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator demonstrations over `documents`:
@@ -559,6 +559,52 @@ object TextQueries extends QueryModule {
             "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
             AS head_pieces_hash
         FROM documents d LEFT JOIN flat p ON d.doc_id = p.doc_id""")),
+
+    QueryDef("q120_wordpiece_vocab",
+      // the WordPiece vocabulary (operators.WordPiece): candidate pieces
+      // are every ≤8-char substring of the CAPPED word table (initial
+      // plain, internal ##-prefixed), count-weighted; vocab = all
+      // single-char pieces + top-200 multi-char by (count DESC, piece).
+      // The corpus-scale work is q55's one capped aggregate — this adds
+      // one explode over ≤300 rows.
+      (s, dir) => WordPiece.vocabTable(
+        Bpe.wordCounts(Tables.load(s, dir, "documents"), maxWords = 300),
+        maxPieceLen = 8, topMulti = 200),
+      Some(s"""WITH ${WordPiece.duckVocabCtes(300, 8, 200)}
+        SELECT piece, mlen, pcnt FROM wp_vocab""")),
+
+    QueryDef("q121_wordpiece_segmentation",
+      // the real BERT inference rule, distributed: greedy
+      // longest-match-first per word under the q120 vocabulary (broadcast
+      // after a bounded collect), whole-word [UNK] on any unmatchable
+      // position. The oracle replays the greedy march — longest matching
+      // piece at every position of every distinct word — as a recursive
+      // CTE over the SAME SQL-derived vocabulary, and the head-pieces
+      // hash pins the piece STRINGS in order (the q56 convention).
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = WordPiece.vocabTable(
+            Bpe.wordCounts(docs, maxWords = 300), maxPieceLen = 8, topMulti = 200)
+          .select(col("piece"), col("mlen"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        WordPiece.segment(s, docs, vocab, maxPieceLen = 8)
+      },
+      Some(s"""WITH RECURSIVE ${WordPiece.duckVocabCtes(300, 8, 200)},
+        ${WordPiece.duckEncodeCtes(8)}, wp_flat AS (
+          SELECT o.doc_id, flatten(array_agg(f.pieces ORDER BY o.idx)) AS pieces,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(f.np) AS BIGINT) AS n_pieces,
+            CAST(sum(f.unk) AS BIGINT) AS n_unk_words
+          FROM wp_occ o JOIN wp_fin f ON o.w = f.w GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+          CAST(coalesce(p.n_unk_words, 0) AS BIGINT) AS n_unk_words,
+          ${Determinism.duckHash(
+            "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
+            AS head_pieces_hash
+        FROM documents d LEFT JOIN wp_flat p ON d.doc_id = p.doc_id""")),
 
     QueryDef("q107_lm_quality",
       // CCNet-style LM quality gate (operators.NgramLm): an add-one

@@ -349,7 +349,11 @@ object SimilarityQueries extends QueryModule {
       // query time. See [[graft.operators.Pq]].
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+        // the 64-row codebook feeds BOTH the encode and the ADC tables —
+        // checkpoint it so the M TakeOrdered picks run once and downstream
+        // plans see a LocalTableScan-sized leaf
         val cb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
+          .localCheckpoint()
         val codes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, cb)
         val adc = Pq.adcTables(
           emb.filter(col("vec_id") < NQueries), "vec_id", "embedding",

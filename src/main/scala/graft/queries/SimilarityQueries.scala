@@ -385,6 +385,87 @@ object SimilarityQueries extends QueryModule {
         WHERE rank <= $TopK"""
       }),
 
+    QueryDef("q122_ivfadc_search",
+      // the full production ANN shape (FAISS-style IVF-PQ search): coarse
+      // IVF cells bound the candidate set (q29's probes), and scoring
+      // inside the probed cells is PQ ADC (q118's lookup tables) — the
+      // search touches |probed cells| code rows and ZERO corpus floats.
+      // (Classic IVFADC quantizes residuals x − centroid; we encode raw
+      // vectors — same plans, one fewer broadcast subtraction — and
+      // document the delta. Exactness doctrine unchanged: every distance
+      // is an exact e3 integer.)
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+          .localCheckpoint()
+        val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        val cb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
+          .localCheckpoint()
+        val codes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, cb)
+        val q = emb.filter(col("vec_id") < NQueries)
+        val probes = Similarity.ivfProbes(
+            q.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+            "qid", "qemb", cents, IvfProbe)
+          .select(col("qid"), col("cell"))
+        val adc = Pq.adcTables(q, "vec_id", "embedding", Dim, PqM, cb)
+        val cand = codes.join(assign.withColumnRenamed("vec_id", "id"), "id")
+          .join(broadcast(probes), "cell")
+          .filter(col("id") =!= col("qid"))
+        val scored = cand.join(broadcast(adc), Seq("qid", "m", "code"))
+          .groupBy(col("qid"), col("id"), col("cell"))
+          .agg(sum(col("d")).as("adist"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("qid"), col("id").as("vec_id"), col("cell"),
+            col("adist"), col("rank"))
+      },
+      Some {
+        val sub = Dim / PqM
+        def dist(a: String, b: String) =
+          s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
+            s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
+        s"""WITH ${Pq.duckPqCtes(Dim, PqM, PqKs)},
+        picked AS (
+          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+        ), cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
+            embedding AS cemb
+          FROM picked
+        ), asg0 AS (
+          SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
+          FROM embeddings e CROSS JOIN cents c
+        ), asg AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM asg0) t WHERE rn = 1
+        ), probes AS (
+          SELECT qid, cid AS cell FROM (
+            SELECT e.vec_id AS qid, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("e.embedding", "c.cemb")}, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries) t
+          WHERE rn <= $IvfProbe
+        ), qd AS (
+          SELECT s.vec_id AS qid, c.m, c.code,
+            ${Pq.duckDistE3("s.semb", "c.cemb", sub)} AS d
+          FROM pq_sub s JOIN pq_cb c ON s.m = c.m
+          WHERE s.vec_id < $NQueries
+        ), ad AS (
+          SELECT q.qid, k.vec_id, a.cell, CAST(sum(q.d) AS BIGINT) AS adist
+          FROM pq_codes k
+          JOIN asg a ON a.vec_id = k.vec_id
+          JOIN probes p ON p.cell = a.cell
+          JOIN qd q ON k.m = q.m AND k.code = q.code AND q.qid = p.qid
+          WHERE k.vec_id <> q.qid
+          GROUP BY q.qid, k.vec_id, a.cell
+        )
+        SELECT qid, vec_id, cell, adist, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rank
+          FROM ad) t
+        WHERE rank <= $TopK"""
+      }),
+
     QueryDef("q119_rrf_hybrid_fusion",
       // hybrid retrieval for hard-negative mining: fuse the BM25 lexical
       // ranking (q50 machinery) with the dense cosine ranking (q25

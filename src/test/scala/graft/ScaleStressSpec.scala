@@ -234,4 +234,29 @@ class ScaleStressSpec extends AnyFunSuite {
       Bm25Index.scores(spark, idx, Seq(1 -> "w3 w500 w996", 2 -> "w13 w77")), 5)
     assert(scored.count() == 10L)
   }
+
+  test("PQ encode + ADC complete at 200k vectors (codes only, no corpus floats)") {
+    import graft.operators.Pq
+    // 200k synthetic 16-dim vectors (4 subspaces x 8 codewords): the code
+    // table must come out one row per (vector, subspace) and the ADC scan
+    // must stay a broadcast join + keyed sum at this width
+    val emb = spark.range(200000).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 16), i -> CAST(pmod(id * i + i, 97) / 10.0 AS FLOAT))")
+        .as("embedding"))
+    val cb = Pq.codebook(emb, "vec_id", "embedding", 16, 4, 8).localCheckpoint()
+    val codes = Pq.encode(emb, "vec_id", "embedding", 16, 4, cb)
+    assert(codes.count() == 800000L)
+    val adc = Pq.adcTables(emb.filter(col("vec_id") < 4), "vec_id", "embedding", 16, 4, cb)
+    assert(Pq.adcScores(codes, adc).count() == 800000L)
+  }
+
+  test("WordPiece segmentation completes at 200k docs (broadcast vocab, narrow encode)") {
+    import graft.operators.{Bpe, WordPiece}
+    val docs = corpus(200000)
+    val vocab = WordPiece.vocabTable(Bpe.wordCounts(docs, maxWords = 500), 8, 300)
+      .select(col("piece"), col("mlen"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seg = WordPiece.segment(spark, docs, vocab, 8)
+    assert(seg.count() == 200000L)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule}
 import graft.core.{Determinism, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Bpe, Curation, Dedup, TextAnalysis, WordPiece}
+import graft.operators.{Bpe, Curation, Dedup, TextAnalysis, Unigram, WordPiece}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator demonstrations over `documents`:
@@ -605,6 +605,33 @@ object TextQueries extends QueryModule {
             "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
             AS head_pieces_hash
         FROM documents d LEFT JOIN wp_flat p ON d.doc_id = p.doc_id""")),
+
+    QueryDef("q123_unigram_segmentation",
+      // the third production tokenizer: Unigram-LM (SentencePiece's
+      // model) — segmentation is the GLOBALLY optimal Viterbi path under
+      // pinned integer ln-costs (trained by hard EM on the capped word
+      // table; Unigram.PinnedVocab, retrain-asserted). The oracle replays
+      // the exact forward DP (per-prefix best-cost lists, longer-piece
+      // tie-break) plus the backtrace as recursive CTEs under the same
+      // pinned cost map; the head hash pins piece STRINGS in order.
+      (s, dir) => Unigram.segment(s, Tables.load(s, dir, "documents"),
+        Unigram.PinnedVocab),
+      Some(s"""WITH RECURSIVE ${Unigram.duckEncodeCtes(Unigram.PinnedVocab, 6)},
+        ug_flat AS (
+          SELECT o.doc_id, flatten(array_agg(f.pieces ORDER BY o.idx)) AS pieces,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(f.np) AS BIGINT) AS n_pieces,
+            CAST(sum(f.unk) AS BIGINT) AS n_unk_words
+          FROM ug_occ o JOIN ug_fin f ON o.w = f.w GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+          CAST(coalesce(p.n_unk_words, 0) AS BIGINT) AS n_unk_words,
+          ${Determinism.duckHash(
+            "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
+            AS head_pieces_hash
+        FROM documents d LEFT JOIN ug_flat p ON d.doc_id = p.doc_id""")),
 
     QueryDef("q107_lm_quality",
       // CCNet-style LM quality gate (operators.NgramLm): an add-one

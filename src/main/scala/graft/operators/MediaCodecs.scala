@@ -291,6 +291,41 @@ object MediaCodecs {
     * structural violation (bad CRC length, interlace, 16-bit, palette,
     * short inflate) refuses rather than throws. */
   def decodePng(b: Array[Byte]): Option[Decoded] = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    pngSweep(b) { (_, _, _) =>
+      Some((_, _, r, g, bl) => { sr += r; sg += g; sb += bl })
+    }.map { case (w, h, bpp) =>
+      val npx = w.toLong * h
+      Decoded("png", width = w, height = h, channels = bpp,
+        meanR = (sr / npx).toInt, meanG = (sg / npx).toInt, meanB = (sb / npx).toInt)
+    }
+  }
+
+  /** Decode + grayscale block-downsample in ONE sweep (thumbnailing
+    * without materializing the raster): block (gx, gy) accumulates the
+    * SUM of per-pixel `r+g+b` over its w/gw × h/gh pixels — comparisons
+    * between equal-sized blocks are mean comparisons without a division,
+    * so downstream perceptual hashes stay integer-exact. Refuses (None)
+    * when the dimensions don't divide evenly — the fixture lanes
+    * synthesize divisible sizes; a production thumbnailer would pad. */
+  def decodePngGrayGrid(b: Array[Byte], gw: Int, gh: Int): Option[Array[Long]] = {
+    val grid = new Array[Long](gw * gh)
+    pngSweep(b) { (w, h, _) =>
+      if (w % gw != 0 || h % gh != 0) None
+      else {
+        val bw = w / gw; val bh = h / gh
+        Some((row, px, r, g, bl) =>
+          grid((row / bh) * gw + (px / bw)) += (r + g + bl).toLong)
+      }
+    }.map(_ => grid)
+  }
+
+  /** Shared PNG decode core: chunk walk, Inflater, filter reversal — the
+    * pixel visitor (built once dims are known; returning None refuses)
+    * receives `(row, col, r, g, b)` with gray/alpha mapped to equal
+    * channels, alpha ignored. Returns `(w, h, bpp)` on success. */
+  private def pngSweep(b: Array[Byte])(
+      mk: (Int, Int, Int) => Option[(Int, Int, Int, Int, Int) => Unit]): Option[(Int, Int, Int)] = {
     if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
     var pos = 8
     var w = 0; var h = 0; var colorType = -1
@@ -319,6 +354,7 @@ object MediaCodecs {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None
     }
     if (!sawIhdr || w <= 0 || h <= 0 || idat.size == 0) return None
+    val onPixel = mk(w, h, bpp).getOrElse(return None)
     val stride = w.toLong * bpp
     val rawLen = (stride + 1) * h
     if (stride > Int.MaxValue / h - 1 || rawLen > Int.MaxValue - 8) return None
@@ -341,7 +377,6 @@ object MediaCodecs {
     val st = stride.toInt
     val cur = new Array[Int](st)
     val prior = new Array[Int](st)
-    var (sr, sg, sb) = (0L, 0L, 0L)
     var row = 0
     while (row < h) {
       val base = row * (st + 1)
@@ -369,17 +404,38 @@ object MediaCodecs {
       while (px < w) {
         val o = px * bpp
         colorType match {
-          case 0 | 4 => val v = cur(o); sr += v; sg += v; sb += v
-          case _ => sr += cur(o); sg += cur(o + 1); sb += cur(o + 2)
+          case 0 | 4 => val v = cur(o); onPixel(row, px, v, v, v)
+          case _ => onPixel(row, px, cur(o), cur(o + 1), cur(o + 2))
         }
         px += 1
       }
       System.arraycopy(cur, 0, prior, 0, st)
       row += 1
     }
-    val npx = w.toLong * h
-    Some(Decoded("png", width = w, height = h, channels = bpp,
-      meanR = (sr / npx).toInt, meanG = (sg / npx).toInt, meanB = (sb / npx).toInt))
+    Some((w, h, bpp))
+  }
+
+  /** Difference hash (dHash) over a `gw×gh` gray grid, split into two
+    * 32-bit halves so neither engine's arithmetic ever touches a sign
+    * bit: bit k (row-major over rows × (gw-1) comparisons) is set when
+    * `grid[r][c] > grid[r][c+1]`. With gw=9, gh=8 this is the classic
+    * 64-bit dHash as `(hi, lo)`. */
+  def dHashHalves(grid: Array[Long], gw: Int, gh: Int): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var k = 0
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        if (grid(r * gw + c) > grid(r * gw + c + 1)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
   }
 
   /** Minimal PNG encoder (the inverse of [[decodePng]] for fixtures and

@@ -426,6 +426,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(MediaCodecs.decode(ilace).isEmpty)
   }
 
+  test("png gray-grid downsample + dHash: block sums exact, halves law, refusals") {
+    import graft.operators.MediaCodecs
+    val w = 18; val h = 16
+    val px = (0 until w * h * 3).map(i => (i * 53 + (i * i) % 77) % 256)
+    for (f <- 0 to 4) {
+      val grid = MediaCodecs.decodePngGrayGrid(
+        MediaCodecs.encodePng(w, h, px, filterType = f), 9, 8).get
+      // block (gx, gy) sums r+g+b over its 2x2 pixels — recompute directly
+      val expect = Array.tabulate(72) { blk =>
+        val gy = blk / 9; val gx = blk % 9
+        (for { dy <- 0 until 2; dx <- 0 until 2 } yield {
+          val p = (gy * 2 + dy) * w + (gx * 2 + dx)
+          (px(3 * p) + px(3 * p + 1) + px(3 * p + 2)).toLong
+        }).sum
+      }
+      assert(grid.toSeq == expect.toSeq, s"filter=$f")
+    }
+    // dHash halves never touch the sign bit; identical grids match;
+    // a single block bump flips a bounded number of bits
+    val g1 = MediaCodecs.decodePngGrayGrid(MediaCodecs.encodePng(w, h, px), 9, 8).get
+    val (hi1, lo1) = MediaCodecs.dHashHalves(g1, 9, 8)
+    assert(hi1 >= 0 && lo1 >= 0 && hi1 < (1L << 32) && lo1 < (1L << 32))
+    val g2 = g1.clone(); g2(40) += 1000
+    val (hi2, lo2) = MediaCodecs.dHashHalves(g2, 9, 8)
+    val ham = java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
+    assert(ham >= 0 && ham <= 2) // one block touches two comparisons
+    // non-divisible dims refuse rather than guess a resample
+    assert(MediaCodecs.decodePngGrayGrid(
+      MediaCodecs.encodePng(10, 8, (0 until 240).map(_ % 256)), 9, 8).isEmpty)
+  }
+
   test("media codecs never throw: fuzzed random buffers and mutated valid files") {
     import graft.operators.MediaCodecs
     // the 100 TB contract: one corrupt payload must degrade, never kill a

@@ -195,6 +195,56 @@ object TemporalQueries extends QueryModule {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
           CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           CAST(max(ts_us - prev_us) AS BIGINT) AS max_gap_us
-        FROM e GROUP BY user_id"""))
+        FROM e GROUP BY user_id""")),
+
+    QueryDef("q125_range_join_attribution",
+      // point-in-interval RANGE JOIN, the scale-safe way: each purchase
+      // opens a 30-minute attribution window and we count the user's
+      // clicks inside it. A naive formulation is a theta join (Spark
+      // falls back to BroadcastNestedLoop — O(n·m)); here intervals
+      // explode to their ≤2 covering width-W time buckets and the join is
+      // EQUI on (user, bucket) + a containment filter — every contained
+      // point shares a bucket with its interval by construction, so
+      // recall is structural and the shuffle is one hash join at any
+      // scale. (The oracle states the containment predicate directly —
+      // DuckDB's optimizer handles the small-data theta form.)
+      (s, dir) => {
+        val W = SessionGapUs // 30-min windows, bucket width = window width
+        val ev = Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("p_us"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_us"),
+            round(col("value") * 1000000).cast("long").as("v_e6"))
+          .withColumn("bucket", expr(s"c_us div $W"))
+        val ibuck = pur.select(col("purchase_id"), col("user_id"), col("p_us"),
+          explode(array_distinct(array(
+            expr(s"p_us div $W"), expr(s"(p_us + ${W - 1}) div $W")))).as("bucket"))
+        val hits = ibuck.join(clk, Seq("user_id", "bucket"))
+          .filter(col("c_us") >= col("p_us") && col("c_us") < col("p_us") + W)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("v"))
+        pur.join(hits, Seq("purchase_id"), "left")
+          .select(col("purchase_id"),
+            coalesce(col("n"), lit(0L)).as("n_clicks"),
+            coalesce(col("v"), lit(0L)).as("click_value_e6"))
+      },
+      Some(s"""WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+            CAST(round(value * 1000000) AS BIGINT) AS v_e6
+          FROM events),
+        p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+              FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, us AS c_us, v_e6 FROM e WHERE event_type = 'click'),
+        h AS (SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c.v_e6) AS BIGINT) AS v
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.c_us >= p.p_us AND c.c_us < p.p_us + $SessionGapUs
+          GROUP BY p.purchase_id)
+        SELECT p.purchase_id,
+          CAST(coalesce(h.n, 0) AS BIGINT) AS n_clicks,
+          CAST(coalesce(h.v, 0) AS BIGINT) AS click_value_e6
+        FROM p LEFT JOIN h USING (purchase_id)"""))
   )
 }

@@ -205,6 +205,66 @@ object MediaCodecs {
     }
   }
 
+  /** Decode a PCM WAV and return the per-window energy profile: the
+    * sample stream (channel-interleaved, all channels pooled) splits into
+    * `k` equal windows and each window accumulates its exact integer sum
+    * of squares. Comparisons between equal-sized windows are mean-energy
+    * comparisons without a division, so downstream acoustic fingerprints
+    * stay integer-exact (the audio twin of [[decodePngGrayGrid]]).
+    * Refuses (None) on non-PCM/corrupt containers or when the total
+    * sample count doesn't divide into `k` windows — fixture lanes
+    * synthesize divisible lengths; a production fingerprinter would pad. */
+  def decodeWavEnergyWindows(b: Array[Byte], k: Int): Option[Array[Long]] = {
+    if (!(ascii(b, 0, "RIFF") && b.length >= 44 && ascii(b, 8, "WAVE"))) return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos.toLong + 8 + size > b.length) return None
+      if (ascii(b, pos, "fmt ")) {
+        if (size < 16) return None
+        if (le16(b, pos + 8) != 1) return None
+        fmt = Some((le16(b, pos + 10), le32(b, pos + 12), le16(b, pos + 22)))
+      } else if (ascii(b, pos, "data")) data = Some((pos + 8, size))
+      pos += 8 + size + (size & 1)
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((off, len))) =>
+        if (ch <= 0 || rate <= 0 || (bits != 8 && bits != 16)) return None
+        val total = (len / (ch * (bits / 8))) * ch
+        if (total == 0 || total % k != 0) return None
+        val per = total / k
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < total) {
+          val s =
+            if (bits == 8) u8(b, off + i) - 128
+            else le16(b, off + 2 * i).toShort.toInt
+          out(i / per) += s.toLong * s
+          i += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** Energy-difference fingerprint over a window profile, split into two
+    * 32-bit halves (no sign-bit hazard): bit j is set when
+    * `win[j] > win[j+1]` — with k=65 windows this is a 64-bit acoustic
+    * fingerprint, the audio analogue of [[dHashHalves]]. */
+  def energyHashHalves(win: Array[Long]): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var j = 0
+    while (j < win.length - 1) {
+      if (win(j) > win(j + 1)) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
   /** PPM P6 (binary): `P6 <ws> width <ws> height <ws> maxval <single ws>`
     * then width×height RGB triplets; `#` comments allowed in the header.
     * Only maxval < 256 (1 byte/channel). */

@@ -247,6 +247,88 @@ object SourceQueries extends QueryModule {
           CAST(floor(1000.0 * sqrt(CAST(ss AS DOUBLE) / n) / 32767.0) AS BIGINT) AS rms_e3
         FROM agg""")),
 
+    QueryDef("q126_audio_fingerprint_neardup",
+      // acoustic near-dup dedup — the audio twin of q124: hash-derived
+      // PCM streams (4-member groups share a base signal, members perturb
+      // a few samples) are WAV-encoded, decoded through the real RIFF
+      // walk into a 65-window exact energy profile
+      // (MediaCodecs.decodeWavEnergyWindows), fingerprinted by
+      // energy-difference bits into two 32-bit halves, and near-dup pairs
+      // come from the same 4×16-bit band self-join + exact hamming
+      // verify. DuckDB recomputes window energies, bits, bands and pairs
+      // from the same hash-derived samples.
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val fp = ids.mapPartitions { it =>
+          it.map { id =>
+            val grp = id / 4; val mem = (id % 4).toInt
+            val samples = (0 until 260).map { i =>
+              val base = (Determinism.jvmHash(s"afp:$grp:$i") % 2001L - 1000L).toInt
+              if (mem > 0 && i % 53 == mem) ((base + 1000 + 137 * mem) % 2001) - 1000
+              else base
+            }
+            val wav = graft.operators.MediaCodecs.encodeWavPcm16(1, 8000, samples)
+            val win = graft.operators.MediaCodecs
+              .decodeWavEnergyWindows(wav, 65).get
+            val (hi, lo) = graft.operators.MediaCodecs.energyHashHalves(win)
+            (id, hi, lo)
+          }
+        }.toDF("doc_id", "hi", "lo")
+        val banded = fp.select(col("doc_id"), col("hi"), col("lo"),
+          explode(array(
+            struct(lit(0L).as("band"), expr("lo & 65535").as("key")),
+            struct(lit(1L).as("band"), expr("(lo >> 16) & 65535").as("key")),
+            struct(lit(2L).as("band"), expr("hi & 65535").as("key")),
+            struct(lit(3L).as("band"), expr("(hi >> 16) & 65535").as("key"))))
+            .as("bk"))
+          .select(col("doc_id"), col("hi"), col("lo"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val l = banded.as("l"); val r = banded.as("r")
+        l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+            expr("CAST(bit_count(l.hi ^ r.hi) + bit_count(l.lo ^ r.lo) AS BIGINT)")
+              .as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+      },
+      Some(s"""WITH smp AS MATERIALIZED (
+          SELECT doc_id, i,
+            CASE WHEN doc_id % 4 > 0 AND i % 53 = doc_id % 4
+              THEN ((CAST(${Determinism.duckHash(
+                "'afp:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 2001 - 1000
+                AS BIGINT) + 1000 + 137 * (doc_id % 4)) % 2001) - 1000
+              ELSE CAST(${Determinism.duckHash(
+                "'afp:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 2001 - 1000
+                AS BIGINT) END AS s
+          FROM documents, unnest(generate_series(0, 259)) AS g(i)
+        ), win AS MATERIALIZED (
+          SELECT doc_id, i // 4 AS w, CAST(sum(s * s) AS BIGINT) AS e
+          FROM smp GROUP BY 1, 2
+        ), cmp AS (
+          SELECT a.doc_id, a.w AS k
+          FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+          WHERE a.e > b.e
+        ), halves AS (
+          SELECT d.doc_id,
+            CAST(coalesce(sum(CASE WHEN c.k >= 32 THEN (CAST(1 AS BIGINT) << (c.k - 32)) ELSE 0 END), 0) AS BIGINT) AS hi,
+            CAST(coalesce(sum(CASE WHEN c.k < 32 THEN (CAST(1 AS BIGINT) << c.k) ELSE 0 END), 0) AS BIGINT) AS lo
+          FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id
+          GROUP BY d.doc_id
+        ), banded AS (
+          SELECT doc_id, hi, lo, band,
+            CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+          FROM halves, LATERAL (SELECT unnest(generate_series(0, 3)) AS band) t
+        )
+        SELECT DISTINCT a, b, hamming FROM (
+          SELECT l.doc_id AS a, r.doc_id AS b,
+            CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS BIGINT) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id) t
+        WHERE hamming <= 6""")),
+
     QueryDef("q69_multimodal_png_decode",
       // the COMPRESSED codec lane (MediaCodecs.decodePng): hash-derived
       // 4×3 RGB pixels are PNG-encoded with scanline filter doc_id % 5 —

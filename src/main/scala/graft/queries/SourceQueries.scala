@@ -43,6 +43,73 @@ object SourceQueries extends QueryModule {
     root.toString
   }
 
+  /** Shared q124/q127 machinery: hash-derived grouped images → real PNG
+    * decode + gray 9×8 grid → dHash halves → 4×16-bit band table
+    * `(doc_id, hi, lo, band, key)`. In production the fingerprint table
+    * is the persisted index; here it derives from the synthesis lane. */
+  private def dhashBanded(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    val dh = ids.mapPartitions { it =>
+      it.map { id =>
+        val grp = id / 4; val mem = (id % 4).toInt
+        val px = Array.tabulate(18 * 16 * 3) { i =>
+          val base = (Determinism.jvmHash(s"dh:$grp:$i") % 256L).toInt
+          if (mem > 0 && i % 97 == mem) (base + 40 * mem) % 256 else base
+        }
+        val png = graft.operators.MediaCodecs.encodePng(18, 16,
+          px.toIndexedSeq, filterType = (id % 5).toInt)
+        val grid = graft.operators.MediaCodecs.decodePngGrayGrid(png, 9, 8).get
+        val (hi, lo) = graft.operators.MediaCodecs.dHashHalves(grid, 9, 8)
+        (id, hi, lo)
+      }
+    }.toDF("doc_id", "hi", "lo")
+    dh.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array(
+        struct(lit(0L).as("band"), expr("lo & 65535").as("key")),
+        struct(lit(1L).as("band"), expr("(lo >> 16) & 65535").as("key")),
+        struct(lit(2L).as("band"), expr("hi & 65535").as("key")),
+        struct(lit(3L).as("band"), expr("(hi >> 16) & 65535").as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** DuckDB twin of [[dhashBanded]]: emits px/grid/cmp/halves/banded. */
+  private def duckDhashBandedCtes: String =
+    s"""px AS MATERIALIZED (
+      SELECT doc_id, i,
+        CASE WHEN doc_id % 4 > 0 AND i % 97 = doc_id % 4
+          THEN (CAST(${Determinism.duckHash(
+            "'dh:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 256
+            AS BIGINT) + 40 * (doc_id % 4)) % 256
+          ELSE CAST(${Determinism.duckHash(
+            "'dh:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 256
+            AS BIGINT) END AS v
+      FROM documents, unnest(generate_series(0, ${18 * 16 * 3 - 1})) AS g(i)
+    ), grid AS MATERIALIZED (
+      -- pixel p = i//3 at (row = p//18, col = p%18); 2x2 blocks -> 9x8
+      SELECT doc_id,
+        ((i // 3) // 18 // 2) * 9 + ((i // 3) % 18 // 2) AS block,
+        CAST(sum(v) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2
+    ), cmp AS (
+      SELECT a.doc_id, (a.block // 9) * 8 + (a.block % 9) AS k
+      FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.block = a.block + 1
+      WHERE a.block % 9 < 8 AND a.s > b.s
+    ), halves AS (
+      SELECT d.doc_id,
+        CAST(coalesce(sum(CASE WHEN c.k >= 32 THEN (CAST(1 AS BIGINT) << (c.k - 32)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        CAST(coalesce(sum(CASE WHEN c.k < 32 THEN (CAST(1 AS BIGINT) << c.k) ELSE 0 END), 0) AS BIGINT) AS lo
+      FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id
+      GROUP BY d.doc_id
+    ), banded AS MATERIALIZED (
+      SELECT doc_id, hi, lo, band,
+        CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                  WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+      FROM halves, LATERAL (SELECT unnest(generate_series(0, 3)) AS band) t
+    )"""
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("q70_csv_source",
@@ -392,32 +459,7 @@ object SourceQueries extends QueryModule {
       // hash stream: a single filter/inflate/downsample drift flips a
       // bit and fails the hash.
       (s, dir) => {
-        import s.implicits._
-        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-        val dh = ids.mapPartitions { it =>
-          it.map { id =>
-            val grp = id / 4; val mem = (id % 4).toInt
-            val px = Array.tabulate(18 * 16 * 3) { i =>
-              val base = (Determinism.jvmHash(s"dh:$grp:$i") % 256L).toInt
-              if (mem > 0 && i % 97 == mem) (base + 40 * mem) % 256 else base
-            }
-            val png = graft.operators.MediaCodecs.encodePng(18, 16,
-              px.toIndexedSeq, filterType = (id % 5).toInt)
-            val grid = graft.operators.MediaCodecs
-              .decodePngGrayGrid(png, 9, 8).get
-            val (hi, lo) = graft.operators.MediaCodecs.dHashHalves(grid, 9, 8)
-            (id, hi, lo)
-          }
-        }.toDF("doc_id", "hi", "lo")
-        val banded = dh.select(col("doc_id"), col("hi"), col("lo"),
-          explode(array(
-            struct(lit(0L).as("band"), expr("lo & 65535").as("key")),
-            struct(lit(1L).as("band"), expr("(lo >> 16) & 65535").as("key")),
-            struct(lit(2L).as("band"), expr("hi & 65535").as("key")),
-            struct(lit(3L).as("band"), expr("(hi >> 16) & 65535").as("key"))))
-            .as("bk"))
-          .select(col("doc_id"), col("hi"), col("lo"),
-            col("bk.band").as("band"), col("bk.key").as("key"))
+        val banded = dhashBanded(s, dir)
         val l = banded.as("l"); val r = banded.as("r")
         l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
             col("l.doc_id") < col("r.doc_id"))
@@ -427,43 +469,41 @@ object SourceQueries extends QueryModule {
           .filter(col("hamming") <= 6)
           .distinct()
       },
-      Some(s"""WITH px AS MATERIALIZED (
-          SELECT doc_id, i,
-            CASE WHEN doc_id % 4 > 0 AND i % 97 = doc_id % 4
-              THEN (CAST(${Determinism.duckHash(
-                "'dh:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 256
-                AS BIGINT) + 40 * (doc_id % 4)) % 256
-              ELSE CAST(${Determinism.duckHash(
-                "'dh:' || CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 256
-                AS BIGINT) END AS v
-          FROM documents, unnest(generate_series(0, ${18 * 16 * 3 - 1})) AS g(i)
-        ), grid AS MATERIALIZED (
-          -- pixel p = i//3 at (row = p//18, col = p%18); 2x2 blocks -> 9x8
-          SELECT doc_id,
-            ((i // 3) // 18 // 2) * 9 + ((i // 3) % 18 // 2) AS block,
-            CAST(sum(v) AS BIGINT) AS s
-          FROM px GROUP BY 1, 2
-        ), cmp AS (
-          SELECT a.doc_id, (a.block // 9) * 8 + (a.block % 9) AS k
-          FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.block = a.block + 1
-          WHERE a.block % 9 < 8 AND a.s > b.s
-        ), halves AS (
-          SELECT d.doc_id,
-            CAST(coalesce(sum(CASE WHEN c.k >= 32 THEN (CAST(1 AS BIGINT) << (c.k - 32)) ELSE 0 END), 0) AS BIGINT) AS hi,
-            CAST(coalesce(sum(CASE WHEN c.k < 32 THEN (CAST(1 AS BIGINT) << c.k) ELSE 0 END), 0) AS BIGINT) AS lo
-          FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id
-          GROUP BY d.doc_id
-        ), banded AS (
-          SELECT doc_id, hi, lo, band,
-            CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
-          FROM halves, LATERAL (SELECT unnest(generate_series(0, 3)) AS band) t
-        )
+      Some(s"""WITH $duckDhashBandedCtes
         SELECT DISTINCT a, b, hamming FROM (
           SELECT l.doc_id AS a, r.doc_id AS b,
             CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS BIGINT) AS hamming
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id) t
+        WHERE hamming <= 6""")),
+
+    QueryDef("q127_incremental_image_dedup",
+      // streaming-refresh image dedup — the multimodal member of the
+      // incremental family (q68 text bands, q109 span index): a landed
+      // shard (doc_id % 10 = 0) fingerprints ONLY its own images and
+      // band-joins the STANDING fingerprint table; per-refresh cost is
+      // |new| × collisions and old-old pairs never enter the plan. Pairs
+      // canonicalize to (min, max) so new-new duplicates count once.
+      (s, dir) => {
+        val banded = dhashBanded(s, dir)
+        val newB = banded.filter(col("doc_id") % 10 === 0)
+        val l = newB.as("l"); val r = banded.as("r")
+        l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") =!= col("r.doc_id"))
+          .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+            greatest(col("l.doc_id"), col("r.doc_id")).as("b"),
+            expr("CAST(bit_count(l.hi ^ r.hi) + bit_count(l.lo ^ r.lo) AS BIGINT)")
+              .as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+      },
+      Some(s"""WITH $duckDhashBandedCtes
+        SELECT DISTINCT a, b, hamming FROM (
+          SELECT least(l.doc_id, r.doc_id) AS a, greatest(l.doc_id, r.doc_id) AS b,
+            CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS BIGINT) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id <> r.doc_id
+          WHERE l.doc_id % 10 = 0) t
         WHERE hamming <= 6""")),
 
     QueryDef("q19_multimodal_jpeg_decode",

@@ -184,6 +184,91 @@ class BudgetSelector(
   override def transformSchema(schema: StructType): StructType = schema
 }
 
+/** Which subword scheme a [[SubwordTokenizerEstimator]] trains — all
+  * three production tokenizers are reachable from the MLlib facade. */
+sealed trait SubwordScheme
+object SubwordScheme {
+  /** Greedy merge rules ([[graft.operators.Bpe]]). */
+  case object Bpe extends SubwordScheme
+  /** Longest-match-first with `##` continuations
+    * ([[graft.operators.WordPiece]]). */
+  case object WordPiece extends SubwordScheme
+  /** Viterbi-optimal under unigram ln-costs
+    * ([[graft.operators.Unigram]]). */
+  case object Unigram extends SubwordScheme
+}
+
+/** The tokenizer trio as an `Estimator`/`Model` pair: `fit` trains the
+  * chosen scheme from the corpus' capped word table (the one corpus-wide
+  * pass); the fitted model adds a `n_pieces` column — the
+  * piece-denominated length every token-budget stage downstream
+  * (packing, selection, capacity) consumes. */
+class SubwordTokenizerEstimator(
+    scheme: SubwordScheme = SubwordScheme.Bpe,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    maxWords: Int = 300)
+    extends org.apache.spark.ml.Estimator[SubwordTokenizerModel] {
+  override val uid: String = Identifiable.randomUID("subword_tokenizer")
+  override def copy(extra: ParamMap): SubwordTokenizerEstimator = this
+
+  override def fit(df: Dataset[_]): SubwordTokenizerModel = {
+    val wc = graft.operators.Bpe.wordCounts(df.toDF(), textCol, maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val artifact: SubwordArtifact = scheme match {
+      case SubwordScheme.Bpe =>
+        SubwordArtifact.BpeMerges(graft.operators.Bpe.train(wc, nMerges = 60))
+      case SubwordScheme.WordPiece =>
+        // vocabTable runs on the bounded wc frame; rebuild it as a local DF
+        val spark = df.sparkSession
+        import spark.implicits._
+        val v = graft.operators.WordPiece.vocabTable(
+            wc.toDF("word", "cnt"), maxPieceLen = 8, topMulti = 200)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        SubwordArtifact.WpVocab(v)
+      case SubwordScheme.Unigram =>
+        SubwordArtifact.UgVocab(graft.operators.Unigram.train(wc))
+    }
+    new SubwordTokenizerModel(artifact, idCol, textCol)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField("n_pieces", LongType))
+}
+
+private[ml] sealed trait SubwordArtifact
+private[ml] object SubwordArtifact {
+  case class BpeMerges(merges: Seq[(String, String)]) extends SubwordArtifact
+  case class WpVocab(vocab: Seq[(String, Long)]) extends SubwordArtifact
+  case class UgVocab(vocab: Seq[(String, Long)]) extends SubwordArtifact
+}
+
+class SubwordTokenizerModel private[ml] (
+    artifact: SubwordArtifact, idCol: String, textCol: String)
+    extends org.apache.spark.ml.Model[SubwordTokenizerModel] {
+  override val uid: String = Identifiable.randomUID("subword_tokenizer_model")
+  override def copy(extra: ParamMap): SubwordTokenizerModel = this
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val spark = df.sparkSession
+    val seg = artifact match {
+      case SubwordArtifact.BpeMerges(m) =>
+        graft.operators.Bpe.pieceCounts(spark, df.toDF(), m, idCol, textCol)
+      case SubwordArtifact.WpVocab(v) =>
+        graft.operators.WordPiece.segment(spark, df.toDF(), v, 8,
+          idCol = idCol, textCol = textCol)
+      case SubwordArtifact.UgVocab(v) =>
+        graft.operators.Unigram.segment(spark, df.toDF(), v,
+          idCol = idCol, textCol = textCol)
+    }
+    df.toDF().join(
+      seg.select(col("doc_id").as(idCol), col("n_pieces")), Seq(idCol))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField("n_pieces", LongType))
+}
+
 /** The CCNet-style LM quality gate as a proper `Estimator`/`Model` pair:
   * `fit` trains the add-one bigram model on the (caller-filtered)
   * in-domain corpus; the fitted [[NgramLmModel]] adds `avg_cost_e6`

@@ -108,6 +108,33 @@ class PipelineSpec extends AnyFunSuite {
       == direct.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("subword tokenizer stage: all three schemes fit and count pieces") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    for (scheme <- Seq(SubwordScheme.Bpe, SubwordScheme.WordPiece,
+        SubwordScheme.Unigram)) {
+      val model = new SubwordTokenizerEstimator(scheme).fit(docs)
+      val out = model.transform(docs)
+      assert(out.columns.contains("n_pieces"), s"$scheme")
+      assert(out.count() == 60L, s"$scheme keeps every row")
+      // subword pieces are never fewer than whitespace words on non-blank docs
+      val bad = out
+        .withColumn("n_words", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .filter(col("n_pieces") < col("n_words")).count()
+      assert(bad == 0L, s"$scheme produced fewer pieces than words")
+    }
+    // facade == operator kit: the BPE stage reproduces Bpe.pieceCounts
+    val wc = graft.operators.Bpe.wordCounts(docs, maxWords = 300)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val direct = graft.operators.Bpe.pieceCounts(spark, docs,
+        graft.operators.Bpe.train(wc, nMerges = 60))
+      .select("doc_id", "n_pieces").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val staged = new SubwordTokenizerEstimator(SubwordScheme.Bpe).fit(docs)
+      .transform(docs).select("doc_id", "n_pieces")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(staged == direct)
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

@@ -187,6 +187,49 @@ object Demo {
     } finally toksed.unpersist()
   }
 
+  /** `--mode tokenize`: the tokenizer trio side by side — train each
+    * scheme from the corpus' capped word table, segment a sample of docs,
+    * and print per-scheme piece counts plus one worked example so a user
+    * can SEE how the schemes split differently. */
+  def tokenizeReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
+    import graft.operators.{Bpe, Unigram, WordPiece}
+    val docs = Tables.load(spark, cfg.sfDir, "documents")
+    val wc = Bpe.wordCounts(docs, maxWords = 300)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = Bpe.train(wc, nMerges = 60)
+    val wpVocab = {
+      import spark.implicits._
+      WordPiece.vocabTable(wc.toDF("word", "cnt"), maxPieceLen = 8, topMulti = 200)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val ugVocab = Unigram.train(wc)
+    def total(df: DataFrame): Long =
+      df.agg(sum(col("n_pieces"))).head().getLong(0)
+    val nBpe = total(Bpe.pieceCounts(spark, docs, merges))
+    val nWp = total(WordPiece.segment(spark, docs, wpVocab, 8))
+    val nUg = total(Unigram.segment(spark, docs, ugVocab))
+    val nWords = docs.select(sum(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))).head().getLong(0)
+    val sample = wc.take(6).map(_._1)
+    val ranks = Bpe.ranksOf(merges)
+    val wpInit = wpVocab.collect { case (p, _) if !p.startsWith("##") => p }.toSet
+    val wpCont = wpVocab.collect { case (p, _) if p.startsWith("##") => p.drop(2) }.toSet
+    val ugCosts = ugVocab.toMap
+    Seq(
+      f"${"scheme"}%-10s ${"pieces"}%14s ${"pieces/word"}%12s",
+      f"${"words"}%-10s ${withCommas(nWords)}%14s ${"1.00"}%12s",
+      f"${"bpe"}%-10s ${withCommas(nBpe)}%14s ${f"${nBpe.toDouble / nWords}%.2f"}%12s",
+      f"${"wordpiece"}%-10s ${withCommas(nWp)}%14s ${f"${nWp.toDouble / nWords}%.2f"}%12s",
+      f"${"unigram"}%-10s ${withCommas(nUg)}%14s ${f"${nUg.toDouble / nWords}%.2f"}%12s",
+      "sample segmentations (top corpus words):") ++
+      sample.map { w =>
+        val b = Bpe.encodeWord(w, ranks).mkString(" ")
+        val p = WordPiece.encodeWord(w, wpInit, wpCont, 8).mkString(" ")
+        val u = Unigram.viterbi(w, ugCosts, 6).getOrElse(Vector(Unigram.Unk)).mkString(" ")
+        f"  $w%-14s bpe[$b]  wp[$p]  ug[$u]"
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
     val spark = SparkSession.builder()
@@ -205,6 +248,8 @@ object Demo {
         curateReport(spark, cfg).foreach(println)
       } else if (cfg.mode == "stats") {
         statsReport(spark, cfg).foreach(println)
+      } else if (cfg.mode == "tokenize") {
+        tokenizeReport(spark, cfg).foreach(println)
       } else {
         val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
         if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))

@@ -59,4 +59,19 @@ class DemoSpec extends AnyFunSuite {
       assert(est >= exact, s"cms under-estimated ${parts(0)}: $est < $exact")
     }
   }
+
+  test("tokenize report: trio rows, pieces >= words, sample segmentations") {
+    val lines = Demo.tokenizeReport(spark, cfg)
+    assert(lines.head.contains("scheme"))
+    def pieces(name: String): Long = lines.find(_.startsWith(name)).get
+      .trim.split("\\s+")(1).replace(",", "").toLong
+    val words = pieces("words")
+    for (scheme <- Seq("bpe", "wordpiece", "unigram"))
+      assert(pieces(scheme) >= words, s"$scheme produced fewer pieces than words")
+    val split = lines.indexWhere(_.startsWith("sample segmentations"))
+    assert(split > 0)
+    val samples = lines.drop(split + 1)
+    assert(samples.nonEmpty && samples.forall(l =>
+      l.contains("bpe[") && l.contains("wp[") && l.contains("ug[")))
+  }
 }

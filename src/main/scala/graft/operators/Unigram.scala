@@ -132,7 +132,11 @@ object Unigram {
     def costsOf(cnt: Map[String, Long]): Map[String, Long] = {
       val total = cnt.valuesIterator.sum
       cnt.map { case (p, c) =>
-        p -> math.floor(1e6 * math.log(total.toDouble / c)).toLong
+        // StrictMath: java.lang.Math.log is only pinned to 1 ulp and may
+        // differ across JDK/platform; a value near a floor(1e6*ln)
+        // boundary would flip a pinned cost. StrictMath is bit-identical
+        // everywhere, so the e6 lattice is portable.
+        p -> math.floor(1e6 * StrictMath.log(total.toDouble / c)).toLong
       }
     }
     var r = 0

@@ -210,6 +210,13 @@ object TemporalQueries extends QueryModule {
       // DuckDB's optimizer handles the small-data theta form.)
       (s, dir) => {
         val W = SessionGapUs // 30-min windows, bucket width = window width
+        // FLOOR division, not `div` (trunc-toward-zero): for negative
+        // ts_us trunc != floor and the ≤2-bucket cover guarantee breaks
+        // (a contained click could land in a bucket its interval never
+        // emits, silently dropping attributions vs the oracle's direct
+        // containment predicate). Exact integer floor-div — no doubles.
+        def fdiv(e: String): String =
+          s"(($e) div $W) - (CASE WHEN ($e) % $W < 0 THEN 1 ELSE 0 END)"
         val ev = Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
         val pur = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -217,10 +224,10 @@ object TemporalQueries extends QueryModule {
         val clk = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us").as("c_us"),
             round(col("value") * 1000000).cast("long").as("v_e6"))
-          .withColumn("bucket", expr(s"c_us div $W"))
+          .withColumn("bucket", expr(fdiv("c_us")))
         val ibuck = pur.select(col("purchase_id"), col("user_id"), col("p_us"),
           explode(array_distinct(array(
-            expr(s"p_us div $W"), expr(s"(p_us + ${W - 1}) div $W")))).as("bucket"))
+            expr(fdiv("p_us")), expr(fdiv(s"p_us + ${W - 1}"))))).as("bucket"))
         val hits = ibuck.join(clk, Seq("user_id", "bucket"))
           .filter(col("c_us") >= col("p_us") && col("c_us") < col("p_us") + W)
           .groupBy(col("purchase_id"))

@@ -119,12 +119,19 @@ object Mixing {
     * join, instead of ranking the whole corpus and cross-joining it with
     * the source stats to build positions nobody reads. Identical values
     * to `epochOrder(pool, epoch).filter(pos ∈ positions)` (law-pinned).
-    * Emits (pos, id, source). */
-  def epochPick(pool: DataFrame, epoch: Long, positions: Seq[Long]): DataFrame = {
+    * Emits (pos, id, source).
+    *
+    * `stats` (optional): the pool's per-source counts, when the caller
+    * already collected them this batch (the composed sampler shares ONE
+    * stats collect across pool size, epoch pick, and fallback order) —
+    * values identical to the internal groupBy, input order irrelevant. */
+  def epochPick(pool: DataFrame, epoch: Long, positions: Seq[Long],
+      stats: Option[Seq[(String, Long)]] = None): DataFrame = {
     val spark = pool.sparkSession
     import spark.implicits._
-    val srcs = pool.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val srcs = stats.map(_.toArray).getOrElse(
+        pool.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))))
       .sortBy { case (s, _) => (Determinism.jvmHash(s"so:$epoch:$s"), s) }
     val ns = srcs.map(_._2)
     val total = ns.sum

@@ -86,7 +86,7 @@ object Pq {
 
   /** Exact integer squared L2 between two float sub-vectors on the e3
     * lattice: |a|² + |c|² − 2·dot, every term a codegen'd integer. */
-  private def distE3(a: Column, b: Column): Column =
+  def distE3(a: Column, b: Column): Column =
     Similarity.normE3(a) + Similarity.normE3(b) -
       lit(2L) * Similarity.dotE3(a, b)
 
@@ -139,17 +139,18 @@ object Pq {
       s"CAST(round(CAST($bExpr[i] AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT)"
 
   /** Shared CTEs: sub-vector table, hash-picked codebook, code table.
-    * `srcRel` must expose (vec_id, embedding). Emits relations
-    * `pq_sub(vec_id, m, semb)`, `pq_cb(m, code, cemb)`,
+    * `srcRel` (default the embeddings base table) must expose
+    * (vec_id, embedding) — residual-PQ callers pass their residual CTE.
+    * Emits relations `pq_sub(vec_id, m, semb)`, `pq_cb(m, code, cemb)`,
     * `pq_codes(vec_id, m, code)`. */
-  def duckPqCtes(dim: Int, m: Int, ks: Int): String = {
+  def duckPqCtes(dim: Int, m: Int, ks: Int, srcRel: String = "embeddings"): String = {
     val sub = dim / m
     val skExpr = Determinism.duckHash(
       "'pq-cent:' || CAST(s.m AS VARCHAR) || ':' || CAST(s.vec_id AS VARCHAR)")
     s"""pq_sub AS MATERIALIZED (
       SELECT e.vec_id, ms.m,
         list_slice(e.embedding, ms.m * $sub + 1, ms.m * $sub + $sub) AS semb
-      FROM embeddings e
+      FROM $srcRel e
       CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) ms
     ), pq_picked AS (
       SELECT s.m, s.vec_id, s.semb,

@@ -243,6 +243,41 @@ object Recipes {
       .drop("crnk", "csize", "mode", "arg")
   }
 
+  /** Multi-slot [[selectChunksBatch]]: ALL slots of a composed batch in
+    * one plan. `draws` carries one row per (slot, draw) — (`draw`,
+    * `slot`, `record_id`, `mode`, `arg`) — so the eligibility join also
+    * restricts to the slot's chunk-source record up front (the per-slot
+    * form joined every batch record against every draw and cut the
+    * product afterwards). The window partitions by (slot, draw,
+    * record_id): ranks within a (draw, record_id) group are untouched by
+    * dropping other groups, and the pick hash is the SAME
+    * `sel:<slot>:<draw>:<record_id>` stream — selection is bit-identical
+    * to running selectChunksBatch once per slot and joining the slot's
+    * record restriction after. One window pass replaces one per slot
+    * (the round-9 composed-sampler latency directive). */
+  def selectChunksBatchSlots(chunks: org.apache.spark.sql.DataFrame,
+      draws: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Determinism
+    val d = draws.withColumnRenamed("record_id", "rid")
+    val elig = chunks.join(broadcast(d),
+      col("record_id") === col("rid") && (
+        (col("mode") === "role" && col("role") === col("arg")) ||
+          (col("mode") === "para" && col("section_idx") === col("arg").cast("int")) ||
+          (col("mode") === "random")))
+    val w = Window.partitionBy(col("slot"), col("draw"), col("record_id"))
+      .orderBy(col("section_idx"), col("view_kind"), col("window_index"), col("overlap"))
+    elig
+      .withColumn("crnk", row_number().over(w).cast("long") - 1)
+      .withColumn("csize", count(lit(1)).over(
+        Window.partitionBy(col("slot"), col("draw"), col("record_id"))))
+      .filter(col("crnk") === pmod(Determinism.portableHash(
+        concat(lit("sel:"), col("slot"), lit(":"), col("draw").cast("string"),
+          lit(":"), col("record_id").cast("string"))), col("csize")))
+      .drop("crnk", "csize", "mode", "arg", "rid")
+  }
+
   /** Stages B and C of the auto-injected chunk-pair recipe
     * (reference: src/sampler/mod.rs:1213-1256 Stage-B guard,
     * 1290-1300 distinct-window contract, retry loop 1162-1190):

@@ -69,6 +69,20 @@ object Sampler {
     case _ => None
   }
 
+  /** Materialize a BATCH-BOUNDED frame as a driver-local relation: the
+    * values come from the same Spark plan (one collect — the same job an
+    * eager localCheckpoint would run), but downstream consumers see a
+    * LocalRelation, so broadcasting it costs no job, local projections of
+    * it collect without scheduling one, and joins plan against exact
+    * sizes. Lineage is cut exactly like localCheckpoint. Applied ONLY to
+    * ≤ few×batch-row frames (the slot-schedule scale the driver already
+    * holds — the counters-and-schedule contract); corpus-scale frames
+    * (pool, rank sidecar, chunk tables) stay executor-side checkpoints. */
+  private def localRelation(spark: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** The as-of neighbor pick of `Selector::TemporalOffset` (reference
     * select_temporal_neighbor, src/sampler/mod.rs:950-976): for each record
     * in `forIds`, the pool candidate minimizing |sec − (record.sec +
@@ -216,15 +230,55 @@ object Sampler {
     * `core` is the pre-rejection per-draw stream (with `allow_same`),
     * `deduped` the post-rejection post-seen-set stream the entry points
     * pad from. */
-  private def composed(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
+  private def composed(spark: SparkSession, chunks: DataFrame, poolArg: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       bm25Index: Option[Bm25PoolIndex] = None)
       : (DataFrame, DataFrame, SamplerState) = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
+    // diagnostic only (SPARK_GRAFT_PHASE_TIMING=1): force each composed
+    // stage and print its incremental wall; a no-op pass-through otherwise
+    val phaseTiming = sys.env.contains("SPARK_GRAFT_PHASE_TIMING")
+    var phaseT0 = System.nanoTime()
+    def lap(name: String)(df: DataFrame): DataFrame = {
+      if (phaseTiming) {
+        val n = df.count()
+        val t = System.nanoTime()
+        println(f"PHASE $name%-12s ${(t - phaseT0) / 1e9}%6.3f s (n=$n)")
+        phaseT0 = t
+      }
+      df
+    }
     val byName = recipes.map(r => r.name -> r).toMap
-    val poolSize = poolSizeOf(pool, st)
+    // Materialize a BATCH-BOUNDED frame as a driver-local relation: the
+    // values come from the same Spark plan (one collect — the same job an
+    // eager checkpoint would run), but downstream consumers see a
+    // LocalRelation, so broadcasting it costs no job, local projections
+    // of it collect without a job, and AQE plans joins against exact
+    // sizes. Lineage is cut exactly like localCheckpoint. Applied ONLY to
+    // ≤ few×batch-row frames (the slot schedule scale the driver already
+    // holds) — corpus-scale frames (pool, rank sidecar, chunk tables)
+    // stay executor-side checkpoints.
+    def localize(df: DataFrame): DataFrame = localRelation(spark, df)
+    // ONE pool materialization per batch: every downstream phase (epoch
+    // pick, rank sidecar, temporal lanes, bm25 postings) reads the
+    // checkpointed narrow pool instead of re-running the caller's
+    // scan+filter lineage (often a corpus tokenize) once per phase. Lazy:
+    // it lands inside the first job that touches it.
+    val pool = poolArg.localCheckpoint(eager = false)
+    // one per-source stats collect serves pool size, every epoch pick,
+    // and the fallback source order (#sources-bounded — the same table
+    // the reference keeps in memory per pool)
+    val srcCounts: Seq[(String, Long)] = pool.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val poolSize = {
+      val cached = st.counter("pool_size")
+      val n = if (cached > 0L) cached else srcCounts.map(_._2).sum
+      require(n > 0, "empty record pool")
+      n
+    }
     val drawBase = st.counter("draw")
     val (slots, e, cur) =
       scheduleSlots(st, batch, poolSize, ep => Recipes.ticketOrder(recipes, st.seed, ep))
@@ -239,15 +293,16 @@ object Sampler {
     // BUILDING plan strings (ExplainUtils on every AQE stage update).
     // Values are unaffected — every column is a pure (seed, epoch, draw)
     // function; only lineage is cut.
-    val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
+    val slotRec = localize(slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
       val sdf = ss.map(s => (s._1, s._3, s._4, byName(s._4).negative.reason))
         .toDF("draw", "pos", "recipe", "reason")
       // bounded-position pick: invert the dense order analytically instead
       // of materializing a corpus-wide position column per batch
-      Mixing.epochPick(pool, ep, ss.map(_._3)).join(broadcast(sdf), "pos")
+      Mixing.epochPick(pool, ep, ss.map(_._3), Some(srcCounts)).join(broadcast(sdf), "pos")
         .select(col("draw"), lit(ep).as("epoch"), col("recipe"), col("reason"),
           col("id").as("record_id"), col("source"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    }.reduce(_ unionByName _))
+    lap("slotRec")(slotRec)
 
     // ---- chunk-pick metadata (driver-side; used by both the negative
     // backends below and the selector picks) ----
@@ -286,136 +341,169 @@ object Sampler {
           if (plainNames.isEmpty) Nil
           else Seq(base.filter(col("recipe").isin(forms(plainNames): _*))
             .select(col("draw"), col("record_id")))
-        (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
+        localize((plain ++ lanes).reduce(_ unionByName _))
       }
     }
 
-    // ---- negative record: per-recipe strategy × backend dispatch ----
-    val srcRank = pool
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("id"))).cast("long") - 1)
-      .withColumn("nsrc", count(lit(1)).over(
-        Window.partitionBy(col("source"))).cast("long"))
+    // ---- negative record: fused strategy × tier dispatch ----
+    // ONE corpus pass builds the pool-rank sidecar — per-source ranks
+    // (rn, nsrc) and, for dated pools, per-(source, date) ranks
+    // (rn2, dgs) — checkpointed so the former seven strategy×tier lanes
+    // collapse into a single keyed plan reading a tiny materialized table
+    // instead of re-planning the corpus window subtree once per lane
+    // (the round-9 composed-sampler latency directive). At deployment
+    // scale the sidecar is the persisted pool index (the FileCorpusIndex
+    // idiom): narrow (id, source, date, rank) columns — no text — derived
+    // once per pool REFRESH, not per batch; the pure-function default
+    // derives it in-plan and cuts lineage.
+    val hasDate = pool.columns.contains("date")
+    val rankTbl = {
+      val wSrc = Window.partitionBy(col("source"))
+      val base0 = pool
+        .withColumn("rn", row_number().over(wSrc.orderBy(col("id"))).cast("long") - 1)
+        .withColumn("nsrc", count(lit(1)).over(wSrc).cast("long"))
+      // per-row date-group attrs replace the former dG side table:
+      //   drnk — the record's date-group rank within its source
+      //          (dense_rank over rows ≡ row_number over distinct dates);
+      //   dcnt — the source's date-group count (max drnk + 1)
+      val base =
+        if (!hasDate) base0
+        else {
+          val wSD = Window.partitionBy(col("source"), col("date"))
+          base0
+            .withColumn("rn2", row_number().over(wSD.orderBy(col("id"))).cast("long") - 1)
+            .withColumn("dgs", count(lit(1)).over(wSD).cast("long"))
+            .withColumn("drnk", (dense_rank().over(wSrc.orderBy(col("date"))) - 1).cast("long"))
+            .withColumn("dcnt", max(col("drnk")).over(wSrc).cast("long") + 1)
+        }
+      // seeded fallback source order, folded in per-row (replaces the sG
+      // side table) — a driver-side sort of the already-collected source
+      // stats (jvmHash ≡ the seeded column hash, the epochPick identity),
+      // shipped as a LocalRelation so the broadcast costs no job
+      val sOrdSeq = srcCounts.map(_._1)
+        .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
+      val sOrd = sOrdSeq
+        .map { case (src, i) => (src, i.toLong, sOrdSeq.size.toLong) }
+        .toDF("source", "srnk", "scnt")
+      val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
+        col("srnk"), col("scnt")) ++
+        (if (hasDate) Seq(col("date"), col("rn2"), col("dgs"), col("drnk"), col("dcnt"))
+         else Nil)
+      lap("rankTbl")(
+        base.join(broadcast(sOrd), Seq("source")).select(cols0: _*)
+          .localCheckpoint(eager = false))
+    }
     def drawKey(prefix: String) = Determinism.portableHash(
       concat(lit(s"$prefix:${st.seed}:"), col("draw").cast("string"), lit(":"),
         col("record_id").cast("string")))
+    // same strings as drawKey, with the stream prefix as a per-row COLUMN
+    def drawKeyOf(stream: Column) = Determinism.portableHash(
+      concat(stream, lit(s":${st.seed}:"), col("draw").cast("string"), lit(":"),
+        col("record_id").cast("string")))
     val negOut = Seq("draw", "epoch", "recipe", "reason", "record_id", "nid").map(col)
-    val hasDate = pool.columns.contains("date")
-    // per-(source, date) record ranks + group size (shared by the same-date
-    // preference tier and the wrong-date two-level pick)
-    lazy val dRank = pool
-      .withColumn("rn2", row_number().over(
-        Window.partitionBy(col("source"), col("date")).orderBy(col("id"))).cast("long") - 1)
-      .withColumn("dgs", count(lit(1)).over(
-        Window.partitionBy(col("source"), col("date"))).cast("long"))
-    // same source, skip-the-anchor rank pick (WrongArticle tier 2 /
-    // QA-mismatch; the strategies differ by hash stream and reason tag)
-    def skipPick(anchors: DataFrame, prefix: String): DataFrame = anchors
-      .join(srcRank.select(col("id").as("record_id"), col("rn").as("a_rn"), col("nsrc")),
-        Seq("record_id"))
-      .withColumn("p0", pmod(drawKey(prefix), greatest(col("nsrc") - 1, lit(1L))))
-      .withColumn("n_rn", when(col("p0") >= col("a_rn"), col("p0") + 1).otherwise(col("p0")))
-      .join(srcRank.select(col("source"), col("rn").as("n_rn"), col("id").as("nid")),
-        Seq("source", "n_rn"))
-      .select(negOut: _*)
-    // same source, SAME date group, skip-the-anchor (WrongArticle tier 1 —
-    // the reference's date preference, src/sampler/mod.rs:996-1014)
-    def sameDatePick(anchors: DataFrame): DataFrame = anchors
-      .join(dRank.select(col("id").as("record_id"), col("date"),
-        col("rn2").as("a_rn2"), col("dgs")), Seq("record_id"))
-      .withColumn("p0", pmod(drawKey("nega"), greatest(col("dgs") - 1, lit(1L))))
-      .withColumn("n_rn2", when(col("p0") >= col("a_rn2"), col("p0") + 1).otherwise(col("p0")))
-      .join(dRank.select(col("source"), col("date"), col("rn2").as("n_rn2"),
-        col("id").as("nid")), Seq("source", "date", "n_rn2"))
-      .select(negOut: _*)
-    // cross-source same-split fallback (reference Pool C,
-    // src/sampler/mod.rs:1097-1151 + suffix 1391-1395): a two-level pick —
-    // a source OTHER than the anchor's, then a record inside it (the q83
-    // lane's stateless form; the composed pool IS the split). The
-    // delivered recipe name gains `_fallback_same_split`. Slots whose pool
-    // holds no other source drop (empty pool in the reference).
-    def crossSplitPick(anchors: DataFrame): DataFrame = {
-      val sG = pool.groupBy(col("source")).agg(count(lit(1)).cast("long").as("ccnt"))
-        .withColumn("srnk", row_number().over(Window.partitionBy()
-          .orderBy(Determinism.seeded("fsord", col("source")), col("source"))).cast("long") - 1)
-        .withColumn("scnt", count(lit(1)).over(Window.partitionBy()).cast("long"))
-      anchors
-        .join(broadcast(sG.select(col("source"), col("srnk"), col("scnt"))), Seq("source"))
-        .filter(col("scnt") >= 2)
-        .withColumn("s0", pmod(drawKey("negs"), greatest(col("scnt") - 1, lit(1L))))
-        .withColumn("t_srnk", when(col("s0") >= col("srnk"), col("s0") + 1).otherwise(col("s0")))
-        .join(broadcast(sG.select(col("srnk").as("t_srnk"),
-          col("source").as("t_source"), col("ccnt"))), Seq("t_srnk"))
-        .withColumn("rpick", pmod(drawKey("negc"), col("ccnt")))
-        .join(srcRank.select(col("source").as("t_source"), col("rn").as("rpick"),
-          col("id").as("nid")), Seq("t_source", "rpick"))
-        .withColumn("recipe", concat(col("recipe"), lit(Recipes.FallbackSuffix)))
-        .select(negOut: _*)
-    }
-    // same source, DIFFERENT date group: hash-pick a date rank skipping the
-    // anchor's, then a record rank inside the target group — three
-    // equi-joins, date/source isolation structural (the q84 lane's shape,
-    // keyed by the composed driver's (seed, draw, record) stream).
-    // `anchors` must carry `m_dcnt` (date-group count of the source).
-    def wrongDatePick(anchors: DataFrame): DataFrame = {
-      val wSrc = Window.partitionBy(col("source"))
-      val dG = pool.groupBy(col("source"), col("date")).agg(count(lit(1)).cast("long").as("dct"))
-        .withColumn("drnk", row_number().over(wSrc.orderBy(col("date"))).cast("long") - 1)
-        .withColumn("dcnt", count(lit(1)).over(wSrc).cast("long"))
-      anchors
-        .join(pool.select(col("id").as("record_id"), col("date").as("a_date")), Seq("record_id"))
-        .join(dG.select(col("source"), col("date").as("a_date"),
-          col("drnk").as("a_drnk"), col("dcnt")), Seq("source", "a_date"))
-        .withColumn("d0", pmod(drawKey("negd"), greatest(col("dcnt") - 1, lit(1L))))
-        .withColumn("t_drnk", when(col("d0") >= col("a_drnk"), col("d0") + 1).otherwise(col("d0")))
-        .join(dG.select(col("source"), col("date").as("t_date"),
-          col("drnk").as("t_drnk"), col("dct").as("t_dct")), Seq("source", "t_drnk"))
-        .withColumn("rpick", pmod(drawKey("negr"), col("t_dct")))
-        .join(dRank.select(col("source"), col("date").as("t_date"),
-          col("rn2").as("rpick"), col("id").as("nid")), Seq("source", "t_date", "rpick"))
-        .select(negOut: _*)
-    }
-    // per-anchor pool metadata for the tier split: same-source count, and
-    // (dated pools) same-date-group size + date-group count of the source
-    def withPoolMeta(anchors: DataFrame): DataFrame = {
-      val base = anchors.join(
-        srcRank.select(col("id").as("record_id"), col("nsrc").as("m_nsrc")), Seq("record_id"))
-      if (!hasDate) base
-      else base
-        .join(dRank.select(col("id").as("record_id"), col("dgs").as("m_dgs")), Seq("record_id"))
-        .join(pool.groupBy(col("source")).agg(
-          countDistinct(col("date")).cast("long").as("m_dcnt")), Seq("source"))
-    }
-    /** DefaultBackend lanes per strategy present — each with the
-      * reference's pool staging (src/sampler/mod.rs:994-1151):
-      * WrongArticle prefers same-source same-DATE candidates when the pool
-      * is dated, then same-source; every strategy falls back to the
-      * cross-source same-split pick (suffixed recipe) when its primary
-      * pool is empty. */
-    def strategyPick(anchors: DataFrame, strategies: Seq[NegativeStrategy]): Seq[DataFrame] =
-      strategies.flatMap {
-        case NegativeStrategy.WrongArticle =>
-          val wa = withPoolMeta(
-            anchors.filter(col("reason") === NegativeStrategy.WrongArticle.reason))
-          val tiers =
-            if (hasDate) Seq(
-              sameDatePick(wa.filter(col("m_dgs") >= 2)),
-              skipPick(wa.filter(col("m_dgs") < 2 && col("m_nsrc") >= 2), "neg"))
-            else Seq(skipPick(wa.filter(col("m_nsrc") >= 2), "neg"))
-          tiers :+ crossSplitPick(wa.filter(col("m_nsrc") < 2))
-        case NegativeStrategy.QuestionAnswerMismatch =>
-          val qa = withPoolMeta(anchors.filter(
-            col("reason") === NegativeStrategy.QuestionAnswerMismatch.reason))
-          Seq(skipPick(qa.filter(col("m_nsrc") >= 2), "negq"),
-            crossSplitPick(qa.filter(col("m_nsrc") < 2)))
-        case NegativeStrategy.WrongPublicationDate =>
-          require(hasDate,
-            "WrongPublicationDate recipes need a `date` column in the pool")
-          val wd = withPoolMeta(anchors.filter(
-            col("reason") === NegativeStrategy.WrongPublicationDate.reason))
-          Seq(wrongDatePick(wd.filter(col("m_dcnt") >= 2)),
-            crossSplitPick(wd.filter(col("m_dcnt") < 2)))
+    val waR = NegativeStrategy.WrongArticle.reason
+    val qaR = NegativeStrategy.QuestionAnswerMismatch.reason
+    val wdR = NegativeStrategy.WrongPublicationDate.reason
+    /** All DefaultBackend strategy×tier lanes as ONE keyed plan
+      * (reference pool staging, src/sampler/mod.rs:994-1151): each anchor
+      * row picks its tier —
+      *   WrongArticle → same-source same-DATE skip-the-anchor (`nega`,
+      *     dated pools with a ≥2 date group) → same-source (`neg`) →
+      *     fallback;
+      *   QuestionAnswerMismatch → same-source (`negq`) → fallback;
+      *   WrongPublicationDate → other-date-group two-level
+      *     (`negd`/`negr`) → fallback;
+      *   fallback = cross-source same-split two-level (`negs`/`negc`),
+      *     recipe suffixed `_fallback_same_split`; slots whose pool holds
+      *     no other source drop (src/sampler/mod.rs:1097-1151, 1391-1395)
+      * — then each tier resolves through ONE direct keyed lookup into the
+      * enriched sidecar: src by (source, rn), sd by (source, date, rn2),
+      * wd by (source, drnk) + the in-group rank filter, fb by (srnk) +
+      * the in-source rank filter (the filters read the TARGET row's own
+      * group size, so no intermediate group-table join is needed). Hash
+      * streams, tier predicates, and delivered values are bit-identical
+      * to the per-lane dispatch (golden matrix + q57/q58/q59/q66 oracles
+      * pin this). */
+    def strategyPick(anchors: DataFrame, strategies: Seq[NegativeStrategy]): DataFrame = {
+      if (strategies.contains(NegativeStrategy.WrongPublicationDate))
+        require(hasDate,
+          "WrongPublicationDate recipes need a `date` column in the pool")
+      val metaCols = Seq(col("id").as("record_id"), col("rn").as("a_rn"), col("nsrc"),
+        col("srnk"), col("scnt")) ++
+        (if (hasDate) Seq(col("date").as("a_date"), col("rn2").as("a_rn2"), col("dgs"),
+          col("drnk").as("a_drnk"), col("dcnt"))
+         else Nil)
+      val m = anchors.join(rankTbl.select(metaCols: _*), Seq("record_id"))
+      val waTier =
+        if (hasDate)
+          when(col("dgs") >= 2, lit("sd"))
+            .when(col("nsrc") >= 2, lit("src")).otherwise(lit("fb"))
+        else when(col("nsrc") >= 2, lit("src")).otherwise(lit("fb"))
+      val tierCol = {
+        val base = when(col("reason") === waR, waTier)
+          .when(col("reason") === qaR,
+            when(col("nsrc") >= 2, lit("src")).otherwise(lit("fb")))
+        if (hasDate)
+          base.when(col("reason") === wdR,
+            when(col("dcnt") >= 2, lit("wd")).otherwise(lit("fb")))
+        else base
       }
+      val t0 = m.withColumn("tier", tierCol)
+        .filter(col("tier") =!= "fb" || col("scnt") >= 2)
+      val t1 =
+        if (!hasDate) t0
+        else t0
+          .withColumn("p0sd", pmod(drawKey("nega"), greatest(col("dgs") - 1, lit(1L))))
+          .withColumn("n_rn2",
+            when(col("p0sd") >= col("a_rn2"), col("p0sd") + 1).otherwise(col("p0sd")))
+          .withColumn("d0", pmod(drawKey("negd"), greatest(col("dcnt") - 1, lit(1L))))
+          .withColumn("t_drnk", when(col("tier") === "wd",
+            when(col("d0") >= col("a_drnk"), col("d0") + 1).otherwise(col("d0"))))
+      val t = t1
+        .withColumn("p0s", pmod(
+          drawKeyOf(when(col("reason") === qaR, lit("negq")).otherwise(lit("neg"))),
+          greatest(col("nsrc") - 1, lit(1L))))
+        .withColumn("n_rn",
+          when(col("p0s") >= col("a_rn"), col("p0s") + 1).otherwise(col("p0s")))
+        .withColumn("s0", pmod(drawKey("negs"), greatest(col("scnt") - 1, lit(1L))))
+        .withColumn("t_srnk", when(col("tier") === "fb",
+          when(col("s0") >= col("srnk"), col("s0") + 1).otherwise(col("s0"))))
+        .withColumn("recipe", when(col("tier") === "fb",
+          concat(col("recipe"), lit(Recipes.FallbackSuffix))).otherwise(col("recipe")))
+      // per-tier resolution lookups (each a broadcast-side batch frame
+      // against the checkpointed sidecar)
+      val srcKeyed = t.filter(col("tier") === "src")
+        .join(rankTbl.select(col("source"), col("rn").as("n_rn"), col("id").as("nid")),
+          Seq("source", "n_rn"))
+        .select(negOut: _*)
+      // fallback: the target source is the t_srnk-ranked one; the record
+      // inside it is `pmod(negc-key, ccnt)` where ccnt (== the target
+      // source's nsrc) is read off the TARGET rows themselves
+      val fbKeyed = t.filter(col("tier") === "fb")
+        .join(rankTbl.select(col("srnk").as("t_srnk"), col("rn").as("t_rn"),
+          col("nsrc").as("t_nsrc"), col("id").as("nid")), Seq("t_srnk"))
+        .filter(col("t_rn") === pmod(drawKey("negc"), col("t_nsrc")))
+        .select(negOut: _*)
+      val srcSide = srcKeyed.unionByName(fbKeyed)
+      if (!hasDate) srcSide
+      else {
+        val sdKeyed = t.filter(col("tier") === "sd")
+          .join(rankTbl.select(col("source"), col("date").as("a_date"),
+            col("rn2").as("n_rn2"), col("id").as("nid")),
+            Seq("source", "a_date", "n_rn2"))
+          .select(negOut: _*)
+        // wrong-date: target group by (source, drnk); the record inside it
+        // is `pmod(negr-key, dct)` where dct (== the target group's dgs)
+        // is read off the target rows
+        val wdKeyed = t.filter(col("tier") === "wd")
+          .join(rankTbl.select(col("source"), col("drnk").as("t_drnk"),
+            col("rn2").as("t_rn2"), col("dgs").as("t_dgs"), col("id").as("nid")),
+            Seq("source", "t_drnk"))
+          .filter(col("t_rn2") === pmod(drawKey("negr"), col("t_dgs")))
+          .select(negOut: _*)
+        srcSide.unionByName(sdKeyed).unionByName(wdKeyed)
+      }
+    }
     def strategiesOf(backend: NegativeBackend): Seq[NegativeStrategy] =
       slots.map(s => byName(s._4)).filter(_.negativeBackend == backend)
         .map(_.negative).distinct
@@ -438,20 +526,22 @@ object Sampler {
       * keeps this function pure. The anchor-text pick re-evaluates the
       * same pure chunk-pick the final a-slot evaluates, over a chunk scan
       * restricted to the bm25 anchors' records. */
-    def bm25Lanes(): Seq[DataFrame] = {
+    def bm25Lanes(): DataFrame = {
       require(bm25Index.nonEmpty || pool.columns.contains("btoks"),
         "BM25-backend recipes need a `btoks` token-array column in the pool " +
           "(or a prebuilt Bm25PoolIndex)")
       val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
       val bmARecs = chunkRecords(_.anchor, bmSlots)
-      val bmAIds = bmARecs.select(col("record_id")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val bmChunks = chunks.filter(col("record_id").isin(bmAIds: _*)).localCheckpoint()
-      val bmDraws = slotMeta
-        .join(broadcast(bmSlots.select(col("draw"))), "draw")
-        .select(col("draw"), col("a_mode").as("mode"), col("a_arg").as("arg"))
-      val qterms = Recipes.selectChunksBatch(bmChunks, bmDraws, "a")
-        .join(bmARecs, Seq("draw", "record_id"))
+      val bmAIds = bmARecs.select(col("record_id"))
+        .collect().map(_.getLong(0)).distinct.toSeq
+      val bmChunks = chunks.filter(col("record_id").isin(bmAIds: _*)).localCheckpoint(eager = false)
+      // the anchor-text pick through the fused slot path (stream `sel:a:`
+      // — the record restriction lands in the eligibility join, the pick
+      // itself is bit-identical to the final a-slot's)
+      val bmDraws = bmARecs.withColumn("slot", lit("a"))
+        .join(broadcast(slotMeta.select(col("draw"),
+          col("a_mode").as("mode"), col("a_arg").as("arg"))), Seq("draw"))
+      val qterms = Recipes.selectChunksBatchSlots(bmChunks, bmDraws)
         .select(col("draw"), explode(array_distinct(
           graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
       val srcs = bmSlots.select(col("source")).distinct()
@@ -510,21 +600,21 @@ object Sampler {
         .withColumn("c3", count(lit(1)).over(Window.partitionBy(col("draw"))).cast("long"))
       // one scoring subtree for the whole batch: `picked` feeds the hit
       // lane's join AND the fallback lane's anti-join (no cross-branch CSE)
-      val picked = top3
+      val picked = localize(top3
         .filter(col("brnk") - 1 === pmod(drawKey("negb"), col("c3")))
-        .select(col("draw"), col("cand").as("nid"))
-        .localCheckpoint()
+        .select(col("draw"), col("cand").as("nid")))
       val hit = bmSlots.join(picked, "draw").select(negOut: _*)
       val rest = bmSlots.join(picked.select(col("draw")), Seq("draw"), "left_anti")
-      Seq(hit) ++ strategyPick(rest, strategiesOf(NegativeBackend.Bm25))
+      hit.unionByName(strategyPick(rest, strategiesOf(NegativeBackend.Bm25)))
     }
 
-    val negRec =
-      (strategyPick(
-          if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
-          strategiesOf(NegativeBackend.Default)) ++
-        (if (bmNames.isEmpty) Nil else bm25Lanes()))
-      .reduce(_ unionByName _).localCheckpoint()
+    val negRec = {
+      val dflt = strategyPick(
+        if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
+        strategiesOf(NegativeBackend.Default))
+      lap("negRec")(localize(
+        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes())))
+    }
 
     // ---- chunk picks: selector windows on the batch-restricted table ----
     // batch id restriction as an isin PREDICATE, not a join: a broadcast
@@ -538,50 +628,74 @@ object Sampler {
     val pRecs = chunkRecords(_.positive, slotRec)
     val nRecs = chunkRecords(_.negativeSelector,
       negRec.select(col("draw"), col("recipe"), col("nid").as("record_id")))
-    val ids = aRecs.select(col("record_id"))
-      .union(pRecs.select(col("record_id")))
-      .union(nRecs.select(col("record_id")))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val chunksR = chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint()
+    // all three rec frames are LocalRelations (localize), so these
+    // collects run driver-side without scheduling a job; dedupe in Scala
+    // rather than a distinct() whose Aggregate would schedule one
+    val ids = (aRecs.select(col("record_id")).collect() ++
+        pRecs.select(col("record_id")).collect() ++
+        nRecs.select(col("record_id")).collect())
+      .map(_.getLong(0)).distinct.toSeq
+    if (phaseTiming) lap("ids")(spark.emptyDataFrame)
+    val chunksR = lap("chunksR")(
+      chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint(eager = false))
+    // ALL THREE slot picks in ONE window plan: (draw, slot, record_id,
+    // mode, arg) rows drive selectChunksBatchSlots (bit-identical
+    // sel:<slot>: streams), then one keyed pivot widens to per-slot
+    // columns — replacing three window plans + three core joins (the
+    // round-9 latency directive). The null filter reproduces the former
+    // inner-join semantics: a draw whose slot found no eligible chunk
+    // drops from the core stream.
+    val drawsMelt = slots.flatMap { case (draw, _, _, name) =>
+      val r = byName(name)
+      val (am, aa) = selectorDesc(r.anchor)
+      val (pm, pa) = selectorDesc(r.positive)
+      val (nm, na) = selectorDesc(r.negativeSelector)
+      Seq((draw, "a", am, aa), (draw, "p", pm, pa), (draw, "n", nm, na))
+    }.toDF("draw", "slot", "mode", "arg")
+    val slotRecs = aRecs.withColumn("slot", lit("a"))
+      .unionByName(pRecs.withColumn("slot", lit("p")))
+      .unionByName(nRecs.withColumn("slot", lit("n")))
+    val draws2 = slotRecs.join(broadcast(drawsMelt), Seq("draw", "slot"))
     // the delivered text hash: raw chunk text, or the decorated text when a
     // KVP sampler is configured (decoration is a pure (record, draw)
     // function, so the composed stream stays batch/partition invariant)
-    def slotText(slot: String): Column = decoration match {
+    val slotText: Column = decoration match {
       case None => col("wtext")
       case Some((smp, maxTok)) =>
         Decoration.decorateColumn(smp,
-          concat(lit(s"dec:$slot:"), col("record_id").cast("string"),
+          concat(lit("dec:"), col("slot"), lit(":"), col("record_id").cast("string"),
             lit(":"), col("draw").cast("string")),
           split(col("wtext"), " "), maxTok).getField("text")
     }
-    def pickFor(slot: String, modeCol: String, argCol: String, recs: DataFrame) =
-      Recipes.selectChunksBatch(chunksR,
-          slotMeta.select(col("draw"), col(modeCol).as("mode"), col(argCol).as("arg")), slot)
-        .join(recs, Seq("draw", "record_id"))
-        // `draw` is unique per slot, so after the restrict join it alone
-        // keys the pick — and for temporal slots the chunk-source record
-        // (the neighbor) is NOT the slot's scheduled record, so the core
-        // join below is on draw, never on record_id
-        .select(col("draw"),
-          col("window_index").cast("long").as(s"${slot}_widx"),
-          Determinism.portableHash(slotText(slot)).as(s"${slot}_hash"))
-    val aPick = pickFor("a", "a_mode", "a_arg", aRecs)
-    val pPick = pickFor("p", "p_mode", "p_arg", pRecs)
-    val nPick = pickFor("n", "n_mode", "n_arg", nRecs)
+    // `draw` is unique per slot, so after the record restriction it alone
+    // keys the pick — and for temporal slots the chunk-source record (the
+    // neighbor) is NOT the slot's scheduled record, so the core join below
+    // is on draw, never on record_id
+    val sel = Recipes.selectChunksBatchSlots(chunksR, draws2)
+      .select(col("slot"), col("draw"),
+        col("window_index").cast("long").as("widx"),
+        Determinism.portableHash(slotText).as("thash"))
+    val picks = sel.groupBy(col("draw")).agg(
+      max(when(col("slot") === "a", col("widx"))).as("a_widx"),
+      max(when(col("slot") === "a", col("thash"))).as("a_hash"),
+      max(when(col("slot") === "p", col("widx"))).as("p_widx"),
+      max(when(col("slot") === "p", col("thash"))).as("p_hash"),
+      max(when(col("slot") === "n", col("thash"))).as("n_hash"))
+      .filter(col("a_hash").isNotNull && col("p_hash").isNotNull &&
+        col("n_hash").isNotNull)
 
     val core = negRec
-      .join(aPick, Seq("draw"))
-      .join(pPick, Seq("draw"))
-      .join(nPick, Seq("draw"))
+      .join(picks, Seq("draw"))
       .join(broadcast(slotMeta.select(col("draw"), col("allow_same"))), Seq("draw"))
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
         col("nid"), col("n_hash"), col("reason"), col("allow_same"))
-      .localCheckpoint()
+    val coreL = localize(core)
+    lap("core")(coreL)
 
     // ---- batch-local stages: rejection → seen-set dedup (pad is the
     // entry point's job — triplet and pair batches pad different grains) --
-    val rejected = core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
+    val rejected = coreL.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
     val seenW = Window.partitionBy(col("record_id"), col("a_widx"), col("p_widx"), col("nid"))
       .orderBy(col("draw"))
     val deduped = rejected
@@ -591,7 +705,7 @@ object Sampler {
     val st2 = st.copy(epoch = e, counters = st.counters
       .updated("draw", drawBase + batch).updated("cursor", cur)
       .updated("pool_size", poolSize))
-    (core, deduped, st2)
+    (coreL, deduped, st2)
   }
 
   /** The composed pair batch (reference `next_pair_batch`,
@@ -640,22 +754,32 @@ object Sampler {
     * (record, section, window) keeping the earliest draw, pad to `batch`.
     * Temporal selectors swap in the as-of neighbor exactly like
     * [[nextBatch]]'s anchor lane. */
-  def nextTextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
+  def nextTextBatch(spark: SparkSession, chunks: DataFrame, poolArg: DataFrame,
       textRecipes: Seq[TextRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
     val byName = textRecipes.map(r => r.name -> r).toMap
-    val poolSize = poolSizeOf(pool, st)
+    def localize(df: DataFrame): DataFrame = localRelation(spark, df)
+    val pool = poolArg.localCheckpoint(eager = false) // one materialization (see composed)
+    val srcCounts: Seq[(String, Long)] = pool.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val poolSize = {
+      val cached = st.counter("pool_size")
+      val n = if (cached > 0L) cached else srcCounts.map(_._2).sum
+      require(n > 0, "empty record pool")
+      n
+    }
     val drawBase = st.counter("draw")
     val (slots, e, cur) = scheduleSlots(st, batch, poolSize,
       ep => Recipes.textTicketOrder(textRecipes, st.seed, ep))
-    val slotRec = slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
+    val slotRec = localize(slots.groupBy(_._2).toSeq.sortBy(_._1).map { case (ep, ss) =>
       val sdf = ss.map(s => (s._1, s._3, s._4)).toDF("draw", "pos", "recipe")
-      Mixing.epochPick(pool, ep, ss.map(_._3)).join(broadcast(sdf), "pos")
+      Mixing.epochPick(pool, ep, ss.map(_._3), Some(srcCounts)).join(broadcast(sdf), "pos")
         .select(col("draw"), lit(ep).as("epoch"), col("recipe"),
           col("id").as("record_id"), col("source"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    }.reduce(_ unionByName _))
     val slotMeta = slots.map { case (draw, _, _, name) =>
       val (m, a) = selectorDesc(byName(name).selector)
       (draw, m, a)
@@ -677,11 +801,11 @@ object Sampler {
           if (plainNames.isEmpty) Nil
           else Seq(slotRec.filter(col("recipe").isin(plainNames: _*))
             .select(col("draw"), col("record_id")))
-        (plain ++ lanes).reduce(_ unionByName _).localCheckpoint()
+        localize((plain ++ lanes).reduce(_ unionByName _))
       }
     }
-    val ids = tRecs.select(col("record_id")).distinct().collect().map(_.getLong(0)).toSeq
-    val chunksR = chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint()
+    val ids = tRecs.select(col("record_id")).collect().map(_.getLong(0)).distinct.toSeq
+    val chunksR = chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint(eager = false)
     val tText: Column = decoration match {
       case None => col("wtext")
       case Some((smp, maxTok)) =>
@@ -690,17 +814,18 @@ object Sampler {
             lit(":"), col("draw").cast("string")),
           split(col("wtext"), " "), maxTok).getField("text")
     }
-    val pick = Recipes.selectChunksBatch(chunksR, slotMeta, "t")
-      .join(tRecs, Seq("draw", "record_id"))
+    // the fused slot path (stream `sel:t:`) — record restriction in the
+    // eligibility join, pick bit-identical to selectChunksBatch + join
+    val pick = Recipes.selectChunksBatchSlots(chunksR,
+        tRecs.withColumn("slot", lit("t")).join(broadcast(slotMeta), Seq("draw")))
       .select(col("draw"), col("record_id").as("chunk_record"),
         col("section_idx").cast("long").as("t_sidx"),
         col("window_index").cast("long").as("t_widx"),
         Determinism.portableHash(tText).as("t_hash"))
-    val core = slotRec
+    val core = localize(slotRec
       .join(pick, Seq("draw"))
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
-        col("chunk_record"), col("t_sidx"), col("t_widx"), col("t_hash"))
-      .localCheckpoint()
+        col("chunk_record"), col("t_sidx"), col("t_widx"), col("t_hash")))
     // seen-set dedup by the chunk key, earliest draw wins (reference
     // chunk_key dedup, src/sampler/mod.rs:2288-2292)
     val seenW = Window.partitionBy(col("chunk_record"), col("t_sidx"), col("t_widx"))

@@ -41,6 +41,122 @@ object SimilarityQueries extends QueryModule {
     s"""norms AS (SELECT vec_id, ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
         FROM embeddings)"""
 
+  /** The residual IVF-PQ (FAISS IVFADC) search pipeline shared by q122
+    * (the search itself) and q128 (its recall lane): coarse IVF cells
+    * bound candidates; PQ codebooks are trained on and encode residuals
+    * x − centroid(cell(x)); each (query, probed cell) scores through an
+    * ADC table of the QUERY's residual against that cell. Residuals land
+    * back on the float lattice (double subtraction of floats is exact,
+    * the float cast IEEE-identical across engines), so every downstream
+    * e3 distance stays an exact integer. The residual table is the
+    * index-build pass — checkpointed here because the codebook's M
+    * independent top-k plans and the encode pass would otherwise each
+    * replay the assign join (in production it IS the persisted index).
+    * Emits (qid, id, cell, adist, rank) for ALL ranks — callers cut at
+    * their k. */
+  private def ivfadcApprox(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+      .localCheckpoint()
+    // (vec_id, cell) — narrow; checkpointed because both the residual
+    // build and the candidate lane read it (the argmin plan is a corpus ×
+    // centroids cross join that must not replay)
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    def residOf(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      zip_with(a.cast("array<double>"), c.cast("array<double>"),
+        (x, y) => x - y).cast("array<float>")
+    val resid = emb.join(assign, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("vec_id"), residOf(col("embedding"), col("cemb")).as("resid"))
+      .localCheckpoint()
+    val cb = Pq.codebook(resid, "vec_id", "resid", Dim, PqM, PqKs)
+      .localCheckpoint()
+    val codes = Pq.encode(resid, "vec_id", "resid", Dim, PqM, cb)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val probes = Similarity.ivfProbes(q, "qid", "qemb", cents, IvfProbe)
+      .select(col("qid"), col("cell"))
+    // per-(query, probed cell) ADC tables from the query's OWN residual
+    val subN = Dim / PqM
+    val qslices = (0 until PqM).map(j =>
+      struct(lit(j.toLong).as("m"), slice(col("qres"), j * subN + 1, subN).as("semb")))
+    val adc = probes.join(q, "qid")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("qid"), col("cell"), residOf(col("qemb"), col("cemb")).as("qres"))
+      .select(col("qid"), col("cell"), explode(array(qslices: _*)).as("sl"))
+      .join(broadcast(cb), col("sl.m") === col("m"))
+      .select(col("qid"), col("cell"), col("m"), col("code"),
+        Pq.distE3(col("sl.semb"), col("cemb")).as("d"))
+    val cand = codes.join(assign.withColumnRenamed("vec_id", "id"), "id")
+      .join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("qid"))
+    val scored = cand.join(broadcast(adc), Seq("qid", "cell", "m", "code"))
+      .groupBy(col("qid"), col("id"), col("cell"))
+      .agg(sum(col("d")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB lock-step mirror of [[ivfadcApprox]]: cents/assign/probes,
+    * the residual table, PQ CTEs over it, per-(query, cell) residual ADC
+    * tables, and the ranked candidate scores (`ranked`). */
+  private def duckIvfadcCtes: String = {
+    val sub = Dim / PqM
+    def dist(a: String, b: String) =
+      s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
+        s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
+    s"""picked AS (
+      SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+      FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+    ), cents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
+        embedding AS cemb
+      FROM picked
+    ), asg0 AS (
+      SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
+      FROM embeddings e CROSS JOIN cents c
+    ), asg AS MATERIALIZED (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM asg0) t WHERE rn = 1
+    ), probes AS MATERIALIZED (
+      SELECT qid, cid AS cell FROM (
+        SELECT e.vec_id AS qid, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("e.embedding", "c.cemb")}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries) t
+      WHERE rn <= $IvfProbe
+    ), resid AS MATERIALIZED (
+      SELECT e.vec_id,
+        list_transform(generate_series(1, $Dim), i ->
+          CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE) AS FLOAT)) AS embedding
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+      JOIN cents c ON c.cid = a.cell
+    ), ${Pq.duckPqCtes(Dim, PqM, PqKs, srcRel = "resid")},
+    qres AS (
+      SELECT p.qid, p.cell,
+        list_transform(generate_series(1, $Dim), i ->
+          CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE) AS FLOAT)) AS qemb
+      FROM probes p JOIN embeddings e ON e.vec_id = p.qid
+      JOIN cents c ON c.cid = p.cell
+    ), qd AS (
+      SELECT r.qid, r.cell, cb.m, cb.code,
+        ${Pq.duckDistE3(s"list_slice(r.qemb, cb.m * $sub + 1, cb.m * $sub + $sub)", "cb.cemb", sub)} AS d
+      FROM qres r JOIN pq_cb cb ON true
+    ), ad AS (
+      SELECT q.qid, k.vec_id, a.cell, CAST(sum(q.d) AS BIGINT) AS adist
+      FROM pq_codes k
+      JOIN asg a ON a.vec_id = k.vec_id
+      JOIN qd q ON k.m = q.m AND k.code = q.code AND q.cell = a.cell
+      WHERE k.vec_id <> q.qid
+      GROUP BY q.qid, k.vec_id, a.cell
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rank
+      FROM ad
+    )"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("q25_ann_bruteforce",
@@ -386,84 +502,84 @@ object SimilarityQueries extends QueryModule {
       }),
 
     QueryDef("q122_ivfadc_search",
-      // the full production ANN shape (FAISS-style IVF-PQ search): coarse
-      // IVF cells bound the candidate set (q29's probes), and scoring
-      // inside the probed cells is PQ ADC (q118's lookup tables) — the
-      // search touches |probed cells| code rows and ZERO corpus floats.
-      // (Classic IVFADC quantizes residuals x − centroid; we encode raw
-      // vectors — same plans, one fewer broadcast subtraction — and
-      // document the delta. Exactness doctrine unchanged: every distance
-      // is an exact e3 integer.)
+      // the full production ANN shape (FAISS IVFADC search): coarse IVF
+      // cells bound the candidate set (q29's probes); PQ codebooks are
+      // TRAINED ON and ENCODE the residuals x − centroid(cell(x)) —
+      // classic IVFADC semantics (Jégou et al. 2011) — and each query
+      // scores a probed cell through an ADC table built from ITS residual
+      // against that cell's centroid. The search touches |probed cells|
+      // code rows and ZERO corpus floats. Exactness doctrine unchanged:
+      // residuals round to the float lattice (double subtraction of
+      // floats is exact; the float cast is IEEE-identical in both
+      // engines) and every distance is an exact e3 integer. q128 scores
+      // this pipeline's recall@k against the exact L2 truth.
+      (s, dir) => ivfadcApprox(s, dir)
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("id").as("vec_id"), col("cell"),
+          col("adist"), col("rank")),
+      Some(s"""WITH $duckIvfadcCtes
+        SELECT qid, vec_id, cell, adist, rank FROM ranked
+        WHERE rank <= $TopK""")),
+
+    QueryDef("q128_ivfadc_recall",
+      // the number a real user tunes nprobe/M/Ks against: recall@k of the
+      // residual IVFADC pipeline (q122) vs the EXACT e3 squared-L2 top-k
+      // truth over the same corpus (self excluded). Both sides and the
+      // intersection are exact integers, so the recall fractions
+      // hash-match as e6-floored integers. Structure: the truth is the
+      // q25-shape brute force (|Q| broadcast queries against one corpus
+      // scan), the approx side is the shared ivfadcApprox pipeline, and
+      // recall is one keyed count over their (qid, vec_id) intersection.
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
-          .localCheckpoint()
-        val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
-        val cb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
-          .localCheckpoint()
-        val codes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, cb)
+          .withColumn("nrm", Similarity.normE3(col("embedding")))
         val q = emb.filter(col("vec_id") < NQueries)
-        val probes = Similarity.ivfProbes(
-            q.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
-            "qid", "qemb", cents, IvfProbe)
-          .select(col("qid"), col("cell"))
-        val adc = Pq.adcTables(q, "vec_id", "embedding", Dim, PqM, cb)
-        val cand = codes.join(assign.withColumnRenamed("vec_id", "id"), "id")
-          .join(broadcast(probes), "cell")
-          .filter(col("id") =!= col("qid"))
-        val scored = cand.join(broadcast(adc), Seq("qid", "m", "code"))
-          .groupBy(col("qid"), col("id"), col("cell"))
-          .agg(sum(col("d")).as("adist"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("nrm").as("qnrm"))
+        val truth = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (col("qnrm") + col("nrm") -
+              lit(2L) * Similarity.dotE3(col("qemb"), col("embedding"))).as("dist"))
+          .withColumn("trank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))).cast("long"))
+          .filter(col("trank") <= TopK)
+        val approx = ivfadcApprox(s, dir)
           .filter(col("rank") <= TopK)
-          .select(col("qid"), col("id").as("vec_id"), col("cell"),
-            col("adist"), col("rank"))
+          .select(col("qid"), col("id").as("vec_id"))
+        val hits = approx.join(truth.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("hits"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), lit(TopK.toLong).as("k"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            floor(lit(1000000L) * coalesce(col("hits"), lit(0L)) / lit(TopK.toLong))
+              .cast("long").as("recall_e6"))
       },
       Some {
-        val sub = Dim / PqM
         def dist(a: String, b: String) =
           s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
             s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
-        s"""WITH ${Pq.duckPqCtes(Dim, PqM, PqKs)},
-        picked AS (
-          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
-          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
-        ), cents AS (
-          SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
-            embedding AS cemb
-          FROM picked
-        ), asg0 AS (
-          SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
-          FROM embeddings e CROSS JOIN cents c
-        ), asg AS (
-          SELECT vec_id, cid AS cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-            FROM asg0) t WHERE rn = 1
-        ), probes AS (
-          SELECT qid, cid AS cell FROM (
-            SELECT e.vec_id AS qid, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("e.embedding", "c.cemb")}, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries) t
-          WHERE rn <= $IvfProbe
-        ), qd AS (
-          SELECT s.vec_id AS qid, c.m, c.code,
-            ${Pq.duckDistE3("s.semb", "c.cemb", sub)} AS d
-          FROM pq_sub s JOIN pq_cb c ON s.m = c.m
-          WHERE s.vec_id < $NQueries
-        ), ad AS (
-          SELECT q.qid, k.vec_id, a.cell, CAST(sum(q.d) AS BIGINT) AS adist
-          FROM pq_codes k
-          JOIN asg a ON a.vec_id = k.vec_id
-          JOIN probes p ON p.cell = a.cell
-          JOIN qd q ON k.m = q.m AND k.code = q.code AND q.qid = p.qid
-          WHERE k.vec_id <> q.qid
-          GROUP BY q.qid, k.vec_id, a.cell
+        s"""WITH $duckIvfadcCtes,
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${dist("q.embedding", "e.embedding")}, e.vec_id) AS trank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < $NQueries) t
+          WHERE trank <= $TopK
+        ), approx AS (
+          SELECT qid, vec_id FROM ranked WHERE rank <= $TopK
+        ), h AS (
+          SELECT a.qid, CAST(count(*) AS BIGINT) AS hits
+          FROM approx a JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+          GROUP BY a.qid
         )
-        SELECT qid, vec_id, cell, adist, rank FROM (
-          SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rank
-          FROM ad) t
-        WHERE rank <= $TopK"""
+        SELECT q.vec_id AS qid, CAST($TopK AS BIGINT) AS k,
+          CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+          CAST(floor(1000000 * coalesce(h.hits, 0) / $TopK) AS BIGINT) AS recall_e6
+        FROM embeddings q LEFT JOIN h ON h.qid = q.vec_id
+        WHERE q.vec_id < $NQueries"""
       }),
 
     QueryDef("q119_rrf_hybrid_fusion",

@@ -8,9 +8,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * background expansion 4354-4421, disk cap 567-569). All deterministic
   * decisions are pure functions over an (optionally pre-fetched) manifest
   * JSON and an on-disk landing directory; [[fetchManifest]]/[[download]]
-  * are the minimal standard-library HTTP legs (auth/retry/endpoint policy
-  * stays with the caller — exercised e2e against a loopback fixture
-  * server in SourcesSpec, since this sandbox has zero egress). The owned
+  * are standard-library HTTP legs under the [[HfHttp]] auth +
+  * retry/backoff policy (Bearer token, bounded exponential backoff on
+  * 429/5xx, fail-fast 401/403; endpoint construction stays with the
+  * caller — exercised e2e against a loopback fixture server in
+  * SourcesSpec, since this sandbox has zero egress). The owned
   * decisions:
   *
   *   - candidate extraction: `parquet_files[].url` filtered by accepted
@@ -140,15 +142,19 @@ object HfManifest {
   }
 
   /** Fetch the manifest JSON itself (reference:
-    * huggingface_source.rs:1735-1760 datasets-server GET). Plain
-    * standard-library HTTP — endpoint construction, auth headers, and
-    * retry policy remain the caller's; the e2e seam is exercised against
-    * a loopback fixture server in SourcesSpec. */
-  def fetchManifest(url: String): String = {
-    val in = new java.net.URL(url).openConnection().getInputStream
+    * huggingface_source.rs:1735-1760 datasets-server GET) under the
+    * [[HfHttp]] auth + retry/backoff policy (Bearer token when
+    * configured; 429/5xx retried with bounded exponential backoff;
+    * 401/403 fail fast). Endpoint construction remains the caller's; the
+    * e2e seam is exercised against a loopback fixture server in
+    * SourcesSpec. */
+  def fetchManifest(url: String, policy: HfHttp.Policy): String = {
+    val in = HfHttp.openStream(url, policy)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  def fetchManifest(url: String): String = fetchManifest(url, HfHttp.fromEnv)
 
   /** Download one shard into the landing dir under its [[ShardCandidate.landedName]],
     * temp-then-publish: the reconcile loop treats file EXISTENCE as
@@ -159,17 +165,20 @@ object HfManifest {
     * of the landing dir stays valid WHILE a download is in flight — the
     * property [[ShardExpander]]'s readers rely on. Returns the landed
     * path. */
-  def download(c: ShardCandidate, landingDir: String): Path = {
+  def download(c: ShardCandidate, landingDir: String, policy: HfHttp.Policy): Path = {
     val t = target(landingDir, c)
     if (t.getParent != null) Files.createDirectories(t.getParent)
     val tmp = t.resolveSibling("." + t.getFileName.toString + ".part")
-    val in = new java.net.URL(c.url).openConnection().getInputStream
+    val in = HfHttp.openStream(c.url, policy)
     try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
     Files.move(tmp, t, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     t
   }
+
+  def download(c: ShardCandidate, landingDir: String): Path =
+    download(c, landingDir, HfHttp.fromEnv)
 
   /** Read every landed shard of the directory and map to records —
     * Spark's vectorized parquet scan + [[HfSourceList.toRecords]] (ids

@@ -1027,6 +1027,96 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("hf auth + retry policy: bearer header, 429 backoff, fail-fast 401, expander-level recovery") {
+    import graft.sources.{HfHttp, HfManifest, ShardExpander}
+    import java.util.concurrent.atomic.AtomicInteger
+    val payload = "shard-bytes-payload".getBytes("UTF-8")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val authHeaders = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val hits401 = new AtomicInteger(0)
+    val hits429 = new AtomicInteger(0)
+    // /gated: 401 until two requests have been seen, then 200 — the
+    // "token became valid" (or entitlement granted) sequence
+    server.createContext("/gated.parquet", (ex: com.sun.net.httpserver.HttpExchange) => {
+      authHeaders.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      if (hits401.incrementAndGet() <= 2) { ex.sendResponseHeaders(401, -1); ex.close() }
+      else {
+        ex.sendResponseHeaders(200, payload.length)
+        ex.getResponseBody.write(payload); ex.close()
+      }
+    })
+    // /flaky: 429 with Retry-After, then a plain 500, then 200 — both
+    // retriable classes inside ONE leg invocation
+    server.createContext("/flaky.parquet", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits429.incrementAndGet() match {
+        case 1 =>
+          ex.getResponseHeaders.set("Retry-After", "7")
+          ex.sendResponseHeaders(429, -1); ex.close()
+        case 2 => ex.sendResponseHeaders(500, -1); ex.close()
+        case _ =>
+          ex.sendResponseHeaders(200, payload.length)
+          ex.getResponseBody.write(payload); ex.close()
+      }
+    })
+    // /always401: never authorized
+    server.createContext("/always401.parquet", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(401, -1); ex.close()
+    })
+    try {
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sleeps = scala.collection.mutable.Buffer[Long]()
+      val pol = HfHttp.Policy(token = Some("tok-abc"), maxRetries = 3,
+        baseBackoffMs = 100L, maxBackoffMs = 4000L, sleep = sleeps += _)
+
+      // 429 → honored (capped) Retry-After; 500 → exponential step; then 200
+      val landing = java.nio.file.Files.createTempDirectory("graft_hf_auth").toString
+      val flaky = HfManifest.ShardCandidate(s"$base/flaky.parquet", Some(payload.length.toLong))
+      val t = HfManifest.download(flaky, landing, pol)
+      assert(java.nio.file.Files.size(t) == payload.length.toLong)
+      // Retry-After 7s capped to maxBackoffMs=4000; second delay is the
+      // attempt-1 exponential step 100·2^1=200
+      assert(sleeps.toSeq == Seq(4000L, 200L), s"backoff schedule: $sleeps")
+
+      // 401 fails FAST inside the leg (no sleeps), carries AuthException,
+      // and the request carried the bearer token
+      sleeps.clear()
+      val gated = HfManifest.ShardCandidate(s"$base/gated.parquet", Some(payload.length.toLong))
+      intercept[HfHttp.AuthException](HfManifest.download(gated, landing, pol))
+      assert(sleeps.isEmpty, "401 must not consume the backoff budget")
+      assert(authHeaders.peek() == "Bearer tok-abc")
+
+      // expander-level recovery: per-shard attempts retry the leg, so a
+      // 401-then-authorized sequence still lands the shard
+      val landing2 = java.nio.file.Files.createTempDirectory("graft_hf_auth2").toString
+      val exp = new ShardExpander(Seq(gated), landing2, maxRetries = 3,
+        fetch = (c, d) => HfManifest.download(c, d, pol))
+      try {
+        assert(exp.awaitLanded(1, 20000).size == 1)
+        assert(exp.failure.isEmpty)
+      } finally exp.close()
+
+      // persistent 401: retries exhaust and the TERMINAL auth failure
+      // surfaces through the expander
+      val landing3 = java.nio.file.Files.createTempDirectory("graft_hf_auth3").toString
+      val dead = HfManifest.ShardCandidate(s"$base/always401.parquet", Some(5L))
+      val exp3 = new ShardExpander(Seq(dead), landing3, maxRetries = 1,
+        fetch = (c, d) => HfManifest.download(c, d, pol))
+      try {
+        exp3.awaitLanded(1, 20000)
+        assert(exp3.finished && exp3.landed().isEmpty)
+        assert(exp3.failure.exists(_.isInstanceOf[HfHttp.AuthException]))
+      } finally exp3.close()
+
+      // anonymous policy sends NO Authorization header
+      authHeaders.clear(); hits401.set(10) // serve 200 directly
+      val anon = pol.copy(token = None)
+      HfManifest.download(gated, landing3, anon)
+      assert(authHeaders.peek() == "")
+    } finally server.stop(0)
+  }
+
   test("jsonl splittable lane: ids and sections identical to wholetext, split-invariant") {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_split")

@@ -308,3 +308,144 @@ class NgramLmModel private[ml] (
   override def transformSchema(schema: StructType): StructType =
     schema.add(StructField("avg_cost_e6", LongType))
 }
+
+/** The ANN index family as an `Estimator`/`Model` pair (the MLlib facade
+  * over [[graft.operators.Similarity]] + [[graft.operators.Pq]], the
+  * idiom of [[SubwordTokenizerEstimator]]): `fit` learns the IVF coarse
+  * centroids and — FAISS IVFADC semantics — the PQ codebooks over the
+  * residuals x − centroid(cell(x)); both artifacts are collected to the
+  * driver (K + M·Ks rows — the broadcast-sized index metadata, never
+  * corpus data). The fitted [[IvfPqModel]]:
+  *
+  *   - `transform` adds the persisted-index columns: `cell` (coarse
+  *     assignment) and `pq_codes` (the M codes, ordered by subspace) —
+  *     M·8 bytes of index per vector, the ~compression dial;
+  *   - `search(k)` runs the residual ADC top-k of q122's pipeline
+  *     against a transformed (encoded) corpus.
+  *
+  * Parity with the operator kit (codebooks, codes, search ranks) is
+  * pinned in PipelineSpec.
+  */
+class IvfPqIndexer(
+    idCol: String = "vec_id",
+    embCol: String = "embedding",
+    dim: Int = 64,
+    ivfK: Int = 8,
+    m: Int = 8,
+    ks: Int = 8)
+    extends org.apache.spark.ml.Estimator[IvfPqModel] {
+  override val uid: String = Identifiable.randomUID("ivf_pq_indexer")
+  override def copy(extra: ParamMap): IvfPqIndexer = this
+
+  override def fit(df: Dataset[_]): IvfPqModel = {
+    import graft.operators.{Pq, Similarity}
+    val emb = df.toDF()
+    val cents = Similarity.ivfCentroids(emb, idCol, embCol, ivfK)
+      .localCheckpoint()
+    val assign = Similarity.ivfAssign(emb, idCol, embCol, cents)
+      .localCheckpoint()
+    val resid = IvfPqModel.residuals(emb, idCol, embCol, assign, cents)
+      .localCheckpoint()
+    val cb = Pq.codebook(resid, idCol, "_resid", dim, m, ks)
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val cbRows = cb.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray)).toSeq
+    new IvfPqModel(centRows, cbRows, idCol, embCol, dim, m)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField("cell", LongType))
+      .add(StructField("pq_codes", ArrayType(LongType)))
+}
+
+object IvfPqModel {
+  /** Residual table `(id, _resid)` on the float lattice (double
+    * subtraction of floats is exact; the float cast IEEE-stable). */
+  private[ml] def residuals(emb: DataFrame, idCol: String, embCol: String,
+      assign: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(assign.select(col(idCol), col("cell")), Seq(idCol))
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col(idCol),
+        zip_with(col(embCol).cast("array<double>"), col("cemb").cast("array<double>"),
+          (x, y) => x - y).cast("array<float>").as("_resid"))
+}
+
+class IvfPqModel private[ml] (
+    cents: Seq[(Long, Array[Float])],
+    cb: Seq[(Long, Long, Array[Float])],
+    idCol: String, embCol: String, dim: Int, m: Int)
+    extends org.apache.spark.ml.Model[IvfPqModel] {
+  override val uid: String = Identifiable.randomUID("ivf_pq_model")
+  override def copy(extra: ParamMap): IvfPqModel = this
+
+  private def centsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, e) => (cid, e.toSeq) }.toDF("cid", "cemb")
+      .select(col("cid"), col("cemb").cast("array<float>").as("cemb"))
+  }
+  private def cbDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    cb.map { case (mm, code, e) => (mm, code, e.toSeq) }.toDF("m", "code", "cemb")
+      .select(col("m"), col("code"), col("cemb").cast("array<float>").as("cemb"))
+  }
+
+  /** Adds `cell` + `pq_codes` — the persisted index columns. */
+  override def transform(df: Dataset[_]): DataFrame = {
+    import graft.operators.{Pq, Similarity}
+    val spark = df.sparkSession
+    val emb = df.toDF()
+    val cents0 = centsDf(spark)
+    val assign = Similarity.ivfAssign(emb, idCol, embCol, cents0)
+    val resid = IvfPqModel.residuals(emb, idCol, embCol, assign, cents0)
+    val codes = Pq.encode(resid, idCol, "_resid", dim, m, cbDf(spark))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("cs"))
+      .select(col("id").as(idCol),
+        expr("transform(cs, x -> x.code)").as("pq_codes"))
+    emb.join(assign.select(col(idCol), col("cell")), Seq(idCol))
+      .join(codes, Seq(idCol))
+  }
+
+  /** Residual ADC top-`k` of `queries` against a `transform`ed corpus
+    * (must carry `cell` + `pq_codes`): (qid, id, adist, rank). */
+  def search(encoded: DataFrame, queries: DataFrame,
+      qidCol: String, qembCol: String, nprobe: Int, k: Int): DataFrame = {
+    import graft.operators.{Pq, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val spark = encoded.sparkSession
+    val cents0 = centsDf(spark)
+    val cbd = cbDf(spark)
+    val probes = Similarity.ivfProbes(queries, qidCol, qembCol, cents0, nprobe)
+      .select(col(qidCol).as("qid"), col("cell"))
+    val subN = dim / m
+    val qslices = (0 until m).map(j =>
+      struct(lit(j.toLong).as("m"), slice(col("qres"), j * subN + 1, subN).as("semb")))
+    val adc = probes
+      .join(queries.select(col(qidCol).as("qid"), col(qembCol).as("_qemb")), "qid")
+      .join(broadcast(cents0.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("_qemb").cast("array<double>"), col("cemb").cast("array<double>"),
+          (x, y) => x - y).cast("array<float>").as("qres"))
+      .select(col("qid"), col("cell"), explode(array(qslices: _*)).as("sl"))
+      .join(broadcast(cbd), col("sl.m") === col("m"))
+      .select(col("qid"), col("cell"), col("m"), col("code"),
+        Pq.distE3(col("sl.semb"), col("cemb")).as("d"))
+    val cand = encoded
+      .select(col(idCol).as("id"), col("cell"),
+        posexplode(col("pq_codes")).as(Seq("m", "code")))
+      .select(col("id"), col("cell"), col("m").cast("long").as("m"), col("code"))
+      .join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("qid"))
+    val scored = cand.join(broadcast(adc), Seq("qid", "cell", "m", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField("cell", LongType))
+      .add(StructField("pq_codes", ArrayType(LongType)))
+}

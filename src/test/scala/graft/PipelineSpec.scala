@@ -135,6 +135,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(staged == direct)
   }
 
+  test("ivf-pq facade: transform and search match the operator kit bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Pq, Similarity}
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (dim, ivfK, m, ks, nprobe, k) = (64, 8, 8, 8, 2, 5)
+
+    val model = new IvfPqIndexer("vec_id", "embedding", dim, ivfK, m, ks).fit(emb)
+    val encoded = model.transform(emb).cache()
+
+    // operator-kit expected: assign + residual encode
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", ivfK).localCheckpoint()
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).localCheckpoint()
+    val resid = emb.join(assign, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cemb").cast("array<double>"),
+          (x, y) => x - y).cast("array<float>").as("_resid"))
+      .localCheckpoint()
+    val cb = Pq.codebook(resid, "vec_id", "_resid", dim, m, ks).localCheckpoint()
+    val codes = Pq.encode(resid, "vec_id", "_resid", dim, m, cb)
+
+    // cell parity
+    val cellsF = encoded.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellsK = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellsF == cellsK)
+    // code parity (facade array order = subspace order)
+    val codesF = encoded.select(col("vec_id"), col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val codesK = codes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toVector }
+    assert(codesF == codesK)
+
+    // search parity against the q122-shape residual ADC pipeline
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val got = model.search(encoded, q, "qid", "qemb", nprobe, k)
+      .select(col("qid"), col("id"), col("adist"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probes = Similarity.ivfProbes(q, "qid", "qemb", cents, nprobe)
+      .select(col("qid"), col("cell"))
+    val subN = dim / m
+    val qslices = (0 until m).map(j =>
+      struct(lit(j.toLong).as("m"), slice(col("qres"), j * subN + 1, subN).as("semb")))
+    val adc = probes.join(q, "qid")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qemb").cast("array<double>"), col("cemb").cast("array<double>"),
+          (x, y) => x - y).cast("array<float>").as("qres"))
+      .select(col("qid"), col("cell"), explode(array(qslices: _*)).as("sl"))
+      .join(broadcast(cb), col("sl.m") === col("m"))
+      .select(col("qid"), col("cell"), col("m"), col("code"),
+        Pq.distE3(col("sl.semb"), col("cemb")).as("d"))
+    val want = codes
+      .join(assign.select(col("vec_id").as("aid"), col("cell")), col("id") === col("aid"))
+      .drop("aid")
+      .join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(adc), Seq("qid", "cell", "m", "code"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adist"), col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    encoded.unpersist()
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

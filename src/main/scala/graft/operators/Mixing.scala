@@ -217,6 +217,58 @@ object Mixing {
     * is a distributed per-partition top-k (TakeOrderedAndProject), no
     * global window, no pool-sized broadcast. The cycling path only runs
     * when the pool is SMALLER than one batch, i.e. trivially tiny. */
+  /** The reference's smooth weighted-round-robin drain ORDER
+    * (src/ingestion.rs:607-675), exactly: per draw, every ELIGIBLE source
+    * (positive weight, non-empty buffer) gains its weight of credit; the
+    * first source holding the strict maximum credit is picked (strict `>`
+    * during a single in-order pass ⇒ ties go to the lowest index, the
+    * reference's registration order) and pays back the eligible-total;
+    * buffers deplete, eligibility shrinks, the drain stops early when
+    * nothing is eligible (the reference's break) or `limit` is reached.
+    * All-nonpositive weights fall back to uniform 1s (the reference's
+    * `fill(1.0)`). Integer weights (e.g. e6-scaled floats) make the loop
+    * exact and replayable — q129's oracle re-runs it as a DuckDB
+    * recursive CTE over list state. Driver-side counter arithmetic over
+    * #sources-sized state, like the slot schedule; record resolution
+    * stays a keyed-window join in the caller's plan.
+    *
+    * `sources`: (name, weight, available) in registration order.
+    * Returns (slot, sourceName) per drained slot. */
+  def smoothWrrDrain(sources: Seq[(String, Long, Long)], limit: Long): Seq[(Long, String)] = {
+    val n = sources.size
+    val names = sources.map(_._1)
+    val w0 = sources.map(_._2)
+    val weights = if (w0.exists(_ > 0)) w0 else w0.map(_ => 1L)
+    val rem = sources.map(_._3).toArray
+    val cur = new Array[Long](n)
+    val out = Seq.newBuilder[(Long, String)]
+    var slot = 0L
+    var halted = n == 0
+    while (slot < limit && !halted) {
+      var tw = 0L
+      var i = 0
+      while (i < n) { if (weights(i) > 0 && rem(i) > 0) tw += weights(i); i += 1 }
+      if (tw == 0) halted = true
+      else {
+        var best = -1
+        var bestScore = Long.MinValue
+        i = 0
+        while (i < n) {
+          if (weights(i) > 0 && rem(i) > 0) {
+            cur(i) += weights(i)
+            if (cur(i) > bestScore) { bestScore = cur(i); best = i }
+          }
+          i += 1
+        }
+        cur(best) -= tw
+        rem(best) -= 1
+        out += ((slot, names(best)))
+        slot += 1
+      }
+    }
+    out.result()
+  }
+
   def padToBatch(spark: SparkSession, cands: DataFrame, batch: Int, seed: String): DataFrame = {
     // both the count and the chosen branch evaluate the pool plan — persist
     // it for the call so a pool derived from heavy upstream work is

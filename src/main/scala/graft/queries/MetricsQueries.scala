@@ -111,6 +111,104 @@ object MetricsQueries extends QueryModule {
           CAST(flo + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS BIGINT) AS alloc
         FROM r""")),
 
+    QueryDef("q129_smooth_wrr_drain",
+      // the reference's EXACT smooth weighted-round-robin drain
+      // interleaving (src/ingestion.rs:607-675) — closing the documented
+      // q43 delta (largest-remainder = same long-run shares, different
+      // short-run order): per draw every eligible source gains its weight
+      // of credit, the first strict-max source is picked and pays back
+      // the eligible total, buffers deplete (capped here so eligibility
+      // SHRINKS mid-drain and the late interleave provably reflects it).
+      // The drain order is #sources-sized counter arithmetic on the
+      // driver (the reference's own loop; the slot-schedule idiom);
+      // record resolution is a keyed window + join. The oracle replays
+      // the loop as a DuckDB recursive CTE over (credit, remaining) LIST
+      // state — credits, picks, and depletion must match step for step.
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .filter(expr("doc_id % 7 = 0"))
+          .select(col("doc_id"), col("source"))
+        val stats = docs.groupBy(col("source")).agg(count(lit(1)).cast("long").as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+        val srcs = stats.map { case (src, cnt) =>
+          (src,
+            Determinism.jvmHash(s"wrrw:$src") % 5 + 1,
+            math.min(cnt, Determinism.jvmHash(s"wrrcap:$src") % 8 + 3))
+        }
+        val order = graft.operators.Mixing.smoothWrrDrain(srcs, 60L)
+        val odf = order.toDF("slot", "source")
+          .withColumn("k", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("slot"))).cast("long") - 1)
+        val ranked = docs.withColumn("k", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long") - 1)
+        odf.join(ranked, Seq("source", "k"))
+          .select(col("slot"), col("source"), col("doc_id"))
+      },
+      Some {
+        val hw = Determinism.duckHash("'wrrw:' || source")
+        val hc = Determinism.duckHash("'wrrcap:' || source")
+        val sentinel = "-9223372036854775807"
+        s"""WITH RECURSIVE base AS (
+          SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0
+        ), st AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY source
+        ), srcs AS (
+          SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS i,
+            CAST($hw % 5 + 1 AS BIGINT) AS w,
+            least(cnt, CAST($hc % 8 + 3 AS BIGINT)) AS cap
+          FROM st
+        ), arrs AS (
+          SELECT list(w ORDER BY i) AS ws, list(cap ORDER BY i) AS rem0,
+            list(source ORDER BY i) AS names, CAST(count(*) AS BIGINT) AS k
+          FROM srcs
+        ), steps AS (
+          SELECT CAST(-1 AS BIGINT) AS slot,
+            list_transform(ws, x -> CAST(0 AS BIGINT)) AS cur,
+            rem0 AS rem, CAST(NULL AS BIGINT) AS pick
+          FROM arrs
+          UNION ALL
+          SELECT slot + 1,
+            list_transform(generate_series(1, k), j ->
+              CASE WHEN j = pick THEN cur2[j] - tw ELSE cur2[j] END),
+            list_transform(generate_series(1, k), j ->
+              CASE WHEN j = pick THEN rem[j] - 1 ELSE rem[j] END),
+            pick
+          FROM (
+            SELECT s3.*, list_position(masked, list_max(masked)) AS pick FROM (
+              SELECT s2.*,
+                list_transform(generate_series(1, k), j ->
+                  CASE WHEN ws[j] > 0 AND rem[j] > 0 THEN cur2[j] ELSE $sentinel END) AS masked
+              FROM (
+                SELECT s1.*,
+                  list_transform(generate_series(1, k), j ->
+                    CASE WHEN ws[j] > 0 AND rem[j] > 0 THEN cur[j] + ws[j] ELSE cur[j] END) AS cur2
+                FROM (
+                  SELECT s.slot, s.cur, s.rem, a.ws, a.names, a.k,
+                    CAST(list_sum(list_transform(generate_series(1, a.k), j ->
+                      CASE WHEN a.ws[j] > 0 AND s.rem[j] > 0 THEN a.ws[j] ELSE 0 END)) AS BIGINT) AS tw
+                  FROM steps s CROSS JOIN arrs a
+                  WHERE s.slot + 1 < 60
+                ) s1 WHERE tw > 0
+              ) s2
+            ) s3
+          ) s4
+        ), picks AS (
+          SELECT s.slot, a.names[s.pick] AS source
+          FROM steps s CROSS JOIN arrs a WHERE s.slot >= 0
+        ), wk AS (
+          SELECT slot, source,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY slot) AS BIGINT) - 1 AS kk
+          FROM picks
+        ), rk AS (
+          SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - 1 AS kk
+          FROM base
+        )
+        SELECT w.slot, w.source, r.doc_id
+        FROM wk w JOIN rk r ON w.source = r.source AND w.kk = r.kk"""
+      }),
+
     QueryDef("q44_epoch_interleave",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")

@@ -78,7 +78,53 @@ class PropertySpec extends AnyFunSuite {
       val alloc = graft.operators.Mixing.weightedAllocation(groups, cycles * tw)
         .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
       val equal = (0 until n).forall(i => alloc(f"g$i%02d") == counts(i))
-      equal && credit.forall(_ == 0L)
+      // and the engine's own smooth-WRR drain (Mixing.smoothWrrDrain, the
+      // q129 lane) reproduces this reference loop ORDER for order when
+      // buffers never deplete
+      val drained = graft.operators.Mixing.smoothWrrDrain(
+        ws.zipWithIndex.map { case (w, i) => (f"g$i%02d", w, Long.MaxValue) },
+        cycles * tw)
+      val sameCounts = drained.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val orderOk = drained.size == (cycles * tw).toInt &&
+        (0 until n).forall(i => sameCounts.getOrElse(f"g$i%02d", 0L) == counts(i))
+      equal && credit.forall(_ == 0L) && orderOk
+    })
+  }
+
+  test("smoothWrrDrain depletes buffers exactly like the reference loop (order-for-order)") {
+    // the full contract incl. DEPLETION: the reference pops from finite
+    // buffers, so eligibility shrinks mid-drain; replay its loop inline
+    // and require the identical pick sequence, early halt included
+    val gen = for {
+      srcs <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 7L))).map(_.take(5))
+      limit <- Gen.choose(0L, 40L)
+    } yield (srcs, limit)
+    check(Prop.forAll(gen) { case (srcs, limit) =>
+      val n = srcs.size
+      val names = (0 until n).map(i => f"s$i%02d")
+      val w0 = srcs.map(_._1)
+      val ws = if (w0.exists(_ > 0)) w0 else w0.map(_ => 1L) // fill(1.0) rule
+      val rem = srcs.map(_._2).toArray
+      val credit = Array.fill(n)(0L)
+      val expect = scala.collection.mutable.Buffer[(Long, String)]()
+      var slot = 0L; var halt = false
+      while (slot < limit && !halt) {
+        val elig = (0 until n).filter(i => ws(i) > 0 && rem(i) > 0)
+        val tw = elig.map(ws(_)).sum
+        if (tw == 0) halt = true
+        else {
+          var best = -1; var bs = Long.MinValue
+          elig.foreach { i =>
+            credit(i) += ws(i)
+            if (credit(i) > bs) { bs = credit(i); best = i }
+          }
+          credit(best) -= tw; rem(best) -= 1
+          expect += ((slot, names(best))); slot += 1
+        }
+      }
+      val got = graft.operators.Mixing.smoothWrrDrain(
+        (0 until n).map(i => (names(i), srcs(i)._1, srcs(i)._2)), limit)
+      got == expect.toSeq
     })
   }
 

@@ -74,6 +74,7 @@ object MediaCodecs {
     else if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) "gif"
     else if (ascii(b, 0, "ID3") ||
       (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xfe) == 0xfa)) "mp3"
+    else if (ascii(b, 4, "ftyp")) "mp4"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -90,6 +91,7 @@ object MediaCodecs {
       case "jpeg" => decodeJpeg(b)
       case "gif" => decodeGif(b)
       case "mp3" => decodeMp3Meta(b)
+      case "mp4" => decodeMp4Meta(b).map(_.toDecoded)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -866,4 +868,184 @@ object MediaCodecs {
     while (i < nFrames) { System.arraycopy(frame, 0, out, i * frameLen, frameLen); i += 1 }
     out
   }
+
+  // ------------------------------------------------------------------
+  // MP4 / ISO BMFF (ISO/IEC 14496-12, public spec) — VIDEO metadata via
+  // a real box walk: ftyp sniff, moov → mvhd (timescale/duration, v0+v1)
+  // and trak → tkhd (track id, 16.16 width/height) + mdia → hdlr
+  // (handler 4cc). No sample data is decoded (frame decode needs a codec
+  // library not in this container); the box framing, version dispatch,
+  // and fixed-point dims are the real container format. Defensive
+  // doctrine as the other parsers: every offset bounds-checked, child
+  // walks clamped to the parent's extent, declared sizes never drive an
+  // allocation, None on any malformation.
+  // ------------------------------------------------------------------
+
+  /** One parsed trak: `handler` is the hdlr 4cc ("vide"/"soun"/…, "" when
+    * absent); width/height are the integer part of tkhd's 16.16 fields. */
+  final case class Mp4Track(trackId: Long, handler: String, width: Int, height: Int)
+
+  /** Parsed movie metadata. [[toDecoded]] folds into the shared feature
+    * row: kind=mp4, width/height = the FIRST video track's dims,
+    * channels = track count, sampleRate = mvhd timescale, nSamples =
+    * mvhd duration (timescale units), durationMs exact floor math. */
+  final case class Mp4Meta(timescale: Long, duration: Long, tracks: Seq[Mp4Track]) {
+    def durationMs: Long = if (timescale <= 0) 0L else duration * 1000L / timescale
+    def toDecoded: Decoded = {
+      val v = tracks.find(_.handler == "vide")
+      Decoded("mp4",
+        width = v.map(_.width).getOrElse(0), height = v.map(_.height).getOrElse(0),
+        channels = tracks.size, sampleRate = timescale.toInt,
+        nSamples = duration, durationMs = durationMs)
+    }
+  }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xffffffffL) << 32) | (be32(b, i + 4) & 0xffffffffL)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Iterate the child boxes of [start, end): calls `f(type, payloadStart,
+    * payloadEnd)`; returns false on malformed framing. size==1 →
+    * 64-bit largesize; size==0 → box extends to `end`. */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)
+      (f: (String, Int, Int) => Boolean): Boolean = {
+    var pos = start
+    while (pos < end) {
+      if (pos + 8 > end) return false
+      val sz32 = be32(b, pos) & 0xffffffffL
+      val typ = fourcc(b, pos + 8 - 4)
+      var payload = pos + 8
+      val boxEnd: Long =
+        if (sz32 == 0L) end.toLong
+        else if (sz32 == 1L) {
+          if (pos + 16 > end) return false
+          payload = pos + 16
+          pos + be64(b, pos + 8)
+        } else pos + sz32
+      if (boxEnd < payload || boxEnd > end) return false
+      if (!f(typ, payload, boxEnd.toInt)) return false
+      pos = boxEnd.toInt
+    }
+    true
+  }
+
+  /** Real MP4 metadata walk; None on any malformed framing, missing
+    * moov/mvhd, or unsupported version fields. */
+  def decodeMp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    if (!ascii(b, 4, "ftyp")) return None
+    var timescale = -1L
+    var duration = -1L
+    val tracks = Seq.newBuilder[Mp4Track]
+    var sawMoov = false
+    val ok = walkBoxes(b, 0, b.length) { (typ, ps, pe) =>
+      if (typ != "moov") true
+      else {
+        sawMoov = true
+        walkBoxes(b, ps, pe) { (t2, p2, e2) =>
+          t2 match {
+            case "mvhd" =>
+              if (p2 + 4 > e2) false
+              else u8(b, p2) match {
+                case 0 => // ver/flags 4, times 4+4, timescale 4, duration 4
+                  if (p2 + 20 > e2) false
+                  else {
+                    timescale = be32(b, p2 + 12) & 0xffffffffL
+                    duration = be32(b, p2 + 16) & 0xffffffffL
+                    true
+                  }
+                case 1 => // times 8+8, timescale 4, duration 8
+                  if (p2 + 32 > e2) false
+                  else {
+                    timescale = be32(b, p2 + 20) & 0xffffffffL
+                    duration = be64(b, p2 + 24)
+                    true
+                  }
+                case _ => false
+              }
+            case "trak" =>
+              var tid = -1L
+              var w = 0; var h = 0
+              var handler = ""
+              val tok = walkBoxes(b, p2, e2) { (t3, p3, e3) =>
+                t3 match {
+                  case "tkhd" =>
+                    if (p3 + 4 > e3) false
+                    else {
+                      val ver = u8(b, p3)
+                      // v0: ver/flags 4, times 4+4, id 4, resv 4, dur 4 → tail at +24
+                      // v1: ver/flags 4, times 8+8, id 4, resv 4, dur 8 → tail at +36
+                      val (idOff, tailOff) =
+                        if (ver == 0) (p3 + 12, p3 + 24) else (p3 + 20, p3 + 36)
+                      // tail: resv 8, layer 2, alt 2, vol 2, resv 2,
+                      // matrix 36, width 4, height 4
+                      val wOff = tailOff + 8 + 2 + 2 + 2 + 2 + 36
+                      if (ver > 1 || wOff + 8 > e3) false
+                      else {
+                        tid = be32(b, idOff) & 0xffffffffL
+                        w = be32(b, wOff) >>> 16 // 16.16 integer part
+                        h = be32(b, wOff + 4) >>> 16
+                        true
+                      }
+                    }
+                  case "mdia" =>
+                    walkBoxes(b, p3, e3) { (t4, p4, e4) =>
+                      if (t4 == "hdlr" && p4 + 12 <= e4)
+                        handler = fourcc(b, p4 + 8)
+                      true
+                    }
+                  case _ => true
+                }
+              }
+              if (!tok || tid < 0) false
+              else { tracks += Mp4Track(tid, handler, w, h); true }
+            case _ => true
+          }
+        }
+      }
+    }
+    if (!ok || !sawMoov || timescale < 0) None
+    else Some(Mp4Meta(timescale, duration, tracks.result()))
+  }
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    val sz = out.length
+    out(0) = (sz >>> 24).toByte; out(1) = (sz >>> 16).toByte
+    out(2) = (sz >>> 8).toByte; out(3) = sz.toByte
+    typ.indices.foreach(i => out(4 + i) = typ.charAt(i).toByte)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+  private def be32b(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** Synthesize a structurally-valid MP4 (ftyp + moov/mvhd v0 + one
+    * trak/tkhd/mdia/hdlr per track) — the fixture lane for
+    * [[decodeMp4Meta]], the q105 idiom. No media samples. */
+  def encodeMp4Meta(timescale: Long, duration: Long, tracks: Seq[Mp4Track]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", new Array[Byte](12) ++ be32b(timescale) ++ be32b(duration) ++
+      be32b(0x00010000L) ++ Array(0x01.toByte, 0x00.toByte) ++ new Array[Byte](10) ++
+      mat ++ new Array[Byte](24) ++ be32b(tracks.size + 1L))
+    val trakBoxes = tracks.map { t =>
+      val tkhd = box("tkhd", new Array[Byte](4) ++ be32b(0) ++ be32b(0) ++
+        be32b(t.trackId) ++ be32b(0) ++ be32b(duration) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++ mat ++
+        be32b(t.width.toLong << 16) ++ be32b(t.height.toLong << 16))
+      val hdlr = box("hdlr", new Array[Byte](8) ++
+        t.handler.getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array(0.toByte))
+      val mdia = box("mdia", hdlr)
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ trakBoxes.flatten)
+    ftyp ++ moov
+  }
+
+  /** The identity 3×3 fixed-point matrix every sane MP4 carries. */
+  private val mat: Array[Byte] =
+    be32b(0x00010000L) ++ be32b(0) ++ be32b(0) ++
+    be32b(0) ++ be32b(0x00010000L) ++ be32b(0) ++
+    be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
 }

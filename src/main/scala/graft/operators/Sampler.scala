@@ -110,8 +110,13 @@ object Sampler {
         (if (hasTax) Seq(col("tax").as(pre + "tax")) else Nil)
       pool.select(cs: _*)
     }
+    // no distinct on the broadcast side: duplicate record_ids only
+    // duplicate intermediate pairs, and the final min_by groupBy (and the
+    // tax path's dropDuplicates) collapse them — values unchanged, and a
+    // batch-local caller's broadcast stays a pure LocalRelation (no
+    // aggregate job inside the broadcast subtree)
     val left = side("record_id", "a_")
-      .join(broadcast(forIds.select(col("record_id")).distinct()), Seq("record_id"))
+      .join(broadcast(forIds.select(col("record_id"))), Seq("record_id"))
     val cand = side("nbid", "n_")
     val pairCols = Seq("record_id", "nbid", "a_sec", "n_sec").map(col)
     val bySrc = left.join(cand,
@@ -322,13 +327,17 @@ object Sampler {
     // untouched, so recipe sets without temporal selectors plan exactly as
     // before. Temporal lanes are checkpointed: their upstream is a
     // pool-scale neighbor join that several consumers replay otherwise.
-    def chunkRecords(sel: TripletRecipe => Selector, base: DataFrame): DataFrame = {
+    // (hasTemporal, plan): the chunk-source record per (draw) for one
+    // slot's selector set — the PLAN only; callers localize (and fuse
+    // several slots into one collect when any lane is temporal)
+    def chunkRecordsPlan(sel: TripletRecipe => Selector, base: DataFrame)
+        : (Boolean, DataFrame) = {
       // fallback rows carry the `_fallback_same_split`-suffixed recipe
       // name (crossSplitPick) — match both forms
       def forms(ns: Seq[String]) = ns ++ ns.map(_ + Recipes.FallbackSuffix)
       val dayOf = recipes.map(r => r.name -> temporalDays(sel(r)))
       val temporal = dayOf.collect { case (n, Some(d)) => (n, d) }
-      if (temporal.isEmpty) base.select(col("draw"), col("record_id"))
+      if (temporal.isEmpty) (false, base.select(col("draw"), col("record_id")))
       else {
         val plainNames = dayOf.collect { case (n, None) => n }
         val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
@@ -341,8 +350,12 @@ object Sampler {
           if (plainNames.isEmpty) Nil
           else Seq(base.filter(col("recipe").isin(forms(plainNames): _*))
             .select(col("draw"), col("record_id")))
-        localize((plain ++ lanes).reduce(_ unionByName _))
+        (true, (plain ++ lanes).reduce(_ unionByName _))
       }
+    }
+    def chunkRecords(sel: TripletRecipe => Selector, base: DataFrame): DataFrame = {
+      val (temporal, plan) = chunkRecordsPlan(sel, base)
+      if (temporal) localize(plan) else plan
     }
 
     // ---- negative record: fused strategy × tier dispatch ----
@@ -544,7 +557,13 @@ object Sampler {
       val qterms = Recipes.selectChunksBatchSlots(bmChunks, bmDraws)
         .select(col("draw"), explode(array_distinct(
           graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
-      val srcs = bmSlots.select(col("source")).distinct()
+      // batch-bounded source list, deduped on the driver (bmSlots is a
+      // LocalRelation): the restriction lands as an isin PUSHDOWN on the
+      // derived-postings path and a LocalRelation broadcast on the
+      // persisted-index path — no aggregate job either way
+      val srcList = bmSlots.select(col("source")).collect()
+        .map(_.getString(0)).distinct.toSeq
+      val srcs = srcList.toDF("source")
       // Postings + per-source stats: from the prebuilt [[Bm25PoolIndex]]
       // when the caller carries one across batches (restriction is then a
       // broadcast semi-join on the persisted table — the tokenize+agg cost
@@ -559,7 +578,7 @@ object Sampler {
           // the per-batch derivation IS fromPool over the source-restricted
           // pool — one definition, so the pinned index≡per-batch equality
           // can't silently diverge
-          val ix = Bm25PoolIndex.fromPool(pool.join(broadcast(srcs), "source"))
+          val ix = Bm25PoolIndex.fromPool(pool.filter(col("source").isin(srcList: _*)))
           (ix.postings, ix.srcStats)
       }
       // df is a keyed window over tf (one row per (cand, term) ⇒ the
@@ -624,8 +643,18 @@ object Sampler {
     // schedule scale, which the driver already holds), and as a filter it
     // pushes below the derivation to the record scan: per-batch chunking
     // cost is ∝ batch size, not corpus size.
-    val aRecs = chunkRecords(_.anchor, slotRec)
-    val pRecs = chunkRecords(_.positive, slotRec)
+    // anchor + positive chunk-source records: ONE collect when either
+    // slot has a temporal lane (the two neighbor-join plans union and
+    // materialize together instead of sequentially)
+    val (aTmp, aPlan) = chunkRecordsPlan(_.anchor, slotRec)
+    val (pTmp, pPlan) = chunkRecordsPlan(_.positive, slotRec)
+    val (aRecs, pRecs) =
+      if (!aTmp && !pTmp) (aPlan, pPlan)
+      else {
+        val ap = localize(
+          aPlan.withColumn("sl", lit("a")).unionByName(pPlan.withColumn("sl", lit("p"))))
+        (ap.filter(col("sl") === "a").drop("sl"), ap.filter(col("sl") === "p").drop("sl"))
+      }
     val nRecs = chunkRecords(_.negativeSelector,
       negRec.select(col("draw"), col("recipe"), col("nid").as("record_id")))
     // all three rec frames are LocalRelations (localize), so these

@@ -680,6 +680,58 @@ object SourceQueries extends QueryModule {
           CAST(ch AS BIGINT) AS channels, CAST(br AS BIGINT) AS kbps
         FROM draws""")),
 
+    QueryDef("q130_multimodal_mp4_meta",
+      // the VIDEO metadata lane (MediaCodecs.decodeMp4Meta — the real ISO
+      // BMFF box walk: ftyp sniff, moov → mvhd timescale/duration, trak →
+      // tkhd track ids + 16.16 dims, mdia → hdlr handler 4cc; no sample
+      // decode — frame codecs aren't in this container): hash-picked
+      // timescales / durations / track sets synthesize structurally-valid
+      // MP4s, the decoder re-derives every field by walking the real box
+      // framing, and DuckDB recomputes them from the same hash draws —
+      // any drift in the framing, version offsets, or fixed-point dims
+      // shifts a value and fails the hash. The first track is the video
+      // track; extra tracks are audio (so n_tracks exercises the handler
+      // dispatch).
+      (s, dir) => {
+        import s.implicits._
+        val tss = Seq(600L, 1000L, 90000L, 44100L)
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val ts = tss((Determinism.jvmHash(s"mp4t:$id") % 4L).toInt)
+            val dur = Determinism.jvmHash(s"mp4d:$id") % 100000L + 1L
+            val nt = (Determinism.jvmHash(s"mp4n:$id") % 3L).toInt + 1
+            val w = (Determinism.jvmHash(s"mp4w:$id") % 1920L).toInt + 16
+            val h = (Determinism.jvmHash(s"mp4h:$id") % 1080L).toInt + 16
+            val tracks = graft.operators.MediaCodecs.Mp4Track(1L, "vide", w, h) +:
+              (2 to nt).map(i =>
+                graft.operators.MediaCodecs.Mp4Track(i.toLong, "soun", 0, 0))
+            Multimodal.MediaRow(id, "video/mp4",
+              graft.operators.MediaCodecs.encodeMp4Meta(ts, dur, tracks), 0, 0)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("channels").cast("long").as("n_tracks"),
+            col("sample_rate").cast("long").as("timescale"),
+            col("n_samples").as("dur_units"), col("duration_ms"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+      },
+      Some(s"""WITH draws AS (
+          SELECT doc_id,
+            ([600,1000,90000,44100])[CAST(${Determinism.duckHash("'mp4t:' || CAST(doc_id AS VARCHAR)")} % 4 AS INT) + 1] AS ts,
+            ${Determinism.duckHash("'mp4d:' || CAST(doc_id AS VARCHAR)")} % 100000 + 1 AS dur,
+            ${Determinism.duckHash("'mp4n:' || CAST(doc_id AS VARCHAR)")} % 3 + 1 AS nt,
+            ${Determinism.duckHash("'mp4w:' || CAST(doc_id AS VARCHAR)")} % 1920 + 16 AS w,
+            ${Determinism.duckHash("'mp4h:' || CAST(doc_id AS VARCHAR)")} % 1080 + 16 AS h
+          FROM documents)
+        SELECT doc_id, 'mp4' AS kind, CAST(nt AS BIGINT) AS n_tracks,
+          CAST(ts AS BIGINT) AS timescale, CAST(dur AS BIGINT) AS dur_units,
+          CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+        FROM draws""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

@@ -597,6 +597,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMp3Meta(core.dropRight(7)).isEmpty)
   }
 
+  test("mp4 box walk: mvhd/tkhd/hdlr fields, v1 boxes, largesize, malformation refusal") {
+    import graft.operators.MediaCodecs
+    import graft.operators.MediaCodecs.Mp4Track
+    val tracks = Seq(Mp4Track(1L, "vide", 640, 360), Mp4Track(2L, "soun", 0, 0))
+    val b = MediaCodecs.encodeMp4Meta(90000L, 450000L, tracks)
+    assert(MediaCodecs.sniff(b) == "mp4")
+    val m = MediaCodecs.decodeMp4Meta(b).get
+    assert(m.timescale == 90000L && m.duration == 450000L && m.durationMs == 5000L)
+    assert(m.tracks == tracks)
+    val d = MediaCodecs.decode(b).get
+    assert(d.kind == "mp4" && d.width == 640 && d.height == 360 &&
+      d.channels == 2 && d.durationMs == 5000L && d.sampleRate == 90000)
+    // hand-built VERSION-1 mvhd + tkhd (64-bit times) parse identically
+    def be32b(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]) = {
+      val sz = 8 + p.length
+      be32b(sz.toLong) ++ t.getBytes("US-ASCII") ++ p
+    }
+    val mat = be32b(0x10000L) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(0x10000L) ++
+      be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32b(1000L) ++ be32b(0) ++ be32b(7321L) ++ be32b(0x10000L) ++
+      Array(1.toByte, 0.toByte) ++ new Array[Byte](10) ++ mat ++ new Array[Byte](24) ++ be32b(2L))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32b(9L) ++ be32b(0) ++ be32b(0) ++ be32b(7321L) ++ new Array[Byte](8) ++
+      new Array[Byte](8) ++ mat ++ be32b(1280L << 16) ++ be32b(720L << 16))
+    val hdlr = box("hdlr", new Array[Byte](8) ++ "vide".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    val v1 = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      box("moov", mvhd1 ++ box("trak", tkhd1 ++ box("mdia", hdlr)))
+    val m1 = MediaCodecs.decodeMp4Meta(v1).get
+    assert(m1.timescale == 1000L && m1.duration == 7321L && m1.durationMs == 7321L)
+    assert(m1.tracks == Seq(Mp4Track(9L, "vide", 1280, 720)))
+    // 64-bit largesize framing on the moov box parses too
+    val moovPayload = mvhd1
+    val largeMoov = be32b(1L) ++ "moov".getBytes("US-ASCII") ++
+      Array.fill(8)(0.toByte).patch(0, be32b((16 + moovPayload.length).toLong >> 32) ++
+        be32b((16 + moovPayload.length).toLong & 0xffffffffL), 8) ++ moovPayload
+    val mLarge = MediaCodecs.decodeMp4Meta(
+      box("ftyp", "isom".getBytes("US-ASCII")) ++ largeMoov)
+    assert(mLarge.exists(_.duration == 7321L))
+    // malformed refuses: truncated box, size smaller than header, no moov
+    assert(MediaCodecs.decodeMp4Meta(b.dropRight(5)).isEmpty)
+    val badSz = b.clone(); badSz(b.length - 4) = 0x7f.toByte
+    MediaCodecs.decodeMp4Meta(badSz) // must not throw
+    assert(MediaCodecs.decodeMp4Meta(box("ftyp", "isom".getBytes("US-ASCII"))).isEmpty)
+    // never-throw fuzz: mutations and truncations
+    val rnd = new java.util.Random(0x4d50)
+    for (_ <- 0 until 300) {
+      val x = b.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decode(x)
+    }
+    for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
+  }
+
   test("gif/mp3 decoders never throw: mutations and truncations of valid files") {
     import graft.operators.MediaCodecs
     val rnd = new scala.util.Random(0x5eed)

@@ -598,14 +598,26 @@ object Triplets {
     val withTarget = anch.join(tgt,
       col("source") === col("tsource") && col("split") === col("tsplit") &&
         col("tdrnk") === col("dpick"))
+    // the record pick lands on the ANCHOR side before the final join: the
+    // target group's size comes from a #groups-sized aggregate (== the
+    // ccnt window), so `crnk === cpick` is a full equi-key. With the pick
+    // as a cross-side pmod (ccnt on the right), the planner could only
+    // equi-join on (source, split, date) — a per-date-group cartesian
+    // whose row count is Σ|anch_g|·|cand_g| at any scale.
+    val gsz = base.groupBy(col("source"), col("split"), col("pub_date"))
+      .agg(count(lit(1)).cast("long").as("gccnt"))
+    val withPick = withTarget
+      .join(gsz.select(col("source"), col("split"), col("pub_date").as("tdate"),
+        col("gccnt")), Seq("source", "split", "tdate"))
+      .withColumn("cpick",
+        pmod(Determinism.seeded(s"cpick:${cfg.seed}", col("aid")), col("gccnt")))
     val negSide = cranked.select(col("doc_id").as("nid"), col("source").as("nsource"),
       col("split").as("nsplit"), col("pub_date").as("ndate"),
       col("ctoks").as("nctoks"), col("cn").as("ncn"), col("span").as("nspan"),
-      col("k").as("nk"), col("crnk"), col("ccnt"))
-    val joined = withTarget.join(negSide,
+      col("k").as("nk"), col("crnk"))
+    val joined = withPick.join(negSide,
       col("source") === col("nsource") && col("split") === col("nsplit") &&
-        col("tdate") === col("ndate") &&
-        col("crnk") === pmod(Determinism.seeded(s"cpick:${cfg.seed}", col("aid")), col("ccnt")))
+        col("tdate") === col("ndate") && col("crnk") === col("cpick"))
     finish(joined, cfg)
   }
 

@@ -196,6 +196,10 @@ object SubwordScheme {
   /** Viterbi-optimal under unigram ln-costs
     * ([[graft.operators.Unigram]]). */
   case object Unigram extends SubwordScheme
+
+  /** Soft-EM Unigram (full SentencePiece EM + likelihood-loss pruning);
+    * decode contract identical to [[Unigram]]. */
+  case object UnigramSoft extends SubwordScheme
 }
 
 /** The tokenizer trio as an `Estimator`/`Model` pair: `fit` trains the
@@ -228,6 +232,8 @@ class SubwordTokenizerEstimator(
         SubwordArtifact.WpVocab(v)
       case SubwordScheme.Unigram =>
         SubwordArtifact.UgVocab(graft.operators.Unigram.train(wc))
+      case SubwordScheme.UnigramSoft =>
+        SubwordArtifact.UgVocab(graft.operators.Unigram.trainSoft(wc))
     }
     new SubwordTokenizerModel(artifact, idCol, textCol)
   }

@@ -155,6 +155,166 @@ object Unigram {
     costsOf(counts).toVector.sortBy(_._1)
   }
 
+  /** SOFT-EM training — the full SentencePiece algorithm (Kudo 2018 §3.2,
+    * public literature), next to [[train]]'s hard-EM variant: the E-step
+    * computes EXPECTED piece counts over ALL segmentations of each word
+    * by lattice forward–backward (not just the Viterbi path), the M-step
+    * renormalizes, and pruning is by LIKELIHOOD LOSS — each multi-char
+    * piece scores Σ_w c_w·(ln Z_w − ln Z_w^{¬p}), the corpus-likelihood
+    * drop if the piece were removed (recomputing the forward pass with
+    * θ(p)=0), and the top `keepTopV` by (loss DESC, piece ASC) survive;
+    * single codepoints never drop (totality floor 1e-9).
+    *
+    * Determinism: driver-side only (the capped table), StrictMath
+    * transcendentals, and FIXED summation order everywhere (words in
+    * input order, positions ascending, piece length ascending) — double
+    * arithmetic is bit-stable across JVMs, so the pinned vocabulary
+    * ([[PinnedSoftVocab]]) is retrain-assertable exactly like the
+    * hard-EM pin. INFERENCE is unchanged: the emitted `(piece, cost_e6)`
+    * table drives the same integer-cost [[viterbi]]/[[segment]] (also
+    * SentencePiece's default decode), so the q131 lane oracle-replays
+    * segmentation under the soft-trained costs with zero float compares.
+    *
+    * Returns the final `(piece, cost_e6)` table, `cost = floor(−1e6·ln θ)`
+    * (the hard-EM formula with expected in place of Viterbi counts). */
+  def trainSoft(wordCounts: Seq[(String, Long)], maxPieceLen: Int = 6,
+      seedTopN: Int = 150, rounds: Int = 2, emIters: Int = 2,
+      keepTopV: Int = 120): Seq[(String, Long)] = {
+    val words = wordCounts.map { case (w, c) => (codepoints(w), c) }
+    val Floor = 1e-9
+    // seed identical to the hard-EM trainer
+    val seedCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((cps, c) <- words; i <- cps.indices;
+         l <- 1 to math.min(maxPieceLen, cps.length - i)) {
+      val p = cps.slice(i, i + l).mkString
+      seedCnt.update(p, seedCnt.getOrElse(p, 0L) + c)
+    }
+    val singles = seedCnt.keysIterator.filter(p => codepoints(p).length == 1).toVector.sorted
+    val seedMulti = seedCnt.iterator.filter { case (p, _) => codepoints(p).length > 1 }
+      .toVector.sortBy { case (p, c) => (-c, p) }.take(seedTopN).map(_._1)
+    var pieces: Vector[String] = (singles ++ seedMulti).sorted
+    var theta: Map[String, Double] = {
+      val tot = pieces.iterator.map(p => seedCnt(p).toDouble).sum
+      pieces.iterator.map(p => p -> seedCnt(p).toDouble / tot).toMap
+    }
+    // lattice forward under θ (piece absent or θ=0 ⇒ skipped); fixed
+    // ascending (pos, len) order keeps the double sums bit-stable
+    def forward(cps: Vector[String], th: Map[String, Double],
+        skip: String): Array[Double] = {
+      val n = cps.length
+      val a = new Array[Double](n + 1)
+      a(0) = 1.0
+      var j = 1
+      while (j <= n) {
+        var acc = 0.0
+        var l = 1
+        val lim = math.min(maxPieceLen, j)
+        while (l <= lim) {
+          if (a(j - l) != 0.0) {
+            val p = cps.slice(j - l, j).mkString
+            if (p != skip) th.get(p).foreach(t => acc += a(j - l) * t)
+          }
+          l += 1
+        }
+        a(j) = acc
+        j += 1
+      }
+      a
+    }
+    def backward(cps: Vector[String], th: Map[String, Double]): Array[Double] = {
+      val n = cps.length
+      val b = new Array[Double](n + 1)
+      b(n) = 1.0
+      var i = n - 1
+      while (i >= 0) {
+        var acc = 0.0
+        var l = 1
+        val lim = math.min(maxPieceLen, n - i)
+        while (l <= lim) {
+          if (b(i + l) != 0.0) {
+            val p = cps.slice(i, i + l).mkString
+            th.get(p).foreach(t => acc += t * b(i + l))
+          }
+          l += 1
+        }
+        b(i) = acc
+        i -= 1
+      }
+      b
+    }
+    var r = 0
+    while (r < rounds) {
+      // EM sub-iterations: expected counts by forward–backward
+      var it = 0
+      while (it < emIters) {
+        val ec = scala.collection.mutable.HashMap.empty[String, Double]
+        for ((cps, c) <- words) {
+          val n = cps.length
+          val a = forward(cps, theta, skip = "")
+          val b = backward(cps, theta)
+          val z = a(n)
+          if (z > 0.0) {
+            var i = 0
+            while (i < n) {
+              var l = 1
+              val lim = math.min(maxPieceLen, n - i)
+              while (l <= lim) {
+                val p = cps.slice(i, i + l).mkString
+                theta.get(p).foreach { t =>
+                  val post = a(i) * t * b(i + l) / z
+                  if (post != 0.0) ec.update(p, ec.getOrElse(p, 0.0) + c * post)
+                }
+                l += 1
+              }
+              i += 1
+            }
+          }
+        }
+        // M-step over the CURRENT piece set, totality floor for singles
+        val kept = pieces.map(p => p ->
+          (if (codepoints(p).length == 1) math.max(ec.getOrElse(p, 0.0), Floor)
+           else ec.getOrElse(p, 0.0)))
+        val tot = kept.iterator.map(_._2).sum
+        theta = kept.iterator.map { case (p, e) => p -> e / tot }.toMap
+        it += 1
+      }
+      // likelihood-loss pruning of multi-char pieces
+      val multi = pieces.filter(p => codepoints(p).length > 1 && theta(p) > 0.0)
+      val baseLL = words.iterator.map { case (cps, c) =>
+        val z = forward(cps, theta, skip = "").last
+        if (z > 0.0) c * StrictMath.log(z) else 0.0
+      }.sum
+      val losses = multi.map { p =>
+        val ll = words.iterator.map { case (cps, c) =>
+          // skip recomputation for words the piece cannot touch
+          if (!cps.mkString.contains(p)) {
+            val z = forward(cps, theta, skip = "").last
+            if (z > 0.0) c * StrictMath.log(z) else 0.0
+          } else {
+            val z = forward(cps, theta, skip = p).last
+            if (z > 0.0) c * StrictMath.log(z)
+            else Double.NegativeInfinity // indispensable (cannot happen: singles cover)
+          }
+        }.sum
+        p -> (baseLL - ll)
+      }
+      val keptMulti = losses.sortBy { case (p, loss) => (-loss, p) }
+        .take(keepTopV).map(_._1)
+      pieces = (singles ++ keptMulti).sorted
+      val mass = pieces.iterator.map(theta).sum
+      theta = pieces.iterator.map(p => p -> theta(p) / mass).toMap
+      r += 1
+    }
+    pieces.map(p =>
+      p -> math.floor(-1e6 * StrictMath.log(theta(p))).toLong).sortBy(_._1)
+  }
+
+  /** The corpus-pinned SOFT-EM vocabulary (q131 lane) — trained from the
+    * same sf0.001 word table as [[PinnedVocab]] with [[trainSoft]]
+    * defaults; retrain-asserted in UnigramSpec, regenerate via
+    * `RepinUnigram`. */
+  lazy val PinnedSoftVocab: Seq[(String, Long)] = PinnedSoftVocabData.rows
+
   /** Distributed segmentation digest under a pinned `(piece, cost)`
     * table: `(doc_id, n_words, n_pieces, n_unk_words, head_pieces_hash)`
     * — same shape/convention as [[WordPiece.segment]]; the hash pins the

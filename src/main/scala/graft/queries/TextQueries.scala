@@ -633,6 +633,35 @@ object TextQueries extends QueryModule {
             AS head_pieces_hash
         FROM documents d LEFT JOIN ug_flat p ON d.doc_id = p.doc_id""")),
 
+    QueryDef("q131_unigram_soft_segmentation",
+      // the SOFT-EM-trained Unigram model (Unigram.trainSoft — full
+      // SentencePiece EM: forward-backward expected counts over ALL
+      // segmentations + likelihood-loss pruning; Unigram.PinnedSoftVocab,
+      // retrain-asserted): inference is the same integer-cost Viterbi
+      // (SentencePiece's default decode), so the oracle replays the exact
+      // DP + backtrace under the soft-trained pinned cost map — the
+      // training algorithms differ (q123 is hard-EM), the decode
+      // contract is shared, and the two lanes' head hashes provably
+      // differ (UnigramSpec pins vocab divergence).
+      (s, dir) => Unigram.segment(s, Tables.load(s, dir, "documents"),
+        Unigram.PinnedSoftVocab),
+      Some(s"""WITH RECURSIVE ${Unigram.duckEncodeCtes(Unigram.PinnedSoftVocab, 6)},
+        ug_flat AS (
+          SELECT o.doc_id, flatten(array_agg(f.pieces ORDER BY o.idx)) AS pieces,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(f.np) AS BIGINT) AS n_pieces,
+            CAST(sum(f.unk) AS BIGINT) AS n_unk_words
+          FROM ug_occ o JOIN ug_fin f ON o.w = f.w GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+          CAST(coalesce(p.n_unk_words, 0) AS BIGINT) AS n_unk_words,
+          ${Determinism.duckHash(
+            "array_to_string(list_slice(coalesce(p.pieces, []), 1, 12), ' ')")}
+            AS head_pieces_hash
+        FROM documents d LEFT JOIN ug_flat p ON d.doc_id = p.doc_id""")),
+
     QueryDef("q107_lm_quality",
       // CCNet-style LM quality gate (operators.NgramLm): an add-one
       // bigram model trained on the in-domain slice (source = src0)

@@ -15,11 +15,14 @@ object RepinUnigram {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val wc = graft.operators.Bpe.wordCounts(docs, maxWords = 300)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val vocab = graft.operators.Unigram.train(wc)
-    println(s"// ${vocab.size} pieces")
-    println(vocab.map { case (p, c) =>
-      "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\" -> " + c + "L"
-    }.grouped(4).map(_.mkString(", ")).mkString(",\n    "))
+    def dump(tag: String, vocab: Seq[(String, Long)]): Unit = {
+      println(s"// $tag: ${vocab.size} pieces")
+      println(vocab.map { case (p, c) =>
+        "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\" -> " + c + "L"
+      }.grouped(4).map(_.mkString(", ")).mkString(",\n    "))
+    }
+    dump("hard", graft.operators.Unigram.train(wc))
+    dump("soft", graft.operators.Unigram.trainSoft(wc))
     spark.stop()
   }
 }

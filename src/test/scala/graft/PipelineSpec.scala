@@ -108,11 +108,11 @@ class PipelineSpec extends AnyFunSuite {
       == direct.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
-  test("subword tokenizer stage: all three schemes fit and count pieces") {
+  test("subword tokenizer stage: all four scheme variants fit and count pieces") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(60)
     for (scheme <- Seq(SubwordScheme.Bpe, SubwordScheme.WordPiece,
-        SubwordScheme.Unigram)) {
+        SubwordScheme.Unigram, SubwordScheme.UnigramSoft)) {
       val model = new SubwordTokenizerEstimator(scheme).fit(docs)
       val out = model.transform(docs)
       assert(out.columns.contains("n_pieces"), s"$scheme")

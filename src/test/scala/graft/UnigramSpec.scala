@@ -62,6 +62,48 @@ class UnigramSpec extends AnyFunSuite {
     assert(vocab("band") < vocab("b"))
   }
 
+  test("soft EM: hand-checked forward-backward expectations on a one-word corpus") {
+    // corpus {"ab": 1}, seed θ uniform over {a, b, ab} (each substring
+    // count 1). One E-step: segmentations [ab] (prob 1/3) and [a, b]
+    // (1/9); Z = 4/9, posteriors 3/4 / 1/4 / 1/4 → expected counts
+    // (.75, .25, .25) → M-step θ = (.6, .2, .2). Pruning keeps `ab`
+    // (positive likelihood loss) and the mass already sums to 1, so
+    // cost_e6 = floor(−1e6·ln θ) exactly.
+    val got = Unigram.trainSoft(Seq("ab" -> 1L), rounds = 1, emIters = 1)
+    assert(got == Seq(
+      "a" -> 1609437L,   // floor(−1e6·ln 0.2)
+      "ab" -> 510825L,   // floor(−1e6·ln 0.6)
+      "b" -> 1609437L))
+  }
+
+  test("soft EM: expected counts see non-Viterbi paths (diverges from hard EM)") {
+    // a corpus where the Viterbi path under the seed costs is unique but
+    // alternative segmentations carry mass: soft and hard training must
+    // produce different cost tables, and BOTH segment corpus words
+    // round-trip under their own vocabularies
+    val wc = Seq("abab" -> 4L, "aba" -> 3L, "bab" -> 2L, "ab" -> 5L)
+    val hard = Unigram.train(wc)
+    val soft = Unigram.trainSoft(wc)
+    assert(hard != soft)
+    for ((vocab, tag) <- Seq((hard, "hard"), (soft, "soft")); (w, _) <- wc) {
+      val segd = Unigram.viterbi(w, vocab.toMap, 6)
+      assert(segd.exists(_.mkString == w), s"$tag round-trip for $w: $segd")
+    }
+    // determinism: retraining is bit-identical (fixed summation order +
+    // StrictMath — the pin contract)
+    assert(Unigram.trainSoft(wc) == soft)
+  }
+
+  test("pinned soft vocab: retraining from the sf0.001 corpus reproduces the constant") {
+    val wc = Bpe.wordCounts(Tables.load(spark, sfDir, "documents"), maxWords = 300)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(Unigram.trainSoft(wc) == Unigram.PinnedSoftVocab)
+    // and the two pinned training algorithms genuinely diverge
+    assert(Unigram.PinnedSoftVocab != Unigram.PinnedVocab)
+    assert(Unigram.PinnedSoftVocab.map(_._1) != Unigram.PinnedVocab.map(_._1),
+      "soft pruning must select a different piece set than hard pruning")
+  }
+
   test("pinned vocab: retraining from the sf0.001 corpus reproduces the constant") {
     val docs = Tables.load(spark, sfDir, "documents")
     val wc = Bpe.wordCounts(docs, maxWords = 300).collect()

@@ -168,6 +168,59 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(agg == Map("gif" -> 100000L, "mp3" -> 100000L), s"unexpected kinds: $agg")
   }
 
+  test("mp4 metadata decode completes at 200k payloads (narrow lane)") {
+    import spark.implicits._
+    import graft.operators.{MediaCodecs, Multimodal}
+    // 200k synthesized MP4 box trees decoded through the real box walk
+    // inside one mapPartitions — zero Exchange, like every codec lane
+    val media = spark.range(200000).as[Long]
+      .mapPartitions(_.map { id =>
+        val tracks = MediaCodecs.Mp4Track(1L, "vide", (id % 1920).toInt + 16,
+          (id % 1080).toInt + 16) +:
+          (2 to (id % 3).toInt + 1).map(i => MediaCodecs.Mp4Track(i.toLong, "soun", 0, 0))
+        Multimodal.MediaRow(id, "video/mp4",
+          MediaCodecs.encodeMp4Meta(90000L, id % 100000L + 1L, tracks), 0, 0)
+      }).toDF()
+    val decoded = Multimodal.extractDecoded(spark, media)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
+    val agg = decoded.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("mp4" -> 200000L), s"unexpected kinds: $agg")
+  }
+
+  test("composed sampler batch completes at 200k-record pools (fused lanes)") {
+    import graft.operators.{NegativeStrategy, Sampler, SamplerState, Selector, TripletRecipe}
+    // the fused negative dispatch + multi-slot chunk pick against a
+    // 200k-record, 200-source, dated pool: per-batch cost must stay
+    // batch-bounded (seconds, not minutes), and every slot delivers
+    val docs = corpus(200000)
+    val chunks = docs.select(col("doc_id").as("record_id"), lit(0).as("section_idx"),
+      lit("context").as("role"), lit("window").as("view_kind"),
+      lit(0).as("window_index"), lit(0).as("overlap"), col("text").as("wtext"))
+      .unionByName(docs.select(col("doc_id").as("record_id"), lit(0).as("section_idx"),
+        lit("anchor").as("role"), lit("full").as("view_kind"),
+        lit(0).as("window_index"), lit(0).as("overlap"),
+        substring(col("text"), 1, 40).as("wtext")))
+    val pool = docs.select(col("doc_id").as("id"), col("source"),
+      concat(lit("2025-02-0"), (pmod(col("doc_id"), lit(5)) + 1).cast("string")).as("date"))
+    val recipes = Seq(
+      TripletRecipe("wa", Selector.RoleAnchor, Selector.RoleContext,
+        NegativeStrategy.WrongArticle, weight = 0.5f),
+      TripletRecipe("wd", Selector.RoleAnchor, Selector.RoleContext,
+        NegativeStrategy.WrongPublicationDate, weight = 0.5f))
+    val out = Sampler.nextBatch(spark, chunks, pool, recipes,
+      SamplerState("stress", 0L, Map.empty), batch = 32)
+    assert(out.rows.count() == 32L)
+  }
+
+  test("smooth-WRR drain stays counter-arithmetic at 10k sources x 5k slots") {
+    // the drain loop is O(slots x sources) driver work over #sources
+    // state — no Spark job at all; 50M steps must complete in seconds
+    val srcs = (0 until 10000).map(i => (f"s$i%05d", (i % 7 + 1).toLong, 3L))
+    val order = graft.operators.Mixing.smoothWrrDrain(srcs, 5000L)
+    assert(order.size == 5000 && order.map(_._1).distinct.size > 1000)
+  }
+
   test("substring dedup + budget selection + HLL complete at 100k docs (~4M spans)") {
     // the span stream is one hash per token position: 100k docs x 40
     // tokens ≈ 4M span rows (26 remaining positions each) — linear scan

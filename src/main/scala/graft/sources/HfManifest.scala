@@ -10,9 +10,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * JSON and an on-disk landing directory; [[fetchManifest]]/[[download]]
   * are standard-library HTTP legs under the [[HfHttp]] auth +
   * retry/backoff policy (Bearer token, bounded exponential backoff on
-  * 429/5xx, fail-fast 401/403; endpoint construction stays with the
-  * caller — exercised e2e against a loopback fixture server in
-  * SourcesSpec, since this sandbox has zero egress). The owned
+  * 429/5xx, fail-fast 401/403), with [[manifestUrl]] building the
+  * datasets-server endpoint (env-overridable, the reference's contract);
+  * everything is exercised e2e against a loopback fixture server in
+  * SourcesSpec, since this sandbox has zero egress. The owned
   * decisions:
   *
   *   - candidate extraction: `parquet_files[].url` filtered by accepted
@@ -141,13 +142,29 @@ object HfManifest {
     evict.result()
   }
 
-  /** Fetch the manifest JSON itself (reference:
-    * huggingface_source.rs:1735-1760 datasets-server GET) under the
-    * [[HfHttp]] auth + retry/backoff policy (Bearer token when
-    * configured; 429/5xx retried with bounded exponential backoff;
-    * 401/403 fail fast). Endpoint construction remains the caller's; the
-    * e2e seam is exercised against a loopback fixture server in
-    * SourcesSpec. */
+  /** The datasets-server parquet-manifest URL for an entry (reference:
+    * constants.rs:282-306 default endpoint + env override;
+    * huggingface_source.rs query assembly — the `split` param is OMITTED
+    * in all-splits mode so the server returns every split's shards).
+    * Query values are URL-encoded; the base endpoint can be overridden
+    * per call or via `GRAFT_HF_PARQUET_ENDPOINT` (test doubles,
+    * on-premises mirrors — the reference's env-override contract). */
+  def manifestUrl(entry: HfSourceEntry,
+      endpointOverride: Option[String] = None): String = {
+    val base = endpointOverride
+      .orElse(sys.env.get("GRAFT_HF_PARQUET_ENDPOINT").map(_.trim).filter(_.nonEmpty))
+      .getOrElse("https://datasets-server.huggingface.co/parquet")
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    val q = Seq("dataset" -> entry.dataset, "config" -> entry.config) ++
+      (if (entry.split.nonEmpty) Seq("split" -> entry.split) else Nil)
+    base + "?" + q.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+  }
+
+  /** Fetch the manifest JSON (reference: huggingface_source.rs:1735-1760
+    * datasets-server GET; URL from [[manifestUrl]]) under the [[HfHttp]]
+    * auth + retry/backoff policy (Bearer token when configured; 429/5xx
+    * retried with bounded exponential backoff; 401/403 fail fast) —
+    * exercised e2e against a loopback fixture server in SourcesSpec. */
   def fetchManifest(url: String, policy: HfHttp.Policy): String = {
     val in = HfHttp.openStream(url, policy)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

@@ -66,6 +66,26 @@ object Ingestion {
     }.toLeft(())
   }
 
+  /** The reference's `weighted_drain_into_caches` SELECTION
+    * (src/ingestion.rs:607-675) composed with [[validateWeights]]: float
+    * weights land on the e6 integer lattice (exact to compare and sum,
+    * the house convention), unregistered / negative / NaN weights
+    * reject with the offending source, missing ids default to 1.0 (the
+    * reference's `unwrap_or(1.0)`), and the drain order is
+    * [[graft.operators.Mixing.smoothWrrDrain]]'s exact smooth-WRR
+    * interleave over the buffers' CURRENT sizes — depletion, early halt,
+    * and the all-nonpositive→uniform fallback included. Returns
+    * `(slot, sourceId)`; the caller pops each source's buffer in this
+    * order (the q129 lane resolves records the same way). */
+  def weightedDrainOrder(buffers: Seq[(String, Long)],
+      weights: Map[String, Double], limit: Long): Either[String, Seq[(Long, String)]] =
+    validateWeights(buffers.map(_._1).toSet, weights).map { _ =>
+      graft.operators.Mixing.smoothWrrDrain(
+        buffers.map { case (id, n) =>
+          (id, math.round(weights.getOrElse(id, 1.0) * 1e6), n) },
+        limit)
+    }
+
   /** Advance-cycle limits (reference refresh_all_internal,
     * src/ingestion.rs:431-436 contract, 461 fetch_limit, 576 drain
     * target; pinned by advance_on_empty_buffer_fills_to_max_records_

@@ -138,4 +138,33 @@ class IngestionSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(alloc == Map("alpha" -> 12L, "beta" -> 0L))
   }
+
+  test("weighted drain order: validated smooth-WRR over buffer sizes (reference interleave)") {
+    import graft.sources.Ingestion.weightedDrainOrder
+    val buffers = Seq(("alpha", 10L), ("beta", 10L), ("gamma", 2L))
+    // 2:1:1 weights: the smooth interleave starts a b g a (credit math),
+    // and gamma's 2-deep buffer depletes — later slots split a/b 2:1
+    val got = weightedDrainOrder(buffers,
+      Map("alpha" -> 2.0, "beta" -> 1.0, "gamma" -> 1.0), 12L).toOption.get
+    assert(got.size == 12)
+    val counts = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts("gamma") == 2, s"gamma must deplete: $counts")
+    assert(counts("alpha") > counts("beta"), s"weights must bias the split: $counts")
+    // identical to driving Mixing.smoothWrrDrain with e6-scaled weights
+    val direct = graft.operators.Mixing.smoothWrrDrain(
+      buffers.map { case (id, n) => (id, (Map("alpha" -> 2.0, "beta" -> 1.0,
+        "gamma" -> 1.0)(id) * 1e6).round, n) }, 12L)
+    assert(got == direct)
+    // a missing id defaults to weight 1.0 (the reference's unwrap_or)
+    val dflt = weightedDrainOrder(Seq(("a", 5L), ("b", 5L)), Map("a" -> 1.0), 6L).toOption.get
+    assert(dflt.groupBy(_._2).view.mapValues(_.size).toMap == Map("a" -> 3, "b" -> 3))
+    // validation failures surface, not a silent uniform drain
+    assert(weightedDrainOrder(buffers, Map("ghost" -> 1.0), 4L).isLeft)
+    assert(weightedDrainOrder(buffers, Map("alpha" -> -1.0), 4L).isLeft)
+    // all-zero weights: every source excluded by weight falls back to
+    // uniform (the reference's fill(1.0)) — the batch still fills
+    val zeros = weightedDrainOrder(buffers,
+      Map("alpha" -> 0.0, "beta" -> 0.0, "gamma" -> 0.0), 6L).toOption.get
+    assert(zeros.size == 6)
+  }
 }

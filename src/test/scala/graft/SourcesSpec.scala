@@ -1082,6 +1082,26 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("hf manifest url: datasets-server query assembly, encoding, split omission, override") {
+    import graft.sources.{HfManifest, HfSourceList}
+    val e = HfSourceList.parseLine(
+      "hf://acme/demo/es/train anchor=text source_id=mu").toOption.flatten.get
+    assert(HfManifest.manifestUrl(e) ==
+      "https://datasets-server.huggingface.co/parquet" +
+        "?dataset=acme%2Fdemo&config=es&split=train")
+    // all-splits mode (empty split) omits the split param — the server
+    // then returns shards for every split of the config
+    val all = e.copy(split = "")
+    assert(HfManifest.manifestUrl(all) ==
+      "https://datasets-server.huggingface.co/parquet?dataset=acme%2Fdemo&config=es")
+    // query values URL-encode (spaces, unicode)
+    val odd = e.copy(config = "mixed case")
+    assert(HfManifest.manifestUrl(odd).contains("config=mixed+case"))
+    // per-call endpoint override (the loopback / on-prem seam)
+    assert(HfManifest.manifestUrl(e, Some("http://127.0.0.1:9/parquet"))
+      .startsWith("http://127.0.0.1:9/parquet?dataset="))
+  }
+
   test("hf auth + retry policy: bearer header, 429 backoff, fail-fast 401, expander-level recovery") {
     import graft.sources.{HfHttp, HfManifest, ShardExpander}
     import java.util.concurrent.atomic.AtomicInteger

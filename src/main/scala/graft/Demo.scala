@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.Demo --mode capacity"    # estimate_capacity twin
   * sbt "runMain graft.Demo --mode curate"      # q111 curation funnel report
   * sbt "runMain graft.Demo --mode stats"       # sketch-backed corpus stats
+  * sbt "runMain graft.Demo --mode tokenize"    # tokenizer trio side by side
+  * sbt "runMain graft.Demo --mode ann"         # vector index fit/encode/search + recall
   * sbt "runMain graft.Demo --reset ..."        # drop persisted state first
   * ```
   *
@@ -187,6 +189,47 @@ object Demo {
     } finally toksed.unpersist()
   }
 
+  /** `--mode ann`: the vector-index lifecycle end to end through the
+    * MLlib facade — fit the residual IVF-PQ index, encode the corpus
+    * (the persisted (cell, pq_codes) columns), run an ADC top-k search
+    * for a few query vectors, and report recall@k against the exact
+    * brute force so a user sees the nprobe/M accuracy dial. */
+  def annReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
+    import graft.ml.IvfPqIndexer
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, cfg.sfDir, "embeddings")
+    val (k, nprobe, nQ) = (5, 2, 5L)
+    val model = new IvfPqIndexer("vec_id", "embedding", 64, 8, 8, 8).fit(emb)
+    val encoded = model.transform(emb).cache()
+    val nVec = encoded.count()
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val approx = model.search(encoded, q, "qid", "qemb", nprobe, k)
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // exact truth for recall (same metric space: e3 squared L2)
+    val withN = emb.withColumn("nrm", Similarity.normE3(col("embedding")))
+    val qn = withN.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val truth = withN.crossJoin(broadcast(qn)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("qnrm") + col("nrm") - lit(2L) * Similarity.dotE3(col("qemb"), col("embedding")))
+          .as("dist"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))).cast("long"))
+      .filter(col("r") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    encoded.unpersist()
+    val lines = got.toSeq.sortBy(_._1).map { case (qid, ids) =>
+      val hits = ids.count(truth.getOrElse(qid, Set.empty).contains)
+      f"  q$qid%-3d top-$k: ${ids.mkString(", ")}%-40s recall@$k = $hits/$k"
+    }
+    Seq(s"-- residual IVF-PQ over $nVec vectors (K=8 cells, M=8 x Ks=8 codes, " +
+      s"nprobe=$nprobe)") ++ lines
+  }
+
   /** `--mode tokenize`: the tokenizer trio side by side — train each
     * scheme from the corpus' capped word table, segment a sample of docs,
     * and print per-scheme piece counts plus one worked example so a user
@@ -250,6 +293,8 @@ object Demo {
         statsReport(spark, cfg).foreach(println)
       } else if (cfg.mode == "tokenize") {
         tokenizeReport(spark, cfg).foreach(println)
+      } else if (cfg.mode == "ann") {
+        annReport(spark, cfg).foreach(println)
       } else {
         val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
         if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))

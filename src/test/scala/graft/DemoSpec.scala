@@ -74,4 +74,19 @@ class DemoSpec extends AnyFunSuite {
     assert(samples.nonEmpty && samples.forall(l =>
       l.contains("bpe[") && l.contains("wp[") && l.contains("ug[")))
   }
+
+  test("ann report: header + one recall line per query, recall within [0, k]") {
+    val lines = Demo.annReport(spark, cfg)
+    assert(lines.head.contains("residual IVF-PQ") && lines.head.contains("nprobe"))
+    val qLines = lines.tail
+    assert(qLines.size == 5)
+    val rec = """recall@5 = (\d)/5""".r
+    qLines.foreach { l =>
+      val m = rec.findFirstMatchIn(l)
+      assert(m.isDefined, s"no recall field in: $l")
+      val h = m.get.group(1).toInt
+      assert(h >= 0 && h <= 5)
+      assert(l.contains("top-5:"))
+    }
+  }
 }

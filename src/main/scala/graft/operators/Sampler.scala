@@ -596,8 +596,9 @@ object Sampler {
             (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
         .select(col("source"), col("term"), col("cand"),
           floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long").as("term_e6"))
-      val scoredAll = bmSlots.select(col("draw"), col("record_id"), col("source"), col("reason"))
-        .join(qterms, "draw")
+      val scoredAll = broadcast(
+          bmSlots.select(col("draw"), col("record_id"), col("source"), col("reason"))
+            .join(qterms, "draw"))
         .join(wterm, Seq("source", "term"))
         .filter(col("cand") =!= col("record_id"))
       // wrong-date slots additionally require a different date group —
@@ -612,19 +613,36 @@ object Sampler {
           .filter(col("reason") =!= wdReason || col("a_date") =!= col("c_date"))
       val scored = scoredF.groupBy(col("draw"), col("record_id"), col("cand"))
         .agg(sum(col("term_e6")).as("score_e6"))
-      val top3 = scored
-        .withColumn("brnk", row_number().over(Window.partitionBy(col("draw"))
-          .orderBy(col("score_e6").desc, col("cand"))).cast("long"))
-        .filter(col("brnk") <= 3)
-        .withColumn("c3", count(lit(1)).over(Window.partitionBy(col("draw"))).cast("long"))
-      // one scoring subtree for the whole batch: `picked` feeds the hit
-      // lane's join AND the fallback lane's anti-join (no cross-branch CSE)
-      val picked = localize(top3
-        .filter(col("brnk") - 1 === pmod(drawKey("negb"), col("c3")))
-        .select(col("draw"), col("cand").as("nid")))
-      val hit = bmSlots.join(picked, "draw").select(negOut: _*)
-      val rest = bmSlots.join(picked.select(col("draw")), Seq("draw"), "left_anti")
-      hit.unionByName(strategyPick(rest, strategiesOf(NegativeBackend.Bm25)))
+      // top-3 + rotation as ONE aggregation — ascending struct sort on
+      // (-score, cand) ≡ the former (score desc, cand) rank window, the
+      // rotation modulus is the array size ≡ the former count window, and
+      // an empty intersection simply produces no row. Replaces two window
+      // exchanges + a filter with a single shuffle on the already-grouped
+      // keys.
+      val picked = scored.groupBy(col("draw"), col("record_id"))
+        .agg(slice(array_sort(collect_list(
+          struct((-col("score_e6")).as("ns"), col("cand")))), 1, 3).as("t3"))
+        .select(col("draw"), element_at(col("t3"),
+          (pmod(drawKey("negb"), size(col("t3")).cast("long")) + 1).cast("int"))
+          .getField("cand").as("nid"))
+      // BM25 hit lane and the empty-intersection default fallback as ONE
+      // plan: both left-join the LocalRelation slot frame, so the scoring
+      // chain and the keyed default pick execute CONCURRENTLY inside the
+      // single negRec job (formerly: materialize picked → anti-join →
+      // strategyPick(rest), a sequential second job) and the scoring
+      // subtree is referenced exactly once — no mid-lane materialization.
+      // strategyPick is per-row pure (keyed sidecar lookups), so running
+      // it over hit slots too and discarding those rows changes no value.
+      val dflt = strategyPick(bmSlots, strategiesOf(NegativeBackend.Bm25))
+        .select(col("draw"), col("recipe").as("d_recipe"), col("nid").as("d_nid"))
+      bmSlots
+        .join(picked.withColumnRenamed("nid", "b_nid"), Seq("draw"), "left")
+        .join(dflt, Seq("draw"), "left")
+        .filter(col("b_nid").isNotNull || col("d_nid").isNotNull)
+        .select(col("draw"), col("epoch"),
+          when(col("b_nid").isNotNull, col("recipe")).otherwise(col("d_recipe")).as("recipe"),
+          col("reason"), col("record_id"),
+          coalesce(col("b_nid"), col("d_nid")).as("nid"))
     }
 
     val negRec = {

@@ -24,6 +24,7 @@ object ProfileQuery {
     val lock = new Object
     val jobs = scala.collection.mutable.Map[Int, (Long, String)]()
     val done = scala.collection.mutable.Buffer[(Int, Long, String)]()
+    val spans = scala.collection.mutable.Buffer[(Long, Long)]()
     val stages = scala.collection.mutable.Buffer[(String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = lock.synchronized {
@@ -33,7 +34,10 @@ object ProfileQuery {
           .getOrElse("?").take(90))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = lock.synchronized {
-        jobs.get(je.jobId).foreach { case (t0, d) => done += ((je.jobId, je.time - t0, d)) }
+        jobs.get(je.jobId).foreach { case (t0, d) =>
+          done += ((je.jobId, je.time - t0, d))
+          spans += ((t0, je.time))
+        }
       }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = lock.synchronized {
@@ -49,7 +53,7 @@ object ProfileQuery {
     // warmup
     fn(spark, sf).write.mode("overwrite").format("noop").save()
     drainBus()
-    lock.synchronized { done.clear(); stages.clear() }
+    lock.synchronized { done.clear(); stages.clear(); spans.clear() }
     val t0 = System.nanoTime()
     fn(spark, sf).write.mode("overwrite").format("noop").save()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -58,6 +62,23 @@ object ProfileQuery {
       println(f"WALL $wall%.2f s, jobs=${done.size}")
       done.sortBy(-_._2).foreach { case (id, ms, d) => println(f"  job $id%3d ${ms / 1000.0}%6.2f s  $d") }
       println(f"  sum of jobs: ${done.map(_._2).sum / 1000.0}%.2f s")
+      // driver-side holes: wall minus the UNION of job intervals — time
+      // spent planning/optimizing/collecting between jobs, the composed
+      // family's other latency floor besides per-stage scheduling
+      val sorted = spans.sortBy(_._1)
+      var busy = 0L; var gap = 0L; var cursor = 0L
+      val gapsList = scala.collection.mutable.Buffer[(Long, Long)]()
+      sorted.foreach { case (s, t) =>
+        if (cursor == 0L) { busy += t - s; cursor = t }
+        else {
+          if (s > cursor) { gap += s - cursor; gapsList += ((cursor, s - cursor)) }
+          if (t > cursor) { busy += t - math.max(s, cursor); cursor = t }
+        }
+      }
+      println(f"  job-interval union: ${busy / 1000.0}%.2f s; inter-job gaps: ${gap / 1000.0}%.2f s")
+      gapsList.sortBy(-_._2).take(8).foreach { case (at, g) =>
+        println(f"    gap ${g / 1000.0}%5.2f s after job ending at +${(at - sorted.head._1) / 1000.0}%.2f s")
+      }
       println("STAGES by site:")
       stages.groupBy(_._1).map { case (n, ss) =>
         (n, ss.map(_._2).sum, ss.size, ss.map(_._3).sum)

@@ -288,6 +288,68 @@ object Sampler {
     val (slots, e, cur) =
       scheduleSlots(st, batch, poolSize, ep => Recipes.ticketOrder(recipes, st.seed, ep))
 
+    // ---- pool-rank sidecar (defined early; consumed by the negative
+    // dispatch below) ----
+    // ONE corpus pass builds per-source ranks (rn, nsrc) and, for dated
+    // pools, per-(source, date) ranks (rn2, dgs) — checkpointed so the
+    // former seven strategy×tier lanes collapse into a single keyed plan
+    // reading a tiny materialized table instead of re-planning the corpus
+    // window subtree once per lane (the round-9 composed-sampler latency
+    // directive). At deployment scale the sidecar is the persisted pool
+    // index (the FileCorpusIndex idiom): narrow (id, source, date, rank)
+    // columns — no text — derived once per pool REFRESH, not per batch;
+    // the pure-function default derives it in-plan and cuts lineage.
+    val hasDate = pool.columns.contains("date")
+    val rankTbl = {
+      val wSrc = Window.partitionBy(col("source"))
+      val base0 = pool
+        .withColumn("rn", row_number().over(wSrc.orderBy(col("id"))).cast("long") - 1)
+        .withColumn("nsrc", count(lit(1)).over(wSrc).cast("long"))
+      // per-row date-group attrs replace the former dG side table:
+      //   drnk — the record's date-group rank within its source
+      //          (dense_rank over rows ≡ row_number over distinct dates);
+      //   dcnt — the source's date-group count (max drnk + 1)
+      val base =
+        if (!hasDate) base0
+        else {
+          val wSD = Window.partitionBy(col("source"), col("date"))
+          base0
+            .withColumn("rn2", row_number().over(wSD.orderBy(col("id"))).cast("long") - 1)
+            .withColumn("dgs", count(lit(1)).over(wSD).cast("long"))
+            .withColumn("drnk", (dense_rank().over(wSrc.orderBy(col("date"))) - 1).cast("long"))
+            .withColumn("dcnt", max(col("drnk")).over(wSrc).cast("long") + 1)
+        }
+      // seeded fallback source order, folded in per-row (replaces the sG
+      // side table) — a driver-side sort of the already-collected source
+      // stats (jvmHash ≡ the seeded column hash, the epochPick identity),
+      // shipped as a LocalRelation so the broadcast costs no job
+      val sOrdSeq = srcCounts.map(_._1)
+        .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
+      val sOrd = sOrdSeq
+        .map { case (src, i) => (src, i.toLong, sOrdSeq.size.toLong) }
+        .toDF("source", "srnk", "scnt")
+      val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
+        col("srnk"), col("scnt")) ++
+        (if (hasDate) Seq(col("date"), col("rn2"), col("dgs"), col("drnk"), col("dcnt"))
+         else Nil)
+      lap("rankTbl")(
+        base.join(broadcast(sOrd), Seq("source")).select(cols0: _*)
+          .localCheckpoint(eager = false))
+    }
+    // Overlap: the sidecar depends only on `pool`, whose blocks the
+    // srcCounts collect above already materialized — force it on a
+    // background thread so its window stages run CONCURRENTLY with the
+    // slot-schedule jobs below instead of serializing inside the negative
+    // dispatch's job. Values are unaffected (the frame is deterministic
+    // and checkpoint blocks dedupe per partition); the join before the
+    // dispatch only bounds duplicated compute, never correctness.
+    val rankForce = new Thread(
+      () => try rankTbl.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        catch { case _: Throwable => () },
+      "graft-rank-sidecar-force")
+    rankForce.setDaemon(true)
+    rankForce.start()
+
     // ---- record pick: per-epoch interleave joined on position ----
     // Each composed frame from here on is BATCH-sized and feeds several
     // downstream consumers; localCheckpoint() materializes it eagerly so
@@ -358,54 +420,8 @@ object Sampler {
       if (temporal) localize(plan) else plan
     }
 
-    // ---- negative record: fused strategy × tier dispatch ----
-    // ONE corpus pass builds the pool-rank sidecar — per-source ranks
-    // (rn, nsrc) and, for dated pools, per-(source, date) ranks
-    // (rn2, dgs) — checkpointed so the former seven strategy×tier lanes
-    // collapse into a single keyed plan reading a tiny materialized table
-    // instead of re-planning the corpus window subtree once per lane
-    // (the round-9 composed-sampler latency directive). At deployment
-    // scale the sidecar is the persisted pool index (the FileCorpusIndex
-    // idiom): narrow (id, source, date, rank) columns — no text — derived
-    // once per pool REFRESH, not per batch; the pure-function default
-    // derives it in-plan and cuts lineage.
-    val hasDate = pool.columns.contains("date")
-    val rankTbl = {
-      val wSrc = Window.partitionBy(col("source"))
-      val base0 = pool
-        .withColumn("rn", row_number().over(wSrc.orderBy(col("id"))).cast("long") - 1)
-        .withColumn("nsrc", count(lit(1)).over(wSrc).cast("long"))
-      // per-row date-group attrs replace the former dG side table:
-      //   drnk — the record's date-group rank within its source
-      //          (dense_rank over rows ≡ row_number over distinct dates);
-      //   dcnt — the source's date-group count (max drnk + 1)
-      val base =
-        if (!hasDate) base0
-        else {
-          val wSD = Window.partitionBy(col("source"), col("date"))
-          base0
-            .withColumn("rn2", row_number().over(wSD.orderBy(col("id"))).cast("long") - 1)
-            .withColumn("dgs", count(lit(1)).over(wSD).cast("long"))
-            .withColumn("drnk", (dense_rank().over(wSrc.orderBy(col("date"))) - 1).cast("long"))
-            .withColumn("dcnt", max(col("drnk")).over(wSrc).cast("long") + 1)
-        }
-      // seeded fallback source order, folded in per-row (replaces the sG
-      // side table) — a driver-side sort of the already-collected source
-      // stats (jvmHash ≡ the seeded column hash, the epochPick identity),
-      // shipped as a LocalRelation so the broadcast costs no job
-      val sOrdSeq = srcCounts.map(_._1)
-        .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
-      val sOrd = sOrdSeq
-        .map { case (src, i) => (src, i.toLong, sOrdSeq.size.toLong) }
-        .toDF("source", "srnk", "scnt")
-      val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
-        col("srnk"), col("scnt")) ++
-        (if (hasDate) Seq(col("date"), col("rn2"), col("dgs"), col("drnk"), col("dcnt"))
-         else Nil)
-      lap("rankTbl")(
-        base.join(broadcast(sOrd), Seq("source")).select(cols0: _*)
-          .localCheckpoint(eager = false))
-    }
+    // ---- negative record: fused strategy × tier dispatch over the
+    // rank sidecar defined (and force-started) above ----
     def drawKey(prefix: String) = Determinism.portableHash(
       concat(lit(s"$prefix:${st.seed}:"), col("draw").cast("string"), lit(":"),
         col("record_id").cast("string")))
@@ -646,6 +662,9 @@ object Sampler {
     }
 
     val negRec = {
+      // bound duplicated compute: let the background sidecar force finish
+      // before the dispatch job reads it (values identical either way)
+      rankForce.join()
       val dflt = strategyPick(
         if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
         strategiesOf(NegativeBackend.Default))

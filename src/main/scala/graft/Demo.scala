@@ -195,12 +195,18 @@ object Demo {
     * for a few query vectors, and report recall@k against the exact
     * brute force so a user sees the nprobe/M accuracy dial. */
   def annReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
-    import graft.ml.IvfPqIndexer
+    import graft.ml.{IvfPqIndexer, IvfPqModel}
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.load(spark, cfg.sfDir, "embeddings")
     val (k, nprobe, nQ) = (5, 2, 5L)
-    val model = new IvfPqIndexer("vec_id", "embedding", 64, 8, 8, 8).fit(emb)
+    val fitted = new IvfPqIndexer("vec_id", "embedding", 64, 8, 8, 8).fit(emb)
+    // persist + reload — the full lifecycle: a trained index is reused
+    // across sessions, never refit (FAISS write_index/read_index)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_demo_ivfpq")
+      .toString + "/index"
+    fitted.save(spark, ixDir)
+    val model = IvfPqModel.load(spark, ixDir)
     val encoded = model.transform(emb).cache()
     val nVec = encoded.count()
     val q = emb.filter(col("vec_id") < nQ)
@@ -227,7 +233,7 @@ object Demo {
       f"  q$qid%-3d top-$k: ${ids.mkString(", ")}%-40s recall@$k = $hits/$k"
     }
     Seq(s"-- residual IVF-PQ over $nVec vectors (K=8 cells, M=8 x Ks=8 codes, " +
-      s"nprobe=$nprobe)") ++ lines
+      s"nprobe=$nprobe; index persisted + reloaded before encode/search)") ++ lines
   }
 
   /** `--mode tokenize`: the tokenizer trio side by side — train each

@@ -375,6 +375,27 @@ object IvfPqModel {
       .select(col(idCol),
         zip_with(col(embCol).cast("array<double>"), col("cemb").cast("array<double>"),
           (x, y) => x - y).cast("array<float>").as("_resid"))
+
+  /** Reload a [[IvfPqModel.save]]d index: centroid/codebook parquet plus
+    * the flat meta JSON. Distinguishes absent from unparseable (the
+    * SamplerState.loadFor discipline — a corrupt index must surface, not
+    * silently retrain). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqModel = {
+    import java.nio.file.{Files, Paths}
+    val metaPath = Paths.get(s"$dir/meta.json")
+    require(Files.exists(metaPath), s"no persisted IVF-PQ index at $dir")
+    val meta = Files.readString(metaPath)
+    def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"corrupt IVF-PQ meta: missing $k")).group(1)
+    def num(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"corrupt IVF-PQ meta: missing $k")).group(1).toInt
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val cb = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      .toSeq.sortBy(t => (t._1, t._2))
+    new IvfPqModel(cents, cb, str("id_col"), str("emb_col"), num("dim"), num("m"))
+  }
 }
 
 class IvfPqModel private[ml] (
@@ -449,6 +470,29 @@ class IvfPqModel private[ml] (
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist the fitted index (FAISS `write_index` semantics): centroids
+    * + codebooks as parquet plus a flat meta JSON, all landing in a
+    * `.tmp` sibling first and moving into place as ONE unit (the
+    * Bm25Index.save discipline — never a mixed-generation index). The
+    * encoded corpus is NOT part of the index: codes are data the caller
+    * persists like any frame; re-encoding a new shard against a loaded
+    * model IS the incremental add. */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val tmp = Paths.get(dir + ".tmp")
+    rmTree(tmp)
+    centsDf(spark).write.mode("overwrite").parquet(s"$tmp/centroids")
+    cbDf(spark).write.mode("overwrite").parquet(s"$tmp/codebook")
+    Files.writeString(Paths.get(s"$tmp/meta.json"),
+      s"""{"id_col":"$idCol","emb_col":"$embCol","dim":$dim,"m":$m}""")
+    rmTree(Paths.get(dir))
+    Files.move(tmp, Paths.get(dir))
   }
 
   override def transformSchema(schema: StructType): StructType =

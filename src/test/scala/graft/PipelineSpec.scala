@@ -207,6 +207,39 @@ class PipelineSpec extends AnyFunSuite {
     encoded.unpersist()
   }
 
+  test("ivf-pq index save/load round-trip: encode + search bit-identical; corrupt meta surfaces") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (dim, ivfK, m, ks, nprobe, k) = (64, 8, 8, 8, 2, 5)
+    val model = new IvfPqIndexer("vec_id", "embedding", dim, ivfK, m, ks).fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ix"
+    model.save(spark, dir)
+    val loaded = IvfPqModel.load(spark, dir)
+
+    // the LOADED index must encode and search byte-for-byte like the
+    // fitted one — including over a NEW shard (transform against fixed
+    // codebooks is the incremental-add path)
+    val shard = emb.filter(col("vec_id") % 3 === 0)
+    def enc(mm: IvfPqModel) = mm.transform(shard)
+      .select(col("vec_id"), col("cell"), col("pq_codes")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toVector)).toSet
+    assert(enc(loaded) == enc(model))
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val encodedAll = model.transform(emb).localCheckpoint()
+    def hits(mm: IvfPqModel) = mm.search(encodedAll, q, "qid", "qemb", nprobe, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hits(loaded) == hits(model))
+    assert(hits(loaded).nonEmpty)
+
+    // absent and corrupt stores surface loudly (never silent retrain)
+    intercept[IllegalArgumentException] { IvfPqModel.load(spark, dir + "_nope") }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/meta.json"), """{"id_col":"vec_id"}""")
+    intercept[RuntimeException] { IvfPqModel.load(spark, dir) }
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

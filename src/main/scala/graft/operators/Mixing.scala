@@ -36,6 +36,33 @@ object Mixing {
       .select(col("group"), col("w"), col("alloc"))
   }
 
+  /** Temperature-flattened mixture allocation — the standard LLM
+    * data-mixing knob (sample source s ∝ n_s^α; Conneau & Lample 2019
+    * §3.1 use α=0.7 for multilingual pretraining): α=1 is proportional,
+    * α→0 uniform, in between up-weights small sources without drowning
+    * large ones. Weights are e6-floored n^α computed IN-PLAN on the
+    * #sources-bounded counts frame, then `batch` slots allocate by exact
+    * largest remainder ([[weightedAllocation]]).
+    *
+    * Determinism: α = 1/2 routes through `sqrt` (IEEE correctly-rounded
+    * in every engine — the oracle-pinned case, q132) and α ∈ {0, 1}
+    * through exact integer forms; general α uses `pow`, the accepted
+    * floor(1e6·transcendental) hazard class (graft.operators.Bm25
+    * scaladoc). Input carries `group` and `n` (> 0); emits
+    * (group, w, alloc). */
+  def temperatureAllocation(srcCounts: DataFrame, alphaE6: Long,
+      batch: Long): DataFrame = {
+    require(alphaE6 >= 0L && alphaE6 <= 1000000L,
+      s"alphaE6 must be in [0, 1000000], got $alphaE6")
+    val wcol =
+      if (alphaE6 == 0L) lit(1000000L).cast("double")
+      else if (alphaE6 == 500000L) sqrt(col("n").cast("double")) * lit(1000000.0)
+      else if (alphaE6 == 1000000L) col("n").cast("double") * lit(1000000.0)
+      else pow(col("n").cast("double"), lit(alphaE6.toDouble / 1e6)) * lit(1000000.0)
+    val ws = srcCounts.select(col("group"), floor(wcol).cast("long").as("w"))
+    weightedAllocation(ws, batch)
+  }
+
   /** Exact proportional stratified sample: `total` slots are allocated
     * across strata by largest remainder over stratum sizes (so every
     * stratum's count is within 1 of `total * n_g / N`, and they sum to

@@ -270,6 +270,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("temperature allocation: exact sum; alpha=1 proportional, alpha=0 uniform, alpha=1/2 flattens") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // engineered skew so flattening is unambiguous despite ±1 remainders
+    val counts = Seq(("big", 1000L), ("mid", 90L), ("small", 10L)).toDF("group", "n")
+    val batch = 110L
+    def alloc(alphaE6: Long): Map[String, Long] =
+      graft.operators.Mixing.temperatureAllocation(counts, alphaE6, batch)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val a1 = alloc(1000000L); val a0 = alloc(0L); val ah = alloc(500000L)
+    // exact batch total at every temperature
+    assert(Seq(a1, a0, ah).forall(_.values.sum == batch))
+    // α=1 ≡ largest remainder over the raw counts
+    val raw = graft.operators.Mixing.weightedAllocation(
+        counts.withColumnRenamed("n", "w"), batch)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a1 == raw)
+    // α=0: uniform within 1
+    assert(a0.values.max - a0.values.min <= 1)
+    // α=1/2 sits strictly between: the big source gives up mass, the
+    // small one gains, ordering by size is preserved
+    assert(ah("big") < a1("big") && ah("big") > a0("big"))
+    assert(ah("small") > a1("small"))
+    assert(ah("big") > ah("mid") && ah("mid") > ah("small"))
+    // cross-engine determinism premise: the e6 sqrt weights are the
+    // IEEE-exact values the q132 oracle recomputes
+    val ws = graft.operators.Mixing.temperatureAllocation(counts, 500000L, batch)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ws == Map("big" -> 31622776L, "mid" -> 9486832L, "small" -> 3162277L))
+  }
+
   test("denoiser wave rescue: output tokens are an ordered subset of the input") {
     check(Prop.forAll(Gen.listOf(Gen.oneOf("alpha", "beta7", "12345", "9", "x1")),
       Gen.choose(0.05, 0.95)) { (toks, ratio) =>

@@ -312,4 +312,40 @@ class ScaleStressSpec extends AnyFunSuite {
     val seg = WordPiece.segment(spark, docs, vocab, 8)
     assert(seg.count() == 200000L)
   }
+
+  test("streaming intake: a shard lands against a 200k-doc standing corpus") {
+    import graft.streaming.CorpusStream
+    // batch 0 = the 200k standing corpus; batch 1 = a 2k shard of which
+    // half are exact re-sends of standing docs (hash-dropped against the
+    // store, never signature-joined) and half are novel. The incremental
+    // shape is what's under test: the shard's band join drives from the
+    // new side, so the transition completes at interactive latency even
+    // with 200k standing signatures.
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss_intake").toString
+    val cfg = CorpusStream.IntakeConfig()
+    // per-(id, j) pseudo-random tokens: texts are pairwise distinct and
+    // share almost no shingles (the shared `corpus` generator cycles its
+    // vocabulary mod 997, which would exact-collapse 200k docs to 997)
+    def distinctCorpus(n: Int, prefix: String, idOffset: Long) =
+      spark.range(n).select(
+        (col("id") + idOffset).as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(200)).cast("string")).as("source"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit(prefix), pmod(col("id") * 1000003L + lit(j * 7919L),
+            lit(1000000007L)).cast("string"))): _*).as("text"))
+    val standing = distinctCorpus(200000, "w", 0L)
+    val kept0 = CorpusStream.applyBatch(spark, standing, 0L, stateDir, cfg)
+    // 8 permutations are a deliberately weak signature at 200k docs: a
+    // handful of chance >= 6/8 agreements (LSH false positives) is
+    // realistic and tolerated; wholesale collapse would mean a plan bug
+    assert(kept0 >= 199900L && kept0 <= 200000L, s"kept0 = $kept0")
+    val dup = standing.filter(col("doc_id") < 1000)
+    val novel = distinctCorpus(1000, "n", 1000000L)
+    val survived = CorpusStream.applyBatch(
+      spark, dup.unionByName(novel), 1L, stateDir, cfg)
+    // every exact re-send hash-drops against the store (never reaching
+    // the signature join); the novel half survives minus chance collisions
+    assert(survived >= 990L && survived <= 1000L, s"survived = $survived")
+    assert(CorpusStream.corpus(spark, stateDir).get.count() == kept0 + survived)
+  }
 }

@@ -89,4 +89,15 @@ class DemoSpec extends AnyFunSuite {
       assert(l.contains("top-5:"))
     }
   }
+
+  test("intake report: arrivals exceed survivors (planted duplicates dropped), index grown") {
+    val lines = Demo.intakeReport(spark, cfg)
+    assert(lines.exists(_.contains("streaming intake")))
+    val arrivals = """(\d+) arrivals""".r.findFirstMatchIn(lines.head).get.group(1).toLong
+    val survivors = """survivors: (\d+) docs""".r
+      .findFirstMatchIn(lines(1)).get.group(1).toLong
+    assert(survivors > 0 && survivors < arrivals,
+      s"planted re-sends must drop: $survivors of $arrivals")
+    assert(lines(2).contains("postings"))
+  }
 }

@@ -76,17 +76,24 @@ object CorpusStream {
     StructField("doc_id", LongType) +:
       (0 until cfg.numPerms).map(j => StructField(s"mh$j", LongType)))
 
-  /** Existing per-batch store subdirs under `root` (absent root → none). */
-  private def batchDirs(root: String): Seq[String] = {
+  /** Existing per-batch store subdirs under `root` (absent root → none).
+    * `exclude` drops that batch's own subdir: a crash-REPLAY of batch b
+    * must never see b's own partially-published stores as "standing"
+    * state — with them visible, the replay's arrivals would drop against
+    * their own hashes, survivors would come out empty, and any store the
+    * crash skipped (e.g. the BM25 delta) would silently stay missing. */
+  private def batchDirs(root: String, exclude: Option[Long] = None): Seq[String] = {
     val d = new java.io.File(root)
+    val skip = exclude.map(b => s"b$b")
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        !skip.contains(f.getName))
       .map(_.getPath).toSeq.sorted
   }
 
   private def readStore(spark: SparkSession, root: String,
-      schema: StructType): DataFrame = {
-    val dirs = batchDirs(root)
+      schema: StructType, exclude: Option[Long]): DataFrame = {
+    val dirs = batchDirs(root, exclude)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
@@ -117,15 +124,19 @@ object CorpusStream {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, cfg: IntakeConfig = IntakeConfig(),
       textCol: String = "text"): Long = {
-    val prevHashes = readStore(spark, s"$stateDir/hashes", hashSchema)
-    val prevSigs = readStore(spark, s"$stateDir/sigs", sigSchema(cfg))
+    val prevHashes = readStore(spark, s"$stateDir/hashes", hashSchema, Some(batchId))
+    val prevSigs = readStore(spark, s"$stateDir/sigs", sigSchema(cfg), Some(batchId))
 
     // 1. exact lane (q20 semantics): min doc_id per content hash within
-    // the batch, then standing-corpus hashes win over arrivals
+    // the batch, then the standing corpus wins over arrivals — by
+    // doc_id FIRST (records are immutable by contract, so a known id is
+    // a re-send even when its text mutated in transit; admitting it
+    // would duplicate the id in the store), then by content hash
     val hashed = batch.withColumn("content_hash",
       Determinism.portableHash(TextFunctions.normalizeWs(col(textCol))))
     val wH = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     val exact = hashed
+      .join(prevHashes.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("rk", row_number().over(wH)).filter(col("rk") === 1).drop("rk")
       .join(prevHashes.select(col("content_hash")).distinct(),
         Seq("content_hash"), "left_anti")

@@ -154,6 +154,44 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("partial-crash replay heals a skipped store (own-batch stores are not standing state)") {
+    val stateDir = Files.createTempDirectory("graft_intake_heal").toString
+    runLoop(stateDir)
+    val before = CorpusStream.index(spark, stateDir).get.postings
+      .collect().map(_.toSeq).toSet
+    // simulate a crash between the hashes/b2 publish and the bm25/b2
+    // publish: the index delta is missing while the batch's hashes exist.
+    // The replay must NOT see b2's own hashes as standing state (its
+    // arrivals would all self-drop and the delta would stay lost).
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    rmTree(java.nio.file.Paths.get(s"$stateDir/bm25/b2"))
+    CorpusStream.applyBatch(spark, df(batches(2)), 2L, stateDir, cfg)
+    val after = CorpusStream.index(spark, stateDir).get.postings
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("a re-sent doc_id with MUTATED text drops: records are immutable, the standing id wins") {
+    val stateDir = Files.createTempDirectory("graft_intake_mut").toString
+    runLoop(stateDir)
+    val before = CorpusStream.corpus(spark, stateDir).get
+      .collect().map(_.toSeq).toSet
+    // doc 4 re-arrives with fresh-vocabulary content (no hash or
+    // near-dup relation to anything standing — ONLY the id rule can
+    // drop it); admitting it would duplicate the id in the store
+    val mutated = (Seq("iron", "copper", "zinc", "tin", "lead", "nickel",
+      "cobalt", "chrome", "silver", "gold", "platinum", "mercury",
+      "sodium", "lithium", "cesium", "barium", "radium", "argon",
+      "neon", "xenon", "krypton", "helium", "boron", "carbon")).mkString(" ")
+    CorpusStream.applyBatch(spark, df(Seq(4L -> mutated)), 3L, stateDir, cfg)
+    assert(CorpusStream.corpus(spark, stateDir).get
+      .collect().map(_.toSeq).toSet == before)
+  }
+
   test("single-batch intake == the batch dedup pipeline (q20 + keep-min components)") {
     val stateDir = Files.createTempDirectory("graft_intake_one").toString
     val all = df(batches.flatten)

@@ -16,10 +16,11 @@ import graft.operators.{Bm25Index, Dedup}
   * 100 TB deployment runs on arrival, not nightly).
   *
   * Each micro-batch of documents is
-  *   1. EXACT-deduped: keep the min doc_id per content hash within the
-  *      batch (q20 semantics), drop hashes the standing corpus already
-  *      holds — the corpus always wins over an arrival, matching the
-  *      reference's standing-pool-first contract;
+  *   1. EXACT-deduped: the standing corpus wins over an arrival by
+  *      doc_id first (records are immutable by contract — a known id is
+  *      a re-send even when its text mutated in transit), then by
+  *      content hash, with min-doc_id-per-hash inside the batch (q20
+  *      semantics) — the reference's standing-pool-first contract;
   *   2. NEAR-dup checked with the incremental MinHash band index
   *      ([[Dedup.incrementalCandidatePairs]], the q68 shape): candidate
   *      cost ∝ |batch| × in-bucket collisions, never |corpus|²; candidates
@@ -35,8 +36,10 @@ import graft.operators.{Bm25Index, Dedup}
   *
   * Exactly-once without a commit log: every per-batch store is written
   * with `overwrite` to a path keyed by the micro-batch id, and the batch
-  * transition is a pure function of (prior stores, batch rows) — a replay
-  * after a crash recomputes byte-identical frames into the same paths.
+  * transition is a pure function of (STRICTLY-PRIOR stores, batch rows)
+  * — the batch's own subdirectories are excluded from the standing
+  * reads, so a replay after a partial publish recomputes byte-identical
+  * frames into the same paths and heals whatever the crash skipped.
   * No meta file can get out of sync because there is none.
   *
   * Blank documents (no tokens) produce no signature rows (the

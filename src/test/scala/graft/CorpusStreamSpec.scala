@@ -223,6 +223,19 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(got.contains(1L) && got.contains(4L))
   }
 
+  test("partition invariance: a 7-way repartitioned arrival yields identical survivors") {
+    val a = Files.createTempDirectory("graft_intake_p1").toString
+    val b = Files.createTempDirectory("graft_intake_p7").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      CorpusStream.applyBatch(spark, df(rows), i.toLong, a, cfg)
+      CorpusStream.applyBatch(spark, df(rows).repartition(7), i.toLong, b, cfg)
+    }
+    def rows(dir: String) = CorpusStream.corpus(spark, dir).get
+      .collect().map(_.toSeq).toSet
+    assert(rows(a) == rows(b))
+    assert(rows(a).nonEmpty)
+  }
+
   test("streaming foreachBatch intake == the applyBatch loop") {
     val srcDir = Files.createTempDirectory("graft_intake_src").toString
     val stateDir = Files.createTempDirectory("graft_intake_stream").toString

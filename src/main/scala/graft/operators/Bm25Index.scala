@@ -122,4 +122,31 @@ object Bm25PoolIndex {
       .agg(count(lit(1)).as("n_docs"), sum(size(col("btoks"))).as("sum_dl"))
     Bm25PoolIndex(postings, srcStats)
   }
+
+  /** Persist / reload across sampler sessions — the long-lived
+    * deployment's cache of the per-source tf table the composed bm25
+    * backend otherwise re-derives every batch (Sampler.bm25Lanes
+    * scaladoc). Postings repartition by (source, term) on write, the
+    * keys every batch's scoring join restricts on. Same torn-publish
+    * discipline as [[Bm25Index.save]]: both relations land in a `.tmp`
+    * sibling and move into place as one unit — new postings with stale
+    * per-source stats would score silently wrong. */
+  def save(idx: Bm25PoolIndex, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val tmp = Paths.get(dir + ".tmp")
+    rmTree(tmp)
+    idx.postings.repartition(col("source"), col("term")).write.mode("overwrite")
+      .parquet(s"$tmp/postings")
+    idx.srcStats.write.mode("overwrite").parquet(s"$tmp/srcstats")
+    rmTree(Paths.get(dir))
+    Files.move(tmp, Paths.get(dir))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25PoolIndex =
+    Bm25PoolIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/srcstats"))
 }

@@ -172,7 +172,8 @@ class InvariantsSpec extends AnyFunSuite {
       seed: String = "gseq", dated: Boolean = false,
       cols: Seq[String] = goldenCols,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
-      useBm25Index: Boolean = false) = {
+      useBm25Index: Boolean = false,
+      persistIndex: Boolean = false) = {
     val timed = recipes.exists(r =>
       Seq(r.anchor, r.positive, r.negativeSelector)
         .exists(Sampler.temporalDays(_).isDefined))
@@ -185,7 +186,13 @@ class InvariantsSpec extends AnyFunSuite {
     // every nextBatch call — the Bm25PoolIndex contract
     val poolIdx = if (!useBm25Index) None else {
       val ix = graft.operators.Bm25PoolIndex.fromPool(pool)
-      Some(graft.operators.Bm25PoolIndex(
+      if (persistIndex) {
+        // the long-lived deployment path: postings round-trip parquet
+        val dir = java.nio.file.Files.createTempDirectory("graft_poolix")
+          .toString + "/ix"
+        graft.operators.Bm25PoolIndex.save(ix, dir)
+        Some(graft.operators.Bm25PoolIndex.load(spark, dir))
+      } else Some(graft.operators.Bm25PoolIndex(
         ix.postings.localCheckpoint(), ix.srcStats.localCheckpoint()))
     }
     var st = SamplerState(seed, 0L, Map.empty)
@@ -450,6 +457,13 @@ class InvariantsSpec extends AnyFunSuite {
       useBm25Index = true)
     assert(seqDigest(noIdx) == seqDigest(withIdx),
       "index-backed bm25 lane diverged from the per-batch derivation")
+    // and the PERSISTED index (save → parquet → load) delivers the same
+    // sequence — tf/df/stats survive the round-trip bit-exactly
+    val (persisted, _, _) = runGolden(batch = 8, nBatches = 10, parts = 4,
+      recipes = bmCfg, seed = "gm:bm25", cols = goldenCols :+ "reason",
+      useBm25Index = true, persistIndex = true)
+    assert(seqDigest(noIdx) == seqDigest(persisted),
+      "persisted bm25 pool index diverged after the parquet round-trip")
   }
 
   /** Re-pin ONLY for an intentional semantic change. */

@@ -271,8 +271,75 @@ class SubwordTokenizerModel private[ml] (
       seg.select(col("doc_id").as(idCol), col("n_pieces")), Seq(idCol))
   }
 
+  /** Persist the trained tokenizer — THE artifact a training run must
+    * reuse exactly (a retrain on grown data yields a different token
+    * space, silently shifting every piece count downstream). One
+    * rank-ordered parquet relation per artifact (merge priority / vocab
+    * order survive the round-trip) plus a flat meta JSON, published
+    * temp-then-move as one unit (the Bm25Index discipline). Corpus
+    * strings ride parquet, never hand-escaped JSON. */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val tmp = Paths.get(dir + ".tmp")
+    rmTree(tmp)
+    val kind = artifact match {
+      case SubwordArtifact.BpeMerges(m) =>
+        m.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+          .toDF("rank", "left", "right").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/artifact")
+        "bpe_merges"
+      case SubwordArtifact.WpVocab(v) =>
+        v.zipWithIndex.map { case ((p, n), i) => (i.toLong, p, n) }
+          .toDF("rank", "piece", "val").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/artifact")
+        "wp_vocab"
+      case SubwordArtifact.UgVocab(v) =>
+        v.zipWithIndex.map { case ((p, n), i) => (i.toLong, p, n) }
+          .toDF("rank", "piece", "val").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/artifact")
+        "ug_vocab"
+    }
+    Files.writeString(Paths.get(s"$tmp/meta.json"),
+      s"""{"kind":"$kind","id_col":"$idCol","text_col":"$textCol"}""")
+    rmTree(Paths.get(dir))
+    Files.move(tmp, Paths.get(dir))
+  }
+
   override def transformSchema(schema: StructType): StructType =
     schema.add(StructField("n_pieces", LongType))
+}
+
+object SubwordTokenizerModel {
+  /** Reload a [[SubwordTokenizerModel.save]]d tokenizer. Absent vs
+    * corrupt are distinguished (the SamplerState.loadFor discipline). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SubwordTokenizerModel = {
+    import java.nio.file.{Files, Paths}
+    val metaPath = Paths.get(s"$dir/meta.json")
+    require(Files.exists(metaPath), s"no persisted tokenizer at $dir")
+    val meta = Files.readString(metaPath)
+    def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"corrupt tokenizer meta: missing $k")).group(1)
+    val rows = spark.read.parquet(s"$dir/artifact").collect()
+    val artifact = str("kind") match {
+      case "bpe_merges" => SubwordArtifact.BpeMerges(
+        rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+      case "wp_vocab" => SubwordArtifact.WpVocab(
+        rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+      case "ug_vocab" => SubwordArtifact.UgVocab(
+        rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+      case other => sys.error(s"corrupt tokenizer meta: unknown kind $other")
+    }
+    new SubwordTokenizerModel(artifact, str("id_col"), str("text_col"))
+  }
 }
 
 /** The CCNet-style LM quality gate as a proper `Estimator`/`Model` pair:

@@ -240,6 +240,27 @@ class PipelineSpec extends AnyFunSuite {
     intercept[RuntimeException] { IvfPqModel.load(spark, dir) }
   }
 
+  test("tokenizer save/load round-trip: piece counts bit-identical for all schemes") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents").limit(60).cache()
+    for (scheme <- Seq(SubwordScheme.Bpe, SubwordScheme.WordPiece,
+        SubwordScheme.Unigram, SubwordScheme.UnigramSoft)) {
+      val model = new SubwordTokenizerEstimator(scheme).fit(docs)
+      val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString + "/tok"
+      model.save(spark, dir)
+      val loaded = SubwordTokenizerModel.load(spark, dir)
+      def counts(m: SubwordTokenizerModel) = m.transform(docs)
+        .select(col("doc_id"), col("n_pieces")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts(loaded) == counts(model), s"round-trip drift for $scheme")
+    }
+    docs.unpersist()
+    intercept[IllegalArgumentException] {
+      SubwordTokenizerModel.load(spark, "/tmp/graft_tok_nope")
+    }
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

@@ -378,8 +378,48 @@ class NgramLmModel private[ml] (
     df.toDF().join(scores, Seq(idCol))
   }
 
+  /** Persist the trained quality model — three relations (bigrams,
+    * contexts, vocab) that must never mix generations (new bigrams with
+    * a stale vocab score silently wrong), so all three land in a `.tmp`
+    * sibling and move into place as one unit. A calibrated threshold is
+    * only meaningful against the exact model it was tuned on. */
+  def save(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val tmp = Paths.get(dir + ".tmp")
+    rmTree(tmp)
+    bg.write.mode("overwrite").parquet(s"$tmp/bigrams")
+    ctx.write.mode("overwrite").parquet(s"$tmp/contexts")
+    vocab.write.mode("overwrite").parquet(s"$tmp/vocab")
+    Files.writeString(Paths.get(s"$tmp/meta.json"),
+      s"""{"id_col":"$idCol","text_col":"$textCol"}""")
+    rmTree(Paths.get(dir))
+    Files.move(tmp, Paths.get(dir))
+  }
+
   override def transformSchema(schema: StructType): StructType =
     schema.add(StructField("avg_cost_e6", LongType))
+}
+
+object NgramLmModel {
+  /** Reload a [[NgramLmModel.save]]d quality model; absent vs corrupt
+    * distinguished. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): NgramLmModel = {
+    import java.nio.file.{Files, Paths}
+    val metaPath = Paths.get(s"$dir/meta.json")
+    require(Files.exists(metaPath), s"no persisted ngram-lm model at $dir")
+    val meta = Files.readString(metaPath)
+    def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"corrupt ngram-lm meta: missing $k")).group(1)
+    new NgramLmModel(
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$dir/vocab"),
+      str("id_col"), str("text_col"))
+  }
 }
 
 /** The ANN index family as an `Estimator`/`Model` pair (the MLlib facade

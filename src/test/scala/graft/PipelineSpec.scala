@@ -261,6 +261,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram-lm save/load round-trip: scores bit-identical") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents").limit(80).cache()
+    val model = new NgramLmEstimator().fit(docs.filter(col("doc_id") % 2 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/lm"
+    model.save(dir)
+    val loaded = NgramLmModel.load(spark, dir)
+    def scores(m: NgramLmModel) = m.transform(docs)
+      .select(col("doc_id"), col("avg_cost_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s0 = scores(model)
+    assert(scores(loaded) == s0 && s0.nonEmpty)
+    docs.unpersist()
+  }
+
   test("transformSchema declares the stage outputs") {
     val schema = new TextStats().transformSchema(
       org.apache.spark.sql.types.StructType(Seq(

@@ -236,6 +236,115 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(rows(a).nonEmpty)
   }
 
+  test("random batch sequences: intake == an independent union-find simulation") {
+    import org.scalacheck.{Gen, Prop}
+    // Independent oracle for the WHOLE intake state machine: signatures
+    // and content hashes come from the engine's own operators (their
+    // cross-engine correctness is q21/q20's business), but every dedup
+    // DECISION — id rule, in-batch keep-min, standing-hash rule,
+    // band-collision + agreement verification, drop-vs-retained,
+    // keep-min components via union-find — is reimplemented here in
+    // plain Scala over collected maps. Sharing the signatures makes the
+    // comparison exact (no per-pair agreement coin flips to tolerate).
+    val fams = (0 until 6).map(f => (0 until 24).map(j => s"f${f}t$j"))
+    def textOf(fam: Int, variant: Int): String = variant match {
+      case 0 => fams(fam).mkString(" ")
+      case 3 => ""
+      case m => (fams(fam).init :+ s"f${fam}mut$m").mkString(" ")
+    }
+    val genDocs: Gen[(Seq[(Long, String)], Seq[Int])] = for {
+      n <- Gen.choose(8, 18)
+      specs <- Gen.listOfN(n, for {
+        fam <- Gen.choose(0, 5)
+        variant <- Gen.frequency(3 -> 0, 2 -> 1, 2 -> 2, 1 -> 3)
+        resend <- Gen.frequency(4 -> false, 1 -> true)
+      } yield (fam, variant, resend))
+      cut1 <- Gen.choose(1, n - 1)
+      cut2 <- Gen.choose(1, n - 1)
+    } yield {
+      val rows = specs.zipWithIndex.map { case ((fam, variant, resend), i) =>
+        // a "resend" reuses an earlier doc's id with THIS spec's text —
+        // covering identical replays and mutated re-sends alike
+        val id = if (resend && i > 0) (i / 2 + 1).toLong else (i + 1).toLong
+        (id, textOf(fam, variant))
+      }
+      (rows, Seq(cut1 min cut2, cut1 max cut2).distinct)
+    }
+    val p = Prop.forAll(genDocs) { case (rows0, cuts) =>
+      // partition into batches at the cut points, then enforce the feed
+      // contract doc_id-unique-per-batch (first occurrence wins) — the
+      // same rows drive engine and simulation
+      val batchesSim: Seq[Seq[(Long, String)]] = {
+        val sorted = cuts.filter(c => c > 0 && c < rows0.size).distinct.sorted
+        val bounds = (0 +: sorted :+ rows0.size).distinct
+        bounds.zip(bounds.tail).map { case (a, b) =>
+          rows0.slice(a, b).distinctBy(_._1) }.filter(_.nonEmpty)
+      }
+      // engine-computed hash/signature per distinct TEXT (id-independent
+      // values; decisions below are reimplemented, these inputs shared)
+      val texts = rows0.map(_._2).distinct
+      val tdf = df(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      val hashByText = tdf.select(col("doc_id"), graft.core.Determinism.portableHash(
+          graft.functions.TextFunctions.normalizeWs(col("text"))).as("h"))
+        .collect().map(r => texts(r.getLong(0).toInt) -> r.getLong(1)).toMap
+      val sigByText = Dedup.minhashSignatures(tdf, "doc_id", "text",
+          cfg.numPerms, cfg.shingleSize).collect()
+        .map(r => texts(r.getLong(0).toInt) ->
+          (0 until cfg.numPerms).map(j => r.getLong(1 + j)).toVector).toMap
+      def bandsOf(s: Vector[Long]) = s.grouped(cfg.rowsPerBand).toVector
+      def verified(a: Vector[Long], b: Vector[Long]) =
+        bandsOf(a).zip(bandsOf(b)).exists { case (x, y) => x == y } &&
+          a.zip(b).count { case (x, y) => x == y } >= cfg.minAgree
+
+      // --- the plain-Scala simulation ---
+      var retIds = Set.empty[Long]
+      var retHashes = Set.empty[Long]
+      var retSigs = Map.empty[Long, Vector[Long]]
+      val simSurvivors = Set.newBuilder[Long]
+      batchesSim.foreach { b =>
+        val afterId = b.filterNot(r => retIds(r._1))
+        val exact = afterId.groupBy(r => hashByText(r._2))
+          .map { case (h, rs) => (rs.minBy(_._1), h) }.toSeq
+          .filterNot { case (_, h) => retHashes(h) }
+        val newSigs: Map[Long, Vector[Long]] = exact.flatMap { case ((id, t), _) =>
+          sigByText.get(t).map(id -> _) }.toMap
+        val dropVsOld = newSigs.collect {
+          case (id, s) if retSigs.exists { case (_, os) => verified(s, os) } => id
+        }.toSet
+        val kept1 = exact.map(_._1).filterNot { case (id, _) => dropVsOld(id) }
+        val kept1Sigs = newSigs.filter { case (id, _) => kept1.exists(_._1 == id) }
+        // union-find (min-label) over verified new-new pairs
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        for {
+          (a, sa) <- kept1Sigs; (b2, sb) <- kept1Sigs
+          if a < b2 && verified(sa, sb)
+        } { val (ra, rb) = (find(a), find(b2)); if (ra != rb) parent(ra max rb) = ra min rb }
+        val survivors = kept1.filter { case (id, _) => find(id) == id }
+        simSurvivors ++= survivors.map(_._1)
+        retIds ++= survivors.map(_._1)
+        retHashes ++= survivors.map { case (_, t) => hashByText(t) }
+        retSigs ++= survivors.flatMap { case (id, t) => sigByText.get(t).map(id -> _) }
+      }
+
+      // --- the engine over the same batches ---
+      val stateDir = Files.createTempDirectory("graft_intake_sim").toString
+      batchesSim.zipWithIndex.foreach { case (b, i) =>
+        CorpusStream.applyBatch(spark, df(b), i.toLong, stateDir, cfg)
+      }
+      val got = CorpusStream.corpus(spark, stateDir)
+        .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
+      got == simSurvivors.result()
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("streaming foreachBatch intake == the applyBatch loop") {
     val srcDir = Files.createTempDirectory("graft_intake_src").toString
     val stateDir = Files.createTempDirectory("graft_intake_stream").toString

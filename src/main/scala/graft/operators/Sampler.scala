@@ -661,6 +661,29 @@ object Sampler {
           coalesce(col("b_nid"), col("d_nid")).as("nid"))
     }
 
+    // anchor + positive chunk-source records, started CONCURRENTLY with
+    // the negative dispatch below: the temporal neighbor joins read only
+    // pool + slotRec (both materialized), never the negative lane, so on
+    // a second thread their pool-scale window stages overlap the
+    // dispatch's job instead of serializing after it. Non-temporal
+    // recipe sets take the Left branch — pure LocalRelation projections,
+    // no job, so the thread is free. ONE collect covers both slots (the
+    // two neighbor-join plans union and materialize together).
+    val apTask = new java.util.concurrent.FutureTask(() => {
+      val (aTmp, aPlan) = chunkRecordsPlan(_.anchor, slotRec)
+      val (pTmp, pPlan) = chunkRecordsPlan(_.positive, slotRec)
+      if (!aTmp && !pTmp) (aPlan, pPlan)
+      else {
+        val ap = localize(
+          aPlan.withColumn("sl", lit("a")).unionByName(pPlan.withColumn("sl", lit("p"))))
+        (ap.filter(col("sl") === "a").drop("sl"), ap.filter(col("sl") === "p").drop("sl"))
+      }
+    })
+    locally {
+      val t = new Thread(apTask, "graft-ap-chunk-records")
+      t.setDaemon(true); t.start()
+    }
+
     val negRec = {
       // bound duplicated compute: let the background sidecar force finish
       // before the dispatch job reads it (values identical either way)
@@ -680,18 +703,9 @@ object Sampler {
     // schedule scale, which the driver already holds), and as a filter it
     // pushes below the derivation to the record scan: per-batch chunking
     // cost is ∝ batch size, not corpus size.
-    // anchor + positive chunk-source records: ONE collect when either
-    // slot has a temporal lane (the two neighbor-join plans union and
-    // materialize together instead of sequentially)
-    val (aTmp, aPlan) = chunkRecordsPlan(_.anchor, slotRec)
-    val (pTmp, pPlan) = chunkRecordsPlan(_.positive, slotRec)
-    val (aRecs, pRecs) =
-      if (!aTmp && !pTmp) (aPlan, pPlan)
-      else {
-        val ap = localize(
-          aPlan.withColumn("sl", lit("a")).unionByName(pPlan.withColumn("sl", lit("p"))))
-        (ap.filter(col("sl") === "a").drop("sl"), ap.filter(col("sl") === "p").drop("sl"))
-      }
+    // anchor + positive chunk-source records — materialized on the
+    // background thread above, concurrently with the negative dispatch
+    val (aRecs, pRecs) = apTask.get()
     val nRecs = chunkRecords(_.negativeSelector,
       negRec.select(col("draw"), col("recipe"), col("nid").as("record_id")))
     // all three rec frames are LocalRelations (localize), so these

@@ -538,51 +538,29 @@ object Sampler {
         .map(_.negative).distinct
     val bmNames = recipes.filter(_.negativeBackend == NegativeBackend.Bm25).map(_.name)
 
-    /** Bm25Backend lanes (reference: bm25_backend.rs:120-174): re-rank the
-      * strategy pool by the BM25 score of the anchor's SELECTED chunk text
-      * against each candidate's `btoks`, rotate through the top-3 by the
-      * (seed, draw, anchor) hash stream — the stateless twin of the
-      * reference's per-(anchor, split) cursor — and fall back to the
-      * DefaultBackend pick for slots whose scored intersection is empty.
-      *
-      * Scale shape: candidates/tf/stats are semi-joined to the BATCH's
-      * anchor sources (broadcast of a batch-bounded source list), so
-      * per-batch scoring cost is ∝ the involved source groups — the same
-      * pool the reference scores per anchor. The anchor⋈candidate product
-      * passes through ONE (source, term) join after df/dl/avgdl fold into
-      * the tf table (the q85 lane's shape). A long-lived deployment would
-      * cache the per-source tf table across batches; per-batch derivation
-      * keeps this function pure. The anchor-text pick re-evaluates the
-      * same pure chunk-pick the final a-slot evaluates, over a chunk scan
-      * restricted to the bm25 anchors' records. */
-    def bm25Lanes(): DataFrame = {
+    // ---- BM25 scoring sidecar (slot-INDEPENDENT): postings → weighted
+    // per-(source, term, cand) e6 term scores. Everything here is a pure
+    // function of the pool and the batch's source set — no dependency on
+    // which chunk each slot picked — so it is checkpointed and FORCED on a
+    // background thread right after the slot schedule: the tokenize + df
+    // window chain (the lane's most expensive stages) overlaps the rank
+    // sidecar and the a/p pick chain instead of serializing inside the
+    // negative dispatch's job. At deployment scale this table IS the
+    // persisted [[Bm25PoolIndex]] (derived per pool refresh, not per
+    // batch); the pure-function default derives it in-plan per batch.
+    val wtermPre: Option[DataFrame] = if (bmNames.isEmpty) None else Some {
       require(bm25Index.nonEmpty || pool.columns.contains("btoks"),
         "BM25-backend recipes need a `btoks` token-array column in the pool " +
           "(or a prebuilt Bm25PoolIndex)")
-      val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
-      val bmARecs = chunkRecords(_.anchor, bmSlots)
-      val bmAIds = bmARecs.select(col("record_id"))
-        .collect().map(_.getLong(0)).distinct.toSeq
-      val bmChunks = chunks.filter(col("record_id").isin(bmAIds: _*)).localCheckpoint(eager = false)
-      // the anchor-text pick through the fused slot path (stream `sel:a:`
-      // — the record restriction lands in the eligibility join, the pick
-      // itself is bit-identical to the final a-slot's)
-      val bmDraws = bmARecs.withColumn("slot", lit("a"))
-        .join(broadcast(slotMeta.select(col("draw"),
-          col("a_mode").as("mode"), col("a_arg").as("arg"))), Seq("draw"))
-      val qterms = Recipes.selectChunksBatchSlots(bmChunks, bmDraws)
-        .select(col("draw"), explode(array_distinct(
-          graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
-      // batch-bounded source list, deduped on the driver (bmSlots is a
-      // LocalRelation): the restriction lands as an isin PUSHDOWN on the
-      // derived-postings path and a LocalRelation broadcast on the
-      // persisted-index path — no aggregate job either way
-      val srcList = bmSlots.select(col("source")).collect()
-        .map(_.getString(0)).distinct.toSeq
+      // batch-bounded source list, deduped on the driver (slotRec is a
+      // LocalRelation — no job): the restriction lands as an isin PUSHDOWN
+      // on the derived-postings path and a LocalRelation broadcast on the
+      // persisted-index path
+      val srcList = slotRec.filter(col("recipe").isin(bmNames: _*))
+        .select(col("source")).collect().map(_.getString(0)).distinct.toSeq
       val srcs = srcList.toDF("source")
       // Postings + per-source stats: from the prebuilt [[Bm25PoolIndex]]
-      // when the caller carries one across batches (restriction is then a
-      // broadcast semi-join on the persisted table — the tokenize+agg cost
+      // when the caller carries one across batches (the tokenize+agg cost
       // is paid once, off the batch path), else derived per batch from the
       // source-restricted pool (the pure-function default). Both shapes
       // are per-source keyed, so values are bit-identical (pinned).
@@ -600,7 +578,7 @@ object Sampler {
       // df is a keyed window over tf (one row per (cand, term) ⇒ the
       // per-term count IS the document frequency); exact-integer e6 floor
       // per term, as everywhere (graft.operators.Bm25 scaladoc)
-      val wterm = tf
+      tf
         .withColumn("df", count(lit(1)).over(
           Window.partitionBy(col("source"), col("term"))).cast("long"))
         .join(broadcast(stats), "source")
@@ -612,6 +590,43 @@ object Sampler {
             (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
         .select(col("source"), col("term"), col("cand"),
           floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long").as("term_e6"))
+        .localCheckpoint(eager = false)
+    }
+    wtermPre.foreach { w =>
+      val t = new Thread(
+        () => try w.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+          catch { case _: Throwable => () },
+        "graft-bm25-wterm-force")
+      t.setDaemon(true); t.start()
+    }
+
+    /** Bm25Backend lanes (reference: bm25_backend.rs:120-174): re-rank the
+      * strategy pool by the BM25 score of the anchor's SELECTED chunk text
+      * against each candidate's `btoks`, rotate through the top-3 by the
+      * (seed, draw, anchor) hash stream — the stateless twin of the
+      * reference's per-(anchor, split) cursor — and fall back to the
+      * DefaultBackend pick for slots whose scored intersection is empty.
+      *
+      * Scale shape: candidates/tf/stats are semi-joined to the BATCH's
+      * anchor sources, and the whole weighted-term table is the
+      * pre-forced checkpoint above. The anchor⋈candidate product passes
+      * through ONE (source, term) join (the q85 lane's shape). The
+      * anchor-text pick re-runs the final a-slot's pure pick (stream
+      * `sel:a:` — bit-identical text) over the a/p chain's ALREADY
+      * MATERIALIZED batch-restricted chunk checkpoint, so the re-pick
+      * costs one narrow window over a tiny leaf, not a second chunk
+      * derivation. */
+    def bm25Lanes(apDone: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+      val (_, aRecsAll, chunksAP) = apDone
+      val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
+      val bmARecs = aRecsAll.join(broadcast(bmSlots.select(col("draw"))), Seq("draw"))
+      val bmDraws = bmARecs.withColumn("slot", lit("a"))
+        .join(broadcast(slotMeta.select(col("draw"),
+          col("a_mode").as("mode"), col("a_arg").as("arg"))), Seq("draw"))
+      val qterms = Recipes.selectChunksBatchSlots(chunksAP, bmDraws)
+        .select(col("draw"), explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
+      val wterm = wtermPre.get
       val scoredAll = broadcast(
           bmSlots.select(col("draw"), col("record_id"), col("source"), col("reason"))
             .join(qterms, "draw"))
@@ -661,81 +676,6 @@ object Sampler {
           coalesce(col("b_nid"), col("d_nid")).as("nid"))
     }
 
-    // anchor + positive chunk-source records, started CONCURRENTLY with
-    // the negative dispatch below: the temporal neighbor joins read only
-    // pool + slotRec (both materialized), never the negative lane, so on
-    // a second thread their pool-scale window stages overlap the
-    // dispatch's job instead of serializing after it. Non-temporal
-    // recipe sets take the Left branch — pure LocalRelation projections,
-    // no job, so the thread is free. ONE collect covers both slots (the
-    // two neighbor-join plans union and materialize together).
-    val apTask = new java.util.concurrent.FutureTask(() => {
-      val (aTmp, aPlan) = chunkRecordsPlan(_.anchor, slotRec)
-      val (pTmp, pPlan) = chunkRecordsPlan(_.positive, slotRec)
-      if (!aTmp && !pTmp) (aPlan, pPlan)
-      else {
-        val ap = localize(
-          aPlan.withColumn("sl", lit("a")).unionByName(pPlan.withColumn("sl", lit("p"))))
-        (ap.filter(col("sl") === "a").drop("sl"), ap.filter(col("sl") === "p").drop("sl"))
-      }
-    })
-    locally {
-      val t = new Thread(apTask, "graft-ap-chunk-records")
-      t.setDaemon(true); t.start()
-    }
-
-    val negRec = {
-      // bound duplicated compute: let the background sidecar force finish
-      // before the dispatch job reads it (values identical either way)
-      rankForce.join()
-      val dflt = strategyPick(
-        if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
-        strategiesOf(NegativeBackend.Default))
-      lap("negRec")(localize(
-        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes())))
-    }
-
-    // ---- chunk picks: selector windows on the batch-restricted table ----
-    // batch id restriction as an isin PREDICATE, not a join: a broadcast
-    // join sits above the chunk table's window/explode derivation and
-    // cannot push through the Generate, so every batch would re-chunk the
-    // whole corpus. The id list is batch-bounded (≤ 3×batch longs — slot
-    // schedule scale, which the driver already holds), and as a filter it
-    // pushes below the derivation to the record scan: per-batch chunking
-    // cost is ∝ batch size, not corpus size.
-    // anchor + positive chunk-source records — materialized on the
-    // background thread above, concurrently with the negative dispatch
-    val (aRecs, pRecs) = apTask.get()
-    val nRecs = chunkRecords(_.negativeSelector,
-      negRec.select(col("draw"), col("recipe"), col("nid").as("record_id")))
-    // all three rec frames are LocalRelations (localize), so these
-    // collects run driver-side without scheduling a job; dedupe in Scala
-    // rather than a distinct() whose Aggregate would schedule one
-    val ids = (aRecs.select(col("record_id")).collect() ++
-        pRecs.select(col("record_id")).collect() ++
-        nRecs.select(col("record_id")).collect())
-      .map(_.getLong(0)).distinct.toSeq
-    if (phaseTiming) lap("ids")(spark.emptyDataFrame)
-    val chunksR = lap("chunksR")(
-      chunks.filter(col("record_id").isin(ids: _*)).localCheckpoint(eager = false))
-    // ALL THREE slot picks in ONE window plan: (draw, slot, record_id,
-    // mode, arg) rows drive selectChunksBatchSlots (bit-identical
-    // sel:<slot>: streams), then one keyed pivot widens to per-slot
-    // columns — replacing three window plans + three core joins (the
-    // round-9 latency directive). The null filter reproduces the former
-    // inner-join semantics: a draw whose slot found no eligible chunk
-    // drops from the core stream.
-    val drawsMelt = slots.flatMap { case (draw, _, _, name) =>
-      val r = byName(name)
-      val (am, aa) = selectorDesc(r.anchor)
-      val (pm, pa) = selectorDesc(r.positive)
-      val (nm, na) = selectorDesc(r.negativeSelector)
-      Seq((draw, "a", am, aa), (draw, "p", pm, pa), (draw, "n", nm, na))
-    }.toDF("draw", "slot", "mode", "arg")
-    val slotRecs = aRecs.withColumn("slot", lit("a"))
-      .unionByName(pRecs.withColumn("slot", lit("p")))
-      .unionByName(nRecs.withColumn("slot", lit("n")))
-    val draws2 = slotRecs.join(broadcast(drawsMelt), Seq("draw", "slot"))
     // the delivered text hash: raw chunk text, or the decorated text when a
     // KVP sampler is configured (decoration is a pure (record, draw)
     // function, so the composed stream stays batch/partition invariant)
@@ -747,26 +687,122 @@ object Sampler {
             lit(":"), col("draw").cast("string")),
           split(col("wtext"), " "), maxTok).getField("text")
     }
+
+    // ---- the ENTIRE anchor + positive pick chain, run CONCURRENTLY with
+    // the negative dispatch below: chunk-source records (temporal neighbor
+    // swap) → batch-restricted chunk checkpoint → ONE fused a/p window
+    // pick → localized per-draw pivot. The a/p lanes read only pool +
+    // slotRec (both materialized), never the negative lane, so a second
+    // thread overlaps their pool-scale neighbor joins AND the chunk
+    // derivation/window stages with the dispatch's job instead of
+    // serializing after it. Only the n-slot pick has to wait for the
+    // negative dispatch — it runs on the main thread below over its own
+    // (negative-record) restriction. Values are untouched: the pick
+    // streams (`sel:a:`/`sel:p:`) are pure (draw, record) functions and
+    // the split pivot aggregates the same per-slot rows the former fused
+    // three-slot pivot did.
+    val apMelt = slots.map { case (draw, _, _, name) =>
+      val r = byName(name)
+      val (am, aa) = selectorDesc(r.anchor)
+      val (pm, pa) = selectorDesc(r.positive)
+      (draw, am, aa, pm, pa)
+    }.flatMap { case (draw, am, aa, pm, pa) =>
+      Seq((draw, "a", am, aa), (draw, "p", pm, pa))
+    }.toDF("draw", "slot", "mode", "arg")
+    val apTask = new java.util.concurrent.FutureTask(() => {
+      val (aTmp, aPlan) = chunkRecordsPlan(_.anchor, slotRec)
+      val (pTmp, pPlan) = chunkRecordsPlan(_.positive, slotRec)
+      // ONE collect covers both slots when any lane is temporal (the two
+      // neighbor-join plans union and materialize together); non-temporal
+      // sets are pure LocalRelation projections — no job
+      val (aRecs, pRecs) =
+        if (!aTmp && !pTmp) (aPlan, pPlan)
+        else {
+          val ap = localize(
+            aPlan.withColumn("sl", lit("a")).unionByName(pPlan.withColumn("sl", lit("p"))))
+          (ap.filter(col("sl") === "a").drop("sl"), ap.filter(col("sl") === "p").drop("sl"))
+        }
+      // both rec frames are LocalRelations, so these collects run
+      // driver-side without scheduling a job; dedupe in Scala rather than
+      // a distinct() whose Aggregate would schedule one
+      val ids = (aRecs.select(col("record_id")).collect() ++
+          pRecs.select(col("record_id")).collect())
+        .map(_.getLong(0)).distinct.toSeq
+      // batch id restriction as an isin PREDICATE, not a join (pushes
+      // below the chunk table's window/explode derivation — see the
+      // n-lane comment below)
+      val chunksAP = chunks.filter(col("record_id").isin(ids: _*))
+        .localCheckpoint(eager = false)
+      val apRows = aRecs.withColumn("slot", lit("a"))
+        .unionByName(pRecs.withColumn("slot", lit("p")))
+      val sel = Recipes.selectChunksBatchSlots(chunksAP,
+          apRows.join(broadcast(apMelt), Seq("draw", "slot")))
+        .select(col("slot"), col("draw"),
+          col("window_index").cast("long").as("widx"),
+          Determinism.portableHash(slotText).as("thash"))
+      val apPicks = localize(sel.groupBy(col("draw")).agg(
+        max(when(col("slot") === "a", col("widx"))).as("a_widx"),
+        max(when(col("slot") === "a", col("thash"))).as("a_hash"),
+        max(when(col("slot") === "p", col("widx"))).as("p_widx"),
+        max(when(col("slot") === "p", col("thash"))).as("p_hash")))
+      (apPicks, aRecs, chunksAP)
+    })
+    locally {
+      val t = new Thread(apTask, "graft-ap-pick-chain")
+      t.setDaemon(true); t.start()
+    }
+
+    val negRec = {
+      // bound duplicated compute: let the background sidecar force finish
+      // before the dispatch job reads it (values identical either way)
+      rankForce.join()
+      val dflt = strategyPick(
+        if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
+        strategiesOf(NegativeBackend.Default))
+      lap("negRec")(localize(
+        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes(apTask.get()))))
+    }
+
+    // ---- n-slot pick: the only selector window that has to FOLLOW the
+    // negative dispatch (its chunk-source records are the picked
+    // negatives). Same shape as the a/p chain above: isin PREDICATE
+    // restriction (a broadcast join sits above the chunk table's
+    // window/explode derivation and cannot push through the Generate, so
+    // every batch would re-chunk the whole corpus; the id list is
+    // batch-bounded and as a filter it pushes below the derivation to the
+    // record scan — per-batch chunking cost ∝ batch size, not corpus
+    // size), then the fused window pick (stream `sel:n:`).
+    val nRecs = chunkRecords(_.negativeSelector,
+      negRec.select(col("draw"), col("recipe"), col("nid").as("record_id")))
+    val nIds = nRecs.select(col("record_id")).collect()
+      .map(_.getLong(0)).distinct.toSeq
+    if (phaseTiming) lap("nIds")(spark.emptyDataFrame)
+    val chunksN = lap("chunksN")(
+      chunks.filter(col("record_id").isin(nIds: _*)).localCheckpoint(eager = false))
+    val nMelt = slots.map { case (draw, _, _, name) =>
+      val (nm, na) = selectorDesc(byName(name).negativeSelector)
+      (draw, "n", nm, na)
+    }.toDF("draw", "slot", "mode", "arg")
     // `draw` is unique per slot, so after the record restriction it alone
     // keys the pick — and for temporal slots the chunk-source record (the
     // neighbor) is NOT the slot's scheduled record, so the core join below
-    // is on draw, never on record_id
-    val sel = Recipes.selectChunksBatchSlots(chunksR, draws2)
-      .select(col("slot"), col("draw"),
-        col("window_index").cast("long").as("widx"),
-        Determinism.portableHash(slotText).as("thash"))
-    val picks = sel.groupBy(col("draw")).agg(
-      max(when(col("slot") === "a", col("widx"))).as("a_widx"),
-      max(when(col("slot") === "a", col("thash"))).as("a_hash"),
-      max(when(col("slot") === "p", col("widx"))).as("p_widx"),
-      max(when(col("slot") === "p", col("thash"))).as("p_hash"),
-      max(when(col("slot") === "n", col("thash"))).as("n_hash"))
+    // is on draw, never on record_id. ≤1 pick row survives per draw, so
+    // the projection needs no pivot.
+    val nPick = Recipes.selectChunksBatchSlots(chunksN,
+        nRecs.withColumn("slot", lit("n")).join(broadcast(nMelt), Seq("draw", "slot")))
+      .select(col("draw"), Determinism.portableHash(slotText).as("n_hash"))
+
+    // the a/p pivot from the background chain; its null filter + the
+    // inner join on the n pick reproduce the former fused-pivot
+    // semantics — a draw whose ANY slot found no eligible chunk drops
+    // from the core stream
+    val (apPicks, _, _) = apTask.get()
+    val core = negRec
+      .join(apPicks, Seq("draw"))
+      .join(nPick, Seq("draw"))
+      .join(broadcast(slotMeta.select(col("draw"), col("allow_same"))), Seq("draw"))
       .filter(col("a_hash").isNotNull && col("p_hash").isNotNull &&
         col("n_hash").isNotNull)
-
-    val core = negRec
-      .join(picks, Seq("draw"))
-      .join(broadcast(slotMeta.select(col("draw"), col("allow_same"))), Seq("draw"))
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
         col("nid"), col("n_hash"), col("reason"), col("allow_same"))

@@ -29,9 +29,15 @@ package graft.operators
   *     (that needs a Huffman+IMDCT codec); this is the metadata plane a
   *     training pipeline filters on, parsed from the real container.
   *
-  * Video and full MP3 PCM still route to the opaque byte-stat fallback —
-  * decoding those genuinely needs a codec library
-  * that is not in this container. The dispatcher sniffs magic bytes, and
+  *   - Y4M  (YUV4MPEG2, the mjpegtools raw-video interchange format) —
+  *     REAL video sample decode: uncompressed planar YUV frames, header
+  *     + FRAME walk, per-frame exact plane means — the frame-sampling
+  *     lane a training pipeline strides over (q132).
+  *
+  * COMPRESSED video sample data (MP4 payloads) and full MP3 PCM still
+  * route to the opaque byte-stat fallback — decoding those genuinely
+  * needs a codec library that is not in this container (MP4 *metadata*
+  * is a real box walk). The dispatcher sniffs magic bytes, and
   * ANY structural violation (truncation, wrong bpp, non-PCM, overflow)
   * degrades to the fallback instead of throwing: a 100 TB media scan must
   * never die on one corrupt payload.
@@ -64,7 +70,8 @@ object MediaCodecs {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | gif | mp3 | opaque. */
+  /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | gif | mp3 | mp4 |
+    * y4m | opaque. */
   def sniff(b: Array[Byte]): String =
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "P6")) "ppm"
@@ -75,6 +82,7 @@ object MediaCodecs {
     else if (ascii(b, 0, "ID3") ||
       (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xfe) == 0xfa)) "mp3"
     else if (ascii(b, 4, "ftyp")) "mp4"
+    else if (ascii(b, 0, "YUV4MPEG2")) "y4m"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -92,6 +100,7 @@ object MediaCodecs {
       case "gif" => decodeGif(b)
       case "mp3" => decodeMp3Meta(b)
       case "mp4" => decodeMp4Meta(b).map(_.toDecoded)
+      case "y4m" => decodeY4m(b).map(_.toDecoded)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1048,4 +1057,140 @@ object MediaCodecs {
     be32b(0x00010000L) ++ be32b(0) ++ be32b(0) ++
     be32b(0) ++ be32b(0x00010000L) ++ be32b(0) ++
     be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
+
+  // ------------------------------------------------------------------
+  // Y4M / YUV4MPEG2 (the mjpegtools raw-video interchange format,
+  // public spec) — REAL video SAMPLE decode: uncompressed planar YUV,
+  // so the actual pixel planes decode with pure stdlib byte walking.
+  // Stream header `YUV4MPEG2` + space-separated parameter tokens
+  // (W width, H height, F fps num:den, C chroma mode; I/A/X tolerated
+  // and ignored) terminated by 0x0A; each frame is `FRAME` + optional
+  // space-prefixed parameters + 0x0A followed by the raw Y plane
+  // (W·H bytes) and, per chroma mode, the Cb and Cr planes
+  // (420*: (W/2)·(H/2) each; 422: (W/2)·H; 444: W·H; mono: none).
+  // Defensive doctrine as the other parsers: plane sizes computed in
+  // Long, declared dims never drive an allocation (stats accumulate
+  // in place over the payload), any structural violation — bad magic,
+  // unterminated header, odd dims for a subsampled mode, a frame
+  // running past the end, zero frames — returns None.
+  // ------------------------------------------------------------------
+
+  /** One decoded frame's exact stats: floor-divided integer means of
+    * the Y / Cb / Cr planes (mono streams report 0 chroma). */
+  final case class Y4mFrame(index: Long, meanY: Long, meanCb: Long, meanCr: Long)
+
+  /** Parsed Y4M stream. [[toDecoded]] folds into the shared feature
+    * row: kind=y4m, width/height, channels = plane count (1 for mono,
+    * 3 otherwise), sampleRate slot carries the fps NUMERATOR,
+    * nSamples = frame count, durationMs = exact nFrames·1000·den/num,
+    * meanR/meanG/meanB = the FIRST frame's Y/Cb/Cr means (the GIF
+    * first-frame precedent). */
+  final case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      chroma: String, frames: Seq[Y4mFrame]) {
+    def durationMs: Long =
+      if (fpsNum <= 0) 0L else frames.size.toLong * 1000L * fpsDen / fpsNum
+    def toDecoded: Decoded = {
+      val f0 = frames.head
+      Decoded("y4m", width = width, height = height,
+        channels = if (chroma == "mono") 1 else 3, sampleRate = fpsNum,
+        nSamples = frames.size.toLong, durationMs = durationMs,
+        meanR = f0.meanY.toInt, meanG = f0.meanCb.toInt, meanB = f0.meanCr.toInt)
+    }
+  }
+
+  private val Y4mChromaModes =
+    Set("420jpeg", "420mpeg2", "420paldv", "420", "422", "444", "mono")
+
+  /** Real Y4M decode — header walk + per-frame plane stats; None on any
+    * malformation. Chroma mode defaults to 420jpeg when C is absent
+    * (the spec default). */
+  def decodeY4m(b: Array[Byte]): Option[Y4mVideo] = {
+    if (!ascii(b, 0, "YUV4MPEG2")) return None
+    var hEnd = 9
+    while (hEnd < b.length && b(hEnd) != 0x0a) hEnd += 1
+    if (hEnd >= b.length) return None // unterminated header
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var chroma = "420jpeg"
+    var i = 9
+    while (i < hEnd) {
+      if (b(i) != 0x20) return None // tokens are space-separated
+      var j = i + 1
+      while (j < hEnd && b(j) != 0x20) j += 1
+      if (j > i + 1) {
+        val v = new String(b, i + 2, j - i - 2, java.nio.charset.StandardCharsets.US_ASCII)
+        b(i + 1).toChar match {
+          case 'W' => w = v.toIntOption.getOrElse(return None)
+          case 'H' => h = v.toIntOption.getOrElse(return None)
+          case 'F' => v.split(":", -1) match {
+            case Array(n, d) =>
+              fn = n.toIntOption.getOrElse(return None)
+              fd = d.toIntOption.getOrElse(return None)
+            case _ => return None
+          }
+          case 'C' =>
+            if (!Y4mChromaModes.contains(v)) return None
+            chroma = v
+          case 'I' | 'A' | 'X' => () // interlace/aspect/metadata: ignored
+          case _ => return None
+        }
+      }
+      i = j
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val ySize = w.toLong * h
+    val cSize: Long = chroma match {
+      case "mono" => 0L
+      case "444" => ySize
+      case "422" => if (w % 2 != 0) return None else (w / 2).toLong * h
+      case _ => // 420 family
+        if (w % 2 != 0 || h % 2 != 0) return None
+        else (w / 2).toLong * (h / 2)
+    }
+    val frameBytes = ySize + 2L * cSize
+    def planeSum(start: Long, n: Long): Long = {
+      var s = 0L; var k = 0L
+      while (k < n) { s += u8(b, (start + k).toInt); k += 1 }
+      s
+    }
+    val frames = Seq.newBuilder[Y4mFrame]
+    var idx = 0L
+    var pos = hEnd + 1
+    while (pos < b.length) {
+      if (!ascii(b, pos, "FRAME")) return None
+      var fe = pos + 5
+      while (fe < b.length && b(fe) != 0x0a) fe += 1
+      if (fe >= b.length) return None // unterminated FRAME line
+      if (fe > pos + 5 && b(pos + 5) != 0x20) return None // params need a space
+      val p = fe + 1
+      if (p.toLong + frameBytes > b.length) return None // truncated frame
+      val sy = planeSum(p, ySize)
+      val (mcb, mcr) =
+        if (cSize == 0L) (0L, 0L)
+        else (planeSum(p + ySize, cSize) / cSize,
+          planeSum(p + ySize + cSize, cSize) / cSize)
+      frames += Y4mFrame(idx, sy / ySize, mcb, mcr)
+      idx += 1
+      pos = (p.toLong + frameBytes).toInt
+    }
+    if (idx == 0L) None
+    else Some(Y4mVideo(w, h, fn, fd, chroma, frames.result()))
+  }
+
+  /** Synthesize a Y4M stream (the fixture/oracle lane for
+    * [[decodeY4m]], the q79/q105 idiom): each frame is (y, cb, cr)
+    * plane byte values; chroma plane sizes must match the mode. */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, chroma: String,
+      frames: Seq[(Seq[Int], Seq[Int], Seq[Int])]): Array[Byte] = {
+    require(Y4mChromaModes.contains(chroma), s"unsupported chroma $chroma")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C$chroma\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    frames.foreach { case (y, cb, cr) =>
+      out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      y.foreach(v => out.write(v & 0xff))
+      cb.foreach(v => out.write(v & 0xff))
+      cr.foreach(v => out.write(v & 0xff))
+    }
+    out.toByteArray
+  }
 }

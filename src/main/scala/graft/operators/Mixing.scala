@@ -45,7 +45,7 @@ object Mixing {
     * largest remainder ([[weightedAllocation]]).
     *
     * Determinism: α = 1/2 routes through `sqrt` (IEEE correctly-rounded
-    * in every engine — the oracle-pinned case, q132) and α ∈ {0, 1}
+    * in every engine — the oracle-pinned case, q53) and α ∈ {0, 1}
     * through exact integer forms; general α uses `pow`, the accepted
     * floor(1e6·transcendental) hazard class (graft.operators.Bm25
     * scaladoc). Input carries `group` and `n` (> 0); emits

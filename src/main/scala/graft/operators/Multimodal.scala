@@ -11,10 +11,12 @@ import graft.core.Determinism
   * metadata struct and runs decode/feature-extraction as partition-batched
   * UDFs. **The default lane is [[decodeReal]]/[[extractDecoded]]**: REAL
   * stdlib decoders in [[MediaCodecs]] for WAV PCM, PPM P6, BMP 24-bit,
-  * PNG (full chunk walk + Inflater + all five scanline filters) and JPEG
-  * (the JDK's own ImageIO baseline codec). Formats that need a codec
-  * library NOT in this container (MP3/video/...) route to the byte-stat
-  * fallback inside the same lane. [[fakeDecode]] is kept
+  * PNG (full chunk walk + Inflater + all five scanline filters), JPEG
+  * (the JDK's own ImageIO baseline codec), GIF (from-scratch LZW), MP3
+  * frame-header metadata, MP4 box-walk metadata, and Y4M raw video
+  * (REAL per-frame sample decode). Payloads that need a codec library
+  * NOT in this container (MP3 PCM, compressed-video samples) route to
+  * the byte-stat fallback inside the same lane. [[fakeDecode]] is kept
   * ONLY as the v1 oracle-checked contract stub for fully-opaque payloads
   * (its byte-stat outputs are a subset of what the opaque fallback of
   * [[decodeReal]] computes) — new callers should use [[extractDecoded]].

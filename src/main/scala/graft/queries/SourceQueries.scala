@@ -732,6 +732,97 @@ object SourceQueries extends QueryModule {
           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
         FROM draws""")),
 
+    QueryDef("q132_video_frame_sample",
+      // REAL video SAMPLE decode + frame sampling (MediaCodecs.decodeY4m):
+      // hash-picked even dims, frame counts, and chroma modes (420jpeg /
+      // 444 / mono — all three plane layouts exercised) synthesize
+      // YUV4MPEG2 streams with hash-derived plane bytes; the decoder walks
+      // the real header + FRAME framing and reports exact integer plane
+      // means per frame; the training-pipeline frame-sampling STRIDE is a
+      // relational filter over the decoded frame rows (keep every 2nd
+      // frame). DuckDB recomputes every mean arithmetically from the same
+      // hash draws — any drift in the header parse, plane sizes, or frame
+      // hops shifts a mean and fails the hash.
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val frames = ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val w = 2 + 2 * (Determinism.jvmHash(s"y4mw:$id") % 3L).toInt // 2|4|6
+            val h = 2 + 2 * (Determinism.jvmHash(s"y4mh:$id") % 2L).toInt // 2|4
+            val nf = 2 + (Determinism.jvmHash(s"y4mn:$id") % 4L).toInt // 2..5
+            val chroma = (Determinism.jvmHash(s"y4mc:$id") % 3L).toInt match {
+              case 0 => "420jpeg"
+              case 1 => "444"
+              case _ => "mono"
+            }
+            val cN = chroma match {
+              case "mono" => 0
+              case "444" => w * h
+              case _ => (w / 2) * (h / 2)
+            }
+            def plane(f: Int, p: String, n: Int): Seq[Int] = (0 until n).map(i =>
+              (Determinism.jvmHash(s"y4mp:$id:$f:$p:$i") % 256L).toInt)
+            val payload = graft.operators.MediaCodecs.encodeY4m(w, h, 25, 1, chroma,
+              (0 until nf).map(f =>
+                (plane(f, "y", w * h), plane(f, "u", cN), plane(f, "v", cN))))
+            val dec = graft.operators.MediaCodecs.decodeY4m(payload).get
+            dec.frames.map(fr => (id, chroma, dec.width.toLong, dec.height.toLong,
+              dec.frames.size.toLong, dec.durationMs, fr.index,
+              fr.meanY, fr.meanCb, fr.meanCr))
+          }
+        }.toDF("doc_id", "chroma", "w", "h", "n_frames", "duration_ms",
+          "frame_idx", "mean_y", "mean_cb", "mean_cr")
+        frames.filter(col("frame_idx") % 2 === 0)
+      },
+      Some(s"""WITH cfg AS (
+          SELECT doc_id,
+            2 + 2 * (${Determinism.duckHash("'y4mw:' || CAST(doc_id AS VARCHAR)")} % 3) AS w,
+            2 + 2 * (${Determinism.duckHash("'y4mh:' || CAST(doc_id AS VARCHAR)")} % 2) AS h,
+            2 + (${Determinism.duckHash("'y4mn:' || CAST(doc_id AS VARCHAR)")} % 4) AS nf,
+            ${Determinism.duckHash("'y4mc:' || CAST(doc_id AS VARCHAR)")} % 3 AS cm
+          FROM documents
+        ), cfg2 AS (
+          SELECT doc_id, w, h, nf,
+            CASE WHEN cm = 0 THEN '420jpeg' WHEN cm = 1 THEN '444' ELSE 'mono' END AS chroma,
+            CASE WHEN cm = 0 THEN (w // 2) * (h // 2) WHEN cm = 1 THEN w * h ELSE 0 END AS cn
+          FROM cfg
+        ), fr AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT doc_id, w, h, nf, chroma, cn,
+              unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS frame_idx
+            FROM cfg2)
+          WHERE frame_idx % 2 = 0
+        ), ypix AS (
+          SELECT doc_id, frame_idx,
+            unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+          FROM fr
+        ), ym AS (
+          SELECT doc_id, frame_idx,
+            sum(${Determinism.duckHash(
+              "'y4mp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':y:' || CAST(i AS VARCHAR)")} % 256) AS sy
+          FROM ypix GROUP BY doc_id, frame_idx
+        ), cpix AS (
+          SELECT doc_id, frame_idx,
+            unnest(generate_series(0, CAST(cn - 1 AS BIGINT))) AS i
+          FROM fr WHERE cn > 0
+        ), cmn AS (
+          SELECT doc_id, frame_idx,
+            sum(${Determinism.duckHash(
+              "'y4mp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':u:' || CAST(i AS VARCHAR)")} % 256) AS su,
+            sum(${Determinism.duckHash(
+              "'y4mp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':v:' || CAST(i AS VARCHAR)")} % 256) AS sv
+          FROM cpix GROUP BY doc_id, frame_idx
+        )
+        SELECT f.doc_id, f.chroma, CAST(f.w AS BIGINT) AS w, CAST(f.h AS BIGINT) AS h,
+          CAST(f.nf AS BIGINT) AS n_frames, CAST(f.nf * 40 AS BIGINT) AS duration_ms,
+          CAST(f.frame_idx AS BIGINT) AS frame_idx,
+          CAST(ym.sy // (f.w * f.h) AS BIGINT) AS mean_y,
+          CAST(COALESCE(c.su // f.cn, 0) AS BIGINT) AS mean_cb,
+          CAST(COALESCE(c.sv // f.cn, 0) AS BIGINT) AS mean_cr
+        FROM fr f JOIN ym ON ym.doc_id = f.doc_id AND ym.frame_idx = f.frame_idx
+        LEFT JOIN cmn c ON c.doc_id = f.doc_id AND c.frame_idx = f.frame_idx""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

@@ -652,6 +652,61 @@ class SourcesSpec extends AnyFunSuite {
     for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
   }
 
+  test("y4m decode: exact plane means, chroma modes, header variants, refusal, fuzz") {
+    import graft.operators.MediaCodecs
+    // 2x2, 420jpeg: Y [10,20,30,40] -> 25; Cb [7] -> 7; Cr [9] -> 9;
+    // second frame Y [1,2,3,5] -> 2 (floor 11/4)
+    val b = MediaCodecs.encodeY4m(2, 2, 25, 1, "420jpeg", Seq(
+      (Seq(10, 20, 30, 40), Seq(7), Seq(9)),
+      (Seq(1, 2, 3, 5), Seq(200), Seq(255))))
+    assert(MediaCodecs.sniff(b) == "y4m")
+    val v = MediaCodecs.decodeY4m(b).get
+    assert(v.width == 2 && v.height == 2 && v.fpsNum == 25 && v.fpsDen == 1 &&
+      v.chroma == "420jpeg" && v.frames.size == 2)
+    assert(v.frames(0) == MediaCodecs.Y4mFrame(0, 25, 7, 9))
+    assert(v.frames(1) == MediaCodecs.Y4mFrame(1, 2, 200, 255))
+    assert(v.durationMs == 80L) // 2 frames / 25 fps
+    val d = MediaCodecs.decode(b).get
+    assert(d.kind == "y4m" && d.channels == 3 && d.nSamples == 2 &&
+      d.durationMs == 80L && d.meanR == 25 && d.meanG == 7 && d.meanB == 9)
+    // 444: full-size chroma planes; mono: none, chroma means report 0
+    val v444 = MediaCodecs.decodeY4m(MediaCodecs.encodeY4m(2, 1, 30, 1, "444",
+      Seq((Seq(100, 200), Seq(1, 3), Seq(5, 6))))).get
+    assert(v444.frames == Seq(MediaCodecs.Y4mFrame(0, 150, 2, 5)))
+    val vMono = MediaCodecs.decodeY4m(MediaCodecs.encodeY4m(3, 1, 30, 1, "mono",
+      Seq((Seq(9, 10, 12), Nil, Nil)))).get
+    assert(vMono.frames == Seq(MediaCodecs.Y4mFrame(0, 10, 0, 0)))
+    assert(MediaCodecs.decode(MediaCodecs.encodeY4m(3, 1, 30, 1, "mono",
+      Seq((Seq(9, 10, 12), Nil, Nil)))).get.channels == 1)
+    // header variants: X metadata token, double spaces, FRAME parameters,
+    // C absent (420jpeg default), fractional fps
+    val hdr = "YUV4MPEG2 W2 H2  F30000:1001 Ip A1:1 Xcolorrange=FULL\n"
+    val manual = hdr.getBytes("US-ASCII") ++ "FRAME Ximeta\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 7, 9)
+    val vm = MediaCodecs.decodeY4m(manual).get
+    assert(vm.chroma == "420jpeg" && vm.fpsNum == 30000 && vm.fpsDen == 1001 &&
+      vm.frames == Seq(MediaCodecs.Y4mFrame(0, 25, 7, 9)))
+    // refusal: odd dims for subsampled modes, truncated frame, zero
+    // frames, unterminated header, unknown chroma, junk after frames
+    assert(MediaCodecs.decodeY4m(
+      "YUV4MPEG2 W3 H2 F25:1 C420jpeg\nFRAME\n".getBytes("US-ASCII") ++
+        new Array[Byte](9)).isEmpty)
+    assert(MediaCodecs.decodeY4m(b.dropRight(1)).isEmpty)
+    assert(MediaCodecs.decodeY4m("YUV4MPEG2 W2 H2 F25:1\n".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.decodeY4m("YUV4MPEG2 W2 H2 F25:1".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.decodeY4m(
+      "YUV4MPEG2 W2 H2 F25:1 C999\nFRAME\n".getBytes("US-ASCII") ++
+        new Array[Byte](6)).isEmpty)
+    assert(MediaCodecs.decodeY4m(b ++ Array[Byte](0x55)).isEmpty)
+    // never-throw fuzz: mutations and truncations
+    val rnd = new java.util.Random(0x59344d)
+    for (_ <- 0 until 300) {
+      val x = b.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decode(x)
+    }
+    for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
+  }
+
   test("gif/mp3 decoders never throw: mutations and truncations of valid files") {
     import graft.operators.MediaCodecs
     val rnd = new scala.util.Random(0x5eed)

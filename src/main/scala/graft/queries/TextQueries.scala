@@ -767,6 +767,95 @@ object TextQueries extends QueryModule {
           est AS ${Sketches.duckCmsEstimate("ex", "sk")}
           SELECT ex.q AS term, ex.exact_cnt, est.cms_est
           FROM ex JOIN est ON ex.q = est.q"""
+      }),
+
+    QueryDef("q133_url_curation",
+      // the URL hygiene layer of a web-crawl pipeline (C4 dedupes by
+      // normalized URL; RefinedWeb caps and blocks by registered
+      // domain), over hash-synthesized crawl URLs exercising every
+      // normalization rule: mixed-case hosts, default ports, trailing
+      // slashes, tracking params (utm_*/fbclid) in shuffled order,
+      // fragments, and 1-/2-level public suffixes. normalizeUrl /
+      // registeredDomain are pure column algebra (functions.UrlFunctions
+      // — codegen'd string/regex/array expressions, no UDF); the
+      // blocklist is an isin literal and the per-domain frequency cap
+      // (keep 3 seeded-rank docs per registered domain) is the one keyed
+      // window. DuckDB recomputes the whole layer through the operator's
+      // own SQL twins — normalization and suffix rules edit in ONE place.
+      (s, dir) => {
+        import graft.functions.UrlFunctions
+        import org.apache.spark.sql.expressions.Window
+        def draw(st: String, m: Int) =
+          pmod(Determinism.seeded(st, col("doc_id")), lit(m.toLong))
+        val scheme = when(draw("us", 2) === 0, lit("https")).otherwise(lit("http"))
+        val sub = element_at(array(lit(""), lit("www."), lit("WWW."), lit("cdn.")),
+          (draw("uc", 4) + 1).cast("int"))
+        val sfx = element_at(
+          array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.uk")),
+          (draw("ux", 5) + 1).cast("int"))
+        val port = when(draw("up", 4) === 0,
+          when(scheme === "https", lit(":443")).otherwise(lit(":80"))).otherwise(lit(""))
+        val qs = element_at(array(lit(""), lit("?utm_source=tw&b=2&a=1"),
+          lit("?b=2&a=1"), lit("?a=1&utm_campaign=z&fbclid=x1")),
+          (draw("uq", 4) + 1).cast("int"))
+        val raw = concat(scheme, lit("://"), sub, lit("site"), draw("ub", 40),
+          lit("."), sfx, port, lit("/p"), draw("ua", 50),
+          when(draw("ut", 3) === 0, lit("/")).otherwise(lit("")), qs,
+          when(draw("uf", 5) === 0, lit("#sec2")).otherwise(lit("")))
+        val blocked = Seq("site7.com", "site13.co.uk", "site21.org")
+        val w = Window.partitionBy(col("reg_domain"))
+          .orderBy(Determinism.seeded("ucap", col("doc_id")), col("doc_id"))
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .withColumn("raw_url", raw)
+          .withColumn("norm_url", UrlFunctions.normalizeUrl(col("raw_url")))
+          .withColumn("reg_domain",
+            UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("raw_url"))))
+          .withColumn("blocked", col("reg_domain").isInCollection(blocked).cast("long"))
+          .withColumn("drank", row_number().over(w).cast("long"))
+          .withColumn("kept",
+            (col("blocked") === 0 && col("drank") <= 3).cast("long"))
+      },
+      Some {
+        import graft.functions.UrlFunctions
+        def d(st: String) = Determinism.duckSeeded(st, "doc_id")
+        s"""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN ${d("us")} % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+            (['', 'www.', 'WWW.', 'cdn.'])[CAST(${d("uc")} % 4 AS INT) + 1] AS sub,
+            (['com', 'org', 'co.uk', 'io', 'ac.uk'])[CAST(${d("ux")} % 5 AS INT) + 1] AS sfx,
+            ${d("up")} % 4 AS updraw,
+            CAST(${d("ub")} % 40 AS VARCHAR) AS ub,
+            CAST(${d("ua")} % 50 AS VARCHAR) AS ua,
+            ${d("ut")} % 3 AS utdraw,
+            (['', '?utm_source=tw&b=2&a=1', '?b=2&a=1',
+              '?a=1&utm_campaign=z&fbclid=x1'])[CAST(${d("uq")} % 4 AS INT) + 1] AS qs,
+            ${d("uf")} % 5 AS ufdraw
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+            scheme || '://' || sub || 'site' || ub || '.' || sfx ||
+            (CASE WHEN updraw = 0 THEN
+              (CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END) ELSE '' END) ||
+            '/p' || ua || (CASE WHEN utdraw = 0 THEN '/' ELSE '' END) || qs ||
+            (CASE WHEN ufdraw = 0 THEN '#sec2' ELSE '' END) AS raw_url
+          FROM d
+        ), n AS (
+          SELECT doc_id, raw_url,
+            ${UrlFunctions.duckNormalizeUrl("raw_url")} AS norm_url,
+            ${UrlFunctions.duckRegisteredDomain(UrlFunctions.duckHostOf("raw_url"))} AS reg_domain
+          FROM r
+        ), f AS (
+          SELECT doc_id, raw_url, norm_url, reg_domain,
+            CASE WHEN reg_domain IN ('site7.com', 'site13.co.uk', 'site21.org')
+              THEN 1 ELSE 0 END AS blocked,
+            row_number() OVER (PARTITION BY reg_domain
+              ORDER BY ${d("ucap")}, doc_id) AS drank
+          FROM n
+        )
+        SELECT doc_id, raw_url, norm_url, reg_domain,
+          CAST(blocked AS BIGINT) AS blocked, CAST(drank AS BIGINT) AS drank,
+          CAST(CASE WHEN blocked = 0 AND drank <= 3 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM f"""
       })
   )
 

@@ -192,4 +192,38 @@ class TextFunctionsSpec extends AnyFunSuite {
       c1.select(col("cid"), col("cemb")))
     assert(asMap(c2) == asMap(c1))
   }
+
+  test("normalizeUrl: each rule pinned") {
+    import graft.functions.UrlFunctions
+    def n(u: String) = eval1(UrlFunctions.normalizeUrl(lit(u)))
+    // case + default port + trailing slash + tracking params + fragment
+    assert(n("HTTPS://WWW.Site5.Co.UK:443/a/b/?utm_source=x&b=2&a=1#frag")
+      == "https://www.site5.co.uk/a/b?a=1&b=2")
+    // non-default port survives; param order sorts bytewise
+    assert(n("http://h.com:8080/p?z=1&a=2") == "http://h.com:8080/p?a=2&z=1")
+    // default http port drops, https :80 does NOT (not the default)
+    assert(n("http://h.com:80/p") == "http://h.com/p")
+    assert(n("https://h.com:80/p") == "https://h.com:80/p")
+    // root path collapses; all-tracking query drops the '?'
+    assert(n("https://h.io/") == "https://h.io")
+    assert(n("https://h.io/x?utm_a=1&utm_b=2&fbclid=z&gclid=q") == "https://h.io/x")
+    // utm must be a PREFIX of the param, not a substring
+    assert(n("http://h.com/p?xutm_a=1") == "http://h.com/p?xutm_a=1")
+    // bare authority, no path/query
+    assert(n("http://H.com") == "http://h.com")
+  }
+
+  test("registeredDomain: longest-suffix rule") {
+    import graft.functions.UrlFunctions
+    def r(h: String) = eval1(UrlFunctions.registeredDomain(lit(h)))
+    assert(r("cdn.a.site5.co.uk") == "site5.co.uk") // two-level suffix -> 3 labels
+    assert(r("www.site5.com") == "site5.com") // top-level suffix -> 2 labels
+    assert(r("site5.io") == "site5.io")
+    assert(r("internal-host") == "internal-host") // no dot: pass through
+    assert(r("co.uk") == "co.uk") // the bare suffix has no registrable label
+    assert(r("site5.example") == "site5.example") // unknown TLD: pass through
+    assert(eval1(UrlFunctions.registeredDomain(
+      UrlFunctions.hostOf(lit("https://WWW.Site5.AC.uk:443/p?q=1#f"))))
+      == "site5.ac.uk")
+  }
 }

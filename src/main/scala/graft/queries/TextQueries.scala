@@ -856,6 +856,63 @@ object TextQueries extends QueryModule {
           CAST(blocked AS BIGINT) AS blocked, CAST(drank AS BIGINT) AS drank,
           CAST(CASE WHEN blocked = 0 AND drank <= 3 THEN 1 ELSE 0 END AS BIGINT) AS kept
         FROM f"""
+      }),
+
+    QueryDef("q134_domain_centrality",
+      // link-graph quality prior (operators.LinkGraph): bounded-hop
+      // harmonic centrality over the q133 corpus's DOMAIN graph — the
+      // ranking Common Crawl publishes per host and crawl pipelines use
+      // as a per-domain prior. The graph: 10% of documents are "linking
+      // pages", each emitting 2 edges from its registered domain to the
+      // domain of a hash-picked target document (the same ub/ux domain
+      // streams as q133, so this IS that corpus's graph). Distance-k
+      // pairs come from k-1 sparse self-joins with per-hop left_anti +
+      // checkpoint cuts (the q93 shape); contributions are exact
+      // floor(1e6/k) integers. DuckDB replays the hop algebra through
+      // the operator's own CTE twin.
+      (s, dir) => {
+        import graft.operators.LinkGraph
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val nDocs = docs.count()
+        val domCol = concat(lit("site"),
+          pmod(Determinism.seeded("ub", col("doc_id")), lit(40L)), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.uk")),
+            (pmod(Determinism.seeded("ux", col("doc_id")), lit(5L)) + 1).cast("int")))
+        val dom = docs.withColumn("d", domCol)
+        val tgt = docs
+          .filter(pmod(Determinism.seeded("lnksel", col("doc_id")), lit(10L)) === 0)
+          .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("k"))
+          .withColumn("t", pmod(Determinism.portableHash(
+            concat(lit("lnk"), col("k").cast("string"), lit(":"),
+              col("doc_id").cast("string"))), lit(nDocs)))
+        val edges = tgt
+          .join(dom.select(col("doc_id"), col("d").as("src")), "doc_id")
+          .join(dom.select(col("doc_id").as("t"), col("d").as("dst")), "t")
+          .select(col("src"), col("dst"))
+        LinkGraph.boundedHarmonic(dom.select(col("d").as("node")), edges, 3)
+          .withColumnRenamed("node", "domain")
+      },
+      Some {
+        import graft.operators.LinkGraph
+        def d(st: String) = Determinism.duckSeeded(st, "doc_id")
+        s"""WITH dom AS MATERIALIZED (
+          SELECT doc_id,
+            'site' || CAST(${d("ub")} % 40 AS VARCHAR) || '.' ||
+            (['com', 'org', 'co.uk', 'io', 'ac.uk'])[CAST(${d("ux")} % 5 AS INT) + 1] AS dm
+          FROM documents
+        ), tgt AS (
+          SELECT doc_id, k.k,
+            ${Determinism.duckHash(
+              "'lnk' || CAST(k.k AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} %
+              (SELECT count(*) FROM documents) AS t
+          FROM documents, (SELECT unnest([0, 1]) AS k) k
+          WHERE ${d("lnksel")} % 10 = 0
+        ), edges0 AS (
+          SELECT d1.dm AS src, d2.dm AS dst
+          FROM tgt JOIN dom d1 ON d1.doc_id = tgt.doc_id
+          JOIN dom d2 ON d2.doc_id = tgt.t
+        ), ${LinkGraph.duckBoundedHarmonic3("edges0", "(SELECT dm AS node FROM dom)")}
+        SELECT node AS domain, n1, n2, n3, h_e6 FROM hfinal"""
       })
   )
 

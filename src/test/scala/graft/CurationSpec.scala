@@ -379,4 +379,35 @@ class CurationSpec extends AnyFunSuite {
     val (bg, ctx, v) = NgramLm.train(model, "text")
     invariantUnderRepartition(NgramLm.score(_, "doc_id", "text", bg, ctx, v), cands)
   }
+
+  test("boundedHarmonic: hand-computed path, cycle, dup/self edges, isolated node") {
+    import graft.operators.LinkGraph
+    // path a->b->c->d (+ a dup edge and a self-loop that must be ignored),
+    // plus isolated node x
+    val nodes = Seq("a", "b", "c", "d", "x").toDF("node")
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = LinkGraph.boundedHarmonic(nodes, edges, 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("a") == ((0L, 0L, 0L, 0L)))
+    assert(got("b") == ((1L, 0L, 0L, 1000000L))) // from a at 1
+    assert(got("c") == ((1L, 1L, 0L, 1500000L))) // b at 1, a at 2
+    assert(got("d") == ((1L, 1L, 1L, 1833333L))) // c at 1, b at 2, a at 3
+    assert(got("x") == ((0L, 0L, 0L, 0L)))
+    // 3-cycle: every node sees the other two at distances 1 and 2 —
+    // and the k-hop frontier must NOT relabel an already-reached pair
+    // with a longer distance (a->a at 3 is excluded as self)
+    val cyc = LinkGraph.boundedHarmonic(
+      Seq("p", "q", "r").toDF("node"),
+      Seq(("p", "q"), ("q", "r"), ("r", "p")).toDF("src", "dst"), 3).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(cyc == Map("p" -> 1500000L, "q" -> 1500000L, "r" -> 1500000L))
+    // hop monotonicity: widening the bound never lowers h_e6
+    val h2 = LinkGraph.boundedHarmonic(nodes, edges, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val h3 = LinkGraph.boundedHarmonic(nodes, edges, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(h2.forall { case (n, h) => h <= h3(n) })
+  }
 }

@@ -33,11 +33,16 @@ package graft.operators
   *     REAL video sample decode: uncompressed planar YUV frames, header
   *     + FRAME walk, per-frame exact plane means — the frame-sampling
   *     lane a training pipeline strides over (q132).
+  *   - FLAC — REAL full-PCM decode of a COMPRESSED audio container
+  *     (see [[Flac]]): bit-level framing, CRC-8/16 verification,
+  *     Rice-coded residuals, fixed + LPC predictors, stereo
+  *     decorrelation — all algorithmic, no spec constant tables.
   *
-  * COMPRESSED video sample data (MP4 payloads) and full MP3 PCM still
-  * route to the opaque byte-stat fallback — decoding those genuinely
-  * needs a codec library that is not in this container (MP4 *metadata*
-  * is a real box walk). The dispatcher sniffs magic bytes, and
+  * COMPRESSED video sample data (MP4 payloads) and MP3 PCM still route
+  * to the opaque byte-stat fallback — decoding those genuinely needs
+  * codec tables/libraries that are not in this container (MP4
+  * *metadata* is a real box walk; lossless-compressed audio PCM is
+  * real via FLAC). The dispatcher sniffs magic bytes, and
   * ANY structural violation (truncation, wrong bpp, non-PCM, overflow)
   * degrades to the fallback instead of throwing: a 100 TB media scan must
   * never die on one corrupt payload.
@@ -70,8 +75,30 @@ object MediaCodecs {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Fold a decoded FLAC stream into the shared feature row — the
+    * [[decodeWav]] audio semantics: RMS over all samples (channel-
+    * interleaved), full scale 2^(bps−1)−1. */
+  def flacToDecoded(a: Flac.FlacAudio): Decoded = {
+    val total = a.nSamples * a.channels
+    if (total == 0L)
+      Decoded("flac", channels = a.channels, sampleRate = a.sampleRate)
+    else {
+      var sumSq = 0L
+      a.samples.foreach { ch =>
+        var i = 0
+        while (i < ch.length) { sumSq += ch(i).toLong * ch(i); i += 1 }
+      }
+      val fullScale = ((1L << (a.bps - 1)) - 1).toDouble
+      val rmsE3 =
+        math.floor(1000.0 * math.sqrt(sumSq.toDouble / total) / fullScale).toLong
+      Decoded("flac", channels = a.channels, sampleRate = a.sampleRate,
+        nSamples = a.nSamples, durationMs = a.nSamples * 1000L / a.sampleRate,
+        rmsE3 = rmsE3)
+    }
+  }
+
   /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | gif | mp3 | mp4 |
-    * y4m | opaque. */
+    * y4m | flac | opaque. */
   def sniff(b: Array[Byte]): String =
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "P6")) "ppm"
@@ -83,6 +110,7 @@ object MediaCodecs {
       (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xfe) == 0xfa)) "mp3"
     else if (ascii(b, 4, "ftyp")) "mp4"
     else if (ascii(b, 0, "YUV4MPEG2")) "y4m"
+    else if (ascii(b, 0, "fLaC")) "flac"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -101,6 +129,7 @@ object MediaCodecs {
       case "mp3" => decodeMp3Meta(b)
       case "mp4" => decodeMp4Meta(b).map(_.toDecoded)
       case "y4m" => decodeY4m(b).map(_.toDecoded)
+      case "flac" => Flac.decode(b).map(flacToDecoded)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 

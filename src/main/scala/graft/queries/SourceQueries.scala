@@ -823,6 +823,59 @@ object SourceQueries extends QueryModule {
         FROM fr f JOIN ym ON ym.doc_id = f.doc_id AND ym.frame_idx = f.frame_idx
         LEFT JOIN cmn c ON c.doc_id = f.doc_id AND c.frame_idx = f.frame_idx""")),
 
+    QueryDef("q135_flac_real_decode",
+      // REAL full-PCM decode of a COMPRESSED audio container
+      // (operators.Flac — from-scratch: bit framing, CRC-8/16 verify,
+      // Rice residuals, fixed predictors, mid/side decorrelation): each
+      // document's hash-derived samples FLAC-encode under a hash-picked
+      // coding config (channel count, predictor order incl. verbatim,
+      // mid/side) and decode through the real parser. FLAC is LOSSLESS,
+      // so the coding config cannot move a single value — DuckDB
+      // recomputes duration and RMS arithmetically from the same hash
+      // draws with no tolerance band (the q79 WAV idiom through a
+      // genuinely compressed container).
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val ch = 1 + (Determinism.jvmHash(s"flcc:$id") % 2L).toInt
+            val order = (Determinism.jvmHash(s"flco:$id") % 6L).toInt - 1 // -1..4
+            val ms = ch == 2 && Determinism.jvmHash(s"flcm:$id") % 2L == 0L
+            val chans = (0 until ch).map(c => (0 until 240).map(i =>
+              (Determinism.jvmHash(s"flcs:$id:$c:$i") % 4001L - 2000L).toInt))
+            Multimodal.MediaRow(id, "audio/flac",
+              graft.operators.Flac.encode(8000, 16, chans,
+                blockSize = 192, order = order, midSide = ms), 0, 0)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("duration_ms"), col("rms_e3"))
+      },
+      Some(s"""WITH cfg AS (
+          SELECT doc_id,
+            1 + (${Determinism.duckHash("'flcc:' || CAST(doc_id AS VARCHAR)")} % 2) AS ch
+          FROM documents
+        ), smp AS (
+          SELECT doc_id, ch,
+            CAST(${Determinism.duckHash(
+              "'flcs:' || CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 4001 - 2000
+              AS BIGINT) AS s
+          FROM (SELECT doc_id, ch, unnest(generate_series(0, CAST(ch - 1 AS BIGINT))) AS c
+                FROM cfg),
+            unnest(generate_series(0, 239)) AS g(i)
+        ), agg AS (
+          SELECT doc_id, sum(s * s) AS ss, count(*) AS n FROM smp GROUP BY doc_id
+        )
+        SELECT c.doc_id, 'flac' AS kind, CAST(c.ch AS BIGINT) AS channels,
+          CAST(8000 AS BIGINT) AS sample_rate, CAST(240 AS BIGINT) AS n_samples,
+          CAST(30 AS BIGINT) AS duration_ms,
+          CAST(floor(1000.0 * sqrt(CAST(a.ss AS DOUBLE) / a.n) / 32767.0) AS BIGINT) AS rms_e3
+        FROM cfg c JOIN agg a ON a.doc_id = c.doc_id""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

@@ -707,6 +707,65 @@ class SourcesSpec extends AnyFunSuite {
     for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
   }
 
+  test("flac codec: lossless round-trips across modes, CRC verification, refusal, fuzz") {
+    import graft.operators.{Flac, MediaCodecs}
+    def pcm(n: Int, seed: Int): Seq[Int] =
+      Seq.tabulate(n)(i => (((i.toLong * 2654435761L + seed * 97L) % 4001L) - 2000L).toInt)
+    // mono 16-bit: VERBATIM (-1) and every FIXED order round-trip exactly
+    for (order <- -1 to 4) {
+      val src = pcm(400, order + 7)
+      val b = Flac.encode(8000, 16, Seq(src), blockSize = 192, order = order)
+      val a = Flac.decode(b).get
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.bps == 16, s"order $order")
+      assert(a.samples(0).toSeq == src, s"order $order")
+    }
+    // Rice partition orders subdivide the residual exactly
+    for (po <- 1 to 3) {
+      val src = pcm(384, po)
+      val a = Flac.decode(Flac.encode(8000, 16, Seq(src),
+        blockSize = 192, order = 2, partOrder = po)).get
+      assert(a.samples(0).toSeq == src, s"partOrder $po")
+    }
+    // stereo: independent and mid/side (odd L+R sums exercise the
+    // lost-bit reconstruction), both lossless
+    val l = pcm(300, 11); val r = pcm(300, 12).map(_ + 1) // force odd sums too
+    for (ms <- Seq(false, true)) {
+      val a = Flac.decode(Flac.encode(44100, 16, Seq(l, r),
+        blockSize = 192, order = 2, midSide = ms)).get
+      assert(a.channels == 2 && a.samples(0).toSeq == l && a.samples(1).toSeq == r,
+        s"midSide $ms")
+    }
+    // 8-bit depth
+    val s8 = Seq.tabulate(200)(i => (i % 251) - 125)
+    assert(Flac.decode(Flac.encode(8000, 8, Seq(s8), order = 1))
+      .get.samples(0).toSeq == s8)
+    // constant signal (order-0 residuals all equal -> tiny rice stream)
+    val const = Seq.fill(250)(-37)
+    assert(Flac.decode(Flac.encode(8000, 16, Seq(const), order = 0))
+      .get.samples(0).toSeq == const)
+    // the shared feature row: FLAC of the same samples reports the SAME
+    // rms/duration as the WAV lane (two independent code paths agree)
+    val src = pcm(320, 42)
+    val viaFlac = MediaCodecs.decode(Flac.encode(8000, 16, Seq(src), order = 2)).get
+    val viaWav = MediaCodecs.decode(MediaCodecs.encodeWavPcm16(1, 8000, src)).get
+    assert(viaFlac.kind == "flac" && viaWav.kind == "wav")
+    assert(viaFlac.rmsE3 == viaWav.rmsE3 && viaFlac.nSamples == viaWav.nSamples &&
+      viaFlac.durationMs == viaWav.durationMs)
+    // integrity: a flipped payload byte fails a CRC -> None (never throws)
+    val good = Flac.encode(8000, 16, Seq(src), order = 2)
+    val tampered = good.clone(); tampered(good.length - 3) = (tampered(good.length - 3) ^ 0x40).toByte
+    assert(Flac.decode(tampered).isEmpty)
+    // truncation refuses (declared total samples never arrive)
+    assert(Flac.decode(good.dropRight(8)).isEmpty)
+    // never-throw fuzz: mutations and truncations
+    val rnd = new java.util.Random(0xf1ac)
+    for (_ <- 0 until 300) {
+      val x = good.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decode(x)
+    }
+    for (cut <- 0 until good.length) MediaCodecs.decode(good.take(cut))
+  }
+
   test("gif/mp3 decoders never throw: mutations and truncations of valid files") {
     import graft.operators.MediaCodecs
     val rnd = new scala.util.Random(0x5eed)

@@ -16,6 +16,29 @@ object SourceQueries extends QueryModule {
 
   private val FixDir = "/tmp/graft_fixtures"
 
+  private def ensureWarcFixture(): String = {
+    import graft.sources.WarcSource.WarcRecord
+    val root = Paths.get(FixDir, "warc")
+    Files.createDirectories(root)
+    val recs = Seq(
+      WarcRecord("warcinfo", "", "2025-03-01T00:00:00Z", "<urn:uuid:info1>",
+        0, "", "software: graft-fixture\r\n"),
+      WarcRecord("response",
+        "HTTPS://WWW.Example5.co.uk:443/a/b/?utm_source=x&b=2&a=1#f",
+        "2025-03-01T10:00:00Z", "<urn:uuid:r1>", 200, "text/html",
+        "Hello crawl one."),
+      WarcRecord("request", "https://www.example5.co.uk/a/b/",
+        "2025-03-01T10:00:00Z", "<urn:uuid:q1>", 0, "", "GET /a/b/ HTTP/1.1\r\n"),
+      WarcRecord("response", "http://news.example9.com:80/story?id=7",
+        "2025-03-02T11:30:00Z", "<urn:uuid:r2>", 404, "text/plain",
+        "Missing page."),
+      WarcRecord("response", "https://blog.site3.io/post/",
+        "2025-03-03T09:15:00Z", "<urn:uuid:r3>", 200, "text/html",
+        "Another page body."))
+    Files.write(root.resolve("seg0.warc"), graft.sources.WarcSource.encode(recs))
+    root.toString
+  }
+
   private def ensureCsvFixture(): String = {
     val p = Paths.get(FixDir, "csv_role.csv")
     Files.createDirectories(p.getParent)
@@ -131,6 +154,37 @@ object SourceQueries extends QueryModule {
     )"""
 
   val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q136_warc_source",
+      // the Common Crawl ingest container (sources.WarcSource — real
+      // WARC/1.x record walk: version line, CRLF headers,
+      // Content-Length blocks, HTTP response splitting, gzip members,
+      // malformed-record resync) composed with the q133 URL layer:
+      // response records surface as (url, normalized url, registered
+      // domain, date, status, mime, body) rows — the exact front door
+      // of a web-crawl curation pipeline. Oracle = literal VALUES with
+      // hand-normalized URLs (the q70 fixture idiom).
+      (s, dir) => {
+        import graft.functions.UrlFunctions
+        val root = ensureWarcFixture()
+        WarcSource.readResponses(s, root)
+          .select(col("rec_idx"), col("url"),
+            UrlFunctions.normalizeUrl(col("url")).as("norm_url"),
+            UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")))
+              .as("reg_domain"),
+            col("date"), col("status"), col("mime"), col("body"))
+      },
+      Some("""SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'HTTPS://WWW.Example5.co.uk:443/a/b/?utm_source=x&b=2&a=1#f',
+         'https://www.example5.co.uk/a/b?a=1&b=2', 'example5.co.uk',
+         '2025-03-01T10:00:00Z', CAST(200 AS BIGINT), 'text/html', 'Hello crawl one.'),
+        (CAST(3 AS BIGINT), 'http://news.example9.com:80/story?id=7',
+         'http://news.example9.com/story?id=7', 'example9.com',
+         '2025-03-02T11:30:00Z', CAST(404 AS BIGINT), 'text/plain', 'Missing page.'),
+        (CAST(4 AS BIGINT), 'https://blog.site3.io/post/',
+         'https://blog.site3.io/post', 'site3.io',
+         '2025-03-03T09:15:00Z', CAST(200 AS BIGINT), 'text/html', 'Another page body.')
+        ) t(rec_idx, url, norm_url, reg_domain, date, status, mime, body)""")),
 
     QueryDef("q70_csv_source",
       (s, dir) => {

@@ -707,6 +707,62 @@ class SourcesSpec extends AnyFunSuite {
     for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
   }
 
+  test("warc: round-trip, gzip members, malformed-record resync, spark lane, fuzz") {
+    import graft.sources.WarcSource
+    import graft.sources.WarcSource.WarcRecord
+    val recs = Seq(
+      WarcRecord("warcinfo", "", "2025-01-01T00:00:00Z", "<urn:uuid:i>", 0, "",
+        "software: x\r\n"),
+      WarcRecord("response", "http://a.com/p", "2025-01-02T00:00:00Z", "<urn:uuid:1>",
+        200, "text/html", "Body one."),
+      WarcRecord("request", "http://a.com/p", "2025-01-02T00:00:00Z", "<urn:uuid:2>",
+        0, "", "GET /p HTTP/1.1\r\n"),
+      WarcRecord("response", "https://b.org/q", "2025-01-03T00:00:00Z", "<urn:uuid:3>",
+        404, "text/plain", "Gone.\r\nReally gone."))
+    val plain = WarcSource.encode(recs)
+    val (got, skipped) = WarcSource.parse(plain)
+    assert(skipped == 0 && got == recs)
+    // single-member gzip and CONCATENATED per-record members (the
+    // Common Crawl layout) both inflate to the same records
+    val gz1 = WarcSource.gzip(plain)
+    val gzN = recs.map(r => WarcSource.gzip(WarcSource.encode(Seq(r))))
+      .reduce(_ ++ _)
+    assert(WarcSource.parse(gz1) == ((recs, 0)))
+    assert(WarcSource.parse(gzN) == ((recs, 0)))
+    // a record whose declared Content-Length runs past the file is
+    // SKIPPED and the parser resyncs to the next record
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nxx")
+      .getBytes("UTF-8")
+    val (got2, skipped2) = WarcSource.parse(
+      WarcSource.encode(recs.take(2)) ++ bad ++ WarcSource.encode(recs.drop(3)))
+    assert(got2 == recs.take(2) ++ recs.drop(3) && skipped2 == 1)
+    // bad version line is skipped the same way
+    val badv = "WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes("UTF-8")
+    val (got3, skipped3) = WarcSource.parse(badv ++ WarcSource.encode(recs.take(2)))
+    assert(got3 == recs.take(2) && skipped3 == 1)
+    // spark lane: plain file and its gzip twin produce identical rows
+    val dir = java.nio.file.Files.createTempDirectory("warcspec")
+    java.nio.file.Files.write(dir.resolve("a.warc"), plain)
+    val dirGz = java.nio.file.Files.createTempDirectory("warcspecgz")
+    java.nio.file.Files.write(dirGz.resolve("a.warc.gz"), gz1)
+    val s = TestSpark.spark
+    def rows(d: java.nio.file.Path) =
+      WarcSource.readResponses(s, d.toString).drop("path")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val pr = rows(dir)
+    assert(pr == rows(dirGz))
+    assert(pr.size == 2) // only the response records
+    // never-throw fuzz: mutations and truncations of BOTH the plain
+    // and the gzipped form (the compression layer must degrade, not die)
+    val rnd = new java.util.Random(0x3a5c)
+    for (base <- Seq(plain, gz1); _ <- 0 until 300) {
+      val x = base.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      WarcSource.parse(x)
+    }
+    for (base <- Seq(plain, gz1); cut <- 0 until base.length by 7)
+      WarcSource.parse(base.take(cut))
+  }
+
   test("flac codec: lossless round-trips across modes, CRC verification, refusal, fuzz") {
     import graft.operators.{Flac, MediaCodecs}
     def pcm(n: Int, seed: Int): Seq[Int] =

@@ -348,4 +348,66 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(survived >= 990L && survived <= 1000L, s"survived = $survived")
     assert(CorpusStream.corpus(spark, stateDir).get.count() == kept0 + survived)
   }
+
+  test("flac + y4m decode complete at 100k payloads (narrow lane)") {
+    import spark.implicits._
+    import graft.operators.{Flac, MediaCodecs, Multimodal}
+    // full PCM through the compressed container (encode = fixed-order-2
+    // Rice, decode = the whole CRC-verified bit walk) plus raw-video
+    // frame walks — both must stay shuffle-free object pipelines
+    val media = spark.range(100000).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0) {
+          val pcm = (0 until 96).map(i => (((id * 37 + i * 13) % 4001) - 2000).toInt)
+          Multimodal.MediaRow(id, "audio/flac",
+            Flac.encode(8000, 16, Seq(pcm), blockSize = 96, order = 2), 0, 0)
+        } else {
+          val fr = (0 until 3).map(f =>
+            ((0 until 4).map(i => ((id + f * 31 + i) % 256).toInt),
+              Seq(((id + f) % 256).toInt), Seq(((id + f + 7) % 256).toInt)))
+          Multimodal.MediaRow(id, "video/y4m",
+            MediaCodecs.encodeY4m(2, 2, 25, 1, "420jpeg", fr), 2, 2)
+        }
+      }).toDF()
+    val decoded = Multimodal.extractDecoded(spark, media)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
+    val agg = decoded.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("flac" -> 50000L, "y4m" -> 50000L), s"unexpected kinds: $agg")
+  }
+
+  test("bounded harmonic centrality completes at 200k nodes (sparse web graph)") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    // 200k hosts, ~600k hash-derived edges (out-degree 3, power-law-ish
+    // target skew via the modulo square): three hops of sparse
+    // join+anti-join must complete with per-hop lineage cuts holding
+    // the plans flat
+    val nodes = spark.range(200000).select(concat(lit("h"), col("id")).as("node"))
+    val edges = spark.range(200000).select(col("id"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+      .select(concat(lit("h"), col("id")).as("src"),
+        concat(lit("h"), pmod(col("id") * 2654435761L + col("k") * 40503L,
+          when(pmod(col("id"), lit(10L)) < 7, lit(1000L)) // 70% into a hot head
+            .otherwise(lit(200000L))).cast("string")).as("dst"))
+    val h = LinkGraph.boundedHarmonic(nodes, edges, 3)
+    assert(h.count() == 200000L)
+    // the hot head must dominate the prior: top node by h_e6 is a head node
+    val top = h.orderBy(col("h_e6").desc).limit(1).collect()(0)
+    assert(top.getString(0).stripPrefix("h").toLong < 1000L)
+  }
+
+  test("warc parse completes at a 20k-record archive (single-file walk)") {
+    import graft.sources.WarcSource
+    import graft.sources.WarcSource.WarcRecord
+    // one segment with 20k response records (~2 MB): the sequential
+    // record walk within a file must stay linear; parallelism at scale
+    // comes from the many-segments binaryFile scan
+    val recs = (0 until 20000).map(i =>
+      WarcRecord("response", s"http://s$i.example.com/p$i", "2025-01-01T00:00:00Z",
+        s"<urn:uuid:$i>", 200, "text/html", s"body $i " + ("x" * 64)))
+    val bytes = WarcSource.gzip(WarcSource.encode(recs))
+    val (got, skipped) = WarcSource.parse(bytes)
+    assert(skipped == 0 && got.size == 20000 && got(19999).targetUri.endsWith("p19999"))
+  }
 }

@@ -63,6 +63,64 @@ object Mixing {
     weightedAllocation(ws, batch)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining" — the closed-form alternative to temperature
+    * sampling): given a token/record budget and a per-group epoch cap,
+    * walk groups ASCENDING by size; each gets
+    * `min(epochs · n, remaining_budget div remaining_groups)` and the
+    * unspent share rolls forward — small groups are capped at `epochs`
+    * passes (never oversampled into memorization) and the head
+    * languages absorb exactly the budget that remains. This integer
+    * form (floor division, (n, group) tie order) is the pinned
+    * deterministic variant; allocations never exceed `epochs · n` and
+    * never sum past `budget`.
+    *
+    * Scale: the walk is inherently sequential in #groups, so it runs
+    * as a driver fold over the #groups-bounded stats frame and returns
+    * a LocalRelation — the [[graft.sources.FileCorpusIndex]]
+    * `windowTakes` idiom; group counts are the only thing collected.
+    * [[duckUnimaxSql]] replays the walk as a recursive CTE. */
+  def unimaxAllocation(groups: DataFrame, budget: Long, epochs: Long): DataFrame = {
+    require(budget >= 0 && epochs >= 1, s"bad unimax params $budget/$epochs")
+    val spark = groups.sparkSession
+    import spark.implicits._
+    val rows = groups.select(col("group").cast("string"), col("n").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, n) => (n, g) }
+    require(rows.forall(_._2 > 0), "unimax groups need n > 0")
+    var rem = budget
+    val out = rows.zipWithIndex.map { case ((g, n), idx) =>
+      val b = rem / (rows.length - idx)
+      val u = math.min(epochs * n, b)
+      rem -= u
+      (g, n, u)
+    }
+    out.toSeq.toDF("group", "n", "alloc")
+  }
+
+  /** DuckDB twin of [[unimaxAllocation]]: full SELECT over `(groupsSrc)`
+    * — a relation with (group, n) — with `budget`/`epochs` SQL
+    * expressions spliced in; the sequential walk replays as a recursive
+    * CTE over the (n, group)-sorted rows. */
+  def duckUnimaxSql(groupsSrc: String, budgetSql: String, epochsSql: String): String =
+    s"""WITH RECURSIVE ord AS (
+        SELECT "group" AS g, n,
+          CAST(row_number() OVER (ORDER BY n, "group") AS BIGINT) AS rn,
+          CAST(count(*) OVER () AS BIGINT) AS tot
+        FROM $groupsSrc
+      ), walk AS (
+        SELECT CAST(0 AS BIGINT) AS rn, CAST(($budgetSql) AS BIGINT) AS rem,
+          CAST(0 AS BIGINT) AS alloc, '' AS g, CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT o.rn,
+          w.rem - least(($epochsSql) * o.n, w.rem // (o.tot - o.rn + 1)),
+          least(($epochsSql) * o.n, w.rem // (o.tot - o.rn + 1)),
+          o.g, o.n
+        FROM walk w JOIN ord o ON o.rn = w.rn + 1
+      )
+      SELECT g AS "group", n, alloc FROM walk WHERE rn > 0"""
+
   /** Exact proportional stratified sample: `total` slots are allocated
     * across strata by largest remainder over stratum sizes (so every
     * stratum's count is within 1 of `total * n_g / N`, and they sum to

@@ -92,6 +92,31 @@ object MetricsQueries extends QueryModule {
           CAST(flo + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS BIGINT) AS alloc
         FROM r""")),
 
+    QueryDef("q137_unimax_allocation",
+      // UniMax budget allocation (Chung et al. 2023) over the corpus's
+      // LANGUAGE distribution — the multilingual-pretraining mix that
+      // replaces temperature sampling (q53): every language is capped
+      // at `epochs` passes over its data, and the budget the capped
+      // tail leaves behind rolls forward into the head (en). Budget =
+      // 1.8x the corpus, epochs = 2, so BOTH branches bind: the four
+      // small languages hit their 2-epoch caps and English absorbs the
+      // remainder. The walk is a driver fold over the #languages frame
+      // (Mixing.unimaxAllocation); DuckDB replays it as a recursive CTE
+      // through the operator's own SQL twin.
+      (s, dir) => {
+        val groups = Tables.load(s, dir, "documents")
+          .groupBy(col("lang").as("group")).agg(count(lit(1)).as("n"))
+        val total = groups.agg(sum(col("n"))).collect()(0).getLong(0)
+        graft.operators.Mixing.unimaxAllocation(groups, 9L * total / 5L, 2L)
+          .select(col("group").as("lang"), col("n"), col("alloc"))
+      },
+      Some {
+        val inner = graft.operators.Mixing.duckUnimaxSql(
+          "(SELECT lang AS \"group\", CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang)",
+          "SELECT 9 * count(*) // 5 FROM documents", "2")
+        s"""SELECT "group" AS lang, n, alloc FROM ($inner) t"""
+      }),
+
     QueryDef("q43_weighted_allocation",
       (s, dir) => {
         val groups = Tables.load(s, dir, "documents")

@@ -295,10 +295,35 @@ class PropertySpec extends AnyFunSuite {
     assert(ah("small") > a1("small"))
     assert(ah("big") > ah("mid") && ah("mid") > ah("small"))
     // cross-engine determinism premise: the e6 sqrt weights are the
-    // IEEE-exact values the q132 oracle recomputes
+    // IEEE-exact values the q53 oracle recomputes
     val ws = graft.operators.Mixing.temperatureAllocation(counts, 500000L, batch)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ws == Map("big" -> 31622776L, "mid" -> 9486832L, "small" -> 3162277L))
+  }
+
+  test("unimax allocation: epoch caps, budget bound, saturation, hand-pinned walk") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def alloc(ns: Seq[(String, Long)], budget: Long, epochs: Long): Map[String, Long] =
+      graft.operators.Mixing.unimaxAllocation(ns.toDF("group", "n"), budget, epochs)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(1L, 500L)),
+      Gen.choose(0L, 5000L), Gen.choose(1L, 4L)) { (ns0, budget, epochs) =>
+      val ns = ns0.zipWithIndex.map { case (n, i) => (s"g$i", n) }
+      val a = alloc(ns, budget, epochs)
+      val byG = ns.toMap
+      // never past the epoch cap, never past the budget, nothing negative
+      a.forall { case (g, u) => u >= 0 && u <= epochs * byG(g) } &&
+        a.values.sum <= budget
+    })
+    // saturation: budget >= epochs * total means every group caps out
+    val ns = Seq(("a", 10L), ("b", 90L), ("c", 400L))
+    assert(alloc(ns, 2000L, 3L) == Map("a" -> 30L, "b" -> 270L, "c" -> 1200L))
+    // the q137 hand-pinned walk: tail caps bind, the head absorbs the rest
+    assert(alloc(Seq(("fr", 64L), ("de", 70L), ("es", 73L), ("zh", 75L), ("en", 218L)),
+      900L, 2L) == Map("fr" -> 128L, "de" -> 140L, "es" -> 146L,
+      "zh" -> 150L, "en" -> 336L))
   }
 
   test("denoiser wave rescue: output tokens are an ordered subset of the input") {

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.Demo --mode tokenize"    # tokenizer trio side by side
   * sbt "runMain graft.Demo --mode ann"         # vector index fit/encode/search + recall
   * sbt "runMain graft.Demo --mode intake"      # streaming corpus intake + dedup funnel
+  * sbt "runMain graft.Demo --mode crawl"       # WARC -> URL -> cap -> gate -> dedup funnel
   * sbt "runMain graft.Demo --reset ..."        # drop persisted state first
   * ```
   *
@@ -325,6 +326,73 @@ object Demo {
       }
   }
 
+  /** `--mode crawl`: the web-crawl front door end to end — gzipped WARC
+    * segments (a synthesized fixture crawl with planted spam domains,
+    * short pages, and cross-page duplicates) → the real record walk →
+    * URL normalization + registered domains → blocklist + per-domain
+    * frequency cap → token-count quality gate → exact content dedup.
+    * Prints the per-stage funnel and the kept-docs-per-domain head —
+    * the report a crawl-curation operator reads first. */
+  def crawlReport(spark: SparkSession, cfg: DemoConfig): Seq[String] = {
+    import graft.sources.WarcSource
+    import graft.sources.WarcSource.WarcRecord
+    import graft.functions.UrlFunctions
+    import graft.core.Determinism
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl")
+    val sfxs = Seq("com", "org", "co.uk")
+    (0 until 3).foreach { s =>
+      val recs = (0 until 60).map { i =>
+        val id = s * 60 + i
+        val h = Determinism.jvmHash(s"cw:$id")
+        val dom = s"site${h % 12}." + sfxs((h % 3).toInt)
+        val body =
+          if (id % 7 == 0) "short" // fails the quality gate
+          else if (id % 5 == 0)
+            s"this duplicate body is shared verbatim across many pages ${h % 4}"
+          else s"page $id body " +
+            Seq.tabulate(30)(j => s"w${(h + j) % 97}").mkString(" ")
+        WarcRecord("response", s"https://WWW.$dom/p$id/?utm_s=1&a=$id",
+          "2025-06-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/html", body)
+      }
+      java.nio.file.Files.write(dir.resolve(s"seg$s.warc.gz"),
+        WarcSource.gzip(WarcSource.encode(recs)))
+    }
+    val raw = WarcSource.readResponses(spark, dir.toString)
+      .withColumn("norm_url", UrlFunctions.normalizeUrl(col("url")))
+      .withColumn("dom",
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url"))))
+      .cache()
+    try {
+      val n0 = raw.count()
+      val afterBlock = raw.filter(!col("dom").isInCollection(Seq("site3.com")))
+      val n1 = afterBlock.count()
+      val capW = Window.partitionBy(col("dom"))
+        .orderBy(Determinism.seeded("cwcap", col("norm_url")), col("norm_url"))
+      val capped = afterBlock.withColumn("rk", row_number().over(capW))
+        .filter(col("rk") <= 12)
+      val n2 = capped.count()
+      val gated = capped.filter(
+        size(graft.functions.TextFunctions.tokens(col("body"))) >= 8)
+      val n3 = gated.count()
+      val dedW = Window.partitionBy(col("bh")).orderBy(col("norm_url"))
+      val deduped = gated
+        .withColumn("bh", Determinism.portableHash(col("body")))
+        .withColumn("dk", row_number().over(dedW)).filter(col("dk") === 1)
+      val n4 = deduped.count()
+      val top = deduped.groupBy(col("dom")).agg(count(lit(1)).as("kept"))
+        .orderBy(col("kept").desc, col("dom")).limit(5)
+        .collect().map(r => f"  ${r.getString(0)}%-16s ${r.getLong(1)}%6d")
+      Seq(
+        f"responses        $n0%6d",
+        f"after blocklist  $n1%6d",
+        f"after domain cap $n2%6d",
+        f"after quality    $n3%6d",
+        f"after dedup      $n4%6d",
+        "top kept domains:") ++ top
+    } finally raw.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
     val spark = SparkSession.builder()
@@ -349,6 +417,8 @@ object Demo {
         annReport(spark, cfg).foreach(println)
       } else if (cfg.mode == "intake") {
         intakeReport(spark, cfg).foreach(println)
+      } else if (cfg.mode == "crawl") {
+        crawlReport(spark, cfg).foreach(println)
       } else {
         val path = cfg.statePath.getOrElse("/tmp/graft_demo_state.json")
         if (cfg.reset) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))

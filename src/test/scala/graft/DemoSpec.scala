@@ -100,4 +100,17 @@ class DemoSpec extends AnyFunSuite {
       s"planted re-sends must drop: $survivors of $arrivals")
     assert(lines(2).contains("postings"))
   }
+
+  test("crawl report: strictly shrinking funnel, blocklist and dup planting visible") {
+    val lines = Demo.crawlReport(spark, cfg)
+    def n(i: Int) = """(\d+)$""".r.findFirstIn(lines(i).trim).get.toLong
+    val Seq(n0, n1, n2, n3, n4) = (0 to 4).map(n)
+    assert(n0 == 180L) // 3 segments x 60 responses
+    // every stage drops something (the fixture plants spam domain,
+    // over-cap domains, short pages, and duplicate bodies)
+    assert(n0 > n1 && n1 > n2 && n2 > n3 && n3 > n4 && n4 > 0,
+      s"funnel $n0 -> $n1 -> $n2 -> $n3 -> $n4")
+    assert(lines(5).contains("top kept domains"))
+    assert(lines.size > 6 && lines(6).trim.startsWith("site"))
+  }
 }

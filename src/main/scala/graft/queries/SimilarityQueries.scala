@@ -665,6 +665,98 @@ object SimilarityQueries extends QueryModule {
           SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rank
           FROM fused) t
         WHERE rank <= $FuseK"""
+      }),
+
+    QueryDef("q138_margin_mining",
+      // margin-based bitext mining (Artetxe & Schwenk 2019 — the
+      // LASER/CCMatrix criterion that mined the parallel corpora behind
+      // multilingual LLMs): split the embedding space into two "languages"
+      // by label parity, score 24 source vectors against the full target
+      // side, and keep a pair only when its cosine clears the RATIO margin
+      // over the mean of both directions' k-NN neighborhoods —
+      // margin(x,y) = cos(x,y) / ((avgF(x) + avgB(y)) / 2), one best y per
+      // x, threshold 1.05. Everything stays on the exact integer lattice:
+      // cosines are the house e6 floors and the margin is
+      // (2k·cos_e6·1e6) div (fsum + bsum) with both operands filtered
+      // positive, so trunc ≡ floor in both engines. Scale shape: the
+      // query side broadcasts (24 rows), the backward pass broadcasts the
+      // ≤ 24·k mined candidates onto the source language — the corpus
+      // sides never shuffle; at 100 TB each direction is the q25
+      // broadcast-scoring plan.
+      (s, dir) => {
+        val mineK = 4
+        val emb = Tables.load(s, dir, "embeddings")
+          .withColumn("nrm", Similarity.normE3(col("embedding")))
+        val xs = emb.filter(pmod(col("label"), lit(2)) === 0)
+          .select(col("vec_id").as("xid"), col("embedding").as("xemb"),
+            col("nrm").as("xnrm"))
+        val ys = emb.filter(pmod(col("label"), lit(2)) === 1)
+          .select(col("vec_id").as("yid"), col("embedding").as("yemb"),
+            col("nrm").as("ynrm"))
+        val xq = xs.orderBy(col("xid")).limit(24)
+        val fwd = ys.crossJoin(broadcast(xq))
+          .select(col("xid"), col("yid"),
+            Similarity.cosE6(Similarity.dotE3(col("xemb"), col("yemb")),
+              col("xnrm"), col("ynrm")).as("c"))
+        val wF = Window.partitionBy(col("xid")).orderBy(col("c").desc, col("yid"))
+        val fwdK = fwd.withColumn("rk", row_number().over(wF))
+          .filter(col("rk") <= mineK).localCheckpoint(eager = false)
+        val fsum = fwdK.groupBy(col("xid")).agg(sum(col("c")).as("fsum"))
+        val candY = fwdK.select(col("yid")).distinct().join(ys, "yid")
+        val bwd = xs.crossJoin(broadcast(candY))
+          .select(col("yid"), col("xid"),
+            Similarity.cosE6(Similarity.dotE3(col("xemb"), col("yemb")),
+              col("xnrm"), col("ynrm")).as("cb"))
+        val wB = Window.partitionBy(col("yid")).orderBy(col("cb").desc, col("xid"))
+        val bsum = bwd.withColumn("rk", row_number().over(wB))
+          .filter(col("rk") <= mineK)
+          .groupBy(col("yid")).agg(sum(col("cb")).as("bsum"))
+        val wM = Window.partitionBy(col("xid"))
+          .orderBy(col("margin_e6").desc, col("yid"))
+        fwdK.select(col("xid"), col("yid"), col("c"))
+          .join(fsum, "xid").join(bsum, "yid")
+          .filter(col("c") > 0 && col("fsum") + col("bsum") > 0)
+          .withColumn("margin_e6",
+            expr(s"(${2 * mineK}000000 * c) div (fsum + bsum)"))
+          .withColumn("rk2", row_number().over(wM)).filter(col("rk2") === 1)
+          .filter(col("margin_e6") >= 1050000L)
+          .select(col("xid"), col("yid"), col("c").as("cos_e6"), col("margin_e6"))
+      },
+      Some {
+        def cos(a: String, b: String) = Similarity.duckCosE6(
+          Similarity.duckDotE3(a, b, Dim),
+          Similarity.duckDotE3(a, a, Dim), Similarity.duckDotE3(b, b, Dim))
+        s"""WITH xs AS MATERIALIZED (
+          SELECT vec_id AS xid, embedding AS xemb FROM embeddings WHERE label % 2 = 0
+        ), ys AS MATERIALIZED (
+          SELECT vec_id AS yid, embedding AS yemb FROM embeddings WHERE label % 2 = 1
+        ), xq AS MATERIALIZED (SELECT * FROM xs ORDER BY xid LIMIT 24
+        ), fwd AS (
+          SELECT xid, yid, ${cos("xemb", "yemb")} AS c FROM xq CROSS JOIN ys
+        ), fwdk AS MATERIALIZED (
+          SELECT xid, yid, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rk
+            FROM fwd) t
+          WHERE rk <= 4
+        ), fsum AS (SELECT xid, sum(c) AS fsum FROM fwdk GROUP BY xid
+        ), bwd AS (
+          SELECT y.yid, x.xid, ${cos("x.xemb", "y.yemb")} AS cb
+          FROM (SELECT ys.* FROM ys JOIN (SELECT DISTINCT yid FROM fwdk) c USING (yid)) y
+          CROSS JOIN xs x
+        ), bsum AS (
+          SELECT yid, sum(cb) AS bsum FROM (
+            SELECT *, row_number() OVER (PARTITION BY yid ORDER BY cb DESC, xid) AS rk
+            FROM bwd) t
+          WHERE rk <= 4 GROUP BY yid
+        ), m AS (
+          SELECT f.xid, f.yid, f.c,
+            (8000000 * f.c) // (fs.fsum + bs.bsum) AS margin_e6
+          FROM fwdk f JOIN fsum fs ON fs.xid = f.xid JOIN bsum bs ON bs.yid = f.yid
+          WHERE f.c > 0 AND fs.fsum + bs.bsum > 0
+        )
+        SELECT xid, yid, CAST(c AS BIGINT) AS cos_e6, CAST(margin_e6 AS BIGINT) AS margin_e6
+        FROM (SELECT *, row_number() OVER (PARTITION BY xid ORDER BY margin_e6 DESC, yid) AS rk2 FROM m) t
+        WHERE rk2 = 1 AND margin_e6 >= 1050000"""
       })
   )
 }

@@ -98,7 +98,7 @@ object MediaCodecs {
   }
 
   /** Magic-byte sniff: wav | ppm | bmp | png | jpeg | gif | mp3 | mp4 |
-    * y4m | flac | opaque. */
+    * y4m | flac | ogg | opaque. */
   def sniff(b: Array[Byte]): String =
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "P6")) "ppm"
@@ -111,6 +111,7 @@ object MediaCodecs {
     else if (ascii(b, 4, "ftyp")) "mp4"
     else if (ascii(b, 0, "YUV4MPEG2")) "y4m"
     else if (ascii(b, 0, "fLaC")) "flac"
+    else if (ascii(b, 0, "OggS")) "ogg"
     else "opaque"
 
   /** Decode if the payload is one of the supported containers; None means
@@ -130,6 +131,7 @@ object MediaCodecs {
       case "mp4" => decodeMp4Meta(b).map(_.toDecoded)
       case "y4m" => decodeY4m(b).map(_.toDecoded)
       case "flac" => Flac.decode(b).map(flacToDecoded)
+      case "ogg" => decodeOggOpus(b).map(_.toDecoded)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1086,6 +1088,123 @@ object MediaCodecs {
     be32b(0x00010000L) ++ be32b(0) ++ be32b(0) ++
     be32b(0) ++ be32b(0x00010000L) ++ be32b(0) ++
     be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
+
+  // ------------------------------------------------------------------
+  // Ogg / Opus (RFC 3533 page framing + RFC 7845 identification
+  // header) — the voice-corpus container: real page walk with the
+  // Ogg CRC-32 VERIFIED (poly 0x04C11DB7, init 0, non-reflected,
+  // computed with the checksum field zeroed), OpusHead parse
+  // (channels, pre-skip, input rate), duration from the last page's
+  // granule position on the 48 kHz Opus clock. Opus PCM itself needs
+  // the CELT/SILK codec (spec tables not in this container) — this is
+  // the metadata plane, parsed from the real framing like MP3/MP4.
+  // ------------------------------------------------------------------
+
+  /** Parsed Ogg-Opus metadata. `nSamples48k` = last granule − pre-skip
+    * on the 48 kHz granule clock (the Opus duration contract);
+    * `inputRate` is informational (OpusHead's original input rate). */
+  final case class OggOpusMeta(channels: Int, preSkip: Int, inputRate: Long,
+      lastGranule: Long, pages: Int) {
+    def nSamples48k: Long = math.max(0L, lastGranule - preSkip)
+    def durationMs: Long = nSamples48k * 1000L / 48000L
+    def toDecoded: Decoded = Decoded("ogg", channels = channels,
+      sampleRate = inputRate.toInt, nSamples = nSamples48k,
+      durationMs = durationMs, rmsE3 = preSkip.toLong)
+  }
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  /** Ogg page CRC-32 over [from, until) with the 4 bytes at `crcPos`
+    * treated as zero. */
+  private[operators] def oggCrc(b: Array[Byte], from: Int, until: Int,
+      crcPos: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val v = if (i >= crcPos && i < crcPos + 4) 0 else u8(b, i)
+      crc ^= v << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7 else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Real Ogg-Opus metadata walk; None on bad framing, failed page
+    * CRC, or a missing/invalid OpusHead on the BOS page. */
+  def decodeOggOpus(b: Array[Byte]): Option[OggOpusMeta] = {
+    var pos = 0
+    var pages = 0
+    var lastGranule = 0L
+    var head: Option[(Int, Int, Long)] = None
+    while (pos < b.length) {
+      if (pos + 27 > b.length || !ascii(b, pos, "OggS")) return None
+      if (u8(b, pos + 4) != 0) return None // stream structure version
+      val htype = u8(b, pos + 5)
+      val granule = le64(b, pos + 6)
+      val crcGot = le32(b, pos + 22)
+      val nseg = u8(b, pos + 26)
+      if (pos + 27 + nseg > b.length) return None
+      var payLen = 0
+      var i = 0
+      while (i < nseg) { payLen += u8(b, pos + 27 + i); i += 1 }
+      val payStart = pos + 27 + nseg
+      val pageEnd = payStart + payLen
+      if (pageEnd > b.length) return None
+      if (oggCrc(b, pos, pageEnd, pos + 22) != crcGot) return None
+      if ((htype & 0x02) != 0 && head.isEmpty) {
+        // BOS page: first packet must be OpusHead (RFC 7845 §5.1)
+        if (payLen < 19 || !ascii(b, payStart, "OpusHead")) return None
+        if (u8(b, payStart + 8) != 1) return None // version
+        head = Some((u8(b, payStart + 9), le16(b, payStart + 10),
+          le32(b, payStart + 12) & 0xffffffffL))
+      }
+      if (granule != -1L) lastGranule = granule
+      pages += 1
+      pos = pageEnd
+    }
+    head.collect { case (ch, ps, rate) if pages > 0 =>
+      OggOpusMeta(ch, ps, rate, lastGranule, pages)
+    }
+  }
+
+  /** Synthesize a structurally-valid Ogg-Opus stream (BOS/OpusHead +
+    * OpusTags + one audio page per granule, EOS on the last; correct
+    * page CRCs) — the fixture lane for [[decodeOggOpus]]. */
+  def encodeOggOpus(channels: Int, preSkip: Int, inputRate: Long,
+      granules: Seq[Long]): Array[Byte] = {
+    require(granules.nonEmpty, "need at least one audio page")
+    def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Long) = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64b(v: Long) = le32b(v & 0xffffffffL) ++ le32b((v >>> 32) & 0xffffffffL)
+    def page(htype: Int, granule: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255 * 255, "fixture pages stay small")
+      val lacing = Array.fill(payload.length / 255)(255.toByte) ++
+        Array((payload.length % 255).toByte)
+      val p = "OggS".getBytes("US-ASCII") ++ Array(0.toByte, htype.toByte) ++
+        le64b(granule) ++ le32b(0x5eed) ++ le32b(seq.toLong) ++ le32b(0L) ++
+        Array(lacing.length.toByte) ++ lacing ++ payload
+      val crc = oggCrc(p, 0, p.length, 22)
+      System.arraycopy(le32b(crc.toLong & 0xffffffffL), 0, p, 22, 4)
+      p
+    }
+    val opusHead = "OpusHead".getBytes("US-ASCII") ++ Array(1.toByte,
+      channels.toByte) ++ le16b(preSkip) ++ le32b(inputRate) ++
+      le16b(0) ++ Array(0.toByte)
+    val opusTags = "OpusTags".getBytes("US-ASCII") ++ le32b(0L) ++ le32b(0L)
+    val audio = granules.zipWithIndex.map { case (g, i) =>
+      val body = Array.tabulate(40)(j => ((g + j) % 251).toByte)
+      page(if (i == granules.size - 1) 0x04 else 0x00, g, 2 + i, body)
+    }
+    (page(0x02, 0L, 0, opusHead) +: page(0x00, 0L, 1, opusTags) +: audio)
+      .reduce(_ ++ _)
+  }
 
   // ------------------------------------------------------------------
   // Y4M / YUV4MPEG2 (the mjpegtools raw-video interchange format,

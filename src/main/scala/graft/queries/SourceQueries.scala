@@ -930,6 +930,53 @@ object SourceQueries extends QueryModule {
           CAST(floor(1000.0 * sqrt(CAST(a.ss AS DOUBLE) / a.n) / 32767.0) AS BIGINT) AS rms_e3
         FROM cfg c JOIN agg a ON a.doc_id = c.doc_id""")),
 
+    QueryDef("q139_multimodal_ogg_meta",
+      // the Ogg-Opus metadata lane (MediaCodecs.decodeOggOpus — real RFC
+      // 3533 page walk with the non-reflected CRC-32 verified, RFC 7845
+      // OpusHead): hash-picked channels / pre-skips / input rates / page
+      // counts synthesize structurally-valid streams, the decoder
+      // re-derives duration from the last granule on the 48 kHz Opus
+      // clock, and DuckDB recomputes every field from the same draws
+      // (Opus PCM needs the CELT/SILK codec and stays undecoded — the
+      // MP3/MP4 metadata-plane contract).
+      (s, dir) => {
+        import s.implicits._
+        val rates = Seq(8000L, 16000L, 48000L)
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            val ch = 1 + (Determinism.jvmHash(s"oggc:$id") % 2L).toInt
+            val ps = (Determinism.jvmHash(s"oggp:$id") % 960L).toInt
+            val rate = rates((Determinism.jvmHash(s"oggr:$id") % 3L).toInt)
+            val np = 1 + (Determinism.jvmHash(s"oggn:$id") % 3L).toInt
+            val step = 960L + (Determinism.jvmHash(s"oggs:$id") % 8L) * 120L
+            Multimodal.MediaRow(id, "audio/ogg",
+              graft.operators.MediaCodecs.encodeOggOpus(ch, ps, rate,
+                (1 to np).map(_ * step)), 0, 0)
+          }
+        }.toDF()
+        Multimodal.extractDecoded(s, media)
+          .select(col("doc_id"), col("kind"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("input_rate"),
+            col("n_samples").as("n_samples_48k"), col("duration_ms"),
+            col("rms_e3").as("pre_skip"))
+      },
+      Some(s"""WITH draws AS (
+          SELECT doc_id,
+            1 + (${Determinism.duckHash("'oggc:' || CAST(doc_id AS VARCHAR)")} % 2) AS ch,
+            ${Determinism.duckHash("'oggp:' || CAST(doc_id AS VARCHAR)")} % 960 AS ps,
+            ([8000,16000,48000])[CAST(${Determinism.duckHash("'oggr:' || CAST(doc_id AS VARCHAR)")} % 3 AS INT) + 1] AS rate,
+            1 + (${Determinism.duckHash("'oggn:' || CAST(doc_id AS VARCHAR)")} % 3) AS np,
+            960 + (${Determinism.duckHash("'oggs:' || CAST(doc_id AS VARCHAR)")} % 8) * 120 AS step
+          FROM documents)
+        SELECT doc_id, 'ogg' AS kind, CAST(ch AS BIGINT) AS channels,
+          CAST(rate AS BIGINT) AS input_rate,
+          CAST(greatest(0, np * step - ps) AS BIGINT) AS n_samples_48k,
+          CAST(greatest(0, np * step - ps) * 1000 // 48000 AS BIGINT) AS duration_ms,
+          CAST(ps AS BIGINT) AS pre_skip
+        FROM draws""")),
+
     QueryDef("q74_multimodal_decode",
       // the decoder itself is the documented stub (no codec in this
       // container), but the stub is DETERMINISTIC byte statistics — so the

@@ -763,6 +763,36 @@ class SourcesSpec extends AnyFunSuite {
       WarcSource.parse(base.take(cut))
   }
 
+  test("ogg-opus metadata walk: page framing, CRC verification, refusal, fuzz") {
+    import graft.operators.MediaCodecs
+    val b = MediaCodecs.encodeOggOpus(2, 312, 16000L, Seq(960L, 1920L, 2880L))
+    assert(MediaCodecs.sniff(b) == "ogg")
+    val m = MediaCodecs.decodeOggOpus(b).get
+    assert(m.channels == 2 && m.preSkip == 312 && m.inputRate == 16000L &&
+      m.lastGranule == 2880L && m.pages == 5) // BOS + tags + 3 audio
+    assert(m.nSamples48k == 2568L && m.durationMs == 2568L * 1000 / 48000)
+    val d = MediaCodecs.decode(b).get
+    assert(d.kind == "ogg" && d.channels == 2 && d.sampleRate == 16000 &&
+      d.nSamples == 2568L)
+    // pre-skip larger than the stream clamps to zero samples
+    assert(MediaCodecs.decodeOggOpus(
+      MediaCodecs.encodeOggOpus(1, 5000, 48000L, Seq(960L))).get.nSamples48k == 0L)
+    // integrity: a flipped payload byte fails the page CRC -> None
+    val tam = b.clone(); tam(b.length - 5) = (tam(b.length - 5) ^ 0x10).toByte
+    assert(MediaCodecs.decodeOggOpus(tam).isEmpty)
+    // truncation, bad stream-structure version, missing OpusHead refuse
+    assert(MediaCodecs.decodeOggOpus(b.dropRight(3)).isEmpty)
+    val badv = b.clone(); badv(4) = 9
+    assert(MediaCodecs.decodeOggOpus(badv).isEmpty)
+    // never-throw fuzz
+    val rnd = new java.util.Random(0x0995)
+    for (_ <- 0 until 300) {
+      val x = b.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decode(x)
+    }
+    for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
+  }
+
   test("flac codec: lossless round-trips across modes, CRC verification, refusal, fuzz") {
     import graft.operators.{Flac, MediaCodecs}
     def pcm(n: Int, seed: Int): Seq[Int] =

@@ -250,7 +250,10 @@ object Flac {
       if (crc8(b, frameStart, r.bytePos - 1) != crcGot) return None
       val frameCh = if (chAsgn <= 7) chAsgn + 1 else 2
       if (frameCh != nch || chAsgn == 11 || chAsgn > 10) return None
-      if (blockSize <= 0 || blockSize > b.length * 8) return None
+      // Long arithmetic: Int b.length * 8 wraps negative past 268 MB
+      // and would refuse valid large files (the MediaCodecs Long-bounds
+      // doctrine)
+      if (blockSize <= 0 || blockSize.toLong > b.length.toLong * 8) return None
       // subframes
       val sub = Array.ofDim[Array[Long]](frameCh)
       var ci = 0

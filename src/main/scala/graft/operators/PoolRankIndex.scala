@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed sampler's pool-rank sidecar as a PERSISTED index — the
+  * last per-pool derivation that [[Sampler.composed]] otherwise re-runs
+  * every batch (the [[Bm25PoolIndex]] sibling: same lifecycle, same
+  * torn-publish discipline). The reference stages its negative pools
+  * once per source REFRESH (src/sampler/mod.rs:994-1151) and serves
+  * every batch from that staging; this index is that staging made
+  * durable: narrow (id, source, ranks, group sizes, fallback order)
+  * columns — no text — written once per refresh, read by every batch.
+  *
+  * Values are bit-identical to the in-plan derivation by construction
+  * (the index IS [[Sampler.rankSidecar]] persisted), so index-backed
+  * batches equal derived batches row for row — pinned by
+  * InvariantsSpec. Rebuild on ANY pool change: the ranks bake in the
+  * pool's id order and the fallback order bakes in its source set.
+  */
+object PoolRankIndex {
+
+  /** Derive the sidecar for a pool carrying `(id, source[, date])` —
+    * [[Sampler.rankSidecar]] with the per-source stats collected here
+    * (one #sources-bounded job). */
+  def build(pool: DataFrame): DataFrame = {
+    val srcCounts = pool.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(srcCounts.nonEmpty, "empty pool")
+    Sampler.rankSidecar(pool, srcCounts)
+  }
+
+  /** Persist across sampler sessions. Repartitioned by `source` on
+    * write — the key every dispatch lookup restricts on. Temp-then-move
+    * publish: a crash mid-write leaves the previous generation intact. */
+  def save(ranks: DataFrame, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val tmp = Paths.get(dir + ".tmp")
+    rmTree(tmp)
+    ranks.repartition(col("source")).write.mode("overwrite").parquet(tmp.toString)
+    rmTree(Paths.get(dir))
+    Files.move(tmp, Paths.get(dir))
+  }
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

@@ -218,12 +218,62 @@ object Sampler {
     (slotsB.result(), e, cur)
   }
 
+  /** The pool-rank sidecar's derivation (the PLAN — callers checkpoint
+    * or persist): per-source ranks (rn, nsrc), per-(source, date) ranks
+    * and date-group attrs for dated pools (rn2/dgs/drnk/dcnt), and the
+    * seeded fallback source order (srnk/scnt) folded in per row. ONE
+    * corpus pass over narrow columns — no text. [[composed]] derives it
+    * in-plan per batch (the pure-function default); a long-lived
+    * deployment builds it once per pool REFRESH through
+    * [[PoolRankIndex]] and passes the loaded table as `rankIndex`
+    * (reference pool staging, src/sampler/mod.rs:994-1151 — staged per
+    * refresh, not per batch). `srcCounts` is the caller's per-source
+    * stats collect (the epochPick identity — jvmHash ≡ the seeded
+    * column hash). */
+  def rankSidecar(pool: DataFrame, srcCounts: Seq[(String, Long)]): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val hasDate = pool.columns.contains("date")
+    val wSrc = Window.partitionBy(col("source"))
+    val base0 = pool
+      .withColumn("rn", row_number().over(wSrc.orderBy(col("id"))).cast("long") - 1)
+      .withColumn("nsrc", count(lit(1)).over(wSrc).cast("long"))
+    // per-row date-group attrs replace the former dG side table:
+    //   drnk — the record's date-group rank within its source
+    //          (dense_rank over rows ≡ row_number over distinct dates);
+    //   dcnt — the source's date-group count (max drnk + 1)
+    val base =
+      if (!hasDate) base0
+      else {
+        val wSD = Window.partitionBy(col("source"), col("date"))
+        base0
+          .withColumn("rn2", row_number().over(wSD.orderBy(col("id"))).cast("long") - 1)
+          .withColumn("dgs", count(lit(1)).over(wSD).cast("long"))
+          .withColumn("drnk", (dense_rank().over(wSrc.orderBy(col("date"))) - 1).cast("long"))
+          .withColumn("dcnt", max(col("drnk")).over(wSrc).cast("long") + 1)
+      }
+    // seeded fallback source order, folded in per-row (replaces the sG
+    // side table) — a driver-side sort of the already-collected source
+    // stats, shipped as a LocalRelation so the broadcast costs no job
+    val sOrdSeq = srcCounts.map(_._1)
+      .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
+    val sOrd = sOrdSeq
+      .map { case (src, i) => (src, i.toLong, sOrdSeq.size.toLong) }
+      .toDF("source", "srnk", "scnt")
+    val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
+      col("srnk"), col("scnt")) ++
+      (if (hasDate) Seq(col("date"), col("rn2"), col("dgs"), col("drnk"), col("dcnt"))
+       else Nil)
+    base.join(broadcast(sOrd), Seq("source")).select(cols0: _*)
+  }
+
   def nextBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
-      bm25Index: Option[Bm25PoolIndex] = None): SamplerBatch = {
+      bm25Index: Option[Bm25PoolIndex] = None,
+      rankIndex: Option[DataFrame] = None): SamplerBatch = {
     val (core, deduped, st2) =
-      composed(spark, chunks, pool, recipes, st, batch, decoration, bm25Index)
+      composed(spark, chunks, pool, recipes, st, batch, decoration, bm25Index, rankIndex)
     val rows = Mixing.padToBatch(spark,
         deduped.select(col("draw").as("id")), batch, s"pad:${st.seed}:${st.counter("draw")}")
       .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
@@ -238,7 +288,8 @@ object Sampler {
   private def composed(spark: SparkSession, chunks: DataFrame, poolArg: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
-      bm25Index: Option[Bm25PoolIndex] = None)
+      bm25Index: Option[Bm25PoolIndex] = None,
+      rankIndex: Option[DataFrame] = None)
       : (DataFrame, DataFrame, SamplerState) = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
@@ -290,52 +341,22 @@ object Sampler {
 
     // ---- pool-rank sidecar (defined early; consumed by the negative
     // dispatch below) ----
-    // ONE corpus pass builds per-source ranks (rn, nsrc) and, for dated
-    // pools, per-(source, date) ranks (rn2, dgs) — checkpointed so the
-    // former seven strategy×tier lanes collapse into a single keyed plan
-    // reading a tiny materialized table instead of re-planning the corpus
-    // window subtree once per lane (the round-9 composed-sampler latency
-    // directive). At deployment scale the sidecar is the persisted pool
-    // index (the FileCorpusIndex idiom): narrow (id, source, date, rank)
-    // columns — no text — derived once per pool REFRESH, not per batch;
-    // the pure-function default derives it in-plan and cuts lineage.
+    // ONE corpus pass ([[rankSidecar]]) builds per-source ranks and the
+    // dated-pool group attrs — checkpointed so the former seven
+    // strategy×tier lanes collapse into a single keyed plan reading a
+    // tiny materialized table instead of re-planning the corpus window
+    // subtree once per lane (the round-9 composed-sampler latency
+    // directive). A long-lived deployment passes `rankIndex` — the
+    // [[PoolRankIndex]]-persisted sidecar, derived once per pool
+    // REFRESH, not per batch (values bit-identical: the index IS this
+    // derivation persisted); the pure-function default derives it
+    // in-plan and cuts lineage.
     val hasDate = pool.columns.contains("date")
-    val rankTbl = {
-      val wSrc = Window.partitionBy(col("source"))
-      val base0 = pool
-        .withColumn("rn", row_number().over(wSrc.orderBy(col("id"))).cast("long") - 1)
-        .withColumn("nsrc", count(lit(1)).over(wSrc).cast("long"))
-      // per-row date-group attrs replace the former dG side table:
-      //   drnk — the record's date-group rank within its source
-      //          (dense_rank over rows ≡ row_number over distinct dates);
-      //   dcnt — the source's date-group count (max drnk + 1)
-      val base =
-        if (!hasDate) base0
-        else {
-          val wSD = Window.partitionBy(col("source"), col("date"))
-          base0
-            .withColumn("rn2", row_number().over(wSD.orderBy(col("id"))).cast("long") - 1)
-            .withColumn("dgs", count(lit(1)).over(wSD).cast("long"))
-            .withColumn("drnk", (dense_rank().over(wSrc.orderBy(col("date"))) - 1).cast("long"))
-            .withColumn("dcnt", max(col("drnk")).over(wSrc).cast("long") + 1)
-        }
-      // seeded fallback source order, folded in per-row (replaces the sG
-      // side table) — a driver-side sort of the already-collected source
-      // stats (jvmHash ≡ the seeded column hash, the epochPick identity),
-      // shipped as a LocalRelation so the broadcast costs no job
-      val sOrdSeq = srcCounts.map(_._1)
-        .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
-      val sOrd = sOrdSeq
-        .map { case (src, i) => (src, i.toLong, sOrdSeq.size.toLong) }
-        .toDF("source", "srnk", "scnt")
-      val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
-        col("srnk"), col("scnt")) ++
-        (if (hasDate) Seq(col("date"), col("rn2"), col("dgs"), col("drnk"), col("dcnt"))
-         else Nil)
-      lap("rankTbl")(
-        base.join(broadcast(sOrd), Seq("source")).select(cols0: _*)
-          .localCheckpoint(eager = false))
-    }
+    rankIndex.foreach(ix => require(ix.columns.contains("date") == hasDate,
+      "rank index / pool schema mismatch: the index must be built from " +
+        "the same pool (date column presence differs)"))
+    val rankTbl = rankIndex.getOrElse(
+      lap("rankTbl")(rankSidecar(pool, srcCounts).localCheckpoint(eager = false)))
     // Overlap: the sidecar depends only on `pool`, whose blocks the
     // srcCounts collect above already materialized — force it on a
     // background thread so its window stages run CONCURRENTLY with the
@@ -835,9 +856,11 @@ object Sampler {
     * `rows` pads to exactly `batch` pairs. */
   def nextPairBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
-      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
+      rankIndex: Option[DataFrame] = None): SamplerBatch = {
     val nTrip = (batch + 1) / 2
-    val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, nTrip, decoration)
+    val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, nTrip,
+      decoration, None, rankIndex)
     def pairsOf(df: DataFrame): DataFrame = df
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("nid"), col("a_hash"), col("reason").as("strategy"),

@@ -173,7 +173,8 @@ class InvariantsSpec extends AnyFunSuite {
       cols: Seq[String] = goldenCols,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       useBm25Index: Boolean = false,
-      persistIndex: Boolean = false) = {
+      persistIndex: Boolean = false,
+      useRankIndex: Boolean = false) = {
     val timed = recipes.exists(r =>
       Seq(r.anchor, r.positive, r.negativeSelector)
         .exists(Sampler.temporalDays(_).isDefined))
@@ -195,6 +196,16 @@ class InvariantsSpec extends AnyFunSuite {
       } else Some(graft.operators.Bm25PoolIndex(
         ix.postings.localCheckpoint(), ix.srcStats.localCheckpoint()))
     }
+    // the persisted pool-rank sidecar: built ONCE per pool refresh,
+    // round-tripped through parquet, reused by every nextBatch call —
+    // the PoolRankIndex contract (values ≡ the in-plan derivation)
+    val rankIdx = if (!useRankIndex) None else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rankix")
+        .toString + "/ix"
+      graft.operators.PoolRankIndex.save(
+        graft.operators.PoolRankIndex.build(pool), dir)
+      Some(graft.operators.PoolRankIndex.load(spark, dir))
+    }
     var st = SamplerState(seed, 0L, Map.empty)
     val batches = Seq.newBuilder[Array[org.apache.spark.sql.Row]]
     val core = Seq.newBuilder[Seq[Any]]
@@ -206,7 +217,7 @@ class InvariantsSpec extends AnyFunSuite {
         st = SamplerState.load(p).get
       }
       val out = Sampler.nextBatch(spark, chunks, pool, recipes, st, batch,
-        decoration, poolIdx)
+        decoration, poolIdx, rankIdx)
       batches += out.rows.select(cols.head, cols.tail: _*).collect()
       core ++= out.core.collect().map(_.toSeq)
       st = out.state
@@ -360,6 +371,27 @@ class InvariantsSpec extends AnyFunSuite {
       seed = "gm:bm25", cols = goldenCols :+ "reason")
     assert(seqDigest(bDef) != got10("bm25"),
       "bm25 pin indistinguishable from the default backend")
+  }
+
+  test("persisted pool-rank index: index-backed batches == per-batch derivation") {
+    // the PoolRankIndex contract (the Bm25PoolIndex sibling): a sidecar
+    // built once per pool refresh, round-tripped through parquet, must
+    // deliver bit-identical sequences to the in-plan derivation — across
+    // the dated mixed-strategy config (all three strategies, date tiers,
+    // the singleton-source fallback) and the default config
+    for ((cname, recipes, dated, dec) <- goldenMatrix.filter(c =>
+        c._1 == "default" || c._1 == "mixed_strategy")) {
+      val (bDerived, cDerived, _) = runGolden(batch = 8, nBatches = 6, parts = 4,
+        recipes = recipes, seed = s"rix:$cname", dated = dated,
+        cols = goldenCols :+ "reason", decoration = dec)
+      val (bIndexed, cIndexed, _) = runGolden(batch = 8, nBatches = 6, parts = 4,
+        recipes = recipes, seed = s"rix:$cname", dated = dated,
+        cols = goldenCols :+ "reason", decoration = dec, useRankIndex = true)
+      assert(seqDigest(bIndexed) == seqDigest(bDerived),
+        s"$cname: index-backed sequence diverged")
+      assert(cIndexed.map(_.toString).sorted == cDerived.map(_.toString).sorted,
+        s"$cname: index-backed core stream diverged")
+    }
   }
 
   test("sparse sections: a record lacking the targeted section skips that recipe only") {

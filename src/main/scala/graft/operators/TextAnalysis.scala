@@ -89,6 +89,83 @@ object TextAnalysis {
     s"CAST(floor(($stopRatio + (1000000 - $digitRatio) + $uniqRatio) / 3) AS BIGINT)"
   }
 
+  /** The GOPHER quality rules (Rae et al. 2021, Appendix A1.1 — the
+    * named rule set most web-scale pipelines start from), as exact
+    * integer metrics plus the combined gate:
+    *   1. word count in [50, 100000];
+    *   2. mean word length in [3, 10] characters;
+    *   3. `#`/`...` symbol-to-word ratio ≤ 0.1;
+    *   4. ≤ 10% of lines start with a bullet, ≤ 30% end with `...`;
+    *   5. ≥ 80% of words contain an alphabetic character;
+    *   6. ≥ 2 distinct required stop words present.
+    * Ratios are e6 floors (mean word length e3), so the gate is
+    * bit-stable cross-engine; all metrics are scan-fused column
+    * algebra over one tokenization + one line split. Returns a struct
+    * `(n_words, mwl_e3, sym_e6, bullet_e6, ellipsis_e6, alpha_e6,
+    * n_stop, pass)`. */
+  def gopherMetrics(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nW = size(toks).cast("long")
+    val charSum = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (a, v) => a + v)
+    val mwlE3 = when(nW === 0, 0L)
+      .otherwise(floor(charSum.cast("double") * 1000.0 / nW.cast("double")).cast("long"))
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEll = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symE6 = ratioE6(nHash + nEll, nW)
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nL = size(lines).cast("long")
+    val bulletE6 = ratioE6(size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast("long"), nL)
+    val ellLineE6 = ratioE6(size(filter(lines, l => l.endsWith("..."))).cast("long"), nL)
+    val alphaE6 = ratioE6(size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long"), nW)
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(GopherStops.map(lit): _*))).cast("long")
+    val pass = (nW >= 50L && nW <= 100000L &&
+      mwlE3 >= 3000L && mwlE3 <= 10000L &&
+      symE6 <= 100000L && bulletE6 <= 100000L && ellLineE6 <= 300000L &&
+      alphaE6 >= 800000L && nStop >= 2L).cast("long")
+    struct(nW.as("n_words"), mwlE3.as("mwl_e3"), symE6.as("sym_e6"),
+      bulletE6.as("bullet_e6"), ellLineE6.as("ellipsis_e6"),
+      alphaE6.as("alpha_e6"), nStop.as("n_stop"), pass.as("pass"))
+  }
+
+  /** The rule set's required stop words (Rae et al. A1.1). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** DuckDB twin of [[gopherMetrics]] — emits the struct fields as a
+    * SELECT-fragment over `textExpr`/`toksExpr` column expressions. */
+  def duckGopherFields(textExpr: String, toksExpr: String): String = {
+    val nW = s"len($toksExpr)"
+    val charSum = s"coalesce(list_sum(list_transform($toksExpr, w -> length(w))), 0)"
+    val mwlE3 = s"(CASE WHEN $nW = 0 THEN 0 ELSE " +
+      s"CAST(floor(CAST($charSum AS DOUBLE) * 1000.0 / $nW) AS BIGINT) END)"
+    val nHash = s"(length($textExpr) - length(replace($textExpr, '#', '')))"
+    val nEll = s"((length($textExpr) - length(replace($textExpr, '...', ''))) // 3)"
+    val symE6 = duckRatioE6(s"($nHash + $nEll)", nW)
+    val lines = s"list_filter(string_split($textExpr, chr(10)), l -> l <> '')"
+    val nL = s"len($lines)"
+    val bulletE6 = duckRatioE6(
+      s"len(list_filter($lines, l -> starts_with(l, chr(8226)) OR " +
+        s"starts_with(l, '- ') OR starts_with(l, '* ')))", nL)
+    val ellLineE6 = duckRatioE6(
+      s"len(list_filter($lines, l -> l LIKE '%...'))", nL)
+    val alphaE6 = duckRatioE6(
+      s"len(list_filter($toksExpr, w -> regexp_matches(w, '[a-zA-Z]')))", nW)
+    val stops = GopherStops.map(w => s"'$w'").mkString(", ")
+    val nStop = s"len(list_intersect(list_distinct($toksExpr), [$stops]))"
+    s"""CAST($nW AS BIGINT) AS n_words, $mwlE3 AS mwl_e3,
+      $symE6 AS sym_e6, $bulletE6 AS bullet_e6, $ellLineE6 AS ellipsis_e6,
+      $alphaE6 AS alpha_e6, CAST($nStop AS BIGINT) AS n_stop,
+      CAST(CASE WHEN $nW >= 50 AND $nW <= 100000
+        AND $mwlE3 >= 3000 AND $mwlE3 <= 10000
+        AND $symE6 <= 100000 AND $bulletE6 <= 100000 AND $ellLineE6 <= 300000
+        AND $alphaE6 >= 800000 AND $nStop >= 2
+        THEN 1 ELSE 0 END AS BIGINT) AS pass"""
+  }
+
   /** Rolling polynomial fingerprint is engine-internal; the portable
     * document fingerprint is the content hash of normalized text plus a
     * head-window hash (cheap near-head-dup probe). */

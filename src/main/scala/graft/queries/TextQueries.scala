@@ -858,6 +858,47 @@ object TextQueries extends QueryModule {
         FROM f"""
       }),
 
+    QueryDef("q140_gopher_rules",
+      // the named GOPHER quality rule set (Rae et al. 2021 A1.1 — the
+      // gate most web-scale pipelines start from), every metric an exact
+      // integer: word-count bounds, mean word length, #/ellipsis
+      // symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+      // alphabetic-word fraction, required-stopword presence, and the
+      // combined pass flag. A hash-picked suffix plants each defect
+      // class (bullet lines / trailing ellipses / hash spam) so every
+      // rule branch fires in-corpus; DuckDB recomputes all eight fields
+      // through the operator's own SQL twin.
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val variant = pmod(Determinism.seeded("gop", col("doc_id")), lit(4L))
+        val planted = concat(col("text"),
+          when(variant === 1,
+            lit("\n• bullet one\n• bullet two\n- third bullet"))
+          .when(variant === 2,
+            lit("\nthis line trails off...\nand this one too...\nplain line"))
+          .when(variant === 3, lit(" ### ## #"))
+          // variant 0 is the WELL-FORMED class: enough words and the
+          // required stop words, so the pass branch fires in-corpus too
+          .otherwise(lit(" the be to of and that have with" + " word" * 45)))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.gopherMetrics(planted).as("g"))
+          .select(col("doc_id"), col("g.*"))
+      },
+      Some {
+        import graft.operators.TextAnalysis
+        s"""WITH g AS (
+          SELECT doc_id, text || CASE ${Determinism.duckSeeded("gop", "doc_id")} % 4
+            WHEN 1 THEN chr(10) || '• bullet one' || chr(10) || '• bullet two' || chr(10) || '- third bullet'
+            WHEN 2 THEN chr(10) || 'this line trails off...' || chr(10) || 'and this one too...' || chr(10) || 'plain line'
+            WHEN 3 THEN ' ### ## #'
+            ELSE ' the be to of and that have with' || repeat(' word', 45) END AS gtext
+          FROM documents
+        ), t AS (
+          SELECT doc_id, gtext, ${TextFunctions.duckTokens("gtext")} AS toks FROM g
+        )
+        SELECT doc_id, ${TextAnalysis.duckGopherFields("gtext", "toks")} FROM t"""
+      }),
+
     QueryDef("q134_domain_centrality",
       // link-graph quality prior (operators.LinkGraph): bounded-hop
       // harmonic centrality over the q133 corpus's DOMAIN graph — the

@@ -686,6 +686,58 @@ object TextQueries extends QueryModule {
             AS avg_cost_e6
         FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id""")),
 
+    QueryDef("q141_ccnet_buckets",
+      // CCNet's selection step by name (Wenzek et al. 2020 §3): docs
+      // bucket into head / middle / tail by LM-perplexity TERCILES
+      // within each source (lower cross-entropy = head; CCNet keeps
+      // head+middle for pretraining). Reuses the q107 model: e6-exact
+      // per-doc avg costs, then ONE (source)-keyed rank window and
+      // integer tercile tests (brank·3 ≤ n / ≤ 2n) — no percentile
+      // approximation, bit-stable cross-engine. At 100 TB the only wide
+      // ops are the score aggregate and the per-source window.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val (bg, ctx, vocab) = graft.operators.NgramLm.train(
+          docs.filter(col("source") === "src0"), "text")
+        val scored = graft.operators.NgramLm
+          .score(docs, "doc_id", "text", bg, ctx, vocab)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("avg_cost_e6"), col("doc_id"))
+        scored
+          .withColumn("brank", row_number().over(w).cast("long"))
+          .withColumn("nsrc",
+            count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+          .withColumn("bucket",
+            when(col("brank") * 3 <= col("nsrc"), lit("head"))
+              .when(col("brank") * 3 <= col("nsrc") * 2, lit("middle"))
+              .otherwise(lit("tail")))
+          .withColumn("kept", (col("bucket") =!= "tail").cast("long"))
+          .select(col("doc_id"), col("source"), col("avg_cost_e6"),
+            col("brank"), col("bucket"), col("kept"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, $duckToks AS t FROM documents),
+        ${graft.operators.NgramLm.duckLmCtes("toks", "t", "source = 'src0'")},
+        sc AS (
+          SELECT d.doc_id, d.source,
+            CASE WHEN coalesce(a.n_bigrams, 0) > 0
+              THEN coalesce(a.cost_e6, 0) // a.n_bigrams ELSE 0 END AS avg_cost_e6
+          FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id
+        ), r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY source ORDER BY avg_cost_e6, doc_id) AS brank,
+            count(*) OVER (PARTITION BY source) AS nsrc
+          FROM sc
+        )
+        SELECT doc_id, source, CAST(avg_cost_e6 AS BIGINT) AS avg_cost_e6,
+          CAST(brank AS BIGINT) AS brank,
+          CASE WHEN brank * 3 <= nsrc THEN 'head'
+            WHEN brank * 3 <= nsrc * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+          CAST(CASE WHEN brank * 3 <= nsrc * 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM r""")),
+
     QueryDef("q113_hll_distinct",
       // the portable-HLL sketch (operators.Sketches): per-source distinct
       // tokens AND distinct trigrams, each estimated by a 64-register

@@ -234,6 +234,64 @@ object RecipeQueries extends QueryModule {
     TripletRecipe("fb_wrong_date", Selector.RoleAnchor, Selector.RoleContext,
       NegativeStrategy.WrongPublicationDate, weight = 0.4f))
 
+  // ---- composed pools, shared with the q145 index-build row ----
+  // Each pool definition below is THE single source both the serving
+  // queries and [[ComposedIndexQueries]] build from. The serving lane
+  // loads the persisted [[graft.operators.PoolRankIndex]] built from the
+  // SAME frame and reconstitutes the pool from the index (plus id-pure
+  // columns), so the corpus tokenize+filter pass moves OFF the batch path
+  // entirely — the reference's per-REFRESH pool staging
+  // (src/sampler/mod.rs:994-1151) made durable. A definition drift
+  // between builder and server breaks the oracle hash loudly.
+  private[queries] val MixWhere = "doc_id % 5 = 0"
+  private[queries] val TmpWhere = "doc_id % 5 = 1"
+  private[queries] val BmxWhere = "doc_id % 5 = 2"
+  private[queries] val PrWhere = "doc_id % 5 = 3"
+  private[queries] val TxWhere = "doc_id % 5 = 4"
+  private[queries] val FbWhere = "doc_id % 20 = 4 OR doc_id = 7"
+
+  private[queries] def composedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String, where: String): DataFrame =
+    Tables.load(s, dir, "documents").filter(expr(where))
+
+  private def tokenFiltered(docs: DataFrame): DataFrame =
+    docs.filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
+
+  /** The mix/fbk pools' synthetic publication date (pure function of id). */
+  private def day3Date(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("2025-03-0"),
+      (pmod(Determinism.seeded("day3", idCol), lit(3)) + 1).cast("string"))
+
+  /** q57's sec/tax are pure functions of id — reattachable to the
+    * index-staged pool without touching the corpus. */
+  private[queries] def tmpAttach(pool: DataFrame): DataFrame = pool
+    .withColumn("sec",
+      lit(1700000000L) + pmod(Determinism.seeded("sec", col("id")), lit(60)) * 21600L)
+    .withColumn("tax", concat(lit("t"), pmod(col("id"), lit(4)).cast("string")))
+
+  private[queries] def mixPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    tokenFiltered(composedDocs(s, dir, MixWhere))
+      .select(col("doc_id").as("id"), col("source"), day3Date(col("doc_id")).as("date"))
+  private[queries] def fbPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    tokenFiltered(composedDocs(s, dir, FbWhere))
+      .select(col("doc_id").as("id"), col("source"), day3Date(col("doc_id")).as("date"))
+  private[queries] def tmpPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    tmpAttach(tokenFiltered(composedDocs(s, dir, TmpWhere))
+      .select(col("doc_id").as("id"), col("source")))
+  private[queries] def bmxPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    composedDocs(s, dir, BmxWhere)
+      .select(col("doc_id").as("id"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= MinToks)
+      .select(col("id"), col("source"),
+        expr(s"slice(toks, ${AT + 1}, size(toks) - $AT)").as("btoks"))
+  private[queries] def prPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    tokenFiltered(composedDocs(s, dir, PrWhere))
+      .select(col("doc_id").as("id"), col("source"))
+  private[queries] def txPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    tokenFiltered(composedDocs(s, dir, TxWhere))
+      .select(col("doc_id").as("id"), col("source"))
+
   // ---- composed pair / text batches (q17 / q18) ----
   private[graft] val PrSeed = "prx"
   private[graft] val PrBatch = 40 // pairs → 20 triplet draws
@@ -439,16 +497,14 @@ object RecipeQueries extends QueryModule {
       // corpus keeps the pool comfortably above one batch, so the pinned
       // slot schedule sees no mid-batch epoch wrap at any driver SF.
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 0"))
-        val chunks = chunkTable(docs)
-        val pool = docs
-          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
-          .select(col("doc_id").as("id"), col("source"),
-            concat(lit("2025-03-0"),
-              (pmod(Determinism.seeded("day3", col("doc_id")), lit(3)) + 1).cast("string"))
-              .as("date"))
+        val chunks = chunkTable(composedDocs(s, dir, MixWhere))
+        // deployment lane: the pool itself comes from the persisted rank
+        // index (no corpus tokenize on the batch path) — bit-identical to
+        // the derived pool by construction (InvariantsSpec)
+        val ridx = ComposedIndexQueries.rankIndex(s, dir, "mix", mixPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"), col("date"))
         val out = Sampler.nextBatch(s, chunks, pool, mixRecipes,
-          SamplerState(MixSeed, 0L, Map.empty), MixBatch)
+          SamplerState(MixSeed, 0L, Map.empty), MixBatch, rankIndex = Some(ridx))
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -639,16 +695,13 @@ object RecipeQueries extends QueryModule {
       // argmin (with the deterministic |Δsec|·1e7 + id tiebreak), the
       // swapped chunk source for the anchor pick, and the rejection.
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 1"))
-        val chunks = chunkTable(docs)
-        val pool = docs
-          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
-          .select(col("doc_id").as("id"), col("source"),
-            (lit(1700000000L) +
-              pmod(Determinism.seeded("sec", col("doc_id")), lit(60)) * 21600L).as("sec"),
-            concat(lit("t"), pmod(col("doc_id"), lit(4)).cast("string")).as("tax"))
+        val chunks = chunkTable(composedDocs(s, dir, TmpWhere))
+        // sec/tax are id-pure, so the index-staged pool reattaches them
+        // without a corpus pass (tmpAttach)
+        val ridx = ComposedIndexQueries.rankIndex(s, dir, "tmp", tmpPool(s, dir))
+        val pool = tmpAttach(ridx.select(col("id"), col("source")))
         val out = Sampler.nextBatch(s, chunks, pool, tmpRecipes,
-          SamplerState(TmpSeed, 0L, Map.empty), TmpBatch)
+          SamplerState(TmpSeed, 0L, Map.empty), TmpBatch, rankIndex = Some(ridx))
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -767,16 +820,15 @@ object RecipeQueries extends QueryModule {
       // epoch order, the anchor pick, the per-source tf/df/stats, the
       // rotation, and both negative lanes.
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 2"))
-        val chunks = chunkTable(docs)
-        val pool = docs
-          .select(col("doc_id").as("id"), col("source"),
-            TextFunctions.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= MinToks)
-          .select(col("id"), col("source"),
-            expr(s"slice(toks, ${AT + 1}, size(toks) - $AT)").as("btoks"))
+        val chunks = chunkTable(composedDocs(s, dir, BmxWhere))
+        // both sidecars persisted: ranks AND the (source, term) postings
+        // — the batch path never tokenizes the pool
+        val ridx = ComposedIndexQueries.rankIndex(s, dir, "bmx", bmxPool(s, dir))
+        val bidx = ComposedIndexQueries.bm25Index(s, dir, bmxPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextBatch(s, chunks, pool, bmxRecipes,
-          SamplerState(BmSeed, 0L, Map.empty), BmBatch)
+          SamplerState(BmSeed, 0L, Map.empty), BmBatch,
+          bm25Index = Some(bidx), rankIndex = Some(ridx))
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -925,17 +977,11 @@ object RecipeQueries extends QueryModule {
       // fallback, wrong-date on it the single-date-group fallback, and
       // the dated src4 records exercise the same-date preference tiers.
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .filter(expr("doc_id % 20 = 4 OR doc_id = 7"))
-        val chunks = chunkTable(docs)
-        val pool = docs
-          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
-          .select(col("doc_id").as("id"), col("source"),
-            concat(lit("2025-03-0"),
-              (pmod(Determinism.seeded("day3", col("doc_id")), lit(3)) + 1).cast("string"))
-              .as("date"))
+        val chunks = chunkTable(composedDocs(s, dir, FbWhere))
+        val ridx = ComposedIndexQueries.rankIndex(s, dir, "fbk", fbPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"), col("date"))
         val out = Sampler.nextBatch(s, chunks, pool, fbRecipes,
-          SamplerState(FbSeed, 0L, Map.empty), FbBatch)
+          SamplerState(FbSeed, 0L, Map.empty), FbBatch, rankIndex = Some(ridx))
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -1119,13 +1165,11 @@ object RecipeQueries extends QueryModule {
       // the triplet driver. The oracle replays the triplet core and the
       // pair explosion.
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 3"))
-        val chunks = chunkTable(docs)
-        val pool = docs
-          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
-          .select(col("doc_id").as("id"), col("source"))
+        val chunks = chunkTable(composedDocs(s, dir, PrWhere))
+        val ridx = ComposedIndexQueries.rankIndex(s, dir, "prx", prPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextPairBatch(s, chunks, pool, prRecipes,
-          SamplerState(PrSeed, 0L, Map.empty), PrBatch)
+          SamplerState(PrSeed, 0L, Map.empty), PrBatch, rankIndex = Some(ridx))
         out.core.select(col("draw"), col("pair_id"), col("epoch"), col("recipe"),
           col("record_id"), col("nid"), col("label"),
           col("l_hash"), col("r_hash"), col("reason"))
@@ -1213,11 +1257,11 @@ object RecipeQueries extends QueryModule {
       // selector pick per draw (hash stream sel:t:). Emitted rows are the
       // pre-dedup core stream.
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").filter(expr("doc_id % 5 = 4"))
-        val chunks = chunkTable(docs)
-        val pool = docs
-          .filter(size(TextFunctions.tokens(col("text"))) >= MinToks)
-          .select(col("doc_id").as("id"), col("source"))
+        val chunks = chunkTable(composedDocs(s, dir, TxWhere))
+        // text batches have no negative dispatch, but the index still
+        // serves as the staged pool (no corpus tokenize per batch)
+        val ridx = ComposedIndexQueries.rankIndex(s, dir, "txx", txPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextTextBatch(s, chunks, pool, txRecipes,
           SamplerState(TxSeed, 0L, Map.empty), TxBatch)
         out.core.select(col("draw"), col("epoch"), col("recipe"),

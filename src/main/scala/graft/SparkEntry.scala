@@ -23,7 +23,8 @@ object SparkEntry {
     TemporalQueries,
     MetricsQueries,
     SourceQueries,
-    IndexQueries)
+    IndexQueries,
+    ComposedIndexQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.core.Determinism
+import graft.functions.TextFunctions
+import graft.operators.{Bm25PoolIndex, PoolRankIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/** Load-or-build glue between the composed serving lanes and the two
+  * persisted sampler sidecars ([[graft.operators.PoolRankIndex]] /
+  * [[graft.operators.Bm25PoolIndex]]): the reference stages its negative
+  * pools once per source REFRESH (src/sampler/mod.rs:994-1151) and serves
+  * every batch from that staging; these wrappers make the staging durable
+  * across driver sessions. First call builds from the live pool and
+  * persists; every later call — in this JVM or the next — serves the
+  * persisted index, so the corpus tokenize+filter+rank pass runs once per
+  * corpus generation, not once per batch.
+  *
+  * Freshness: each index carries a `_graft_fp` fingerprint — a hash of
+  * the corpus parquet's file listing (relative path, size, mtime), the
+  * pool tag, and [[DefVersion]]. A corpus rewrite changes the listing →
+  * rebuild; a pool-DEFINITION change must bump [[DefVersion]] (the
+  * definitions live in one block, RecipeQueries "composed pools", so the
+  * bump is part of that edit). The fingerprint is written AFTER the
+  * temp-then-move publish, so a crash mid-build leaves either the old
+  * generation (old fp, still self-consistent) or a fp-less dir (rebuilt
+  * on next touch) — never a torn index.
+  *
+  * Values are bit-identical to the in-plan derivation by construction
+  * (the index IS the derivation persisted — PoolRankIndex/Bm25PoolIndex
+  * scaladoc, pinned by InvariantsSpec), so index-backed batches equal
+  * derived batches row for row and the lanes' oracles need no change.
+  */
+object ComposedIndexQueries extends QueryModule {
+
+  /** Bump on ANY composed-pool definition change (RecipeQueries
+    * mixPool/tmpPool/bmxPool/fbPool/prPool/txPool or their WHEREs) —
+    * the ranks bake in the pool's id order and the fallback order bakes
+    * in its source set, so a stale index desyncs silently otherwise. */
+  private val DefVersion = "v1"
+
+  private val CacheRoot: Path = Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_composed_index"))
+
+  /** One cache namespace per corpus dir (sf0.001 / sf0.01 / … never
+    * collide). */
+  private def cacheDir(dir: String): Path = CacheRoot.resolve(
+    java.lang.Long.toHexString(
+      Determinism.jvmHash("dir:" + Paths.get(dir).toAbsolutePath.toString)))
+
+  /** Corpus generation id: the documents parquet's file listing — cheap
+    * filesystem metadata, no data scan on the validation path. */
+  private def corpusFingerprint(dir: String, tag: String): String = {
+    val root = Paths.get(dir).resolve("documents.parquet")
+    import scala.jdk.CollectionConverters._
+    val entries: Seq[String] =
+      if (Files.isDirectory(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => s"${root.relativize(p)}:${Files.size(p)}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}")
+          .toList.sorted
+        finally walk.close()
+      } else if (Files.isRegularFile(root))
+        List(s".:${Files.size(root)}:${Files.getLastModifiedTime(root).toMillis}")
+      else List("missing")
+    java.lang.Long.toHexString(
+      Determinism.jvmHash(s"$DefVersion:$tag:" + entries.mkString("\n")))
+  }
+
+  /** Paths already fingerprint-validated in this JVM — one filesystem
+    * stat pass per (index, generation) per session, zero per batch. */
+  private val validated = scala.collection.mutable.Set[String]()
+
+  private def ensure(path: Path, fp: String)(build: => Unit): Unit = synchronized {
+    val key = s"$path#$fp"
+    if (!validated.contains(key)) {
+      val fpFile = path.resolve("_graft_fp")
+      val fresh = Files.isRegularFile(fpFile) &&
+        new String(Files.readAllBytes(fpFile), StandardCharsets.UTF_8) == fp
+      if (!fresh) {
+        Files.createDirectories(path.getParent)
+        build
+        Files.write(fpFile, fp.getBytes(StandardCharsets.UTF_8))
+      }
+      validated += key
+    }
+  }
+
+  /** The persisted [[PoolRankIndex]] for `pool`, rebuilt iff the corpus
+    * generation (or [[DefVersion]]) moved. `pool` must be the SAME frame
+    * the serving lane would otherwise derive in-plan (the shared
+    * RecipeQueries pool definitions). */
+  def rankIndex(s: SparkSession, dir: String, tag: String, pool: DataFrame): DataFrame = {
+    val path = cacheDir(dir).resolve(s"rank_$tag")
+    ensure(path, corpusFingerprint(dir, s"rank:$tag")) {
+      PoolRankIndex.save(PoolRankIndex.build(pool), path.toString)
+    }
+    PoolRankIndex.load(s, path.toString)
+  }
+
+  /** The persisted [[Bm25PoolIndex]] (postings + per-source stats) for
+    * the bmx pool — same lifecycle as [[rankIndex]]. */
+  def bm25Index(s: SparkSession, dir: String, pool: DataFrame): Bm25PoolIndex = {
+    val path = cacheDir(dir).resolve("bm25_bmx")
+    ensure(path, corpusFingerprint(dir, "bm25:bmx")) {
+      Bm25PoolIndex.save(Bm25PoolIndex.fromPool(pool), path.toString)
+    }
+    Bm25PoolIndex.load(s, path.toString)
+  }
+
+  // ---- q145: the index-build row ----
+  // One row per composed pool: builds (or validates) every persisted
+  // sidecar and reports its row count — the rank index has exactly one
+  // row per pool record, so the oracle is the pool-count replay. This is
+  // the REFRESH step made visible: running it front-loads the builds so
+  // every serving lane afterwards is pure index reads.
+  private def poolDefs(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    ("bmx", RecipeQueries.bmxPool(s, dir)),
+    ("fbk", RecipeQueries.fbPool(s, dir)),
+    ("mix", RecipeQueries.mixPool(s, dir)),
+    ("prx", RecipeQueries.prPool(s, dir)),
+    ("tmp", RecipeQueries.tmpPool(s, dir)),
+    ("txx", RecipeQueries.txPool(s, dir)))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q145_composed_index_build",
+      (s, dir) => {
+        import s.implicits._
+        val rows = poolDefs(s, dir).map { case (tag, pool) =>
+          (tag, rankIndex(s, dir, tag, pool).count())
+        }
+        // the bm25 sidecar shares the bmx pool; build it here too so the
+        // refresh step covers BOTH sidecars (row count pinned via the
+        // bmx rank row — postings counts are term-dependent, not pool-
+        // cardinality, so they stay pinned by q58's oracle instead)
+        bm25Index(s, dir, RecipeQueries.bmxPool(s, dir))
+        rows.toDF("tag", "n_rows")
+      },
+      Some {
+        // pool cardinality replay: same token filter, same WHERE, per tag
+        // (tags in the same sorted order as the Spark rows)
+        val wheres = Seq(
+          "bmx" -> RecipeQueries.BmxWhere,
+          "fbk" -> RecipeQueries.FbWhere,
+          "mix" -> RecipeQueries.MixWhere,
+          "prx" -> RecipeQueries.PrWhere,
+          "tmp" -> RecipeQueries.TmpWhere,
+          "txx" -> RecipeQueries.TxWhere)
+        val arms = wheres.map { case (tag, w) =>
+          s"SELECT '$tag' AS tag, CAST(count(*) AS BIGINT) AS n_rows FROM f WHERE $w"
+        }.mkString("\n          UNION ALL ")
+        s"""WITH d0 AS (
+            SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+          ), f AS (
+            SELECT doc_id FROM d0 WHERE len(toks) >= ${RecipeQueries.MinToks}
+          )
+          $arms"""
+      }))
+}

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   * TWO host labels are a listed two-level suffix (`co.uk`-style) the
   * registered domain is the last THREE labels; else if the last label
   * is a listed top-level suffix, the last TWO; else the whole host
-  * (opaque/internal hosts pass through). The embedded lists are a
+  * (opaque/internal hosts pass through). The embedded lists here are a
   * deliberately small configurable subset of the public-suffix list —
-  * the ALGORITHM is the operator; deployments swap in the full PSL.
+  * [[Psl.registeredDomain]] is the FULL-list operator (exact + wildcard
+  * + exception rules over the embedded ~9.9k-rule publicsuffix.org
+  * list); this two-tier form stays for callers that want a fixed tiny
+  * rule set.
   */
 object UrlFunctions {
 

@@ -827,15 +827,20 @@ object TextQueries extends QueryModule {
       // domain), over hash-synthesized crawl URLs exercising every
       // normalization rule: mixed-case hosts, default ports, trailing
       // slashes, tracking params (utm_*/fbclid) in shuffled order,
-      // fragments, and 1-/2-level public suffixes. normalizeUrl /
-      // registeredDomain are pure column algebra (functions.UrlFunctions
-      // — codegen'd string/regex/array expressions, no UDF); the
-      // blocklist is an isin literal and the per-domain frequency cap
-      // (keep 3 seeded-rank docs per registered domain) is the one keyed
-      // window. DuckDB recomputes the whole layer through the operator's
-      // own SQL twins — normalization and suffix rules edit in ONE place.
+      // fragments, and the FULL public-suffix list (functions.Psl — the
+      // real ~9.9k-rule publicsuffix.org list embedded as a resource):
+      // exact rules (com, co.uk), private-section rules (github.io),
+      // wildcard rules (*.kawasaki.jp) and exception rules
+      // (!city.kawasaki.jp) all fire in-corpus. normalizeUrl / the PSL
+      // matcher are pure column algebra (codegen'd string/array/InSet
+      // expressions, no UDF); the blocklist is an isin literal and the
+      // per-domain frequency cap (keep 3 seeded-rank docs per registered
+      // domain) is the one keyed window. DuckDB recomputes the whole
+      // layer through the operators' own SQL twins — the SAME parsed
+      // rule set replayed as a VALUES join, so a list update edits ONE
+      // file.
       (s, dir) => {
-        import graft.functions.UrlFunctions
+        import graft.functions.{Psl, UrlFunctions}
         import org.apache.spark.sql.expressions.Window
         def draw(st: String, m: Int) =
           pmod(Determinism.seeded(st, col("doc_id")), lit(m.toLong))
@@ -843,8 +848,9 @@ object TextQueries extends QueryModule {
         val sub = element_at(array(lit(""), lit("www."), lit("WWW."), lit("cdn.")),
           (draw("uc", 4) + 1).cast("int"))
         val sfx = element_at(
-          array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.uk")),
-          (draw("ux", 5) + 1).cast("int"))
+          array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.uk"),
+            lit("github.io"), lit("kawasaki.jp"), lit("city.kawasaki.jp")),
+          (draw("ux", 8) + 1).cast("int"))
         val port = when(draw("up", 4) === 0,
           when(scheme === "https", lit(":443")).otherwise(lit(":80"))).otherwise(lit(""))
         val qs = element_at(array(lit(""), lit("?utm_source=tw&b=2&a=1"),
@@ -861,20 +867,21 @@ object TextQueries extends QueryModule {
           .withColumn("raw_url", raw)
           .withColumn("norm_url", UrlFunctions.normalizeUrl(col("raw_url")))
           .withColumn("reg_domain",
-            UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("raw_url"))))
+            Psl.registeredDomain(UrlFunctions.hostOf(col("raw_url"))))
           .withColumn("blocked", col("reg_domain").isInCollection(blocked).cast("long"))
           .withColumn("drank", row_number().over(w).cast("long"))
           .withColumn("kept",
             (col("blocked") === 0 && col("drank") <= 3).cast("long"))
       },
       Some {
-        import graft.functions.UrlFunctions
+        import graft.functions.{Psl, UrlFunctions}
         def d(st: String) = Determinism.duckSeeded(st, "doc_id")
         s"""WITH d AS (
           SELECT doc_id,
             CASE WHEN ${d("us")} % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
             (['', 'www.', 'WWW.', 'cdn.'])[CAST(${d("uc")} % 4 AS INT) + 1] AS sub,
-            (['com', 'org', 'co.uk', 'io', 'ac.uk'])[CAST(${d("ux")} % 5 AS INT) + 1] AS sfx,
+            (['com', 'org', 'co.uk', 'io', 'ac.uk',
+              'github.io', 'kawasaki.jp', 'city.kawasaki.jp'])[CAST(${d("ux")} % 8 AS INT) + 1] AS sfx,
             ${d("up")} % 4 AS updraw,
             CAST(${d("ub")} % 40 AS VARCHAR) AS ub,
             CAST(${d("ua")} % 50 AS VARCHAR) AS ua,
@@ -891,11 +898,14 @@ object TextQueries extends QueryModule {
             '/p' || ua || (CASE WHEN utdraw = 0 THEN '/' ELSE '' END) || qs ||
             (CASE WHEN ufdraw = 0 THEN '#sec2' ELSE '' END) AS raw_url
           FROM d
-        ), n AS (
+        ), n0 AS (
           SELECT doc_id, raw_url,
             ${UrlFunctions.duckNormalizeUrl("raw_url")} AS norm_url,
-            ${UrlFunctions.duckRegisteredDomain(UrlFunctions.duckHostOf("raw_url"))} AS reg_domain
+            ${UrlFunctions.duckHostOf("raw_url")} AS host
           FROM r
+        ), ${Psl.duckRegDomainCtes("n0", "doc_id", "host")}, n AS (
+          SELECT n0.doc_id, n0.raw_url, n0.norm_url, pslr.reg_domain
+          FROM n0 JOIN pslr USING (doc_id)
         ), f AS (
           SELECT doc_id, raw_url, norm_url, reg_domain,
             CASE WHEN reg_domain IN ('site7.com', 'site13.co.uk', 'site21.org')

@@ -1090,6 +1090,229 @@ object MediaCodecs {
     be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
 
   // ------------------------------------------------------------------
+  // MP4 sample tables (ISO 14496-12 §8.6.1 stts, §8.7.3 stsz, §8.7.4
+  // stsc, §8.7.5 stco/co64) — the box arithmetic that turns the
+  // compressed container into frame-accurate (offset, size, dts)
+  // triples WITHOUT any codec: the capability a training pipeline
+  // needs to slice/sample frames out of 100 TB of video without
+  // decoding it. Same defensive doctrine as the metadata walk: every
+  // entry table bounds-checked against its box extent BEFORE any
+  // allocation, declared counts capped, None on any malformation
+  // (including stts/stsz count disagreement and samples left over
+  // after the last chunk).
+  // ------------------------------------------------------------------
+
+  /** One resolved sample: `dts` in track-timescale units (stts running
+    * sum), `chunkIdx` 0-based, `offset` the ABSOLUTE file offset
+    * (stco chunk base + within-chunk size prefix-sum). */
+  final case class Mp4Sample(trackId: Long, sampleIdx: Long, dts: Long,
+      size: Long, chunkIdx: Long, offset: Long)
+
+  private val Mp4SampleCap = 1 << 20 // declared counts never drive allocation
+
+  /** Per-track sample-table walk over the full file: moov → trak →
+    * (tkhd id) + mdia → minf → stbl → stts/stsz/stsc/stco|co64, then
+    * the chunk-run expansion. None on malformed framing anywhere. */
+  def decodeMp4Samples(b: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    if (!ascii(b, 4, "ftyp")) return None
+    val out = Seq.newBuilder[Mp4Sample]
+    var sawTrack = false
+
+    def parseTrak(ps: Int, pe: Int): Boolean = {
+      var tid = -1L
+      var stts: Vector[(Long, Long)] = Vector.empty
+      var stscRuns: Vector[(Long, Long)] = Vector.empty
+      var uniform = -1L
+      var sizeTbl: Vector[Long] = Vector.empty
+      var nSamples = -1L
+      var chunkOffs: Vector[Long] = Vector.empty
+      var sawStbl = false
+
+      def parseStbl(p0: Int, e0: Int): Boolean = walkBoxes(b, p0, e0) { (t, p, e) =>
+        t match {
+          case "stts" =>
+            if (p + 8 > e || u8(b, p) != 0) false
+            else {
+              val n = be32(b, p + 4) & 0xffffffffL
+              if (n > Mp4SampleCap || p + 8 + 8 * n > e) false
+              else {
+                stts = (0L until n).map(i =>
+                  (be32(b, p + 8 + 8 * i.toInt) & 0xffffffffL,
+                    be32(b, p + 12 + 8 * i.toInt) & 0xffffffffL)).toVector
+                true
+              }
+            }
+          case "stsz" =>
+            if (p + 12 > e || u8(b, p) != 0) false
+            else {
+              uniform = be32(b, p + 4) & 0xffffffffL
+              nSamples = be32(b, p + 8) & 0xffffffffL
+              if (nSamples > Mp4SampleCap) false
+              else if (uniform != 0L) true
+              else if (p + 12 + 4 * nSamples > e) false
+              else {
+                sizeTbl = (0L until nSamples).map(i =>
+                  be32(b, p + 12 + 4 * i.toInt) & 0xffffffffL).toVector
+                true
+              }
+            }
+          case "stsc" =>
+            if (p + 8 > e || u8(b, p) != 0) false
+            else {
+              val n = be32(b, p + 4) & 0xffffffffL
+              if (n > Mp4SampleCap || p + 8 + 12 * n > e) false
+              else {
+                stscRuns = (0L until n).map(i =>
+                  (be32(b, p + 8 + 12 * i.toInt) & 0xffffffffL,
+                    be32(b, p + 12 + 12 * i.toInt) & 0xffffffffL)).toVector
+                stscRuns.nonEmpty && stscRuns.head._1 == 1L &&
+                  stscRuns.forall(_._2 >= 1L) &&
+                  stscRuns.map(_._1).sliding(2).forall(w => w.size < 2 || w(0) < w(1))
+              }
+            }
+          case "stco" =>
+            if (p + 8 > e || u8(b, p) != 0) false
+            else {
+              val n = be32(b, p + 4) & 0xffffffffL
+              if (n > Mp4SampleCap || p + 8 + 4 * n > e) false
+              else {
+                chunkOffs = (0L until n).map(i =>
+                  be32(b, p + 8 + 4 * i.toInt) & 0xffffffffL).toVector
+                true
+              }
+            }
+          case "co64" =>
+            if (p + 8 > e || u8(b, p) != 0) false
+            else {
+              val n = be32(b, p + 4) & 0xffffffffL
+              if (n > Mp4SampleCap || p + 8 + 8 * n > e) false
+              else {
+                chunkOffs = (0L until n).map(i => be64(b, p + 8 + 8 * i.toInt)).toVector
+                true
+              }
+            }
+          case _ => true
+        }
+      }
+
+      val ok = walkBoxes(b, ps, pe) { (t, p, e) =>
+        t match {
+          case "tkhd" =>
+            if (p + 4 > e) false
+            else {
+              val ver = u8(b, p)
+              val idOff = if (ver == 0) p + 12 else p + 20
+              if (ver > 1 || idOff + 4 > e) false
+              else { tid = be32(b, idOff) & 0xffffffffL; true }
+            }
+          case "mdia" =>
+            walkBoxes(b, p, e) { (t2, p2, e2) =>
+              if (t2 != "minf") true
+              else walkBoxes(b, p2, e2) { (t3, p3, e3) =>
+                if (t3 != "stbl") true
+                else { sawStbl = true; parseStbl(p3, e3) }
+              }
+            }
+          case _ => true
+        }
+      }
+      if (!ok || tid < 0) return false
+      if (!sawStbl) return true // a metadata-only trak (q130 fixtures)
+      if (stts.isEmpty || nSamples < 0 || stscRuns.isEmpty || chunkOffs.isEmpty)
+        return false
+      // cross-check: stts total must equal the stsz sample count, and
+      // zero-count runs are degenerate (they would mis-assign deltas)
+      if (stts.map(_._1).sum != nSamples || stts.exists(_._1 < 1L)) return false
+      def sizeOf(i: Long): Long =
+        if (uniform != 0L) uniform else sizeTbl(i.toInt)
+      // chunk-run expansion: samples fill chunks in order; the run with
+      // the greatest first_chunk <= chunk governs; last chunk may be
+      // partial; samples left after the last chunk → malformed
+      var si = 0L
+      var dts = 0L
+      var run = 0 // stts run cursor
+      var inRun = 0L
+      var ci = 0
+      while (ci < chunkOffs.length && si < nSamples) {
+        val spc = stscRuns.takeWhile(_._1 <= ci + 1L).last._2
+        var within = 0L
+        var k = 0L
+        while (k < spc && si < nSamples) {
+          out += Mp4Sample(tid, si, dts, sizeOf(si), ci.toLong, chunkOffs(ci) + within)
+          within += sizeOf(si)
+          // advance dts through the stts runs
+          inRun += 1
+          dts += stts(run)._2
+          if (inRun >= stts(run)._1 && run < stts.length - 1) { run += 1; inRun = 0 }
+          si += 1
+          k += 1
+        }
+        ci += 1
+      }
+      if (si < nSamples) return false
+      sawTrack = true
+      true
+    }
+
+    val ok = walkBoxes(b, 0, b.length) { (typ, ps, pe) =>
+      if (typ != "moov") true
+      else walkBoxes(b, ps, pe) { (t2, p2, e2) =>
+        if (t2 != "trak") true else parseTrak(p2, e2)
+      }
+    }
+    if (!ok || !sawTrack) None else Some(out.result())
+  }
+
+  /** Synthesize a COMPLETE one-track MP4 — ftyp + moov with real sample
+    * tables (stts run-length, per-sample stsz, single-entry stsc, stco
+    * with true absolute offsets) + an mdat holding the sample bytes —
+    * the fixture lane for [[decodeMp4Samples]] (the q105 idiom). stco
+    * depends on moov's own size, so the moov is built twice: once with
+    * zero offsets to measure, once with the real ones (same length —
+    * offsets are fixed-width). */
+  def encodeMp4Samples(timescale: Long, trackId: Long,
+      sttsRuns: Seq[(Int, Int)], sizes: Seq[Int], spc: Int): Array[Byte] = {
+    require(spc >= 1 && sizes.nonEmpty && sttsRuns.map(_._1).sum == sizes.size)
+    val nChunks = (sizes.size + spc - 1) / spc
+    val duration = sttsRuns.map { case (c, d) => c.toLong * d }.sum
+    def full(typ: String, payload: Array[Byte]) = box(typ, new Array[Byte](4) ++ payload)
+    val stts = full("stts", be32b(sttsRuns.size.toLong) ++
+      sttsRuns.flatMap { case (c, d) => be32b(c.toLong) ++ be32b(d.toLong) })
+    val stsz = full("stsz", be32b(0) ++ be32b(sizes.size.toLong) ++
+      sizes.flatMap(s => be32b(s.toLong)))
+    val stsc = full("stsc", be32b(1) ++ be32b(1) ++ be32b(spc.toLong) ++ be32b(1))
+    def moovWith(offs: Seq[Long]): Array[Byte] = {
+      val stco = full("stco", be32b(offs.size.toLong) ++ offs.flatMap(be32b))
+      val stbl = box("stbl", stts ++ stsz ++ stsc ++ stco)
+      val minf = box("minf", stbl)
+      val hdlr = box("hdlr", new Array[Byte](8) ++
+        "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array(0.toByte))
+      val mdia = box("mdia", hdlr ++ minf)
+      val tkhd = box("tkhd", new Array[Byte](4) ++ be32b(0) ++ be32b(0) ++
+        be32b(trackId) ++ be32b(0) ++ be32b(duration & 0xffffffffL) ++
+        new Array[Byte](8) ++ new Array[Byte](8) ++ mat ++
+        be32b(640L << 16) ++ be32b(480L << 16))
+      val mvhd = box("mvhd", new Array[Byte](12) ++ be32b(timescale) ++
+        be32b(duration & 0xffffffffL) ++ be32b(0x00010000L) ++
+        Array(0x01.toByte, 0x00.toByte) ++ new Array[Byte](10) ++
+        mat ++ new Array[Byte](24) ++ be32b(trackId + 1))
+      box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val probe = moovWith(Seq.fill(nChunks)(0L))
+    val mdatPayload = ftyp.length.toLong + probe.length + 8L
+    val chunkOffs = sizes.grouped(spc).scanLeft(mdatPayload) {
+      (acc, chunk) => acc + chunk.map(_.toLong).sum
+    }.take(nChunks).toSeq
+    val moov = moovWith(chunkOffs)
+    require(moov.length == probe.length, "stco width drift")
+    val total = sizes.map(_.toLong).sum.toInt
+    val media = Array.tabulate(total)(i => (i % 251).toByte)
+    ftyp ++ moov ++ box("mdat", media)
+  }
+
+  // ------------------------------------------------------------------
   // Ogg / Opus (RFC 3533 page framing + RFC 7845 identification
   // header) — the voice-corpus container: real page walk with the
   // Ogg CRC-32 VERIFIED (poly 0x04C11DB7, init 0, non-reflected,

@@ -1001,6 +1001,71 @@ object SourceQueries extends QueryModule {
                ELSE -1 END AS INT) AS head_byte,
           (width * 1000) // height AS aspect_e3,
           'fake-v1' AS feature_version
-        FROM m"""))
+        FROM m""")),
+
+    QueryDef("q146_mp4_sample_tables",
+      // the MP4 sample-table walk (MediaCodecs.decodeMp4Samples — ISO
+      // 14496-12 stts/stsc/stsz/stco box arithmetic, no codec): the
+      // frame-accurate (dts, size, chunk, absolute offset) capability
+      // the compressed container needs for frame slicing at 100 TB —
+      // the q132 Y4M lane's equivalent for real-world video. Fixtures:
+      // hash-picked sample counts, a TWO-run stts (delta change
+      // mid-track), per-sample hash sizes, and hash-picked
+      // samples-per-chunk (so stsc runs, partial last chunks, and the
+      // stco prefix-sum all exercise). The decoder re-derives every
+      // field by walking the real boxes; DuckDB recomputes dts from the
+      // run algebra, chunk from floor-div, and offsets from the closed
+      // form base(ns, nchunks) + size prefix-sum — any drift in the box
+      // framing, run expansion, or chunk arithmetic shifts a value and
+      // fails the hash. (base = 401 + 4·ns + 4·nchunks: ftyp 24 +
+      // fixed moov skeleton 353 + stts-run 16 + stsz/stco tables +
+      // mdat header 8 — pinned byte-exact in MediaCodecsSpec.)
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.MediaCodecs
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+          .filter(col("doc_id") % 7 === 0)
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val ns = 8 + (Determinism.jvmHash(s"m4n:$id") % 40L).toInt
+            val d1 = 256 + (Determinism.jvmHash(s"m4a:$id") % 256L).toInt
+            val d2 = 128 + (Determinism.jvmHash(s"m4b:$id") % 128L).toInt
+            val spc = 1 + (Determinism.jvmHash(s"m4c:$id") % 4L).toInt
+            val sizes = (0 until ns).map(i =>
+              50 + (Determinism.jvmHash(s"m4s:$id:$i") % 200L).toInt)
+            val b = MediaCodecs.encodeMp4Samples(90000L, 1L,
+              Seq((ns / 2, d1), (ns - ns / 2, d2)), sizes, spc)
+            MediaCodecs.decodeMp4Samples(b).getOrElse(Seq.empty).map(sm =>
+              (id, sm.sampleIdx, sm.dts, sm.size, sm.chunkIdx, sm.offset))
+          }
+        }.toDF("doc_id", "sample_idx", "dts", "ssize", "chunk_idx", "off")
+      },
+      Some {
+        def h(st: String) = Determinism.duckHash(
+          s"'$st:' || CAST(doc_id AS VARCHAR)")
+        val hs = Determinism.duckHash(
+          "'m4s:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+        s"""WITH draws AS (
+          SELECT doc_id,
+            8 + ${h("m4n")} % 40 AS ns,
+            256 + ${h("m4a")} % 256 AS d1,
+            128 + ${h("m4b")} % 128 AS d2,
+            1 + ${h("m4c")} % 4 AS spc
+          FROM documents WHERE doc_id % 7 = 0
+        ), samp AS (
+          SELECT doc_id, ns, d1, d2, spc, CAST(t.i AS BIGINT) AS i,
+            50 + $hs % 200 AS sz
+          FROM draws, unnest(range(ns)) AS t(i)
+        )
+        SELECT doc_id, i AS sample_idx,
+          CAST(CASE WHEN i < ns // 2 THEN i * d1
+            ELSE (ns // 2) * d1 + (i - ns // 2) * d2 END AS BIGINT) AS dts,
+          CAST(sz AS BIGINT) AS ssize,
+          CAST(i // spc AS BIGINT) AS chunk_idx,
+          CAST(401 + 4 * ns + 4 * ((ns + spc - 1) // spc) +
+            COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM samp"""
+      })
   )
 }

@@ -652,6 +652,44 @@ class SourcesSpec extends AnyFunSuite {
     for (cut <- 0 until b.length) MediaCodecs.decode(b.take(cut))
   }
 
+  test("mp4 sample tables: stts/stsc/stsz/stco walk, closed-form offsets, refusal, fuzz") {
+    import graft.operators.MediaCodecs
+    // 7 samples, two stts runs (3×100, 4×40), spc=3 → chunks [3,3,1]
+    val sizes = Seq(10, 20, 30, 40, 50, 60, 70)
+    val b = MediaCodecs.encodeMp4Samples(90000L, 1L, Seq((3, 100), (4, 40)), sizes, 3)
+    val sm = MediaCodecs.decodeMp4Samples(b).get
+    assert(sm.size == 7 && sm.forall(_.trackId == 1L))
+    assert(sm.map(_.size) == sizes.map(_.toLong))
+    assert(sm.map(_.dts) == Seq(0L, 100L, 200L, 300L, 340L, 380L, 420L))
+    assert(sm.map(_.chunkIdx) == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L))
+    // offsets: contiguous chunks → absolute offset = base + prefix sum;
+    // base must equal the q146 oracle's closed form 401 + 4·ns + 4·nchunks
+    val base = sm.head.offset
+    val prefix = sizes.scanLeft(0L)(_ + _).dropRight(1)
+    assert(sm.map(_.offset) == prefix.map(base + _))
+    assert(base == 401L + 4 * sizes.size + 4 * 3, s"base=$base")
+    // the mdat really starts there: 'mdat' fourcc sits 8 bytes before
+    assert(new String(b.slice(base.toInt - 4, base.toInt), "US-ASCII") == "mdat")
+    // uniform spc=2, single run
+    val b2 = MediaCodecs.encodeMp4Samples(1000L, 3L, Seq((4, 25)), Seq(5, 5, 5, 5), 2)
+    val sm2 = MediaCodecs.decodeMp4Samples(b2).get
+    assert(sm2.map(_.dts) == Seq(0L, 25L, 50L, 75L) &&
+      sm2.map(_.chunkIdx) == Seq(0L, 0L, 1L, 1L))
+    assert(sm2.head.offset == 401L + 4 * 4 + 4 * 2 - 8) // one stts run fewer
+    // metadata-only fixtures (no stbl) refuse gracefully
+    assert(MediaCodecs.decodeMp4Samples(MediaCodecs.encodeMp4Meta(600L, 100L,
+      Seq(MediaCodecs.Mp4Track(1L, "vide", 64, 64)))).isEmpty)
+    // malformed refusal: truncated, and never-throw fuzz
+    assert(MediaCodecs.decodeMp4Samples(b.take(b.length / 2)).isEmpty ||
+      MediaCodecs.decodeMp4Samples(b.take(b.length / 2)).nonEmpty) // no throw
+    val rnd = new java.util.Random(0x4d51)
+    for (_ <- 0 until 300) {
+      val x = b.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decodeMp4Samples(x)
+    }
+    for (cut <- 0 until b.length) MediaCodecs.decodeMp4Samples(b.take(cut))
+  }
+
   test("y4m decode: exact plane means, chroma modes, header variants, refusal, fuzz") {
     import graft.operators.MediaCodecs
     // 2x2, 420jpeg: Y [10,20,30,40] -> 25; Cb [7] -> 7; Cr [9] -> 9;

@@ -103,8 +103,17 @@ object Bm25Index {
   * `srcStats` counts ALL pool docs per source (including zero-token docs),
   * matching the per-batch derivation; it cannot be derived from postings
   * alone, hence the second frame.
-  */
-case class Bm25PoolIndex(postings: DataFrame, srcStats: DataFrame)
+  *
+  * `wterm` is the STAGED weighted-term table `(source, term, cand,
+  * term_e6)` — [[Bm25PoolIndex.weightedTerms]] precomputed at build time.
+  * term_e6 is a pure function of the pool (df window + idf/tf-part floor
+  * arithmetic), so staging it moves the one remaining pool-scale shuffle
+  * of the BM25 negative dispatch off the batch path entirely: a batch
+  * reads the persisted table filtered to its anchor sources (parquet
+  * row-group pruning) and scores. Present on every save/load round-trip;
+  * None on hand-assembled pairs (the per-batch derivation fills it in). */
+case class Bm25PoolIndex(postings: DataFrame, srcStats: DataFrame,
+    wterm: Option[DataFrame] = None)
 
 object Bm25PoolIndex {
 
@@ -120,17 +129,42 @@ object Bm25PoolIndex {
       .agg(count(lit(1)).as("tf"))
     val srcStats = pool.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(size(col("btoks"))).as("sum_dl"))
-    Bm25PoolIndex(postings, srcStats)
+    Bm25PoolIndex(postings, srcStats, Some(weightedTerms(postings, srcStats)))
+  }
+
+  /** The weighted-term table `(source, term, cand, term_e6)` — THE
+    * single definition of the composed BM25 backend's per-term score
+    * (exact-integer e6 floor, graft.operators.Bm25 contract): df is a
+    * keyed window over tf (one row per (cand, term) ⇒ the per-term count
+    * IS the document frequency). Both the per-batch derivation and the
+    * staged index build call this, so index-backed scoring cannot
+    * silently diverge from the in-plan path. */
+  def weightedTerms(postings: DataFrame, srcStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("term"))).cast("long"))
+      .join(broadcast(srcStats), "source")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("tfpart",
+        (col("tf") * lit(Bm25.K1 + 1)) /
+          (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
+      .select(col("source"), col("term"), col("cand"),
+        floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long").as("term_e6"))
   }
 
   /** Persist / reload across sampler sessions — the long-lived
     * deployment's cache of the per-source tf table the composed bm25
     * backend otherwise re-derives every batch (Sampler.bm25Lanes
     * scaladoc). Postings repartition by (source, term) on write, the
-    * keys every batch's scoring join restricts on. Same torn-publish
-    * discipline as [[Bm25Index.save]]: both relations land in a `.tmp`
-    * sibling and move into place as one unit — new postings with stale
-    * per-source stats would score silently wrong. */
+    * keys every batch's scoring join restricts on; the staged wterm
+    * table repartitions by source and sorts by (source, term) within
+    * partitions so a batch's source filter prunes row groups. Same
+    * torn-publish discipline as [[Bm25Index.save]]: all relations land
+    * in a `.tmp` sibling and move into place as one unit — new postings
+    * with stale per-source stats would score silently wrong. */
   def save(idx: Bm25PoolIndex, dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
@@ -142,11 +176,20 @@ object Bm25PoolIndex {
     idx.postings.repartition(col("source"), col("term")).write.mode("overwrite")
       .parquet(s"$tmp/postings")
     idx.srcStats.write.mode("overwrite").parquet(s"$tmp/srcstats")
+    idx.wterm.getOrElse(weightedTerms(idx.postings, idx.srcStats))
+      .repartition(col("source")).sortWithinPartitions(col("source"), col("term"))
+      .write.mode("overwrite").parquet(s"$tmp/wterm")
     rmTree(Paths.get(dir))
     Files.move(tmp, Paths.get(dir))
   }
 
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25PoolIndex =
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25PoolIndex = {
+    import java.nio.file.{Files, Paths}
+    // wterm absent only on pre-staging generations — the per-batch
+    // derivation fills it in (values identical; just not staged)
+    val w = if (Files.exists(Paths.get(s"$dir/wterm")))
+      Some(spark.read.parquet(s"$dir/wterm")) else None
     Bm25PoolIndex(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/srcstats"))
+      spark.read.parquet(s"$dir/srcstats"), w)
+  }
 }

@@ -579,46 +579,43 @@ object Sampler {
       // persisted-index path
       val srcList = slotRec.filter(col("recipe").isin(bmNames: _*))
         .select(col("source")).collect().map(_.getString(0)).distinct.toSeq
-      val srcs = srcList.toDF("source")
-      // Postings + per-source stats: from the prebuilt [[Bm25PoolIndex]]
-      // when the caller carries one across batches (the tokenize+agg cost
-      // is paid once, off the batch path), else derived per batch from the
-      // source-restricted pool (the pure-function default). Both shapes
-      // are per-source keyed, so values are bit-identical (pinned).
-      val (tf, stats) = bm25Index match {
-        case Some(ix) =>
-          (ix.postings.join(broadcast(srcs), "source"),
-            ix.srcStats.join(broadcast(srcs), "source"))
+      // Three tiers, bit-identical by construction (one formula —
+      // [[Bm25PoolIndex.weightedTerms]] — pinned in InvariantsSpec):
+      //   1. staged wterm in the prebuilt index: the whole df/idf/tf-part
+      //      pass ran at BUILD time; the batch path is a source-filtered
+      //      parquet read (row-group pruned) — zero pool-scale work;
+      //   2. raw prebuilt postings (pre-staging generation): weight
+      //      per batch over the persisted tf table;
+      //   3. no index: derive postings from the source-restricted pool,
+      //      then weight (the pure-function default).
+      bm25Index.flatMap(_.wterm) match {
+        case Some(w) =>
+          // no checkpoint and no background force: the staged table is a
+          // flat parquet leaf already — the scoring join streams it with
+          // the source filter pruning row groups; a checkpoint would only
+          // re-materialize a pool-scale table into the block store per
+          // batch (A/B'd wall-neutral locally, strictly worse at scale)
+          w.filter(col("source").isin(srcList: _*))
         case None =>
-          // the per-batch derivation IS fromPool over the source-restricted
-          // pool — one definition, so the pinned index≡per-batch equality
-          // can't silently diverge
-          val ix = Bm25PoolIndex.fromPool(pool.filter(col("source").isin(srcList: _*)))
-          (ix.postings, ix.srcStats)
+          val srcs = srcList.toDF("source")
+          val (tf, stats) = bm25Index match {
+            case Some(ix) =>
+              (ix.postings.join(broadcast(srcs), "source"),
+                ix.srcStats.join(broadcast(srcs), "source"))
+            case None =>
+              val ix = Bm25PoolIndex.fromPool(pool.filter(col("source").isin(srcList: _*)))
+              (ix.postings, ix.srcStats)
+          }
+          val w = Bm25PoolIndex.weightedTerms(tf, stats).localCheckpoint(eager = false)
+          // derivation path: force the checkpoint on a background thread
+          // so the tokenize/window chain overlaps the a/p pick jobs
+          val t = new Thread(
+            () => try w.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+              catch { case _: Throwable => () },
+            "graft-bm25-wterm-force")
+          t.setDaemon(true); t.start()
+          w
       }
-      // df is a keyed window over tf (one row per (cand, term) ⇒ the
-      // per-term count IS the document frequency); exact-integer e6 floor
-      // per term, as everywhere (graft.operators.Bm25 scaladoc)
-      tf
-        .withColumn("df", count(lit(1)).over(
-          Window.partitionBy(col("source"), col("term"))).cast("long"))
-        .join(broadcast(stats), "source")
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-        .withColumn("idf",
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-        .withColumn("tfpart",
-          (col("tf") * lit(Bm25.K1 + 1)) /
-            (col("tf") + lit(Bm25.K1) * (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
-        .select(col("source"), col("term"), col("cand"),
-          floor(lit(1000000.0) * col("idf") * col("tfpart")).cast("long").as("term_e6"))
-        .localCheckpoint(eager = false)
-    }
-    wtermPre.foreach { w =>
-      val t = new Thread(
-        () => try w.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-          catch { case _: Throwable => () },
-        "graft-bm25-wterm-force")
-      t.setDaemon(true); t.start()
     }
 
     /** Bm25Backend lanes (reference: bm25_backend.rs:120-174): re-rank the

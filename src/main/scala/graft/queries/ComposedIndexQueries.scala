@@ -39,7 +39,7 @@ object ComposedIndexQueries extends QueryModule {
     * mixPool/tmpPool/bmxPool/fbPool/prPool/txPool or their WHEREs) —
     * the ranks bake in the pool's id order and the fallback order bakes
     * in its source set, so a stale index desyncs silently otherwise. */
-  private val DefVersion = "v1"
+  private val DefVersion = "v2" // v2: Bm25PoolIndex stages the wterm table
 
   private val CacheRoot: Path = Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_composed_index"))

@@ -889,7 +889,10 @@ object Sampler {
     * pick per draw (hash stream `sel:t:`), seen-set dedup by the chunk key
     * (record, section, window) keeping the earliest draw, pad to `batch`.
     * Temporal selectors swap in the as-of neighbor exactly like
-    * [[nextBatch]]'s anchor lane. */
+    * [[nextBatch]]'s anchor lane. No negative dispatch ⇒ no rank sidecar
+    * is derived here, so there is no `rankIndex` parameter: a staged
+    * deployment serves the POOL from the persisted [[PoolRankIndex]]
+    * (its (id, source) columns) and passes it as `poolArg`. */
   def nextTextBatch(spark: SparkSession, chunks: DataFrame, poolArg: DataFrame,
       textRecipes: Seq[TextRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {

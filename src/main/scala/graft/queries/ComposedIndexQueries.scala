@@ -5,6 +5,7 @@ import graft.core.Determinism
 import graft.functions.TextFunctions
 import graft.operators.{Bm25PoolIndex, PoolRankIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
@@ -128,35 +129,67 @@ object ComposedIndexQueries extends QueryModule {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q145_composed_index_build",
+      // The oracle pins the index CONTENTS, not just cardinality:
+      // per-tag integer checksums bind each pool record's id to its
+      // per-source rank (chk_rank), its source's seeded fallback rank
+      // (chk_src), and — for dated pools — its date-group rank
+      // (chk_date); DuckDB replays all three rank assignments from the
+      // pool definition. A drifted rank, a reordered fallback, or a
+      // date-group split lands on a different sum.
       (s, dir) => {
         import s.implicits._
         val rows = poolDefs(s, dir).map { case (tag, pool) =>
-          (tag, rankIndex(s, dir, tag, pool).count())
+          val ix = rankIndex(s, dir, tag, pool)
+          val hasD = ix.columns.contains("drnk")
+          val r = ix.agg(
+            count(lit(1)).cast("long"),
+            sum(col("id") * (col("rn") + 1)).cast("long"),
+            sum(col("id") * (col("srnk") + 1)).cast("long"),
+            (if (hasD) sum(col("id") * (col("drnk") + 1)) else sum(col("id")))
+              .cast("long")).collect()(0)
+          (tag, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
         }
         // the bm25 sidecar shares the bmx pool; build it here too so the
-        // refresh step covers BOTH sidecars (row count pinned via the
-        // bmx rank row — postings counts are term-dependent, not pool-
-        // cardinality, so they stay pinned by q58's oracle instead)
+        // refresh step covers BOTH sidecars (its postings/wterm values
+        // stay pinned by q58's oracle and the InvariantsSpec round-trip)
         bm25Index(s, dir, RecipeQueries.bmxPool(s, dir))
-        rows.toDF("tag", "n_rows")
+        rows.toDF("tag", "n_rows", "chk_rank", "chk_src", "chk_date")
       },
       Some {
-        // pool cardinality replay: same token filter, same WHERE, per tag
-        // (tags in the same sorted order as the Spark rows)
-        val wheres = Seq(
-          "bmx" -> RecipeQueries.BmxWhere,
-          "fbk" -> RecipeQueries.FbWhere,
-          "mix" -> RecipeQueries.MixWhere,
-          "prx" -> RecipeQueries.PrWhere,
-          "tmp" -> RecipeQueries.TmpWhere,
-          "txx" -> RecipeQueries.TxWhere)
-        val arms = wheres.map { case (tag, w) =>
-          s"SELECT '$tag' AS tag, CAST(count(*) AS BIGINT) AS n_rows FROM f WHERE $w"
+        val h = Determinism.duckSeeded _
+        // dated pools carry the id-pure day3 date (RecipeQueries.day3Date)
+        val day3 = s"'2025-03-0' || CAST(${h("day3", "doc_id")} % 3 + 1 AS VARCHAR)"
+        val defs = Seq( // (tag, where, dated) — same sorted order as Spark
+          ("bmx", RecipeQueries.BmxWhere, false),
+          ("fbk", RecipeQueries.FbWhere, true),
+          ("mix", RecipeQueries.MixWhere, true),
+          ("prx", RecipeQueries.PrWhere, false),
+          ("tmp", RecipeQueries.TmpWhere, false),
+          ("txx", RecipeQueries.TxWhere, false))
+        val arms = defs.map { case (tag, w, dated) =>
+          val dateSel = if (dated) s", $day3 AS pdate" else ""
+          val drnk1 =
+            if (dated) "dense_rank() OVER (PARTITION BY p.source ORDER BY p.pdate)"
+            else "1"
+          s"""SELECT '$tag' AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(SUM(id * rn1) AS BIGINT) AS chk_rank,
+            CAST(SUM(id * srnk1) AS BIGINT) AS chk_src,
+            CAST(SUM(id * drnk1) AS BIGINT) AS chk_date
+          FROM (
+            SELECT p.id, s.srnk1,
+              row_number() OVER (PARTITION BY p.source ORDER BY p.id) AS rn1,
+              $drnk1 AS drnk1
+            FROM (SELECT doc_id AS id, source$dateSel FROM f WHERE $w) p
+            JOIN (SELECT source,
+                row_number() OVER (ORDER BY ${h("fsord", "source")}, source) AS srnk1
+              FROM (SELECT DISTINCT source FROM f WHERE $w)) s USING (source)
+          )"""
         }.mkString("\n          UNION ALL ")
         s"""WITH d0 AS (
-            SELECT doc_id, ${TextFunctions.duckTokens("text")} AS toks FROM documents
+            SELECT doc_id, source, ${TextFunctions.duckTokens("text")} AS toks
+            FROM documents
           ), f AS (
-            SELECT doc_id FROM d0 WHERE len(toks) >= ${RecipeQueries.MinToks}
+            SELECT doc_id, source FROM d0 WHERE len(toks) >= ${RecipeQueries.MinToks}
           )
           $arms"""
       }))

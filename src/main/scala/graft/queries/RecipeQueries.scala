@@ -1258,8 +1258,13 @@ object RecipeQueries extends QueryModule {
       // pre-dedup core stream.
       (s, dir) => {
         val chunks = chunkTable(composedDocs(s, dir, TxWhere))
-        // text batches have no negative dispatch, but the index still
-        // serves as the staged pool (no corpus tokenize per batch)
+        // Text batches have no negative dispatch, so nextTextBatch never
+        // derives a rank sidecar — there is no in-plan derivation for an
+        // index to replace (no double derivation to avoid). The index's
+        // whole role here is the STAGED POOL: reconstituting (id, source)
+        // from the persisted table keeps the corpus tokenize+filter pass
+        // (txPool's definition) off the batch path, same as every other
+        // composed lane.
         val ridx = ComposedIndexQueries.rankIndex(s, dir, "txx", txPool(s, dir))
         val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextTextBatch(s, chunks, pool, txRecipes,

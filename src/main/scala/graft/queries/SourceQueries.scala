@@ -163,11 +163,16 @@ object SourceQueries extends QueryModule {
       // response records surface as (url, normalized url, registered
       // domain, date, status, mime, body) rows — the exact front door
       // of a web-crawl curation pipeline. Oracle = literal VALUES with
-      // hand-normalized URLs (the q70 fixture idiom).
+      // hand-normalized URLs (the q70 fixture idiom). This lane runs the
+      // STREAMING walk (readResponsesStreaming: PortableDataStream →
+      // parseStreaming's compacting window — memory bounded by one
+      // record, not one archive), so the bounded-memory path is the
+      // oracle-gated one; the whole-buffer parse stays pinned equal in
+      // SourcesSpec.
       (s, dir) => {
         import graft.functions.UrlFunctions
         val root = ensureWarcFixture()
-        WarcSource.readResponses(s, root)
+        WarcSource.readResponsesStreaming(s, root)
           .select(col("rec_idx"), col("url"),
             UrlFunctions.normalizeUrl(col("url")).as("norm_url"),
             UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")))

@@ -56,16 +56,16 @@ object WarcSource {
     out.toByteArray
   }
 
-  private def lineEnd(b: Array[Byte], from: Int): Int = {
+  private def lineEnd(b: Array[Byte], from: Int, end: Int): Int = {
     var i = from
-    while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
-    if (i + 1 < b.length) i else -1
+    while (i + 1 < end && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+    if (i + 1 < end) i else -1
   }
 
-  private def findNext(b: Array[Byte], from: Int): Int = {
+  private def findNext(b: Array[Byte], from: Int, end: Int): Int = {
     val pat = "WARC/".getBytes(Ascii)
     var i = from
-    while (i + pat.length <= b.length) {
+    while (i + pat.length <= end) {
       var k = 0
       while (k < pat.length && b(i + k) == pat(k)) k += 1
       if (k == pat.length) return i
@@ -81,28 +81,111 @@ object WarcSource {
     val b = gunzipAll(bytesRaw)
     val out = Seq.newBuilder[WarcRecord]
     var skipped = 0
-    var pos = findNext(b, 0)
+    var pos = findNext(b, 0, b.length)
     if (pos < 0 && b.length > 0) skipped += 1
     while (pos >= 0) {
-      parseOne(b, pos) match {
+      parseOne(b, pos, b.length) match {
         case Some((rec, next)) =>
           out += rec
-          val n2 = findNext(b, next)
+          val n2 = findNext(b, next, b.length)
           // content between records must be separators only; anything
           // else means a malformed/truncated record got skipped over
           pos = n2
         case None =>
           skipped += 1
-          pos = findNext(b, pos + 1)
+          pos = findNext(b, pos + 1, b.length)
       }
     }
     (out.result(), skipped)
   }
 
+  /** Streaming record walk over a (possibly multi-member-gzip) stream:
+    * inflate chunk by chunk, emit each record as soon as its block is
+    * fully buffered, and COMPACT the consumed prefix — peak memory is
+    * the largest single record plus one read chunk, never the file.
+    * This retires [[gunzipAll]]'s whole-file inflate from the ingest
+    * path (the last input-sized allocation): a 1 GB crawl segment
+    * streams through a fixed-size window. Same never-throw/resync
+    * doctrine as [[parse]]: a malformed record (or one larger than
+    * `maxRecord`, the declared-size bomb guard) is skipped and the walk
+    * resyncs at the next `WARC/` marker. `chunk` is the inflater read
+    * size (tunable down in specs to force boundary-crossing records). */
+  def parseStreaming(raw: java.io.InputStream, maxRecord: Int = 64 << 20,
+      chunk: Int = 64 * 1024): Iterator[WarcRecord] = {
+    val in: java.io.InputStream = {
+      val pb = new java.io.PushbackInputStream(raw, 2)
+      val b0 = pb.read(); val b1 = if (b0 >= 0) pb.read() else -1
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b)
+        try new java.util.zip.GZIPInputStream(pb, chunk)
+        catch { case scala.util.control.NonFatal(_) => pb }
+      else pb
+    }
+    new Iterator[WarcRecord] {
+      private var buf = new Array[Byte](chunk)
+      private var len = 0
+      private var eof = false
+      private var pending: WarcRecord = null
+
+      private def fill(): Unit = {
+        if (eof) return
+        if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        val n = try in.read(buf, len, buf.length - len)
+          catch { case scala.util.control.NonFatal(_) => -1 } // torn gzip tail
+        if (n < 0) eof = true else len += n
+      }
+
+      private def compact(from: Int): Unit = {
+        if (from > 0) {
+          System.arraycopy(buf, from, buf, 0, len - from)
+          len -= from
+        }
+      }
+
+      @annotation.tailrec
+      private def advance(): Unit = {
+        val idx = findNext(buf, 0, len)
+        if (idx < 0) {
+          if (eof) return
+          // no record start in the window: keep only the last 4 bytes (a
+          // potential marker prefix) and read on
+          compact(math.max(0, len - 4))
+          fill()
+          advance()
+        } else {
+          compact(idx)
+          parseOne(buf, 0, len) match {
+            case Some((rec, next)) =>
+              compact(next)
+              pending = rec
+            case None if !eof && len <= maxRecord =>
+              fill() // likely just not fully buffered yet
+              advance()
+            case None =>
+              // malformed (or over-cap) at eof/cap: skip this marker,
+              // resync at the next one
+              compact(1)
+              advance()
+          }
+        }
+      }
+
+      def hasNext: Boolean = {
+        if (pending == null) { fill(); advance() }
+        pending != null
+      }
+      def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+    }
+  }
+
   /** One record at `pos` (which points at "WARC/"); None on any
     * malformation. Returns the record and the offset after its block. */
-  private def parseOne(b: Array[Byte], pos: Int): Option[(WarcRecord, Int)] = {
-    val ve = lineEnd(b, pos)
+  private def parseOne(b: Array[Byte], pos: Int, end: Int): Option[(WarcRecord, Int)] = {
+    val ve = lineEnd(b, pos, end)
     if (ve < 0) return None
     val version = new String(b, pos, ve - pos, Ascii)
     if (!version.startsWith("WARC/1.")) return None
@@ -111,7 +194,7 @@ object WarcSource {
     var clen = -1L
     var done = false
     while (!done) {
-      val le = lineEnd(b, p)
+      val le = lineEnd(b, p, end)
       if (le < 0) return None
       if (le == p) { done = true; p += 2 } // blank line ends headers
       else {
@@ -131,12 +214,12 @@ object WarcSource {
         p = le + 2
       }
     }
-    if (clen < 0 || p.toLong + clen > b.length) return None
+    if (clen < 0 || p.toLong + clen > end) return None
     val blockEnd = (p + clen).toInt
     val (status, mime, body) =
       if (warcType == "response" && clen >= 5 &&
           new String(b, p, 5, Ascii) == "HTTP/") {
-        val se = lineEnd(b, p)
+        val se = lineEnd(b, p, end)
         if (se < 0 || se >= blockEnd) (0, "", new String(b, p, blockEnd - p, Utf8))
         else {
           val parts = new String(b, p, se - p, Ascii).split(" ")
@@ -145,7 +228,7 @@ object WarcSource {
           var mm = ""
           var hdone = false
           while (!hdone && hp < blockEnd) {
-            val he = lineEnd(b, hp)
+            val he = lineEnd(b, hp, end)
             if (he < 0 || he > blockEnd) { hdone = true }
             else if (he == hp) { hp += 2; hdone = true }
             else {
@@ -184,6 +267,29 @@ object WarcSource {
         }
       }
       .toDF("path", "rec_idx", "url", "date", "status", "mime", "body", "skipped")
+  }
+
+  /** [[readResponses]]'s bounded-memory sibling: file STREAMS
+    * (`sc.binaryFiles`' PortableDataStream), not whole-file byte
+    * arrays — each task inflates and parses its files through the
+    * [[parseStreaming]] window, so executor memory is bounded by the
+    * largest RECORD, not the largest archive (a 1 GB crawl segment no
+    * longer allocates 1 GB inflated + 1 GB raw). Emits the same rows as
+    * [[readResponses]] minus the per-file `skipped` total — a streaming
+    * walk only knows it at file end; skip counters belong on the ingest
+    * telemetry ledger. Non-recursive over `path` (crawl segments
+    * conventionally sit flat in a segment directory). */
+  def readResponsesStreaming(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .filter(_._1.matches(".*\\.warc(\\.gz)?$"))
+      .flatMap { case (p, pds) =>
+        parseStreaming(pds.open()).zipWithIndex.collect {
+          case (r, i) if r.warcType == "response" =>
+            (p, i.toLong, r.targetUri, r.date, r.httpStatus.toLong,
+              r.httpContentType, r.body)
+        }
+      }.toDF("path", "rec_idx", "url", "date", "status", "mime", "body")
   }
 
   /** Fixture/spec lane: render records into valid WARC bytes. */

@@ -801,6 +801,55 @@ class SourcesSpec extends AnyFunSuite {
       WarcSource.parse(base.take(cut))
   }
 
+  test("warc streaming walk == whole-buffer parse; bounded window; spark streaming lane") {
+    import graft.sources.WarcSource
+    import graft.sources.WarcSource.WarcRecord
+    def stream(b: Array[Byte], chunk: Int = 64 * 1024, cap: Int = 64 << 20) =
+      WarcSource.parseStreaming(new java.io.ByteArrayInputStream(b), cap, chunk).toSeq
+    val recs = Seq(
+      WarcRecord("warcinfo", "", "2025-01-01T00:00:00Z", "<urn:uuid:i>", 0, "",
+        "software: x\r\n"),
+      WarcRecord("response", "http://a.com/p", "2025-01-02T00:00:00Z", "<urn:uuid:1>",
+        200, "text/html", "Body one. " * 900), // > one 4 KiB chunk
+      WarcRecord("request", "http://a.com/p", "2025-01-02T00:00:00Z", "<urn:uuid:2>",
+        0, "", "GET /p HTTP/1.1\r\n"),
+      WarcRecord("response", "https://b.org/q", "2025-01-03T00:00:00Z", "<urn:uuid:3>",
+        404, "text/plain", "Gone.\r\nReally gone."))
+    val plain = WarcSource.encode(recs)
+    val gz1 = WarcSource.gzip(plain)
+    val gzN = recs.map(r => WarcSource.gzip(WarcSource.encode(Seq(r)))).reduce(_ ++ _)
+    // equivalence across plain / single-member / multi-member gzip, with
+    // a tiny chunk so records CROSS window boundaries and force growth
+    for (b <- Seq(plain, gz1, gzN); ch <- Seq(64, 4096, 64 * 1024))
+      assert(stream(b, ch) == recs, s"chunk=$ch")
+    // malformed mid-file: same records, same resync as parse()
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nxx")
+      .getBytes("UTF-8")
+    val mixed = WarcSource.encode(recs.take(2)) ++ bad ++ WarcSource.encode(recs.drop(3))
+    assert(stream(mixed) == WarcSource.parse(mixed)._1)
+    // over-cap record (declared-size bomb) is skipped, walk continues
+    val capped = stream(mixed, chunk = 64, cap = 1 << 14)
+    assert(capped == recs.take(2) ++ recs.drop(3))
+    // spark streaming lane rows == whole-buffer lane rows
+    val dir = java.nio.file.Files.createTempDirectory("warcstream")
+    java.nio.file.Files.write(dir.resolve("a.warc"), plain)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gzN)
+    val s = TestSpark.spark
+    val a = WarcSource.readResponsesStreaming(s, dir.toString)
+      .drop("path").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = WarcSource.readResponses(s, dir.toString)
+      .drop("path", "skipped").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a == b && a.size == 4)
+    // never-throw fuzz through the streaming layer
+    val rnd = new java.util.Random(0x57a3)
+    for (base <- Seq(plain, gz1); _ <- 0 until 200) {
+      val x = base.clone(); x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      stream(x, 64)
+    }
+    for (base <- Seq(plain, gz1); cut <- 0 until base.length by 7)
+      stream(base.take(cut), 64)
+  }
+
   test("ogg-opus metadata walk: page framing, CRC verification, refusal, fuzz") {
     import graft.operators.MediaCodecs
     val b = MediaCodecs.encodeOggOpus(2, 312, 16000L, Seq(960L, 1920L, 2880L))

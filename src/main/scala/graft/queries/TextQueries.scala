@@ -1016,6 +1016,58 @@ object TextQueries extends QueryModule {
           JOIN dom d2 ON d2.doc_id = tgt.t
         ), ${LinkGraph.duckBoundedHarmonic3("edges0", "(SELECT dm AS node FROM dom)")}
         SELECT node AS domain, n1, n2, n3, h_e6 FROM hfinal"""
+      }),
+
+    QueryDef("q147_dsir_importance_resampling",
+      // DSIR — Data Selection via Importance Resampling (Xie et al.
+      // 2023 by name, operators.Dsir): hashed unigram+bigram
+      // bag-of-n-grams importance weights (target sample = every 10th
+      // doc, raw = the whole corpus, B=512 buckets, add-1 smoothing)
+      // and Gumbel top-k resampling (key = logw + G — the streaming
+      // form of sampling-without-replacement ∝ w). Every per-bucket
+      // log-ratio is an e6-floored integer BEFORE summation and the
+      // Gumbel noise is hash-derived, so DuckDB replays weight, noise,
+      // rank, and the kept set bit-for-bit. The global rank window is
+      // demonstration-sized; at 100 TB the same key feeds an
+      // orderBy-limit top-k or a quantile threshold.
+      (s, dir) => {
+        import graft.operators.Dsir
+        import org.apache.spark.sql.expressions.Window
+        val B = 512
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val isT = pmod(col("doc_id"), lit(10L)) === 0
+        val feat = Dsir.hashedFeatures(docs, col("text"), B)
+          .localCheckpoint(eager = false) // consumed by counts AND scores
+        val score = feat.join(broadcast(Dsir.logRatioTable(feat, isT, B)), "b")
+          .groupBy(col("doc_id")).agg(sum(col("r_e6")).cast("long").as("logw_e6"))
+        val w = Window.orderBy(col("key_e6").desc, col("doc_id"))
+        docs.select(col("doc_id"))
+          .join(score, Seq("doc_id"), "left")
+          .withColumn("logw_e6", coalesce(col("logw_e6"), lit(0L)))
+          .withColumn("is_target", isT.cast("long"))
+          .withColumn("g_e6", Dsir.gumbelE6(col("doc_id")))
+          .withColumn("key_e6", col("logw_e6") + col("g_e6"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("kept", (col("rnk") <= 100).cast("long"))
+      },
+      Some {
+        import graft.operators.Dsir
+        s"""WITH t AS MATERIALIZED (
+          SELECT doc_id, $duckToks AS toks FROM documents
+        ), ${Dsir.duckScoreCtes(512, "doc_id % 10 = 0")},
+        f0 AS (
+          SELECT d.doc_id,
+            CAST(CASE WHEN d.doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+            CAST(COALESCE(s.logw_e6, 0) AS BIGINT) AS logw_e6,
+            ${Dsir.duckGumbelE6("d.doc_id")} AS g_e6
+          FROM documents d LEFT JOIN dsirscore s ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, is_target, logw_e6, g_e6,
+          CAST(logw_e6 + g_e6 AS BIGINT) AS key_e6,
+          CAST(row_number() OVER (ORDER BY logw_e6 + g_e6 DESC, doc_id) AS BIGINT) AS rnk,
+          CAST(CASE WHEN row_number() OVER (ORDER BY logw_e6 + g_e6 DESC, doc_id) <= 100
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM f0"""
       })
   )
 

@@ -655,6 +655,119 @@ object DedupQueries extends QueryModule {
             CAST(sum(coalesce(sel.g_sel * sel.n, 0)) AS BIGINT) AS tokens_selected
           FROM staged LEFT JOIN sel ON staged.doc_id = sel.doc_id
           GROUP BY staged.source"""
+      }),
+
+    QueryDef("q149_banded_dedup_recall",
+      // banded-dedup RECALL against exact ground truth: for every truly
+      // near-duplicate pair (exact Jaccard over distinct shingle hashes
+      // — computed by a shingle-inverted join, cost ∝ shared shingles,
+      // never n²), did the production LSH banding (q22's b=4×r=2
+      // config) surface it as a candidate? The corpus's only organic
+      // near-dups are near-identical (J≥0.8), so each sampled doc also
+      // gets a hash-MUTATED twin (~30% of tokens replaced by a pure
+      // (doc, position) hash rule) — pairs then span the mid-J range
+      // where banding recall actually degrades (P[caught] =
+      // 1−(1−J^r)^b). Emitted: every truth pair (J ≥ 0.15) with its
+      // exact jac_e6 and the caught flag; DuckDB replays the twins, the
+      // exact Jaccard, the signatures, and the band collisions. At
+      // 100 TB the ground-truth half stays a SAMPLED audit (as here) —
+      // the production path is the banding itself.
+      (s, dir) => {
+        val TwinOff = 10000000L
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        // composed (built-ins-only) hash form: the native PortableHash32
+        // expression and higher-order-function lambdas don't mix (the
+        // lambda variable reaches it unresolved) — same values either way
+        def hij(st: String, i: org.apache.spark.sql.Column) = Determinism.portableHashComposed(
+          concat(lit(st + ":"), col("doc_id").cast("string"), lit(":"), i.cast("string")))
+        val mut = transform(sequence(lit(1), size(col("toks"))), i =>
+          when(pmod(hij("mut", i), lit(10L)) < 3,
+            concat(lit("z"), pmod(hij("zz", i), lit(97L)).cast("string")))
+            .otherwise(element_at(col("toks"), i)))
+        // NOTE the two-step twin select: a same-Project alias named
+        // `doc_id` SHADOWS the child column inside higher-order-function
+        // lambdas (the mut draws would silently key on the SHIFTED id),
+        // so the mutation evaluates in a Project with no alias collision
+        // and the id shift happens one select later.
+        val twin = base.select(col("doc_id"), array_join(mut, " ").as("text"))
+          .select((col("doc_id") + TwinOff).as("doc_id"), col("text"))
+        val uni = base.select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+          .unionByName(twin)
+          .localCheckpoint(eager = false) // feeds ground truth AND banding
+        // exact ground truth over DISTINCT shingle hashes
+        val sh = uni.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(Dedup.shingles(col("toks"), ShingleK)).as("sg"))
+          .select(col("doc_id"),
+            pmod(Determinism.portableHash(col("sg")), lit(Dedup.MixMod)).as("h"))
+          .distinct().localCheckpoint(eager = false)
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n"))
+        val inter = sh.as("x")
+          .join(sh.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val jac = inter
+          .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .withColumn("jac_e6", expr("(1000000 * c) div (na + nb - c)"))
+          .filter(col("jac_e6") >= 150000L)
+        val pairs = Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(uni, "doc_id", "text", Perms, ShingleK),
+            "doc_id", Bands, RowsPerBand)
+          .withColumn("hit", lit(1L))
+        jac.join(pairs, Seq("a", "b"), "left")
+          .select(col("a"), col("b"), col("jac_e6"),
+            coalesce(col("hit"), lit(0L)).as("caught"))
+      },
+      Some {
+        def hij(st: String) = Determinism.duckHash(
+          s"'$st:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+        val mhs = (0 until Perms)
+          .map(j => s"${Dedup.duckMinhashFromHashes("hs", j)} AS mh$j").mkString(", ")
+        s"""WITH t0 AS (SELECT doc_id, $duckToks AS toks FROM documents
+            WHERE doc_id % 3 = 0),
+          t1 AS (SELECT doc_id, toks FROM t0 WHERE len(toks) > 0),
+          tw AS (
+            SELECT doc_id + 10000000 AS doc_id,
+              list_transform(range(1, len(toks) + 1), i ->
+                CASE WHEN ${hij("mut")} % 10 < 3
+                  THEN 'z' || CAST(${hij("zz")} % 97 AS VARCHAR)
+                  ELSE toks[CAST(i AS INT)] END) AS toks
+            FROM t1
+          ),
+          uni AS MATERIALIZED (
+            SELECT doc_id, toks FROM t1 UNION ALL SELECT doc_id, toks FROM tw
+          ),
+          s AS MATERIALIZED (
+            SELECT doc_id, ${Dedup.duckShingles("toks", ShingleK)} AS sh FROM uni
+          ),
+          shx AS MATERIALIZED (
+            SELECT DISTINCT doc_id, h FROM (
+              SELECT doc_id, unnest(${Dedup.duckShingleHashes("sh")}) AS h
+              FROM s WHERE len(sh) > 0)
+          ),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+            FROM shx x JOIN shx y ON x.h = y.h AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+          ),
+          jac AS (
+            SELECT a, b, CAST((1000000 * c) // (sa.n + sb.n - c) AS BIGINT) AS jac_e6
+            FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+          ),
+          sh2 AS (
+            SELECT doc_id, ${Dedup.duckShingleHashes("sh")} AS hs
+            FROM s WHERE len(sh) > 0
+          ),
+          sigs AS (SELECT doc_id, $mhs FROM sh2),
+          $duckPairCtes
+          SELECT j.a, j.b, j.jac_e6,
+            CAST(CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS caught
+          FROM jac j LEFT JOIN pairs p ON p.a = j.a AND p.b = j.b
+          WHERE j.jac_e6 >= 150000"""
       })
   )
 }

@@ -39,6 +39,51 @@ object SourceQueries extends QueryModule {
     root.toString
   }
 
+  /** The q148 archive: 200 hash-drawn responses behind a warcinfo
+    * record, with a planted short-body class (i%11==7 → 3 tokens), a
+    * planted duplicate class (i%5==4 → body copied from i−4), and two
+    * malformed records injected mid-stream (the resync must not shift
+    * rec_idx). Every draw keys `st:i` so the oracle regenerates the
+    * SAME urls/bodies arithmetically. Single-member gzip. */
+  private def ensureCrawlFixture(): String = {
+    import graft.core.Determinism.jvmHash
+    import graft.sources.WarcSource
+    import graft.sources.WarcSource.WarcRecord
+    val root = Paths.get(FixDir, "crawl")
+    Files.createDirectories(root)
+    val subs = Seq("", "www.", "WWW.", "cdn.")
+    val sfxs = Seq("com", "org", "co.uk", "github.io", "kawasaki.jp",
+      "city.kawasaki.jp")
+    val qss = Seq("", "?utm_source=tw&b=2&a=1", "?b=2&a=1",
+      "?a=1&utm_campaign=z&fbclid=x1")
+    def wordsOf(i: Int): Seq[String] = {
+      val k = if (i % 11 == 7) 3 else 8 + (jvmHash(s"cbk:$i") % 20L).toInt
+      (0 until k).map(j => "w" + (jvmHash(s"cbw:$i:$j") % 50L))
+    }
+    val recs = (0 until 200).map { i =>
+      val scheme = if (jvmHash(s"cus:$i") % 2L == 0L) "https" else "http"
+      val sub = subs((jvmHash(s"cuc:$i") % 4L).toInt)
+      val sfx = sfxs((jvmHash(s"cux:$i") % 6L).toInt)
+      val port =
+        if (jvmHash(s"cup:$i") % 4L == 0L) { if (scheme == "https") ":443" else ":80" }
+        else ""
+      val url = s"$scheme://${sub}site${jvmHash(s"cub:$i") % 25L}.$sfx$port" +
+        s"/p${jvmHash(s"cua:$i") % 40L}${qss((jvmHash(s"cuq:$i") % 4L).toInt)}"
+      val words = if (i % 5 == 4) wordsOf(i - 4) else wordsOf(i)
+      WarcRecord("response", url, "2025-04-01T00:00:00Z", s"<urn:uuid:c$i>",
+        200, "text/plain", words.mkString(" "))
+    }
+    val info = WarcRecord("warcinfo", "", "2025-04-01T00:00:00Z",
+      "<urn:uuid:cinfo>", 0, "", "software: graft-crawl-fixture\r\n")
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nxx")
+      .getBytes("UTF-8")
+    val bytes = WarcSource.encode(info +: recs.take(50)) ++ bad ++
+      WarcSource.encode(recs.slice(50, 120)) ++ bad ++
+      WarcSource.encode(recs.drop(120))
+    Files.write(root.resolve("crawl0.warc.gz"), WarcSource.gzip(bytes))
+    root.toString
+  }
+
   private def ensureCsvFixture(): String = {
     val p = Paths.get(FixDir, "csv_role.csv")
     Files.createDirectories(p.getParent)
@@ -1007,6 +1052,115 @@ object SourceQueries extends QueryModule {
           (width * 1000) // height AS aspect_e3,
           'fake-v1' AS feature_version
         FROM m""")),
+
+    QueryDef("q148_crawl_pipeline",
+      // the END-TO-END crawl curation funnel as ONE oracle-gated plan —
+      // the composition every stage query (q136 ingest, q133 URL layer,
+      // q140-class gates, q20-class dedup) exists to serve: a synthetic
+      // 200-response WARC archive (hash-drawn URLs/bodies, planted
+      // short-body and duplicate classes, malformed records injected
+      // mid-file) streams through the REAL record walk
+      // (readResponsesStreaming), then normalize → full-PSL registered
+      // domain → blocklist → per-domain cap (keep 3) → token-count gate
+      // → exact content dedup (earliest record wins), each stage a flag
+      // column and `kept` their conjunction. DuckDB re-derives every
+      // row ARITHMETICALLY from the same hash draws (the codec-oracle
+      // idiom applied to the container): any drift in the WARC framing,
+      // resync, URL algebra, PSL match, window ranks, or dedup keys
+      // shifts a flag and fails the hash.
+      (s, dir) => {
+        import graft.functions.{Psl, UrlFunctions}
+        import graft.functions.TextFunctions
+        import org.apache.spark.sql.expressions.Window
+        val root = ensureCrawlFixture()
+        val gi = col("rec_idx") - 1 // responses sit after the warcinfo
+        val blocklist = Seq("site3.com", "site7.github.io")
+        val capW = Window.partitionBy(col("reg_domain"))
+          .orderBy(Determinism.seeded("ccap", col("gi")), col("gi"))
+        val dupW = Window.partitionBy(col("body")).orderBy(col("gi"))
+        WarcSource.readResponsesStreaming(s, root)
+          .withColumn("gi", gi)
+          .withColumn("norm_url", UrlFunctions.normalizeUrl(col("url")))
+          .withColumn("reg_domain", Psl.registeredDomain(UrlFunctions.hostOf(col("url"))))
+          .withColumn("blocked", col("reg_domain").isInCollection(blocklist).cast("long"))
+          .withColumn("cap_rank", row_number().over(capW).cast("long"))
+          .withColumn("ntoks", size(TextFunctions.tokens(col("body"))).cast("long"))
+          .withColumn("gate_ok", (col("ntoks") >= 8).cast("long"))
+          .withColumn("dup_rank", row_number().over(dupW).cast("long"))
+          .withColumn("kept", (col("blocked") === 0 && col("cap_rank") <= 3 &&
+            col("gate_ok") === 1 && col("dup_rank") === 1).cast("long"))
+          .select(col("gi"), col("norm_url"), col("reg_domain"), col("blocked"),
+            col("cap_rank"), col("ntoks"), col("gate_ok"), col("dup_rank"), col("kept"))
+      },
+      Some {
+        import graft.functions.Psl
+        def d(st: String) = Determinism.duckSeeded(st, "i")
+        val hw = Determinism.duckHash(
+          "'cbw:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+        s"""WITH gen AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(200) t(i)),
+          drw AS (
+            SELECT i,
+              CASE WHEN ${d("cus")} % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+              (['', 'www.', 'WWW.', 'cdn.'])[CAST(${d("cuc")} % 4 AS INT) + 1] AS sub,
+              (['com', 'org', 'co.uk', 'github.io', 'kawasaki.jp',
+                'city.kawasaki.jp'])[CAST(${d("cux")} % 6 AS INT) + 1] AS sfx,
+              CAST(${d("cub")} % 25 AS VARCHAR) AS ub,
+              CAST(${d("cua")} % 40 AS VARCHAR) AS ua,
+              ${d("cup")} % 4 AS updraw,
+              (['', '?utm_source=tw&b=2&a=1', '?b=2&a=1',
+                '?a=1&utm_campaign=z&fbclid=x1'])[CAST(${d("cuq")} % 4 AS INT) + 1] AS qs,
+              CASE WHEN i % 11 = 7 THEN 3 ELSE 8 + ${d("cbk")} % 20 END AS k
+            FROM gen
+          ),
+          w0 AS (
+            SELECT i, list_transform(range(CAST(k AS INT)),
+              j -> 'w' || CAST($hw % 50 AS VARCHAR)) AS words
+            FROM drw
+          ),
+          w1 AS (
+            SELECT a.i, CASE WHEN a.i % 5 = 4 THEN b.words ELSE a.words END AS words
+            FROM w0 a LEFT JOIN w0 b ON b.i = a.i - 4
+          ),
+          bod AS (
+            SELECT i, array_to_string(words, ' ') AS body,
+              CAST(len(words) AS BIGINT) AS ntoks
+            FROM w1
+          ),
+          raw AS (
+            SELECT i,
+              scheme || '://' || sub || 'site' || ub || '.' || sfx ||
+              (CASE WHEN updraw = 0 THEN
+                (CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END) ELSE '' END) ||
+              '/p' || ua || qs AS raw_url
+            FROM drw
+          ),
+          n0 AS (
+            SELECT i AS doc_id, raw_url,
+              ${graft.functions.UrlFunctions.duckNormalizeUrl("raw_url")} AS norm_url,
+              ${graft.functions.UrlFunctions.duckHostOf("raw_url")} AS host
+            FROM raw
+          ), ${Psl.duckRegDomainCtes("n0", "doc_id", "host")},
+          f0 AS (
+            SELECT n0.doc_id AS i, n0.norm_url, pslr.reg_domain,
+              CAST(CASE WHEN pslr.reg_domain IN ('site3.com', 'site7.github.io')
+                THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+              b.body, b.ntoks
+            FROM n0 JOIN pslr USING (doc_id) JOIN bod b ON b.i = n0.doc_id
+          ),
+          f1 AS (
+            SELECT i AS gi, norm_url, reg_domain, blocked,
+              CAST(row_number() OVER (PARTITION BY reg_domain
+                ORDER BY ${Determinism.duckSeeded("ccap", "i")}, i) AS BIGINT) AS cap_rank,
+              ntoks,
+              CAST(CASE WHEN ntoks >= 8 THEN 1 ELSE 0 END AS BIGINT) AS gate_ok,
+              CAST(row_number() OVER (PARTITION BY body ORDER BY i) AS BIGINT) AS dup_rank
+            FROM f0
+          )
+          SELECT gi, norm_url, reg_domain, blocked, cap_rank, ntoks, gate_ok, dup_rank,
+            CAST(CASE WHEN blocked = 0 AND cap_rank <= 3 AND gate_ok = 1 AND dup_rank = 1
+              THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM f1"""
+      }),
 
     QueryDef("q146_mp4_sample_tables",
       // the MP4 sample-table walk (MediaCodecs.decodeMp4Samples — ISO

@@ -967,8 +967,10 @@ object TextQueries extends QueryModule {
       // ranking Common Crawl publishes per host and crawl pipelines use
       // as a per-domain prior. The graph: 10% of documents are "linking
       // pages", each emitting 2 edges from its registered domain to the
-      // domain of a hash-picked target document (the same ub/ux domain
-      // streams as q133, so this IS that corpus's graph). Distance-k
+      // domain of a hash-picked target document (the q133-STYLE ub/ux
+      // domain streams — q133 itself has since widened to the full-PSL
+      // 8-suffix corpus; this lane keeps the 5-suffix variant as its own
+      // self-consistent graph). Distance-k
       // pairs come from k-1 sparse self-joins with per-hop left_anti +
       // checkpoint cuts (the q93 shape); contributions are exact
       // floor(1e6/k) integers. DuckDB replays the hop algebra through

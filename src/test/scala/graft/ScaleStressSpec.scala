@@ -410,4 +410,24 @@ class ScaleStressSpec extends AnyFunSuite {
     val (got, skipped) = WarcSource.parse(bytes)
     assert(skipped == 0 && got.size == 20000 && got(19999).targetUri.endsWith("p19999"))
   }
+
+  test("warc STREAMING walk at 20k records: == whole-buffer, window stays record-bounded") {
+    import graft.sources.WarcSource
+    import graft.sources.WarcSource.WarcRecord
+    // bounded-memory contract: with a 4 KiB read chunk and a 64 KiB
+    // record cap, a 20k-record (~2 MB inflated) archive must stream
+    // through without the cap ever binding — the compacting window holds
+    // one record, not the file (the gunzipAll retirement argument at a
+    // 1 GB segment, shrunk to spec scale)
+    val recs = (0 until 20000).map(i =>
+      WarcRecord("response", s"http://s$i.example.com/p$i", "2025-01-01T00:00:00Z",
+        s"<urn:uuid:$i>", 200, "text/html", s"body $i " + ("x" * 64)))
+    val bytes = WarcSource.gzip(WarcSource.encode(recs))
+    val it = WarcSource.parseStreaming(
+      new java.io.ByteArrayInputStream(bytes), maxRecord = 64 * 1024, chunk = 4096)
+    var n = 0
+    var last: WarcRecord = null
+    it.foreach { r => n += 1; last = r }
+    assert(n == 20000 && last.targetUri.endsWith("p19999"))
+  }
 }

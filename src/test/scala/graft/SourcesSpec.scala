@@ -676,6 +676,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(sm2.map(_.dts) == Seq(0L, 25L, 50L, 75L) &&
       sm2.map(_.chunkIdx) == Seq(0L, 0L, 1L, 1L))
     assert(sm2.head.offset == 401L + 4 * 4 + 4 * 2 - 8) // one stts run fewer
+    // co64 (64-bit chunk offsets) walks identically: rebuild the fixture
+    // with the stco payload re-framed as co64 (same entries, 8-byte)
+    locally {
+      def be32b(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def be64b(v: Long) = be32b(v >>> 32) ++ be32b(v & 0xffffffffL)
+      def box(t: String, p: Array[Byte]) = {
+        val sz = p.length + 8
+        be32b(sz.toLong) ++ t.getBytes("US-ASCII") ++ p
+      }
+      // find the stco box in b2 and re-encode as co64; the offsets grow
+      // by the frame delta (4 extra bytes per entry + same header), so
+      // recompute them from the original decode + the size delta
+      val orig = MediaCodecs.decodeMp4Samples(b2).get
+      val nCh = orig.map(_.chunkIdx).distinct.size
+      val delta = 4 * nCh // co64 payload is 4 bytes/entry larger
+      val chunkOffs = orig.groupBy(_.chunkIdx).toSeq.sortBy(_._1)
+        .map(_._2.minBy(_.sampleIdx).offset + delta)
+      val co64 = box("co64", new Array[Byte](4) ++ be32b(nCh.toLong) ++
+        chunkOffs.flatMap(be64b))
+      val stcoPat = be32b(16L + 4 * nCh) ++ "stco".getBytes("US-ASCII")
+      val at = b2.indices.find(i => i + stcoPat.length <= b2.length &&
+        stcoPat.indices.forall(k => b2(i + k) == stcoPat(k))).get
+      val stcoLen = 16 + 4 * nCh
+      // splice: grow every enclosing box's size field by delta
+      val pre = b2.take(at); val post = b2.drop(at + stcoLen)
+      val spliced = pre ++ co64 ++ post
+      // patch ancestor box sizes (moov/trak/mdia/minf/stbl all precede at)
+      def patchSize(buf: Array[Byte], boxType: String): Unit = {
+        val pat = boxType.getBytes("US-ASCII")
+        val i = buf.indices.find(i => i + 4 <= buf.length - 4 &&
+          pat.indices.forall(k => buf(i + 4 + k) == pat(k))).get
+        val old = ((buf(i) & 0xffL) << 24) | ((buf(i + 1) & 0xffL) << 16) |
+          ((buf(i + 2) & 0xffL) << 8) | (buf(i + 3) & 0xffL)
+        val nv = old + delta
+        buf(i) = (nv >>> 24).toByte; buf(i + 1) = (nv >>> 16).toByte
+        buf(i + 2) = (nv >>> 8).toByte; buf(i + 3) = nv.toByte
+      }
+      Seq("moov", "trak", "mdia", "minf", "stbl").foreach(t => patchSize(spliced, t))
+      val sm64 = MediaCodecs.decodeMp4Samples(spliced).get
+      assert(sm64.map(s => (s.sampleIdx, s.dts, s.size, s.chunkIdx)) ==
+        orig.map(s => (s.sampleIdx, s.dts, s.size, s.chunkIdx)))
+      assert(sm64.map(_.offset) == orig.map(_.offset + delta))
+    }
     // metadata-only fixtures (no stbl) refuse gracefully
     assert(MediaCodecs.decodeMp4Samples(MediaCodecs.encodeMp4Meta(600L, 100L,
       Seq(MediaCodecs.Mp4Track(1L, "vide", 64, 64)))).isEmpty)

@@ -84,6 +84,36 @@ object SourceQueries extends QueryModule {
     root.toString
   }
 
+  /** q150's robots corpus: one robots.txt per synthetic domain, rules
+    * hash-drawn so the oracle regenerates the same TEXT arithmetically.
+    * Shapes exercised: comments, blank lines, a `*` group with 1-3
+    * allow/disallow rules, and (for every 3rd domain by draw) a
+    * specific `graftbot` group that must take precedence. */
+  private def ensureRobotsFixture(): String = {
+    import graft.core.Determinism.jvmHash
+    val root = Paths.get(FixDir, "robots")
+    Files.createDirectories(root)
+    (0 until 40).foreach { n =>
+      val sb = new StringBuilder
+      sb ++= "# graft fixture\n"
+      sb ++= "User-agent: *\n"
+      sb ++= s"Disallow: /p${jvmHash(s"rbd1:$n") % 4L}\n"
+      if (jvmHash(s"rba:$n") % 2L == 0L)
+        sb ++= s"Allow: /p${jvmHash(s"rbd1:$n") % 4L}/open\n"
+      if (jvmHash(s"rbd2:$n") % 3L > 0L)
+        sb ++= s"Disallow: /q${jvmHash(s"rbd2:$n") % 3L}\n"
+      sb ++= "\n"
+      if (jvmHash(s"rbg:$n") % 3L == 0L) {
+        sb ++= "User-agent: graftbot\n"
+        sb ++= "Allow: /\n"
+        sb ++= "Disallow: /secret\n"
+      }
+      Files.write(root.resolve(s"d$n.example.txt"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    root.toString
+  }
+
   private def ensureCsvFixture(): String = {
     val p = Paths.get(FixDir, "csv_role.csv")
     Files.createDirectories(p.getParent)
@@ -1160,6 +1190,162 @@ object SourceQueries extends QueryModule {
             CAST(CASE WHEN blocked = 0 AND cap_rank <= 3 AND gate_ok = 1 AND dup_rank = 1
               THEN 1 ELSE 0 END AS BIGINT) AS kept
           FROM f1"""
+      }),
+
+    QueryDef("q150_robots_exclusion",
+      // robots.txt exclusion (RFC 9309 — the crawl front door's FIRST
+      // gate, before any fetch lands in a WARC): a REAL parser over
+      // per-domain robots.txt fixtures — line walk (comments, blanks,
+      // case-insensitive directives), RFC group semantics (stacked
+      // User-agent lines share a block; a rule line binds to every
+      // agent of its block), most-specific agent selection (the
+      // `graftbot` group beats `*` when present), and longest-path-
+      // prefix rule precedence with allow winning ties; unmatched paths
+      // default to allowed. All column algebra — two keyed windows
+      // (block assignment, per-URL best rule) and broadcast-sized rule
+      // tables; at 100 TB the rules side stays a per-domain broadcast
+      // while the URL stream never shuffles. DuckDB regenerates the
+      // same robots TEXT from the fixture's hash draws and replays the
+      // parse + precedence algebra line for line.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val root = ensureRobotsFixture()
+        val txt = s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+          .load(root)
+          .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1).as("host"),
+            col("content").cast("string").as("text"))
+        val lines = txt
+          .select(col("host"), posexplode(split(col("text"), "\n")).as(Seq("lno", "l0")))
+          .withColumn("line", trim(col("l0")))
+          .filter(col("line") =!= "" && !col("line").startsWith("#"))
+          .withColumn("directive", lower(trim(substring_index(col("line"), ":", 1))))
+          .withColumn("v", trim(expr("substring(line, instr(line, ':') + 1)")))
+          .withColumn("is_ua", col("directive") === "user-agent")
+        val wD = Window.partitionBy(col("host")).orderBy(col("lno"))
+        val blocks = lines
+          .withColumn("prev_ua", coalesce(lag(col("is_ua"), 1).over(wD), lit(false)))
+          .withColumn("block",
+            sum((col("is_ua") && !col("prev_ua")).cast("int")).over(wD))
+        val agents = blocks.filter(col("is_ua"))
+          .select(col("host"), col("block"), lower(col("v")).as("agent"))
+        val rules = blocks.filter(col("directive").isin("allow", "disallow"))
+          .select(col("host"), col("block"),
+            (col("directive") === "allow").cast("long").as("allow"),
+            col("v").as("rpath"))
+        val chosen = agents.filter(col("agent") === "*")
+          .groupBy(col("host")).agg(min(col("block")).as("sb"))
+          .join(agents.filter(col("agent") === "graftbot")
+            .groupBy(col("host")).agg(min(col("block")).as("bb")), Seq("host"), "left")
+          .select(col("host"), coalesce(col("bb"), col("sb")).as("cb"))
+        val eff = rules.join(chosen, "host").filter(col("block") === col("cb"))
+          .select(col("host"), col("allow"), col("rpath"))
+        def dr(st: String, m: Int) =
+          pmod(Determinism.seeded(st, col("uid")), lit(m.toLong))
+        val urls = s.range(300).select(col("id").as("uid"))
+          .withColumn("host",
+            concat(lit("d"), dr("run", 40).cast("string"), lit(".example")))
+          .withColumn("path", element_at(array(
+            concat(lit("/p"), dr("rupp", 4).cast("string")),
+            concat(lit("/p"), dr("rupp", 4).cast("string"), lit("/open/x")),
+            concat(lit("/q"), dr("rupq", 3).cast("string")),
+            concat(lit("/r/"), dr("rupr", 5).cast("string")),
+            lit("/secret/a")), (dr("rup", 5) + 1).cast("int")))
+        val m = urls.join(eff, Seq("host"), "left")
+          .withColumn("hit",
+            col("rpath").isNotNull && startswith(col("path"), col("rpath")))
+        val wU = Window.partitionBy(col("uid")).orderBy(
+          when(col("hit"), length(col("rpath"))).otherwise(-1).desc,
+          col("allow").desc, col("rpath").asc)
+        m.withColumn("rk", row_number().over(wU)).filter(col("rk") === 1)
+          .select(col("uid"), col("host"), col("path"),
+            when(col("hit"), col("rpath")).otherwise(lit("")).as("mrule"),
+            when(col("hit"), col("allow")).otherwise(lit(1L)).as("allowed"))
+      },
+      Some {
+        def h(st: String) = Determinism.duckSeeded(st, "n")
+        def d(st: String) = Determinism.duckSeeded(st, "uid")
+        s"""WITH rb AS (
+          SELECT 'd' || CAST(t.n AS VARCHAR) || '.example' AS host,
+            '# graft fixture' || chr(10) || 'User-agent: *' || chr(10) ||
+            'Disallow: /p' || CAST(${h("rbd1")} % 4 AS VARCHAR) || chr(10) ||
+            (CASE WHEN ${h("rba")} % 2 = 0 THEN
+              'Allow: /p' || CAST(${h("rbd1")} % 4 AS VARCHAR) || '/open' || chr(10)
+              ELSE '' END) ||
+            (CASE WHEN ${h("rbd2")} % 3 > 0 THEN
+              'Disallow: /q' || CAST(${h("rbd2")} % 3 AS VARCHAR) || chr(10)
+              ELSE '' END) ||
+            chr(10) ||
+            (CASE WHEN ${h("rbg")} % 3 = 0 THEN
+              'User-agent: graftbot' || chr(10) || 'Allow: /' || chr(10) ||
+              'Disallow: /secret' || chr(10) ELSE '' END) AS text
+          FROM (SELECT CAST(i AS BIGINT) AS n FROM range(40) r(i)) t
+        ),
+        ln0 AS (
+          SELECT host, CAST(t.i AS BIGINT) AS lno, trim(ls[CAST(t.i AS INT)]) AS line
+          FROM (SELECT host, string_split(text, chr(10)) AS ls FROM rb),
+            unnest(range(1, len(ls) + 1)) AS t(i)
+        ),
+        ln AS (
+          SELECT host, lno, line,
+            lower(trim(split_part(line, ':', 1))) AS directive,
+            trim(substr(line, instr(line, ':') + 1)) AS v,
+            (lower(trim(split_part(line, ':', 1))) = 'user-agent') AS is_ua
+          FROM ln0 WHERE line <> '' AND NOT starts_with(line, '#')
+        ),
+        ln1 AS (
+          SELECT host, lno, directive, v, is_ua,
+            COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY lno), FALSE) AS prev_ua
+          FROM ln
+        ),
+        blk AS (
+          SELECT host, lno, directive, v, is_ua,
+            SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY lno
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block
+          FROM ln1
+        ),
+        agents AS (SELECT host, block, lower(v) AS agent FROM blk WHERE is_ua),
+        rules AS (
+          SELECT host, block,
+            CAST(CASE WHEN directive = 'allow' THEN 1 ELSE 0 END AS BIGINT) AS allow,
+            v AS rpath
+          FROM blk WHERE directive IN ('allow', 'disallow')
+        ),
+        chosen AS (
+          SELECT s.host, COALESCE(b.bb, s.sb) AS cb
+          FROM (SELECT host, min(block) AS sb FROM agents WHERE agent = '*' GROUP BY 1) s
+          LEFT JOIN (SELECT host, min(block) AS bb FROM agents
+            WHERE agent = 'graftbot' GROUP BY 1) b ON b.host = s.host
+        ),
+        eff AS (
+          SELECT r.host, r.allow, r.rpath
+          FROM rules r JOIN chosen c ON c.host = r.host AND r.block = c.cb
+        ),
+        urls AS (
+          SELECT uid, 'd' || CAST(${d("run")} % 40 AS VARCHAR) || '.example' AS host,
+            (['/p' || CAST(${d("rupp")} % 4 AS VARCHAR),
+              '/p' || CAST(${d("rupp")} % 4 AS VARCHAR) || '/open/x',
+              '/q' || CAST(${d("rupq")} % 3 AS VARCHAR),
+              '/r/' || CAST(${d("rupr")} % 5 AS VARCHAR),
+              '/secret/a'])[CAST(${d("rup")} % 5 AS INT) + 1] AS path
+          FROM (SELECT CAST(i AS BIGINT) AS uid FROM range(300) r(i))
+        ),
+        m AS (
+          SELECT u.uid, u.host, u.path, e.allow, e.rpath,
+            (e.rpath IS NOT NULL AND starts_with(u.path, e.rpath)) AS hit
+          FROM urls u LEFT JOIN eff e ON e.host = u.host
+        ),
+        rk AS (
+          SELECT uid, host, path, allow, rpath, hit,
+            row_number() OVER (PARTITION BY uid ORDER BY
+              CASE WHEN hit THEN length(rpath) ELSE -1 END DESC,
+              allow DESC, rpath ASC) AS rk
+          FROM m
+        )
+        SELECT uid, host, path,
+          CASE WHEN hit THEN rpath ELSE '' END AS mrule,
+          CAST(CASE WHEN hit THEN allow ELSE 1 END AS BIGINT) AS allowed
+        FROM rk WHERE rk = 1"""
       }),
 
     QueryDef("q146_mp4_sample_tables",

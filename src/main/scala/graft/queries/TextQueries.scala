@@ -1020,6 +1020,89 @@ object TextQueries extends QueryModule {
         SELECT node AS domain, n1, n2, n3, h_e6 FROM hfinal"""
       }),
 
+    QueryDef("q151_boilerplate_removal",
+      // line-level boilerplate removal (the jusText/boilerpipe-class
+      // extraction step between raw page text and every quality gate):
+      // each doc becomes a "page" — its tokens grouped into 10-token
+      // content lines with hash-planted nav ("Home | About | Contact"),
+      // cookie-banner, and © footer lines spliced at their structural
+      // positions — and a pure-string line classifier (separator
+      // density ≥ 2 pipes, © marker, short-and-stopwordless) drops
+      // boilerplate. The whole pass is array algebra on the lines
+      // ARRAY (transform/filter lambdas — order-preserving, no explode
+      // + collect_list order hazard, no shuffle at all); the cleaned
+      // document round-trips as one portable hash so ANY line-level
+      // drift fails loudly. DuckDB rebuilds the same pages from the
+      // same draws and replays the classifier lambda for lambda.
+      (s, dir) => {
+        def dh(st: String) = pmod(Determinism.seeded(st, col("doc_id")), lit(100L))
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        def boiler(l: org.apache.spark.sql.Column) = {
+          val pipes = length(l) - length(regexp_replace(l, "\\|", ""))
+          val ltoks = filter(split(l, " "), t => t =!= "")
+          val nstop = size(filter(ltoks, t => t.isInCollection(stops)))
+          pipes >= 2 || l.contains("©") || (size(ltoks) <= 4 && nstop === 0)
+        }
+        val pages = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("content",
+            // blank docs yield NO content lines (a descending sequence(0,-1)
+            // would otherwise fabricate two)
+            when(size(col("toks")) > 0,
+              transform(sequence(lit(0), floor((size(col("toks")) - 1) / 10).cast("int")),
+                g => concat_ws(" ", slice(col("toks"), g * 10 + 1, lit(10)))))
+              .otherwise(array().cast("array<string>")))
+          .withColumn("lines", concat(
+            when(dh("bnav") % 2 === 0,
+              array(lit("Home | About | Contact"))).otherwise(array().cast("array<string>")),
+            col("content"),
+            when(dh("bck") % 4 === 0,
+              array(lit("Cookie settings | Privacy policy")))
+              .otherwise(array().cast("array<string>")),
+            when(dh("bft") % 3 > 0,
+              array(concat(lit("© 2024 site"), (dh("bdm") % 40).cast("string"),
+                lit(".example All rights reserved"))))
+              .otherwise(array().cast("array<string>"))))
+        pages.select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          (size(col("lines")) - size(filter(col("lines"), l => !boiler(l))))
+            .cast("long").as("n_boiler"),
+          Determinism.portableHash(
+            array_join(filter(col("lines"), l => !boiler(l)), "\n")).as("clean_hash"))
+      },
+      Some {
+        def dh(st: String) = s"(${Determinism.duckSeeded(st, "doc_id")} % 100)"
+        val stopsIn = "('the','be','to','of','and','that','have','with')"
+        val boiler = s"(length(l) - length(replace(l, '|', '')) >= 2 " +
+          s"OR instr(l, '©') > 0 " +
+          s"OR (len(list_filter(string_split(l, ' '), t -> t <> '')) <= 4 " +
+          s"AND len(list_filter(string_split(l, ' '), t -> t IN $stopsIn)) = 0))"
+        s"""WITH t AS (
+          SELECT doc_id, $duckToks AS toks FROM documents
+        ),
+        pg AS (
+          SELECT doc_id,
+            (CASE WHEN ${dh("bnav")} % 2 = 0
+              THEN ['Home | About | Contact'] ELSE [] END) ||
+            list_transform(range(0, (len(toks) - 1) // 10 + 1),
+              g -> array_to_string(list_slice(toks, g * 10 + 1, g * 10 + 10), ' ')) ||
+            (CASE WHEN ${dh("bck")} % 4 = 0
+              THEN ['Cookie settings | Privacy policy'] ELSE [] END) ||
+            (CASE WHEN ${dh("bft")} % 3 > 0
+              THEN ['© 2024 site' || CAST(${dh("bdm")} % 40 AS VARCHAR) ||
+                '.example All rights reserved'] ELSE [] END) AS lines
+          FROM t
+        )
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(lines) - len(list_filter(lines, l -> NOT $boiler)) AS BIGINT)
+            AS n_boiler,
+          ${Determinism.duckHash(
+            "array_to_string(list_filter(lines, l -> NOT " + boiler + "), chr(10))")}
+            AS clean_hash
+        FROM pg"""
+      }),
+
     QueryDef("q147_dsir_importance_resampling",
       // DSIR — Data Selection via Importance Resampling (Xie et al.
       // 2023 by name, operators.Dsir): hashed unigram+bigram

@@ -353,6 +353,109 @@ object SimilarityQueries extends QueryModule {
         SELECT cell AS cid, i, m_e3, n AS cell_size FROM s2"""
       }),
 
+    QueryDef("q152_semdedup",
+      // SemDeDup (Abbas et al. 2023 by name — semantic dedup over
+      // embedding space, the step web-scale pipelines run AFTER lexical
+      // dedup): k-means-style cells bound the pair search (the IVF
+      // assignment of q29 — pairwise cost ∝ in-cell collisions, never
+      // n²), within-cell pairs above the cosine threshold are semantic
+      // duplicates, and each duplicate NEIGHBORHOOD keeps its minimal
+      // element under the (similarity-to-centroid ASC, id) order — the
+      // paper keeps the LOW-centroid-similarity representative; the
+      // neighborhood-minimal rule is its declarative (and exactly
+      // replayable) form, the q27/q95 keep-earliest idiom under the
+      // centrality order. All exact integers: e3-lattice dots, e6
+      // cosines. Emits every vector's cell, centrality, semantic-dup
+      // degree, and the kept flag.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+          .withColumn("cnrm", Similarity.normE3(col("cemb")))
+        val e = emb
+          .withColumn("nrm", Similarity.normE3(col("embedding")))
+          .join(Similarity.ivfAssign(emb, "vec_id", "embedding",
+            cents.select(col("cid"), col("cemb"))), "vec_id")
+          .join(broadcast(cents.select(col("cid").as("cell"),
+            col("cemb"), col("cnrm"))), "cell")
+          .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"),
+            Similarity.cosE6(Similarity.dotE3(col("embedding"), col("cemb")),
+              col("nrm"), col("cnrm")).as("ccos_e6"))
+          .cache()
+        val l = e.as("l"); val r = e.as("r")
+        val pairs = l.join(r,
+            col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+            col("l.ccos_e6").as("ac"), col("r.ccos_e6").as("bc"),
+            Similarity.cosE6(
+              Similarity.dotE3(col("l.embedding"), col("r.embedding")),
+              col("l.nrm"), col("r.nrm")).as("cos_e6"))
+          .filter(col("cos_e6") >= CosMin)
+        // loser of each duplicate pair = the GREATER (ccos, id); a vector
+        // is dropped iff it loses at least one pair
+        val losers = pairs.select(
+            when(col("ac") < col("bc") ||
+              (col("ac") === col("bc") && col("a") < col("b")), col("b"))
+              .otherwise(col("a")).as("vec_id"))
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("n_lost"))
+        val degree = pairs.select(col("a").as("vec_id"))
+          .unionByName(pairs.select(col("b").as("vec_id")))
+          .groupBy(col("vec_id")).agg(count(lit(1)).cast("long").as("n_sem_dups"))
+        e.select(col("vec_id"), col("cell"), col("ccos_e6"))
+          .join(degree, Seq("vec_id"), "left")
+          .join(losers, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("ccos_e6"),
+            coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
+            (col("n_lost").isNull).cast("long").as("kept"))
+      },
+      Some {
+        def dist(a: String, b: String) =
+          s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
+            s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
+        s"""WITH picked AS (
+          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+        ), cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
+            embedding AS cemb
+          FROM picked
+        ), asg0 AS (
+          SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cemb")} AS dist
+          FROM embeddings e CROSS JOIN cents c
+        ), asg AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM asg0) t WHERE rn = 1
+        ), ev AS MATERIALIZED (
+          SELECT e.vec_id, a.cell, e.embedding,
+            ${Similarity.duckDotE3("e.embedding", "e.embedding", Dim)} AS nrm,
+            ${Similarity.duckCosE6(
+              Similarity.duckDotE3("e.embedding", "c.cemb", Dim),
+              Similarity.duckDotE3("e.embedding", "e.embedding", Dim),
+              Similarity.duckDotE3("c.cemb", "c.cemb", Dim))} AS ccos_e6
+          FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+            JOIN cents c ON c.cid = a.cell
+        ), pairs AS (
+          SELECT l.vec_id AS a, r.vec_id AS b, l.ccos_e6 AS ac, r.ccos_e6 AS bc,
+            ${Similarity.duckCosE6(
+              Similarity.duckDotE3("l.embedding", "r.embedding", Dim),
+              "l.nrm", "r.nrm")} AS cos_e6
+          FROM ev l JOIN ev r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        ), dup AS (SELECT * FROM pairs WHERE cos_e6 >= $CosMin),
+        losers AS (
+          SELECT CASE WHEN ac < bc OR (ac = bc AND a < b) THEN b ELSE a END AS vec_id,
+            count(*) AS n_lost
+          FROM dup GROUP BY 1
+        ), degree AS (
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS n_sem_dups FROM (
+            SELECT a AS vec_id FROM dup UNION ALL SELECT b FROM dup) GROUP BY 1
+        )
+        SELECT e.vec_id, e.cell, e.ccos_e6,
+          COALESCE(d.n_sem_dups, 0) AS n_sem_dups,
+          CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM ev e LEFT JOIN degree d ON d.vec_id = e.vec_id
+        LEFT JOIN losers l ON l.vec_id = e.vec_id"""
+      }),
+
     QueryDef("q95_embedding_dedup_clusters",
       // dedup RESOLUTION generalized across modalities: q27's same-bucket
       // cosine pairs (thresholded at CosMin) are the edge list, and the

@@ -79,7 +79,7 @@ object Bm25Index {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
-    val tmp = Paths.get(dir + ".tmp")
+    val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     idx.postings.repartition(col("term")).write.mode("overwrite")
       .parquet(s"$tmp/postings")
@@ -171,7 +171,7 @@ object Bm25PoolIndex {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
-    val tmp = Paths.get(dir + ".tmp")
+    val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     idx.postings.repartition(col("source"), col("term")).write.mode("overwrite")
       .parquet(s"$tmp/postings")

@@ -57,7 +57,11 @@ object Dsir {
       .localCheckpoint(eager = false)
     val tot = cnts.agg(sum(col("cq")).cast("long"), sum(col("ct")).cast("long"))
       .collect()(0)
-    val (tq, tt) = (tot.getLong(0), tot.getLong(1))
+    // empty feature stream (all-blank corpus slice): sum() is NULL — treat
+    // as 0 so the table is empty rather than the driver throwing (the
+    // query layer's refuse-don't-throw posture)
+    val tq = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val tt = if (tot.isNullAt(1)) 0L else tot.getLong(1)
     cnts.select(col("b"), floor(lit(1000000.0) * log(
       ((col("ct") + 1).cast("double") * lit(tq + buckets.toDouble)) /
         ((col("cq") + 1).cast("double") * lit(tt + buckets.toDouble))))

@@ -33,14 +33,18 @@ object PoolRankIndex {
 
   /** Persist across sampler sessions. Repartitioned by `source` on
     * write — the key every dispatch lookup restricts on. Temp-then-move
-    * publish: a crash mid-write leaves the previous generation intact. */
+    * publish: a crash mid-write leaves the previous generation intact.
+    * Staging is per-process (`.tmp-<pid>`) so two concurrent drivers
+    * (sbt test + bench) never tear each other's half-written staging —
+    * publish serialization is the caller's lock
+    * ([[graft.queries.ComposedIndexQueries]] `ensure`). */
   def save(ranks: DataFrame, dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
-    val tmp = Paths.get(dir + ".tmp")
+    val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     ranks.repartition(col("source")).write.mode("overwrite").parquet(tmp.toString)
     rmTree(Paths.get(dir))

@@ -80,12 +80,32 @@ object ComposedIndexQueries extends QueryModule {
     val key = s"$path#$fp"
     if (!validated.contains(key)) {
       val fpFile = path.resolve("_graft_fp")
-      val fresh = Files.isRegularFile(fpFile) &&
+      def fresh = Files.isRegularFile(fpFile) &&
         new String(Files.readAllBytes(fpFile), StandardCharsets.UTF_8) == fp
       if (!fresh) {
         Files.createDirectories(path.getParent)
-        build
-        Files.write(fpFile, fp.getBytes(StandardCharsets.UTF_8))
+        // cross-PROCESS publish guard (the `synchronized` covers only this
+        // JVM): two concurrent drivers (sbt test + bench — a pitfall this
+        // box hits routinely) must not both build and rmTree+move the same
+        // target out from under each other's lazy readers. FileChannel
+        // lock on a sidecar lockfile + a freshness RE-CHECK inside the
+        // lock: the loser of the race finds the winner's publish and
+        // loads it instead of rebuilding. Staging dirs are already
+        // per-process (`.tmp-<pid>`), so even a non-POSIX fs where the
+        // lock is advisory-only cannot tear a half-written staging.
+        val lockFile = path.getParent.resolve(s".${path.getFileName}.lock")
+        val ch = java.nio.channels.FileChannel.open(lockFile,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock()
+          try {
+            if (!fresh) {
+              build
+              Files.write(fpFile, fp.getBytes(StandardCharsets.UTF_8))
+            }
+          } finally lk.release()
+        } finally ch.close()
       }
       validated += key
     }

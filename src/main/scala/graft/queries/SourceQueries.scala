@@ -87,26 +87,39 @@ object SourceQueries extends QueryModule {
   /** q150's robots corpus: one robots.txt per synthetic domain, rules
     * hash-drawn so the oracle regenerates the same TEXT arithmetically.
     * Shapes exercised: comments, blank lines, a `*` group with 1-3
-    * allow/disallow rules, and (for every 3rd domain by draw) a
-    * specific `graftbot` group that must take precedence. */
+    * allow/disallow rules, a specific `graftbot` group that must take
+    * precedence, graftbot-ONLY files (every 5th domain by draw — no `*`
+    * group at all; RFC 9309 still serves the matched agent's rules), and
+    * a SECOND `*` group (every 4th starred domain) whose rules must
+    * MERGE with the first group's (RFC 9309 §2.2.1: all groups of the
+    * matched agent combine). */
   private def ensureRobotsFixture(): String = {
     import graft.core.Determinism.jvmHash
     val root = Paths.get(FixDir, "robots")
     Files.createDirectories(root)
     (0 until 40).foreach { n =>
+      val hasStar = jvmHash(s"rbo:$n") % 5L != 0L
+      val hasBot = jvmHash(s"rbg:$n") % 3L == 0L || !hasStar
       val sb = new StringBuilder
       sb ++= "# graft fixture\n"
-      sb ++= "User-agent: *\n"
-      sb ++= s"Disallow: /p${jvmHash(s"rbd1:$n") % 4L}\n"
-      if (jvmHash(s"rba:$n") % 2L == 0L)
-        sb ++= s"Allow: /p${jvmHash(s"rbd1:$n") % 4L}/open\n"
-      if (jvmHash(s"rbd2:$n") % 3L > 0L)
-        sb ++= s"Disallow: /q${jvmHash(s"rbd2:$n") % 3L}\n"
-      sb ++= "\n"
-      if (jvmHash(s"rbg:$n") % 3L == 0L) {
+      if (hasStar) {
+        sb ++= "User-agent: *\n"
+        sb ++= s"Disallow: /p${jvmHash(s"rbd1:$n") % 4L}\n"
+        if (jvmHash(s"rba:$n") % 2L == 0L)
+          sb ++= s"Allow: /p${jvmHash(s"rbd1:$n") % 4L}/open\n"
+        if (jvmHash(s"rbd2:$n") % 3L > 0L)
+          sb ++= s"Disallow: /q${jvmHash(s"rbd2:$n") % 3L}\n"
+        sb ++= "\n"
+      }
+      if (hasBot) {
         sb ++= "User-agent: graftbot\n"
         sb ++= "Allow: /\n"
         sb ++= "Disallow: /secret\n"
+        sb ++= "\n"
+      }
+      if (hasStar && jvmHash(s"rbm:$n") % 4L == 0L) {
+        sb ++= "User-agent: *\n"
+        sb ++= "Disallow: /r\n"
       }
       Files.write(root.resolve(s"d$n.example.txt"),
         sb.toString.getBytes("UTF-8"))
@@ -1198,8 +1211,10 @@ object SourceQueries extends QueryModule {
       // per-domain robots.txt fixtures — line walk (comments, blanks,
       // case-insensitive directives), RFC group semantics (stacked
       // User-agent lines share a block; a rule line binds to every
-      // agent of its block), most-specific agent selection (the
-      // `graftbot` group beats `*` when present), and longest-path-
+      // agent of its block; ALL groups of the matched agent merge,
+      // §2.2.1), most-specific agent selection (the `graftbot` groups
+      // beat `*` when any exist — including files with no `*` group at
+      // all), and longest-path-
       // prefix rule precedence with allow winning ties; unmatched paths
       // default to allowed. All column algebra — two keyed windows
       // (block assignment, per-URL best rule) and broadcast-sized rule
@@ -1232,12 +1247,19 @@ object SourceQueries extends QueryModule {
           .select(col("host"), col("block"),
             (col("directive") === "allow").cast("long").as("allow"),
             col("v").as("rpath"))
-        val chosen = agents.filter(col("agent") === "*")
-          .groupBy(col("host")).agg(min(col("block")).as("sb"))
-          .join(agents.filter(col("agent") === "graftbot")
-            .groupBy(col("host")).agg(min(col("block")).as("bb")), Seq("host"), "left")
-          .select(col("host"), coalesce(col("bb"), col("sb")).as("cb"))
-        val eff = rules.join(chosen, "host").filter(col("block") === col("cb"))
+        // RFC 9309 group selection: graftbot's groups when ANY exist
+        // (even in a file with no `*` group at all), else the `*`
+        // groups — and ALL groups of the chosen agent merge (§2.2.1),
+        // not just the first
+        val agentSets = agents.filter(col("agent").isin("*", "graftbot"))
+        val chosenAgent = agentSets.groupBy(col("host"))
+          .agg(max((col("agent") === "graftbot").cast("int")).as("hasbot"))
+          .select(col("host"), when(col("hasbot") === 1, lit("graftbot"))
+            .otherwise(lit("*")).as("cagent"))
+        val cblk = agentSets.join(chosenAgent, "host")
+          .filter(col("agent") === col("cagent"))
+          .select(col("host"), col("block")).distinct()
+        val eff = rules.join(cblk, Seq("host", "block"))
           .select(col("host"), col("allow"), col("rpath"))
         def dr(st: String, m: Int) =
           pmod(Determinism.seeded(st, col("uid")), lit(m.toLong))
@@ -1266,18 +1288,23 @@ object SourceQueries extends QueryModule {
         def d(st: String) = Determinism.duckSeeded(st, "uid")
         s"""WITH rb AS (
           SELECT 'd' || CAST(t.n AS VARCHAR) || '.example' AS host,
-            '# graft fixture' || chr(10) || 'User-agent: *' || chr(10) ||
-            'Disallow: /p' || CAST(${h("rbd1")} % 4 AS VARCHAR) || chr(10) ||
-            (CASE WHEN ${h("rba")} % 2 = 0 THEN
-              'Allow: /p' || CAST(${h("rbd1")} % 4 AS VARCHAR) || '/open' || chr(10)
-              ELSE '' END) ||
-            (CASE WHEN ${h("rbd2")} % 3 > 0 THEN
-              'Disallow: /q' || CAST(${h("rbd2")} % 3 AS VARCHAR) || chr(10)
-              ELSE '' END) ||
-            chr(10) ||
-            (CASE WHEN ${h("rbg")} % 3 = 0 THEN
+            '# graft fixture' || chr(10) ||
+            (CASE WHEN ${h("rbo")} % 5 <> 0 THEN
+              'User-agent: *' || chr(10) ||
+              'Disallow: /p' || CAST(${h("rbd1")} % 4 AS VARCHAR) || chr(10) ||
+              (CASE WHEN ${h("rba")} % 2 = 0 THEN
+                'Allow: /p' || CAST(${h("rbd1")} % 4 AS VARCHAR) || '/open' || chr(10)
+                ELSE '' END) ||
+              (CASE WHEN ${h("rbd2")} % 3 > 0 THEN
+                'Disallow: /q' || CAST(${h("rbd2")} % 3 AS VARCHAR) || chr(10)
+                ELSE '' END) ||
+              chr(10) ELSE '' END) ||
+            (CASE WHEN ${h("rbg")} % 3 = 0 OR ${h("rbo")} % 5 = 0 THEN
               'User-agent: graftbot' || chr(10) || 'Allow: /' || chr(10) ||
-              'Disallow: /secret' || chr(10) ELSE '' END) AS text
+              'Disallow: /secret' || chr(10) || chr(10) ELSE '' END) ||
+            (CASE WHEN ${h("rbo")} % 5 <> 0 AND ${h("rbm")} % 4 = 0 THEN
+              'User-agent: *' || chr(10) || 'Disallow: /r' || chr(10)
+              ELSE '' END) AS text
           FROM (SELECT CAST(i AS BIGINT) AS n FROM range(40) r(i)) t
         ),
         ln0 AS (
@@ -1312,14 +1339,17 @@ object SourceQueries extends QueryModule {
           FROM blk WHERE directive IN ('allow', 'disallow')
         ),
         chosen AS (
-          SELECT s.host, COALESCE(b.bb, s.sb) AS cb
-          FROM (SELECT host, min(block) AS sb FROM agents WHERE agent = '*' GROUP BY 1) s
-          LEFT JOIN (SELECT host, min(block) AS bb FROM agents
-            WHERE agent = 'graftbot' GROUP BY 1) b ON b.host = s.host
+          SELECT host, CASE WHEN bool_or(agent = 'graftbot')
+            THEN 'graftbot' ELSE '*' END AS cagent
+          FROM agents WHERE agent IN ('*', 'graftbot') GROUP BY host
+        ),
+        cblk AS (
+          SELECT DISTINCT a.host, a.block
+          FROM agents a JOIN chosen c ON c.host = a.host AND a.agent = c.cagent
         ),
         eff AS (
           SELECT r.host, r.allow, r.rpath
-          FROM rules r JOIN chosen c ON c.host = r.host AND r.block = c.cb
+          FROM rules r JOIN cblk c ON c.host = r.host AND r.block = c.block
         ),
         urls AS (
           SELECT uid, 'd' || CAST(${d("run")} % 40 AS VARCHAR) || '.example' AS host,

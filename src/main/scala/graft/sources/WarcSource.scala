@@ -133,7 +133,15 @@ object WarcSource {
         if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
         val n = try in.read(buf, len, buf.length - len)
           catch { case scala.util.control.NonFatal(_) => -1 } // torn gzip tail
-        if (n < 0) eof = true else len += n
+        if (n < 0) {
+          eof = true
+          // release the fd + inflater native memory as soon as the stream
+          // is drained — a 100 TB scan holds thousands of archives per
+          // task lifetime and must not wait for GC to close them (early
+          // termination is the caller's duty: close the raw stream, e.g.
+          // via a task-completion listener as readResponsesStreaming does)
+          try in.close() catch { case scala.util.control.NonFatal(_) => () }
+        } else len += n
       }
 
       private def compact(from: Int): Unit = {
@@ -284,7 +292,14 @@ object WarcSource {
     spark.sparkContext.binaryFiles(path)
       .filter(_._1.matches(".*\\.warc(\\.gz)?$"))
       .flatMap { case (p, pds) =>
-        parseStreaming(pds.open()).zipWithIndex.collect {
+        // parseStreaming closes the stream at EOF; the completion listener
+        // covers EARLY termination (limit/take abandons the iterator
+        // mid-file) so no fd/inflater outlives its task
+        val in = pds.open()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case scala.util.control.NonFatal(_) => () })
+        parseStreaming(in).zipWithIndex.collect {
           case (r, i) if r.warcType == "response" =>
             (p, i.toLong, r.targetUri, r.date, r.httpStatus.toLong,
               r.httpContentType, r.body)

@@ -15,6 +15,8 @@ object ProfilePhases {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -112,10 +112,22 @@ object Bm25Index {
   * reads the persisted table filtered to its anchor sources (parquet
   * row-group pruning) and scores. Present on every save/load round-trip;
   * None on hand-assembled pairs (the per-batch derivation fills it in). */
-case class Bm25PoolIndex(postings: DataFrame, srcStats: DataFrame,
-    wterm: Option[DataFrame] = None)
+final class Bm25PoolIndex(postingsThunk: () => DataFrame,
+    srcStatsThunk: () => DataFrame, wtermThunk: () => Option[DataFrame]) {
+  // LAZY relations: reading a parquet relation costs a footer/schema job
+  // at analysis time, and the staged-wterm serving path never touches
+  // postings/srcStats — a loaded index only pays for the relations a
+  // batch actually reads
+  lazy val postings: DataFrame = postingsThunk()
+  lazy val srcStats: DataFrame = srcStatsThunk()
+  lazy val wterm: Option[DataFrame] = wtermThunk()
+}
 
 object Bm25PoolIndex {
+
+  def apply(postings: DataFrame, srcStats: DataFrame,
+      wterm: Option[DataFrame] = None): Bm25PoolIndex =
+    new Bm25PoolIndex(() => postings, () => srcStats, () => wterm)
 
   /** Derive both frames from a composed-sampler pool carrying
     * `(id, source, btoks)`. Callers persist/cache the result across
@@ -185,11 +197,14 @@ object Bm25PoolIndex {
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25PoolIndex = {
     import java.nio.file.{Files, Paths}
+    // each relation loads on FIRST USE (parquet footer read deferred):
+    // the staged-wterm serving path never opens postings/srcstats.
     // wterm absent only on pre-staging generations — the per-batch
     // derivation fills it in (values identical; just not staged)
-    val w = if (Files.exists(Paths.get(s"$dir/wterm")))
-      Some(spark.read.parquet(s"$dir/wterm")) else None
-    Bm25PoolIndex(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/srcstats"), w)
+    new Bm25PoolIndex(
+      () => spark.read.parquet(s"$dir/postings"),
+      () => spark.read.parquet(s"$dir/srcstats"),
+      () => if (Files.exists(Paths.get(s"$dir/wterm")))
+        Some(spark.read.parquet(s"$dir/wterm")) else None)
   }
 }

@@ -47,10 +47,42 @@ object PoolRankIndex {
     val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     ranks.repartition(col("source")).write.mode("overwrite").parquet(tmp.toString)
+    // per-source stats as DRIVER-SIDE index metadata (`_`-prefixed files
+    // are invisible to parquet readers, like `_SUCCESS`): serving batches
+    // read them with zero Spark jobs — the per-batch pool-scan collect
+    // disappears. Derived from the JUST-WRITTEN parquet (2 narrow
+    // columns), so the stats are exactly the persisted generation's.
+    // Written into the staging dir, so they publish atomically with it.
+    val stats = ranks.sparkSession.read.parquet(tmp.toString)
+      .select(col("source"), col("nsrc")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val enc = java.util.Base64.getEncoder
+    val lines = stats.map { case (src, n) =>
+      s"${enc.encodeToString(src.getBytes("UTF-8"))} $n" }
+    Files.write(tmp.resolve(StatsFile),
+      lines.mkString("\n").getBytes("UTF-8"))
     rmTree(Paths.get(dir))
     Files.move(tmp, Paths.get(dir))
   }
 
+  private val StatsFile = "_graft_srcstats"
+
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** The persisted per-source stats — None on pre-stats generations
+    * (callers fall back to the per-batch collect; values identical). */
+  def loadSrcStats(dir: String): Option[Seq[(String, Long)]] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(dir).resolve(StatsFile)
+    if (!Files.isRegularFile(p)) None
+    else {
+      val dec = java.util.Base64.getDecoder
+      Some(new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(b64, n) = line.split(" ", 2)
+          (new String(dec.decode(b64), "UTF-8"), n.toLong)
+        })
+    }
+  }
 }

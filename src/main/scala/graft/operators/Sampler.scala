@@ -9,8 +9,21 @@ import org.apache.spark.sql.expressions.Window
   * batch-local stages (rejection/dedup/pad) — keyed by the global draw
   * counter, it is invariant to how draws are grouped into batches; `rows`
   * is the delivered batch (exactly `batch` rows, slot column `i`); `state`
-  * resumes the sequence. */
-case class SamplerBatch(core: DataFrame, rows: DataFrame, state: SamplerState)
+  * resumes the sequence.
+  *
+  * `rows` is LAZY: the pad-to-batch stage schedules its own count action,
+  * so consumers of the core stream alone (analytics over the pre-pad
+  * draws — every composed oracle query) never pay the padding jobs. First
+  * access builds the plan once; values are identical to the former eager
+  * field (the pad is a pure function of the deduped stream + counters). */
+final class SamplerBatch(val core: DataFrame, mkRows: () => DataFrame,
+    val state: SamplerState) {
+  lazy val rows: DataFrame = mkRows()
+}
+object SamplerBatch {
+  def apply(core: DataFrame, mkRows: () => DataFrame, state: SamplerState): SamplerBatch =
+    new SamplerBatch(core, mkRows, state)
+}
 
 /** The composed batch driver — the reference's `next_triplet_batch` loop
   * (reference: src/sampler/mod.rs:868-948 cursor/epoch advance,
@@ -271,14 +284,16 @@ object Sampler {
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       bm25Index: Option[Bm25PoolIndex] = None,
-      rankIndex: Option[DataFrame] = None): SamplerBatch = {
+      rankIndex: Option[DataFrame] = None,
+      srcStats: Option[Seq[(String, Long)]] = None): SamplerBatch = {
     val (core, deduped, st2) =
-      composed(spark, chunks, pool, recipes, st, batch, decoration, bm25Index, rankIndex)
-    val rows = Mixing.padToBatch(spark,
+      composed(spark, chunks, pool, recipes, st, batch, decoration, bm25Index,
+        rankIndex, srcStats)
+    def rows = Mixing.padToBatch(spark,
         deduped.select(col("draw").as("id")), batch, s"pad:${st.seed}:${st.counter("draw")}")
       .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
       .withColumnRenamed("id", "draw").withColumnRenamed("i", "slot")
-    SamplerBatch(core.drop("allow_same"), rows, st2)
+    SamplerBatch(core.drop("allow_same"), () => rows, st2)
   }
 
   /** The shared composed-triplet stream: returns (core, deduped, state) —
@@ -289,7 +304,8 @@ object Sampler {
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       bm25Index: Option[Bm25PoolIndex] = None,
-      rankIndex: Option[DataFrame] = None)
+      rankIndex: Option[DataFrame] = None,
+      srcStats: Option[Seq[(String, Long)]] = None)
       : (DataFrame, DataFrame, SamplerState) = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
@@ -325,10 +341,14 @@ object Sampler {
     val pool = poolArg.localCheckpoint(eager = false)
     // one per-source stats collect serves pool size, every epoch pick,
     // and the fallback source order (#sources-bounded — the same table
-    // the reference keeps in memory per pool)
-    val srcCounts: Seq[(String, Long)] = pool.groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // the reference keeps in memory per pool). A staged deployment passes
+    // `srcStats` — the PoolRankIndex-persisted stats (derived at index
+    // BUILD, values identical by construction) — and the per-batch pool
+    // scan disappears entirely.
+    val srcCounts: Seq[(String, Long)] = srcStats.map(_.sortBy(_._1)).getOrElse(
+      pool.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
     val poolSize = {
       val cached = st.counter("pool_size")
       val n = if (cached > 0L) cached else srcCounts.map(_._2).sum
@@ -357,19 +377,25 @@ object Sampler {
         "the same pool (date column presence differs)"))
     val rankTbl = rankIndex.getOrElse(
       lap("rankTbl")(rankSidecar(pool, srcCounts).localCheckpoint(eager = false)))
-    // Overlap: the sidecar depends only on `pool`, whose blocks the
-    // srcCounts collect above already materialized — force it on a
-    // background thread so its window stages run CONCURRENTLY with the
-    // slot-schedule jobs below instead of serializing inside the negative
-    // dispatch's job. Values are unaffected (the frame is deterministic
-    // and checkpoint blocks dedupe per partition); the join before the
-    // dispatch only bounds duplicated compute, never correctness.
-    val rankForce = new Thread(
-      () => try rankTbl.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-        catch { case _: Throwable => () },
-      "graft-rank-sidecar-force")
-    rankForce.setDaemon(true)
-    rankForce.start()
+    // Overlap (DERIVATION path only): the sidecar depends only on `pool`,
+    // whose blocks the srcCounts collect above already materialized —
+    // force it on a background thread so its window stages run
+    // CONCURRENTLY with the slot-schedule jobs below instead of
+    // serializing inside the negative dispatch's job. Values are
+    // unaffected (the frame is deterministic and checkpoint blocks dedupe
+    // per partition); the join before the dispatch only bounds duplicated
+    // compute, never correctness. An INDEX-backed rankTbl is already a
+    // flat parquet leaf — forcing it would schedule a pool-scale read
+    // into nothing every batch, so the thread only runs when deriving.
+    val rankForce: Option[Thread] = if (rankIndex.nonEmpty) None else Some {
+      val t = new Thread(
+        () => try rankTbl.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+          catch { case _: Throwable => () },
+        "graft-rank-sidecar-force")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
 
     // ---- record pick: per-epoch interleave joined on position ----
     // Each composed frame from here on is BATCH-sized and feeds several
@@ -634,8 +660,8 @@ object Sampler {
       * MATERIALIZED batch-restricted chunk checkpoint, so the re-pick
       * costs one narrow window over a tiny leaf, not a second chunk
       * derivation. */
-    def bm25Lanes(apDone: (DataFrame, DataFrame, DataFrame)): DataFrame = {
-      val (_, aRecsAll, chunksAP) = apDone
+    def bm25Lanes(apPrep: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+      val (aRecsAll, _, chunksAP) = apPrep
       val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
       val bmARecs = aRecsAll.join(broadcast(bmSlots.select(col("draw"))), Seq("draw"))
       val bmDraws = bmARecs.withColumn("slot", lit("a"))
@@ -727,7 +753,13 @@ object Sampler {
     }.flatMap { case (draw, am, aa, pm, pa) =>
       Seq((draw, "a", am, aa), (draw, "p", pm, pa))
     }.toDF("draw", "slot", "mode", "arg")
-    val apTask = new java.util.concurrent.FutureTask(() => {
+    // Two futures on ONE thread: `apPrepTask` (chunk-source records +
+    // the batch-restricted chunk checkpoint plan) completes without any
+    // job for non-temporal recipe sets — so the bm25 scoring lane, which
+    // needs only the PREP (anchor records + chunksAP), no longer waits
+    // behind the a/p window-pick collect; that collect (`apPicksTask`)
+    // overlaps the negative dispatch's job instead.
+    val apPrepTask = new java.util.concurrent.FutureTask(() => {
       val (aTmp, aPlan) = chunkRecordsPlan(_.anchor, slotRec)
       val (pTmp, pPlan) = chunkRecordsPlan(_.positive, slotRec)
       // ONE collect covers both slots when any lane is temporal (the two
@@ -748,9 +780,17 @@ object Sampler {
         .map(_.getLong(0)).distinct.toSeq
       // batch id restriction as an isin PREDICATE, not a join (pushes
       // below the chunk table's window/explode derivation — see the
-      // n-lane comment below)
+      // n-lane comment below). Lazy: an eager checkpoint here was A/B'd
+      // WORSE — it stalls the bm25 lane (which needs only this PLAN)
+      // behind the materialization job; the duplicate-derivation race
+      // between the a/p pick job and the scoring job is bounded by the
+      // block store's per-partition dedupe.
       val chunksAP = chunks.filter(col("record_id").isin(ids: _*))
         .localCheckpoint(eager = false)
+      (aRecs, pRecs, chunksAP)
+    })
+    val apPicksTask = new java.util.concurrent.FutureTask(() => {
+      val (aRecs, pRecs, chunksAP) = apPrepTask.get()
       val apRows = aRecs.withColumn("slot", lit("a"))
         .unionByName(pRecs.withColumn("slot", lit("p")))
       val sel = Recipes.selectChunksBatchSlots(chunksAP,
@@ -758,27 +798,27 @@ object Sampler {
         .select(col("slot"), col("draw"),
           col("window_index").cast("long").as("widx"),
           Determinism.portableHash(slotText).as("thash"))
-      val apPicks = localize(sel.groupBy(col("draw")).agg(
+      localize(sel.groupBy(col("draw")).agg(
         max(when(col("slot") === "a", col("widx"))).as("a_widx"),
         max(when(col("slot") === "a", col("thash"))).as("a_hash"),
         max(when(col("slot") === "p", col("widx"))).as("p_widx"),
         max(when(col("slot") === "p", col("thash"))).as("p_hash")))
-      (apPicks, aRecs, chunksAP)
     })
     locally {
-      val t = new Thread(apTask, "graft-ap-pick-chain")
+      val t = new Thread(() => { apPrepTask.run(); apPicksTask.run() },
+        "graft-ap-pick-chain")
       t.setDaemon(true); t.start()
     }
 
     val negRec = {
       // bound duplicated compute: let the background sidecar force finish
       // before the dispatch job reads it (values identical either way)
-      rankForce.join()
+      rankForce.foreach(_.join())
       val dflt = strategyPick(
         if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
         strategiesOf(NegativeBackend.Default))
       lap("negRec")(localize(
-        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes(apTask.get()))))
+        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes(apPrepTask.get()))))
     }
 
     // ---- n-slot pick: the only selector window that has to FOLLOW the
@@ -814,7 +854,7 @@ object Sampler {
     // inner join on the n pick reproduce the former fused-pivot
     // semantics — a draw whose ANY slot found no eligible chunk drops
     // from the core stream
-    val (apPicks, _, _) = apTask.get()
+    val apPicks = apPicksTask.get()
     val core = negRec
       .join(apPicks, Seq("draw"))
       .join(nPick, Seq("draw"))
@@ -854,10 +894,11 @@ object Sampler {
   def nextPairBatch(spark: SparkSession, chunks: DataFrame, pool: DataFrame,
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
-      rankIndex: Option[DataFrame] = None): SamplerBatch = {
+      rankIndex: Option[DataFrame] = None,
+      srcStats: Option[Seq[(String, Long)]] = None): SamplerBatch = {
     val nTrip = (batch + 1) / 2
     val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, nTrip,
-      decoration, None, rankIndex)
+      decoration, None, rankIndex, srcStats)
     def pairsOf(df: DataFrame): DataFrame = df
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("nid"), col("a_hash"), col("reason").as("strategy"),
@@ -872,13 +913,15 @@ object Sampler {
         col("pr.r_hash").as("r_hash"), col("pr.reason").as("reason"))
     val pairCore = pairsOf(core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
       .drop("allow_same"))
-    val pairDeduped = pairsOf(deduped)
-    val rows = Mixing.padToBatch(spark,
-        pairDeduped.select(col("pair_id").as("id")), batch,
-        s"padp:${st.seed}:${st.counter("draw")}")
-      .join(pairDeduped.withColumnRenamed("pair_id", "id"), Seq("id"))
-      .withColumnRenamed("id", "pair_id").withColumnRenamed("i", "slot")
-    SamplerBatch(pairCore, rows, st2)
+    def rows = {
+      val pairDeduped = pairsOf(deduped)
+      Mixing.padToBatch(spark,
+          pairDeduped.select(col("pair_id").as("id")), batch,
+          s"padp:${st.seed}:${st.counter("draw")}")
+        .join(pairDeduped.withColumnRenamed("pair_id", "id"), Seq("id"))
+        .withColumnRenamed("id", "pair_id").withColumnRenamed("i", "slot")
+    }
+    SamplerBatch(pairCore, () => rows, st2)
   }
 
   /** The composed text batch (reference `next_text_batch`,
@@ -895,15 +938,17 @@ object Sampler {
     * (its (id, source) columns) and passes it as `poolArg`. */
   def nextTextBatch(spark: SparkSession, chunks: DataFrame, poolArg: DataFrame,
       textRecipes: Seq[TextRecipe], st: SamplerState, batch: Int,
-      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None): SamplerBatch = {
+      decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
+      srcStats: Option[Seq[(String, Long)]] = None): SamplerBatch = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
     val byName = textRecipes.map(r => r.name -> r).toMap
     def localize(df: DataFrame): DataFrame = localRelation(spark, df)
     val pool = poolArg.localCheckpoint(eager = false) // one materialization (see composed)
-    val srcCounts: Seq[(String, Long)] = pool.groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val srcCounts: Seq[(String, Long)] = srcStats.map(_.sortBy(_._1)).getOrElse(
+      pool.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
     val poolSize = {
       val cached = st.counter("pool_size")
       val n = if (cached > 0L) cached else srcCounts.map(_._2).sum
@@ -971,13 +1016,13 @@ object Sampler {
       .orderBy(col("draw"))
     val deduped = core.withColumn("rk", row_number().over(seenW)).filter(col("rk") === 1)
       .drop("rk")
-    val rows = Mixing.padToBatch(spark,
+    def rows = Mixing.padToBatch(spark,
         deduped.select(col("draw").as("id")), batch, s"padt:${st.seed}:$drawBase")
       .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
       .withColumnRenamed("id", "draw").withColumnRenamed("i", "slot")
     val st2 = st.copy(epoch = e, counters = st.counters
       .updated("draw", drawBase + batch).updated("cursor", cur)
       .updated("pool_size", poolSize))
-    SamplerBatch(core, rows, st2)
+    SamplerBatch(core, () => rows, st2)
   }
 }

@@ -40,7 +40,11 @@ object ComposedIndexQueries extends QueryModule {
     * mixPool/tmpPool/bmxPool/fbPool/prPool/txPool or their WHEREs) —
     * the ranks bake in the pool's id order and the fallback order bakes
     * in its source set, so a stale index desyncs silently otherwise. */
-  private val DefVersion = "v2" // v2: Bm25PoolIndex stages the wterm table
+  // v2: Bm25PoolIndex stages the wterm table
+  // v3: PoolRankIndex persists driver-side per-source stats (contents of
+  //     the rank table unchanged; bumped so pre-v3 caches regenerate with
+  //     the stats sidecar present)
+  private val DefVersion = "v3"
 
   private val CacheRoot: Path = Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_composed_index"))
@@ -115,12 +119,21 @@ object ComposedIndexQueries extends QueryModule {
     * generation (or [[DefVersion]]) moved. `pool` must be the SAME frame
     * the serving lane would otherwise derive in-plan (the shared
     * RecipeQueries pool definitions). */
-  def rankIndex(s: SparkSession, dir: String, tag: String, pool: DataFrame): DataFrame = {
+  def rankIndex(s: SparkSession, dir: String, tag: String, pool: DataFrame): DataFrame =
+    rankIndexAndStats(s, dir, tag, pool)._1
+
+  /** [[rankIndex]] plus the persisted per-source stats — the serving
+    * lanes hand the stats to [[graft.operators.Sampler.nextBatch]] so the
+    * per-batch pool-scan collect disappears (zero Spark jobs: the stats
+    * are a driver-side metadata file written at build). None only on a
+    * pre-v3 cache, where the sampler falls back to the collect. */
+  def rankIndexAndStats(s: SparkSession, dir: String, tag: String,
+      pool: DataFrame): (DataFrame, Option[Seq[(String, Long)]]) = {
     val path = cacheDir(dir).resolve(s"rank_$tag")
     ensure(path, corpusFingerprint(dir, s"rank:$tag")) {
       PoolRankIndex.save(PoolRankIndex.build(pool), path.toString)
     }
-    PoolRankIndex.load(s, path.toString)
+    (PoolRankIndex.load(s, path.toString), PoolRankIndex.loadSrcStats(path.toString))
   }
 
   /** The persisted [[Bm25PoolIndex]] (postings + per-source stats) for

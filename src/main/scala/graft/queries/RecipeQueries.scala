@@ -501,10 +501,11 @@ object RecipeQueries extends QueryModule {
         // deployment lane: the pool itself comes from the persisted rank
         // index (no corpus tokenize on the batch path) — bit-identical to
         // the derived pool by construction (InvariantsSpec)
-        val ridx = ComposedIndexQueries.rankIndex(s, dir, "mix", mixPool(s, dir))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "mix", mixPool(s, dir))
         val pool = ridx.select(col("id"), col("source"), col("date"))
         val out = Sampler.nextBatch(s, chunks, pool, mixRecipes,
-          SamplerState(MixSeed, 0L, Map.empty), MixBatch, rankIndex = Some(ridx))
+          SamplerState(MixSeed, 0L, Map.empty), MixBatch, rankIndex = Some(ridx),
+          srcStats = stats)
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -698,10 +699,11 @@ object RecipeQueries extends QueryModule {
         val chunks = chunkTable(composedDocs(s, dir, TmpWhere))
         // sec/tax are id-pure, so the index-staged pool reattaches them
         // without a corpus pass (tmpAttach)
-        val ridx = ComposedIndexQueries.rankIndex(s, dir, "tmp", tmpPool(s, dir))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "tmp", tmpPool(s, dir))
         val pool = tmpAttach(ridx.select(col("id"), col("source")))
         val out = Sampler.nextBatch(s, chunks, pool, tmpRecipes,
-          SamplerState(TmpSeed, 0L, Map.empty), TmpBatch, rankIndex = Some(ridx))
+          SamplerState(TmpSeed, 0L, Map.empty), TmpBatch, rankIndex = Some(ridx),
+          srcStats = stats)
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -823,12 +825,12 @@ object RecipeQueries extends QueryModule {
         val chunks = chunkTable(composedDocs(s, dir, BmxWhere))
         // both sidecars persisted: ranks AND the (source, term) postings
         // — the batch path never tokenizes the pool
-        val ridx = ComposedIndexQueries.rankIndex(s, dir, "bmx", bmxPool(s, dir))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "bmx", bmxPool(s, dir))
         val bidx = ComposedIndexQueries.bm25Index(s, dir, bmxPool(s, dir))
         val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextBatch(s, chunks, pool, bmxRecipes,
           SamplerState(BmSeed, 0L, Map.empty), BmBatch,
-          bm25Index = Some(bidx), rankIndex = Some(ridx))
+          bm25Index = Some(bidx), rankIndex = Some(ridx), srcStats = stats)
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -978,10 +980,11 @@ object RecipeQueries extends QueryModule {
       // the dated src4 records exercise the same-date preference tiers.
       (s, dir) => {
         val chunks = chunkTable(composedDocs(s, dir, FbWhere))
-        val ridx = ComposedIndexQueries.rankIndex(s, dir, "fbk", fbPool(s, dir))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "fbk", fbPool(s, dir))
         val pool = ridx.select(col("id"), col("source"), col("date"))
         val out = Sampler.nextBatch(s, chunks, pool, fbRecipes,
-          SamplerState(FbSeed, 0L, Map.empty), FbBatch, rankIndex = Some(ridx))
+          SamplerState(FbSeed, 0L, Map.empty), FbBatch, rankIndex = Some(ridx),
+          srcStats = stats)
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -1166,10 +1169,11 @@ object RecipeQueries extends QueryModule {
       // pair explosion.
       (s, dir) => {
         val chunks = chunkTable(composedDocs(s, dir, PrWhere))
-        val ridx = ComposedIndexQueries.rankIndex(s, dir, "prx", prPool(s, dir))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "prx", prPool(s, dir))
         val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextPairBatch(s, chunks, pool, prRecipes,
-          SamplerState(PrSeed, 0L, Map.empty), PrBatch, rankIndex = Some(ridx))
+          SamplerState(PrSeed, 0L, Map.empty), PrBatch, rankIndex = Some(ridx),
+          srcStats = stats)
         out.core.select(col("draw"), col("pair_id"), col("epoch"), col("recipe"),
           col("record_id"), col("nid"), col("label"),
           col("l_hash"), col("r_hash"), col("reason"))
@@ -1265,10 +1269,10 @@ object RecipeQueries extends QueryModule {
         // from the persisted table keeps the corpus tokenize+filter pass
         // (txPool's definition) off the batch path, same as every other
         // composed lane.
-        val ridx = ComposedIndexQueries.rankIndex(s, dir, "txx", txPool(s, dir))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "txx", txPool(s, dir))
         val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextTextBatch(s, chunks, pool, txRecipes,
-          SamplerState(TxSeed, 0L, Map.empty), TxBatch)
+          SamplerState(TxSeed, 0L, Map.empty), TxBatch, srcStats = stats)
         out.core.select(col("draw"), col("epoch"), col("recipe"),
           col("record_id"), col("chunk_record"), col("t_sidx"), col("t_widx"), col("t_hash"))
       },

@@ -272,6 +272,19 @@ object RecipeQueries extends QueryModule {
   private[queries] def mixPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     tokenFiltered(composedDocs(s, dir, MixWhere))
       .select(col("doc_id").as("id"), col("source"), day3Date(col("doc_id")).as("date"))
+
+  /** The steady-state bench's serving bundle (graft.Bench): the mix
+    * lane's chunk table, index-reconstituted pool, recipes, and staged
+    * rank index + driver-side stats — exactly what a deployed trainer
+    * session holds between batches. */
+  def mixServing(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[TripletRecipe], DataFrame,
+         Option[Seq[(String, Long)]]) = {
+    val chunks = chunkTable(composedDocs(s, dir, MixWhere))
+    val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "mix", mixPool(s, dir))
+    val pool = ridx.select(col("id"), col("source"), col("date"))
+    (chunks, pool, mixRecipes, ridx, stats)
+  }
   private[queries] def fbPool(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     tokenFiltered(composedDocs(s, dir, FbWhere))
       .select(col("doc_id").as("id"), col("source"), day3Date(col("doc_id")).as("date"))

@@ -79,6 +79,7 @@ object Bm25Index {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+    Staging.sweepStale(Paths.get(dir))
     val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     idx.postings.repartition(col("term")).write.mode("overwrite")
@@ -183,6 +184,7 @@ object Bm25PoolIndex {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+    Staging.sweepStale(Paths.get(dir))
     val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     idx.postings.repartition(col("source"), col("term")).write.mode("overwrite")

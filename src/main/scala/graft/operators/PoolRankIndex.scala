@@ -44,6 +44,7 @@ object PoolRankIndex {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+    Staging.sweepStale(Paths.get(dir))
     val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
     ranks.repartition(col("source")).write.mode("overwrite").parquet(tmp.toString)

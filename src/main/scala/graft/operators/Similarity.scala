@@ -195,10 +195,17 @@ object Similarity {
       .select(col(idCol), posexplode(col(embCol)).as(Seq("i0", "x")))
       .select(col(idCol), (col("i0") + 1).as("i"),
         round(col("x").cast("double") * 1000).cast("long").as("e"))
+    // ONE keyed aggregation: per-plane conditional sums (order-free exact
+    // integers), then the sign bits assemble in a plain projection — the
+    // two-level groupBy((id, j) then id) shape shuffled the corpus twice
+    // for the same values
+    val dots = (0 until numPlanes).map(j =>
+      sum(when(col("j") === j, col("e") * col("r"))).as(s"d$j"))
+    val bits = (0 until numPlanes).map(j =>
+      when(col(s"d$j") > 0, lit(1L << j)).otherwise(0L))
     elems.join(broadcast(planes), "i")
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("e") * col("r")).as("dot"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("bucket"))
+      .agg(dots.head, dots.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("bucket"))
   }
 }

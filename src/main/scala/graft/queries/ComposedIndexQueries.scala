@@ -77,20 +77,34 @@ object ComposedIndexQueries extends QueryModule {
   }
 
   /** Paths already fingerprint-validated in this JVM — one filesystem
-    * stat pass per (index, generation) per session, zero per batch. */
-  private val validated = scala.collection.mutable.Set[String]()
+    * stat pass per (index, generation) per session, zero per batch.
+    * Concurrent-read-safe so validated lookups never block behind a
+    * build of an UNRELATED index (per-path monitors below carry the
+    * build serialization). */
+  private val validated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def ensure(path: Path, fp: String)(build: => Unit): Unit = synchronized {
+  /** One monitor per index path: two JVM threads ensuring the SAME index
+    * serialize; threads ensuring different indexes proceed in parallel
+    * (the old object-wide `synchronized` stalled every lookup behind one
+    * build). */
+  private val pathMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def ensure(path: Path, fp: String)(build: => Unit): Unit = {
     val key = s"$path#$fp"
-    if (!validated.contains(key)) {
+    if (validated.contains(key)) return
+    val mon = pathMonitors.computeIfAbsent(path.toString, _ => new Object)
+    mon.synchronized {
+      if (validated.contains(key)) return
       val fpFile = path.resolve("_graft_fp")
       def fresh = Files.isRegularFile(fpFile) &&
         new String(Files.readAllBytes(fpFile), StandardCharsets.UTF_8) == fp
       if (!fresh) {
         Files.createDirectories(path.getParent)
-        // cross-PROCESS publish guard (the `synchronized` covers only this
-        // JVM): two concurrent drivers (sbt test + bench — a pitfall this
-        // box hits routinely) must not both build and rmTree+move the same
+        // cross-PROCESS publish guard (the monitor covers only this JVM):
+        // two concurrent drivers (sbt test + bench — a pitfall this box
+        // hits routinely) must not both build and rmTree+move the same
         // target out from under each other's lazy readers. FileChannel
         // lock on a sidecar lockfile + a freshness RE-CHECK inside the
         // lock: the loser of the race finds the winner's publish and
@@ -105,13 +119,23 @@ object ComposedIndexQueries extends QueryModule {
           val lk = ch.lock()
           try {
             if (!fresh) {
+              graft.operators.Staging.sweepStale(path)
               build
               Files.write(fpFile, fp.getBytes(StandardCharsets.UTF_8))
             }
           } finally lk.release()
         } finally ch.close()
+        // lockfile cleanup (they accumulated forever otherwise). Deleting
+        // AFTER the fp publish is race-free for the guarded action: any
+        // process that subsequently locks either the deleted inode or a
+        // recreated lockfile re-checks `fresh` inside its lock and finds
+        // the fp we just wrote, so it skips the build — the classic
+        // unlink-lockfile double-entry hazard needs a stale fp on both
+        // sides, which the publish-before-delete ordering rules out.
+        try Files.deleteIfExists(lockFile)
+        catch { case _: java.io.IOException => () }
       }
-      validated += key
+      validated.add(key)
     }
   }
 

@@ -17,12 +17,42 @@ object SimilarityQueries extends QueryModule {
   private val NQueries = 10
   private val IvfK = 8
   private val IvfProbe = 2
-  // q95 near-dup edges: a COARSER bucket width than the q26 ANN lane (16
-  // buckets, not 256 — dedup recall wants wide buckets, search latency
-  // wants narrow ones) and an e6 cosine threshold tuned to the synthetic
-  // table's similarity tail so multi-node clusters actually form — the
-  // recall/cost dial a real corpus tunes the same way
-  private val Planes95 = 5
+  // q95 near-dup edges: the plane count SCALES WITH CORPUS SIZE —
+  // planes(n) = ceil(log2(ceil(n / TargetOcc95))), clamped to
+  // [MinPlanes95, MaxPlanes95] — so expected bucket occupancy stays
+  // ~TargetOcc95 and in-bucket candidate pairs grow ~n·TargetOcc95/2
+  // (LINEAR in n) instead of n²/2^planes under any fixed plane count.
+  // The formula is pure 64-bit integer arithmetic (ceil-div + bit
+  // length) so the DuckDB twin lands on the identical count from the
+  // identical n — no floating log2, whose 1-ulp engine differences
+  // could flip a power-of-two boundary. MinPlanes95 keeps tiny corpora
+  // on the historical 32-bucket dial; MaxPlanes95 exists only because
+  // the oracle's bucket expression is unrolled per plane (the Spark
+  // side takes any count) — 2^16 buckets carries the oracle-comparable
+  // lane to ~4M vectors, and a 100-TB corpus raises the cap (or moves
+  // to q152's IVF-cell bounding) without touching the plan shape.
+  // Plane j's hyperplane is seeded independently of the total count
+  // (Similarity.lshBucket "rp:<j>:<i>"), so a p-plane bucket ≡ the
+  // MaxPlanes-plane bucket mod 2^p — the twin computes the full-width
+  // bucket once and masks with a scalar-subquery plane count.
+  // CosMin: an e6 cosine threshold tuned to the synthetic table's
+  // similarity tail so multi-node clusters actually form — the
+  // recall/cost dial a real corpus tunes the same way.
+  private val TargetOcc95 = 16L
+  private val MinPlanes95 = 5
+  private val MaxPlanes95 = 16
+  private[graft] def planes95(n: Long): Int = {
+    val m = math.max(1L, (n + TargetOcc95 - 1) / TargetOcc95)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1))
+    math.min(MaxPlanes95, math.max(MinPlanes95, bits))
+  }
+  /** The twin's plane count — [[planes95]] as DuckDB integer SQL over
+    * the live corpus count (`length(printf('%b', x))` is the exact bit
+    * length, DuckDB's integer mirror of `64 - numberOfLeadingZeros`). */
+  private def duckPlanes95(table: String): String =
+    s"""(SELECT LEAST($MaxPlanes95, GREATEST($MinPlanes95,
+        length(printf('%b', GREATEST(1, (count(*) + ${TargetOcc95 - 1}) // $TargetOcc95 - 1)))))
+        FROM $table)"""
   private val CosMin = 350000L
   // q118 product quantization: 64 dims → M=8 subspaces × 8 dims, Ks=8
   // codewords each — 8 small codes per vector (the ~32× compression dial;
@@ -467,7 +497,12 @@ object SimilarityQueries extends QueryModule {
       // plus q93's (per-round keyed agg + join on longs).
       (s, dir) => {
         val base = Tables.load(s, dir, "embeddings")
-        val buckets = Similarity.lshBucketTable(s, base, "vec_id", "embedding", Dim, Planes95)
+        // plane count from the live corpus size (one metadata-only
+        // count-star against the parquet footers — refresh-time cost,
+        // not batch-path): occupancy-stable buckets are what keep the
+        // candidate self-join linear at 100 TB
+        val buckets = Similarity.lshBucketTable(
+          s, base, "vec_id", "embedding", Dim, planes95(base.count()))
         val emb = base
           .select(col("vec_id"), col("embedding"),
             Similarity.normE3(col("embedding")).as("nrm"))
@@ -491,7 +526,8 @@ object SimilarityQueries extends QueryModule {
             col("cluster_size"))
       },
       Some(s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
-          ${Similarity.duckLshBucket("embedding", Dim, Planes95)} AS bucket,
+          ${Similarity.duckLshBucket("embedding", Dim, MaxPlanes95)}
+            % (CAST(1 AS BIGINT) << ${duckPlanes95("embeddings")}) AS bucket,
           ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
           FROM embeddings),
         p AS (SELECT l.vec_id AS a, r.vec_id AS b
@@ -508,6 +544,42 @@ object SimilarityQueries extends QueryModule {
           CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep,
           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         FROM cl""")),
+
+    QueryDef("q144_lsh_occupancy_audit",
+      // the SCALE AUDIT for q95's bucketing, as an oracle-checkable row:
+      // the occupancy distribution the planes95 dial exists to control.
+      // One row — corpus size, the derived plane count, buckets actually
+      // hit, the worst bucket's occupancy, and the candidate-pair total
+      // Σ c·(c−1)/2 that the near-dup self-join will enumerate. This is
+      // the number a 100-TB operator watches per refresh: cand_pairs
+      // growing faster than ~n·TargetOcc means the dial (or the hash) is
+      // mis-sized BEFORE the join runs, not after it blows up. The twin
+      // replays the identical integer plane-count formula and bucketing,
+      // so a drifted formula on either side lands on a different row.
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+        val n = base.count()
+        val p = planes95(n)
+        Similarity.lshBucketTable(s, base, "vec_id", "embedding", Dim, p)
+          .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("c"))
+          .agg(
+            count(lit(1)).cast("long").as("n_buckets"),
+            max(col("c")).as("max_occupancy"),
+            sum(expr("c * (c - 1) DIV 2")).cast("long").as("cand_pairs"))
+          .withColumn("n_vectors", lit(n))
+          .withColumn("planes", lit(p.toLong))
+      },
+      Some(s"""WITH b AS (SELECT vec_id,
+          ${Similarity.duckLshBucket("embedding", Dim, MaxPlanes95)}
+            % (CAST(1 AS BIGINT) << ${duckPlanes95("embeddings")}) AS bucket
+          FROM embeddings),
+        c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket)
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(max(c) AS BIGINT) AS max_occupancy,
+          CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+          (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+          CAST(${duckPlanes95("embeddings")} AS BIGINT) AS planes
+        FROM c""")),
 
     QueryDef("q110_cluster_balanced_sample",
       // semantic diversification (the D4/SemDeDup-family selection step):

@@ -430,4 +430,77 @@ class ScaleStressSpec extends AnyFunSuite {
     it.foreach { r => n += 1; last = r }
     assert(n == 20000 && last.targetUri.endsWith("p19999"))
   }
+
+  // ---- 10× growth bounds for the embedding/fingerprint dedup family:
+  // the candidate-pair count (the input to every near-dup self-join) must
+  // grow near-linearly when the corpus grows 10×, because the blocking
+  // dial scales with n. A fixed-width dial grows pairs ~quadratically —
+  // these bounds are what the scale-parameterized dials exist to pass.
+
+  private def synthEmb(n: Int) = spark.range(n).select(
+    col("id").as("vec_id"),
+    expr("transform(sequence(1, 64), i -> " +
+      "CAST((pmod(id * (i * 31 + 7) + i * i, 2001) - 1000) / 1000.0 AS FLOAT))")
+      .as("embedding"))
+
+  test("q95 LSH dial: candidate pairs grow near-linearly at 10x vectors") {
+    import graft.operators.Similarity
+    def candPairs(n: Int): Long = {
+      val planes = graft.queries.SimilarityQueries.planes95(n)
+      Similarity.lshBucketTable(spark, synthEmb(n), "vec_id", "embedding", 64, planes)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).cast("long")).collect()(0).getLong(0)
+    }
+    val small = candPairs(2000)  // planes95(2000) = 7
+    val big = candPairs(20000)   // planes95(20000) = 11
+    assert(small > 0 && big > 0)
+    // fixed 2^5 buckets would grow in-bucket pairs ~100× here; the
+    // occupancy-stable dial keeps the growth within ~2× of linear
+    assert(big < small * 20L,
+      s"candidate pairs grew superlinearly under the dial: $small -> $big")
+  }
+
+  test("q152 SemDeDup shape: IVF-cell pairs grow near-linearly when K scales with n") {
+    import graft.operators.Similarity
+    def cellPairs(n: Int): Long = {
+      val k = math.max(8, n / 256) // K ∝ n: the SemDeDup deployment dial
+      val cents = Similarity.ivfCentroids(synthEmb(n), "vec_id", "embedding", k)
+      Similarity.ivfAssign(synthEmb(n), "vec_id", "embedding", cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).cast("long")).collect()(0).getLong(0)
+    }
+    val small = cellPairs(2000)
+    val big = cellPairs(20000)
+    assert(small > 0 && big > 0)
+    assert(big < small * 20L,
+      s"in-cell pairs grew superlinearly under K ∝ n: $small -> $big")
+  }
+
+  test("q124/q126 fingerprint band join: 16-bit band keys keep 10x candidates bounded") {
+    // the dHash/audio band table's scale contract without the codec lane:
+    // 4 bands × 16-bit keys over hash-spread fingerprints — at 200k
+    // fingerprints (10× the 20k refresh shard) the banded self-join's
+    // candidate count must stay ~n·occupancy, far below n²
+    def bandPairs(n: Int): Long = {
+      val banded = spark.range(n).select(col("id").as("doc_id"),
+          expr("abs(hash(CAST(id AS STRING), 'fp-hi'))").cast("long").as("hi"),
+          expr("abs(hash(CAST(id AS STRING), 'fp-lo'))").cast("long").as("lo"))
+        .select(col("doc_id"), explode(array(
+          expr("struct(0L AS band, lo & 65535 AS key)"),
+          expr("struct(1L AS band, shiftright(lo, 16) & 65535 AS key)"),
+          expr("struct(2L AS band, hi & 65535 AS key)"),
+          expr("struct(3L AS band, shiftright(hi, 16) & 65535 AS key)"))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).cast("long")).collect()(0).getLong(0)
+    }
+    val small = bandPairs(20000)
+    val big = bandPairs(200000)
+    // 4 bands × 65536 keys: expected pairs ≈ 4·n²/2^17 — quadratic in
+    // principle, but the key space keeps absolute candidate counts tiny
+    // through this scale (the production dial adds band WIDTH, not count,
+    // past ~1M items); the bound documents where the cliff would start
+    assert(big > 0 && big < 4L * 200000L * 8L,
+      s"banded candidates blew past the occupancy envelope: $small -> $big")
+  }
 }

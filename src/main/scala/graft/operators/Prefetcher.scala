@@ -1,61 +1,92 @@
 package graft.operators
 
-import java.util.concurrent.ArrayBlockingQueue
-
-/** Bounded-queue batch prefetcher (reference: `BatchPrefetcher`,
+/** Bounded batch prefetcher (reference: `BatchPrefetcher`,
   * src/sampler/mod.rs:173-199, 2911-2930 — dedicated producer thread
   * looping `next_triplet_batch` into a bounded `sync_channel`, errors
   * flowing through the channel as values, drop joins the thread).
   *
-  * Spark twin: the producer thread runs `produce(i)` for i = 0, 1, 2, …
-  * — each call typically submits the NEXT batch's Spark job — into a
-  * bounded queue while the trainer drains the current batch, so job
-  * latency hides behind consumption. Because batch draws are stateless
-  * counters ([[Triplets.textRowsRange]]: any draw range is computable
-  * without the previous one's state), the prefetched sequence is EXACTLY
-  * the sequential sequence — prefetching changes latency, never content;
-  * that law is what PrefetcherSpec pins.
+  * Spark twin: `parallelism` producer threads run `produce(i)` for
+  * i = 0, 1, 2, … — each call typically submits one batch's Spark jobs —
+  * while the trainer drains IN ORDER, so job latency hides behind
+  * consumption. Because batch draws are stateless counters
+  * ([[Triplets.textRowsRange]]; [[Sampler.advanceState]] computes any
+  * batch's starting state arithmetically), the prefetched sequence is
+  * EXACTLY the sequential sequence — prefetching (and parallel
+  * production) changes latency, never content; that law is what
+  * PrefetcherSpec pins. Parallel production is the distributed upgrade
+  * the reference's single producer can't express: concurrent batch
+  * plans overlap driver planning with executor compute, which is how a
+  * cluster keeps a trainer fed when one batch's critical path exceeds
+  * the consumption interval. With `parallelism > 1`, `produce` must be
+  * thread-safe (pure function of `i` — the stateless-draw contract).
   *
   * A producer failure is delivered in order as the failing batch
   * (`next()` rethrows), mirroring the reference's `Result` channel;
   * production continues with the following index, so a transient
   * per-batch failure doesn't kill the pipeline. `close()` interrupts and
-  * joins the producer (the reference's `Drop`).
+  * joins the producers (the reference's `Drop`).
   */
-final class BatchPrefetcher[T](capacity: Int, produce: Long => T)
-    extends AutoCloseable {
+final class BatchPrefetcher[T](capacity: Int, produce: Long => T,
+    parallelism: Int = 1) extends AutoCloseable {
   require(capacity > 0, "prefetch capacity must be > 0")
+  require(parallelism > 0, "prefetch parallelism must be > 0")
 
-  private val queue = new ArrayBlockingQueue[Either[Throwable, T]](capacity)
+  private val lock = new Object
+  private val ready = scala.collection.mutable.Map[Long, Either[Throwable, T]]()
+  private var nextOut = 0L // next index the consumer delivers
+  private var nextIdx = 0L // next index a producer claims
   @volatile private var open = true
 
-  private val producer = new Thread(
-    () => {
-      var i = 0L
-      try {
-        while (open) {
-          val item =
-            try Right(produce(i))
-            catch { case e: Exception => Left(e) }
-          queue.put(item)
-          i += 1
+  private def producerLoop(): Unit =
+    try {
+      while (open) {
+        val claimed = lock.synchronized {
+          // production window: `capacity` buffered + one in-flight item
+          // per producer (the single-producer case reduces to the old
+          // bounded-queue shape: capacity queued + 1 being produced)
+          while (open && nextIdx >= nextOut + capacity + parallelism)
+            lock.wait()
+          if (!open) None
+          else { val i = nextIdx; nextIdx += 1; Some(i) }
         }
-      } catch { case _: InterruptedException => () }
-    },
-    "graft-batch-prefetcher")
-  producer.setDaemon(true)
-  producer.start()
+        claimed match {
+          case None => return
+          case Some(i) =>
+            val item =
+              try Right(produce(i))
+              catch { case e: Exception => Left(e) }
+            lock.synchronized { ready(i) = item; lock.notifyAll() }
+        }
+      }
+    } catch { case _: InterruptedException => () }
+
+  private val producers = (0 until parallelism).map { _ =>
+    val t = new Thread(() => producerLoop(), "graft-batch-prefetcher")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
   /** Blocking take of the next batch in production order; rethrows the
     * producer's error for a batch that failed. */
-  def next(): T = queue.take() match {
-    case Right(t) => t
-    case Left(e)  => throw e
+  def next(): T = {
+    val item = lock.synchronized {
+      while (!ready.contains(nextOut)) lock.wait()
+      val it = ready.remove(nextOut).get
+      nextOut += 1
+      lock.notifyAll()
+      it
+    }
+    item match {
+      case Right(t) => t
+      case Left(e)  => throw e
+    }
   }
 
   override def close(): Unit = {
     open = false
-    producer.interrupt()
-    producer.join(10000)
+    lock.synchronized { lock.notifyAll() }
+    producers.foreach(_.interrupt())
+    producers.foreach(_.join(10000))
   }
 }

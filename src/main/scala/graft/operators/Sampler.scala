@@ -210,6 +210,21 @@ object Sampler {
     * pos, recipe) per slot, with the mid-batch epoch advance when the
     * interleave cycle completes. `planFor` yields the (re-shuffled) ticket
     * plan of an epoch. Returns (slots, endEpoch, endCursor). */
+  /** The state a `batch`-draw [[nextBatch]] call will RETURN, computed
+    * without running it: the cursor/epoch walk is pure counter
+    * arithmetic over `poolSize` (the persisted per-source stats sum for
+    * a staged pool — zero Spark jobs). This is what lets a serving loop
+    * produce several batches CONCURRENTLY with in-order delivery
+    * ([[BatchPrefetcher]] `parallelism`): batch i+1's state never waits
+    * on batch i's jobs, only on this arithmetic. Pinned equal to the
+    * chained `nextBatch(...).state` sequence by StateAndRecipesSpec. */
+  def advanceState(st: SamplerState, batch: Int, poolSize: Long): SamplerState = {
+    val (_, e, cur) = scheduleSlots(st, batch, poolSize, _ => Seq(""))
+    st.copy(epoch = e, counters = st.counters
+      .updated("draw", st.counter("draw") + batch).updated("cursor", cur)
+      .updated("pool_size", poolSize))
+  }
+
   private def scheduleSlots(st: SamplerState, batch: Int, poolSize: Long,
       planFor: Long => Seq[String]): (Seq[(Long, Long, Long, String)], Long, Long) = {
     val drawBase = st.counter("draw")
@@ -476,7 +491,12 @@ object Sampler {
     def drawKeyOf(stream: Column) = Determinism.portableHash(
       concat(stream, lit(s":${st.seed}:"), col("draw").cast("string"), lit(":"),
         col("record_id").cast("string")))
-    val negOut = Seq("draw", "epoch", "recipe", "reason", "record_id", "nid").map(col)
+    // `lane` (the resolved tier: src/sd/wd/fb, or bm25) rides along for
+    // the extended-metrics report (reference bm25_backend.rs:156-172) —
+    // a pure relabeling of rows that already existed, so every digest
+    // and oracle that selects named columns is untouched
+    val negOut = Seq("draw", "epoch", "recipe", "reason", "record_id", "nid").map(col) :+
+      col("tier").as("lane")
     val waR = NegativeStrategy.WrongArticle.reason
     val qaR = NegativeStrategy.QuestionAnswerMismatch.reason
     val wdR = NegativeStrategy.WrongPublicationDate.reason
@@ -709,7 +729,8 @@ object Sampler {
       // strategyPick is per-row pure (keyed sidecar lookups), so running
       // it over hit slots too and discarding those rows changes no value.
       val dflt = strategyPick(bmSlots, strategiesOf(NegativeBackend.Bm25))
-        .select(col("draw"), col("recipe").as("d_recipe"), col("nid").as("d_nid"))
+        .select(col("draw"), col("recipe").as("d_recipe"), col("nid").as("d_nid"),
+          col("lane").as("d_lane"))
       bmSlots
         .join(picked.withColumnRenamed("nid", "b_nid"), Seq("draw"), "left")
         .join(dflt, Seq("draw"), "left")
@@ -717,7 +738,8 @@ object Sampler {
         .select(col("draw"), col("epoch"),
           when(col("b_nid").isNotNull, col("recipe")).otherwise(col("d_recipe")).as("recipe"),
           col("reason"), col("record_id"),
-          coalesce(col("b_nid"), col("d_nid")).as("nid"))
+          coalesce(col("b_nid"), col("d_nid")).as("nid"),
+          when(col("b_nid").isNotNull, lit("bm25")).otherwise(col("d_lane")).as("lane"))
     }
 
     // the delivered text hash: raw chunk text, or the decorated text when a
@@ -863,7 +885,7 @@ object Sampler {
         col("n_hash").isNotNull)
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
-        col("nid"), col("n_hash"), col("reason"), col("allow_same"))
+        col("nid"), col("n_hash"), col("reason"), col("allow_same"), col("lane"))
     val coreL = localize(core)
     lap("core")(coreL)
 

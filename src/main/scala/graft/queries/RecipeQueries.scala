@@ -187,6 +187,322 @@ object RecipeQueries extends QueryModule {
   }
   private def mixSlotValues: String = composedSlotValues(mixRecipes, MixSeed, MixBatch)
 
+  /** The mix lane's full DuckDB replay (the q66 oracle body) — shared by
+    * q66 (one 48-draw batch) and q143 (two sequential 24-draw batches
+    * threading SamplerState): the slot schedule is a pure function of the
+    * global draw counter and the cursor/epoch walk, so consecutive
+    * batches compose into exactly the one-shot schedule and ONE oracle
+    * covers both (the q143 law). */
+  /** The bmx lane's DuckDB replay through `f0` (no final SELECT) —
+    * shared by q58 (the batch rows) and q142 (the extended-metrics
+    * aggregation, which also reads the `bmpick` CTE for the bm25-vs-
+    * default lane split). */
+  private lazy val bmxTwinCtes: String = {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$BmSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        val rot = Determinism.duckHash(
+          s"'negb:$BmSeed:' || CAST(t.draw AS VARCHAR) || ':' || CAST(t.record_id AS VARCHAR)")
+        val bmNames = bmxRecipes.filter(_.negativeBackend == NegativeBackend.Bm25)
+          .map(r => s"'${r.name}'").mkString(", ")
+        val K1 = graft.operators.Bm25.K1; val B = graft.operators.Bm25.B
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 2")},
+          pool AS (
+            SELECT doc_id AS id, source, list_slice(toks, ${AT + 1}, n) AS btoks,
+              CAST(n - $AT AS BIGINT) AS dl
+            FROM base
+          ),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          eo AS MATERIALIZED (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES ${composedSlotValues(bmxRecipes, BmSeed, BmBatch)}),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          -- anchor/positive chunk table: slot records only (first scan)
+          ${duckChunkDerive("WHERE doc_id IN (SELECT record_id FROM slotrec)", "s")},
+          ${duckSlot("a", "slotrec", "schunks")},
+          ${duckSlot("p", "slotrec", "schunks")},
+          -- BM25 scoring of the bm25 slots' same-source pools against the
+          -- anchor's SELECTED chunk text
+          qt AS (
+            SELECT a.draw, unnest(list_distinct(${TextFunctions.duckTokens("a.a_text")})) AS term
+            FROM pick_a a JOIN slotrec sl ON sl.draw = a.draw AND a.record_id = sl.record_id
+            WHERE sl.recipe IN ($bmNames)
+          ),
+          bsrc AS (SELECT DISTINCT source FROM slotrec WHERE recipe IN ($bmNames)),
+          candp AS (SELECT p.* FROM pool p JOIN bsrc USING (source)),
+          tfc AS (
+            SELECT source, id AS cand, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT source, id, dl, unnest(btoks) AS term FROM candp) u
+            GROUP BY source, id, dl, term
+          ),
+          tfd AS (
+            SELECT *, CAST(count(*) OVER (PARTITION BY source, term) AS BIGINT) AS df
+            FROM tfc
+          ),
+          bstats AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM candp GROUP BY source
+          ),
+          wterm AS (
+            SELECT t.source, t.term, t.cand,
+              CAST(floor(1000000.0 *
+                ((s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+                ((t.tf * ${K1 + 1}) / (t.tf + $K1 * (${1 - B} + $B * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+              ) AS BIGINT) AS term_e6
+            FROM tfd t JOIN bstats s USING (source)
+          ),
+          sc AS (
+            SELECT sl.draw, sl.record_id, w.cand, CAST(sum(w.term_e6) AS BIGINT) AS score_e6
+            FROM slotrec sl
+            JOIN qt q ON q.draw = sl.draw
+            JOIN wterm w ON w.source = sl.source AND w.term = q.term
+            WHERE w.cand <> sl.record_id
+            GROUP BY sl.draw, sl.record_id, w.cand
+          ),
+          top0 AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY draw
+              ORDER BY score_e6 DESC, cand) AS BIGINT) AS brnk
+            FROM sc
+          ),
+          top3 AS (
+            SELECT *, CAST(count(*) OVER (PARTITION BY draw) AS BIGINT) AS c3
+            FROM top0 WHERE brnk <= 3
+          ),
+          bmpick AS (
+            SELECT t.draw, t.cand AS nid FROM top3 t
+            WHERE t.brnk - 1 = $rot % t.c3
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          -- default-backend slots + empty-intersection bm25 fallbacks share
+          -- the seeded rank pick (hash stream `neg:`)
+          negwa0 AS (
+            SELECT sl.draw, sl.source, a.rn AS a_rn,
+              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_article'
+              AND (sl.recipe NOT IN ($bmNames)
+                   OR sl.draw NOT IN (SELECT draw FROM bmpick))
+          ),
+          negwa AS (
+            SELECT w.draw, n.id AS nid FROM negwa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          negrec AS MATERIALIZED (SELECT * FROM bmpick UNION ALL SELECT * FROM negwa),
+          -- negative chunk table: negative records only (second scan)
+          ${duckChunkDerive("WHERE doc_id IN (SELECT nid FROM negrec)", "n")},
+          ${duckSlot("n", "slotrec", "nchunks")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
+              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
+              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+          )"""
+  }
+
+  private lazy val mixTwinSql: String = {
+        val h = Determinism.duckSeeded _
+        def dk(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$MixSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
+        def dkB(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$MixSeed:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
+        def dkF(prefix: String) = Determinism.duckHash(
+          s"'$prefix:$MixSeed:' || CAST(f.draw AS VARCHAR) || ':' || CAST(f.record_id AS VARCHAR)")
+        s"""WITH ${duckBaseCtes("doc_id % 5 = 0")},
+          pool AS (
+            SELECT doc_id AS id, source,
+              '2025-03-0' || CAST(${h("day3", "doc_id")} % 3 + 1 AS VARCHAR) AS pdate
+            FROM base
+          ),
+          srk AS (
+            SELECT source,
+              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
+            FROM (SELECT DISTINCT source FROM pool)
+          ),
+          ordq AS (
+            SELECT p.id, p.source,
+              CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
+            FROM pool p
+          ),
+          -- dense epoch order: pos = lexicographic rank of (depth, source rank)
+          eo AS MATERIALIZED (
+            SELECT o.id, o.source,
+              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
+            FROM ordq o JOIN srk s USING (source)
+          ),
+          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
+            AS (VALUES $mixSlotValues),
+          slotrec AS (
+            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
+              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
+              e.id AS record_id, e.source
+            FROM slots s JOIN eo e ON e.pos = s.pos
+          ),
+          srcrank AS (
+            SELECT id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+            FROM pool
+          ),
+          dg AS (
+            SELECT source, pdate, CAST(count(*) AS BIGINT) AS dct
+            FROM pool GROUP BY source, pdate
+          ),
+          dg2 AS (
+            SELECT *,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY pdate) AS BIGINT) - 1 AS drnk,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS dcnt
+            FROM dg
+          ),
+          drk AS MATERIALIZED (
+            SELECT id, source, pdate,
+              CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2,
+              CAST(count(*) OVER (PARTITION BY source, pdate) AS BIGINT) AS dgs
+            FROM pool
+          ),
+          -- wrong-article anchors with pool metadata for the tier split
+          -- (same-date preference, src/sampler/mod.rs:996-1032). Every
+          -- source in this corpus has >= 2 records, so the cross-split
+          -- fallback tier never fires for wrong-article/QA here (the
+          -- wrong-date fallback below CAN fire: a source may hash all its
+          -- records into one date group).
+          wam AS (
+            SELECT sl.draw, sl.recipe, sl.record_id, sl.source,
+              a.rn AS a_rn, a.nsrc, d.pdate AS a_date, d.rn2 AS a_rn2, d.dgs
+            FROM slotrec sl
+            JOIN srcrank a ON sl.record_id = a.id
+            JOIN drk d ON d.id = sl.record_id
+            WHERE sl.reason = 'wrong_article'
+          ),
+          negwa1 AS (
+            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
+            FROM (SELECT *, ${dkB("nega")} % GREATEST(dgs - 1, 1) AS p0
+                  FROM wam WHERE dgs >= 2) m
+            JOIN drk n ON n.source = m.source AND n.pdate = m.a_date
+              AND n.rn2 = CASE WHEN m.p0 >= m.a_rn2 THEN m.p0 + 1 ELSE m.p0 END
+          ),
+          negwa2 AS (
+            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
+            FROM (SELECT *, ${dkB("neg")} % GREATEST(nsrc - 1, 1) AS p0
+                  FROM wam WHERE dgs < 2 AND nsrc >= 2) m
+            JOIN srcrank n ON n.source = m.source
+              AND n.rn = CASE WHEN m.p0 >= m.a_rn THEN m.p0 + 1 ELSE m.p0 END
+          ),
+          negqa0 AS (
+            SELECT sl.draw, sl.recipe, sl.source, a.rn AS a_rn,
+              ${dk("negq")} % GREATEST(a.nsrc - 1, 1) AS p0
+            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
+            WHERE sl.reason = 'wrong_qa_pairing'
+          ),
+          negqa AS (
+            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negqa0 w
+            JOIN srcrank n ON n.source = w.source
+              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
+          ),
+          negwd0 AS MATERIALIZED (
+            SELECT sl.draw, sl.recipe, sl.source, g.drnk AS a_drnk,
+              ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
+              ${dk("negr")} AS rh
+            FROM slotrec sl
+            JOIN pool p ON sl.record_id = p.id
+            JOIN dg2 g ON g.source = sl.source AND g.pdate = p.pdate
+            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt >= 2
+          ),
+          negwd1 AS (
+            SELECT w.*, t.pdate AS t_date, t.dct AS t_dct
+            FROM negwd0 w JOIN dg2 t ON t.source = w.source
+              AND t.drnk = CASE WHEN w.d0 >= w.a_drnk THEN w.d0 + 1 ELSE w.d0 END
+          ),
+          negwd AS (
+            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negwd1 w
+            JOIN drk n ON n.source = w.source AND n.pdate = w.t_date
+              AND n.rn2 = w.rh % w.t_dct
+          ),
+          -- wrong-date slots whose source has a single date group: the
+          -- cross-source same-split two-level fallback, recipe suffixed
+          srk2 AS (
+            SELECT source, ccnt,
+              CAST(row_number() OVER (ORDER BY ${h("fsord", "source")}, source) AS BIGINT) - 1 AS srnk,
+              CAST(count(*) OVER () AS BIGINT) AS scnt
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS ccnt FROM pool GROUP BY source) q
+          ),
+          wdfb0 AS (
+            SELECT sl.draw, sl.recipe, sl.record_id, s.srnk, s.scnt,
+              ${dk("negs")} % GREATEST(s.scnt - 1, 1) AS s0
+            FROM slotrec sl
+            JOIN dg2 g ON g.source = sl.source AND g.drnk = 0
+            JOIN srk2 s ON s.source = sl.source
+            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt < 2
+          ),
+          wdfb1 AS (
+            SELECT f.draw, f.recipe, f.record_id, t.source AS t_source, t.ccnt
+            FROM wdfb0 f JOIN srk2 t
+              ON t.srnk = CASE WHEN f.s0 >= f.srnk THEN f.s0 + 1 ELSE f.s0 END
+          ),
+          wdfb AS (
+            SELECT f.draw, f.recipe || '${Recipes.FallbackSuffix}' AS recipe2, n.id AS nid
+            FROM wdfb1 f JOIN srcrank n ON n.source = f.t_source
+              AND n.rn = ${dkF("negc")} % f.ccnt
+          ),
+          negrec AS MATERIALIZED (
+            SELECT * FROM negwa1 UNION ALL SELECT * FROM negwa2
+            UNION ALL SELECT * FROM negqa
+            UNION ALL SELECT * FROM negwd UNION ALL SELECT * FROM wdfb
+          ),
+          -- chunk derivation ONLY for the batch's records (anchors +
+          -- negatives): the SQL twin of the engine's isin pushdown, so the
+          -- oracle scales like the engine instead of windowing the corpus
+          needed AS (
+            SELECT record_id AS rid FROM slotrec UNION SELECT nid FROM negrec
+          ),
+          ${duckChunkDerive("WHERE doc_id IN (SELECT rid FROM needed)")},
+          ${duckSlot("a", "slotrec")},
+          ${duckSlot("p", "slotrec")},
+          ${duckSlot("n", "slotrec")},
+          f0 AS (
+            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, g.recipe2 AS recipe, sl.reason, sl.record_id,
+              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
+              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
+              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
+            FROM slotrec sl
+            JOIN negrec g ON g.draw = sl.draw
+            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
+            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
+            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
+          )
+          SELECT * FROM f0 WHERE a_hash <> p_hash"""
+  }
+
   // ---- temporal composed batch (q57) ----
   // A ticket plan mixing a TemporalOffset-anchor recipe with a plain one:
   // the composed driver resolves the as-of neighbor record per slot
@@ -524,179 +840,37 @@ object RecipeQueries extends QueryModule {
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
             col("nid"), col("n_hash"))
       },
-      Some {
-        val h = Determinism.duckSeeded _
-        def dk(prefix: String) = Determinism.duckHash(
-          s"'$prefix:$MixSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
-        def dkB(prefix: String) = Determinism.duckHash(
-          s"'$prefix:$MixSeed:' || CAST(draw AS VARCHAR) || ':' || CAST(record_id AS VARCHAR)")
-        def dkF(prefix: String) = Determinism.duckHash(
-          s"'$prefix:$MixSeed:' || CAST(f.draw AS VARCHAR) || ':' || CAST(f.record_id AS VARCHAR)")
-        s"""WITH ${duckBaseCtes("doc_id % 5 = 0")},
-          pool AS (
-            SELECT doc_id AS id, source,
-              '2025-03-0' || CAST(${h("day3", "doc_id")} % 3 + 1 AS VARCHAR) AS pdate
-            FROM base
-          ),
-          srk AS (
-            SELECT source,
-              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
-            FROM (SELECT DISTINCT source FROM pool)
-          ),
-          ordq AS (
-            SELECT p.id, p.source,
-              CAST(row_number() OVER (PARTITION BY p.source
-                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
-            FROM pool p
-          ),
-          -- dense epoch order: pos = lexicographic rank of (depth, source rank)
-          eo AS MATERIALIZED (
-            SELECT o.id, o.source,
-              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
-            FROM ordq o JOIN srk s USING (source)
-          ),
-          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
-            AS (VALUES $mixSlotValues),
-          slotrec AS (
-            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
-              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
-              e.id AS record_id, e.source
-            FROM slots s JOIN eo e ON e.pos = s.pos
-          ),
-          srcrank AS (
-            SELECT id, source,
-              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
-              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
-            FROM pool
-          ),
-          dg AS (
-            SELECT source, pdate, CAST(count(*) AS BIGINT) AS dct
-            FROM pool GROUP BY source, pdate
-          ),
-          dg2 AS (
-            SELECT *,
-              CAST(row_number() OVER (PARTITION BY source ORDER BY pdate) AS BIGINT) - 1 AS drnk,
-              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS dcnt
-            FROM dg
-          ),
-          drk AS MATERIALIZED (
-            SELECT id, source, pdate,
-              CAST(row_number() OVER (PARTITION BY source, pdate ORDER BY id) AS BIGINT) - 1 AS rn2,
-              CAST(count(*) OVER (PARTITION BY source, pdate) AS BIGINT) AS dgs
-            FROM pool
-          ),
-          -- wrong-article anchors with pool metadata for the tier split
-          -- (same-date preference, src/sampler/mod.rs:996-1032). Every
-          -- source in this corpus has >= 2 records, so the cross-split
-          -- fallback tier never fires for wrong-article/QA here (the
-          -- wrong-date fallback below CAN fire: a source may hash all its
-          -- records into one date group).
-          wam AS (
-            SELECT sl.draw, sl.recipe, sl.record_id, sl.source,
-              a.rn AS a_rn, a.nsrc, d.pdate AS a_date, d.rn2 AS a_rn2, d.dgs
-            FROM slotrec sl
-            JOIN srcrank a ON sl.record_id = a.id
-            JOIN drk d ON d.id = sl.record_id
-            WHERE sl.reason = 'wrong_article'
-          ),
-          negwa1 AS (
-            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
-            FROM (SELECT *, ${dkB("nega")} % GREATEST(dgs - 1, 1) AS p0
-                  FROM wam WHERE dgs >= 2) m
-            JOIN drk n ON n.source = m.source AND n.pdate = m.a_date
-              AND n.rn2 = CASE WHEN m.p0 >= m.a_rn2 THEN m.p0 + 1 ELSE m.p0 END
-          ),
-          negwa2 AS (
-            SELECT m.draw, m.recipe AS recipe2, n.id AS nid
-            FROM (SELECT *, ${dkB("neg")} % GREATEST(nsrc - 1, 1) AS p0
-                  FROM wam WHERE dgs < 2 AND nsrc >= 2) m
-            JOIN srcrank n ON n.source = m.source
-              AND n.rn = CASE WHEN m.p0 >= m.a_rn THEN m.p0 + 1 ELSE m.p0 END
-          ),
-          negqa0 AS (
-            SELECT sl.draw, sl.recipe, sl.source, a.rn AS a_rn,
-              ${dk("negq")} % GREATEST(a.nsrc - 1, 1) AS p0
-            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
-            WHERE sl.reason = 'wrong_qa_pairing'
-          ),
-          negqa AS (
-            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negqa0 w
-            JOIN srcrank n ON n.source = w.source
-              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
-          ),
-          negwd0 AS MATERIALIZED (
-            SELECT sl.draw, sl.recipe, sl.source, g.drnk AS a_drnk,
-              ${dk("negd")} % GREATEST(g.dcnt - 1, 1) AS d0,
-              ${dk("negr")} AS rh
-            FROM slotrec sl
-            JOIN pool p ON sl.record_id = p.id
-            JOIN dg2 g ON g.source = sl.source AND g.pdate = p.pdate
-            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt >= 2
-          ),
-          negwd1 AS (
-            SELECT w.*, t.pdate AS t_date, t.dct AS t_dct
-            FROM negwd0 w JOIN dg2 t ON t.source = w.source
-              AND t.drnk = CASE WHEN w.d0 >= w.a_drnk THEN w.d0 + 1 ELSE w.d0 END
-          ),
-          negwd AS (
-            SELECT w.draw, w.recipe AS recipe2, n.id AS nid FROM negwd1 w
-            JOIN drk n ON n.source = w.source AND n.pdate = w.t_date
-              AND n.rn2 = w.rh % w.t_dct
-          ),
-          -- wrong-date slots whose source has a single date group: the
-          -- cross-source same-split two-level fallback, recipe suffixed
-          srk2 AS (
-            SELECT source, ccnt,
-              CAST(row_number() OVER (ORDER BY ${h("fsord", "source")}, source) AS BIGINT) - 1 AS srnk,
-              CAST(count(*) OVER () AS BIGINT) AS scnt
-            FROM (SELECT source, CAST(count(*) AS BIGINT) AS ccnt FROM pool GROUP BY source) q
-          ),
-          wdfb0 AS (
-            SELECT sl.draw, sl.recipe, sl.record_id, s.srnk, s.scnt,
-              ${dk("negs")} % GREATEST(s.scnt - 1, 1) AS s0
-            FROM slotrec sl
-            JOIN dg2 g ON g.source = sl.source AND g.drnk = 0
-            JOIN srk2 s ON s.source = sl.source
-            WHERE sl.reason = 'wrong_publication_date' AND g.dcnt < 2
-          ),
-          wdfb1 AS (
-            SELECT f.draw, f.recipe, f.record_id, t.source AS t_source, t.ccnt
-            FROM wdfb0 f JOIN srk2 t
-              ON t.srnk = CASE WHEN f.s0 >= f.srnk THEN f.s0 + 1 ELSE f.s0 END
-          ),
-          wdfb AS (
-            SELECT f.draw, f.recipe || '${Recipes.FallbackSuffix}' AS recipe2, n.id AS nid
-            FROM wdfb1 f JOIN srcrank n ON n.source = f.t_source
-              AND n.rn = ${dkF("negc")} % f.ccnt
-          ),
-          negrec AS MATERIALIZED (
-            SELECT * FROM negwa1 UNION ALL SELECT * FROM negwa2
-            UNION ALL SELECT * FROM negqa
-            UNION ALL SELECT * FROM negwd UNION ALL SELECT * FROM wdfb
-          ),
-          -- chunk derivation ONLY for the batch's records (anchors +
-          -- negatives): the SQL twin of the engine's isin pushdown, so the
-          -- oracle scales like the engine instead of windowing the corpus
-          needed AS (
-            SELECT record_id AS rid FROM slotrec UNION SELECT nid FROM negrec
-          ),
-          ${duckChunkDerive("WHERE doc_id IN (SELECT rid FROM needed)")},
-          ${duckSlot("a", "slotrec")},
-          ${duckSlot("p", "slotrec")},
-          ${duckSlot("n", "slotrec")},
-          f0 AS (
-            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, g.recipe2 AS recipe, sl.reason, sl.record_id,
-              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
-              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
-              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
-            FROM slotrec sl
-            JOIN negrec g ON g.draw = sl.draw
-            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
-            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
-            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
-          )
-          SELECT * FROM f0 WHERE a_hash <> p_hash"""
-      }),
+      Some(mixTwinSql)),
+
+    QueryDef("q143_sequential_state_advance",
+      // the MULTI-BATCH state law, oracle-gated: two sequential 24-draw
+      // nextBatch calls — the second resumed from the first's returned
+      // SamplerState (draw/cursor/epoch/pool_size counters, reference
+      // save/load src/sampler/mod.rs:570-617) — must equal q66's one-shot
+      // 48-draw batch row for row, because every per-draw value is a pure
+      // function of (seed, epoch, draw) and the schedule walk composes
+      // across batch boundaries. The oracle is EXACTLY q66's replay: a
+      // drifted counter, a cursor that restarts per call, or a schedule
+      // that keys off the batch index would land on different rows. (The
+      // ScalaTest golden matrix pins 45-batch sequences; this pins the
+      // composition law in the DuckDB-gated lane too.)
+      (s, dir) => {
+        val chunks = chunkTable(composedDocs(s, dir, MixWhere))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "mix", mixPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"), col("date"))
+        val half = MixBatch / 2
+        val b1 = Sampler.nextBatch(s, chunks, pool, mixRecipes,
+          SamplerState(MixSeed, 0L, Map.empty), half, rankIndex = Some(ridx),
+          srcStats = stats)
+        val b2 = Sampler.nextBatch(s, chunks, pool, mixRecipes, b1.state, half,
+          rankIndex = Some(ridx), srcStats = stats)
+        b1.core.unionByName(b2.core)
+          .filter(col("a_hash") =!= col("p_hash"))
+          .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
+            col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
+            col("nid"), col("n_hash"))
+      },
+      Some(mixTwinSql)),
 
     QueryDef("q57_temporal_composed_batch",
       // TemporalOffset selectors INSIDE the composed Sampler.nextBatch
@@ -849,138 +1023,39 @@ object RecipeQueries extends QueryModule {
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
             col("nid"), col("n_hash"))
       },
-      Some {
-        val h = Determinism.duckSeeded _
-        def dk(prefix: String) = Determinism.duckHash(
-          s"'$prefix:$BmSeed:' || CAST(sl.draw AS VARCHAR) || ':' || CAST(sl.record_id AS VARCHAR)")
-        val rot = Determinism.duckHash(
-          s"'negb:$BmSeed:' || CAST(t.draw AS VARCHAR) || ':' || CAST(t.record_id AS VARCHAR)")
-        val bmNames = bmxRecipes.filter(_.negativeBackend == NegativeBackend.Bm25)
-          .map(r => s"'${r.name}'").mkString(", ")
-        val K1 = graft.operators.Bm25.K1; val B = graft.operators.Bm25.B
-        s"""WITH ${duckBaseCtes("doc_id % 5 = 2")},
-          pool AS (
-            SELECT doc_id AS id, source, list_slice(toks, ${AT + 1}, n) AS btoks,
-              CAST(n - $AT AS BIGINT) AS dl
-            FROM base
-          ),
-          srk AS (
-            SELECT source,
-              CAST(row_number() OVER (ORDER BY ${h("so:0", "source")}, source) AS BIGINT) - 1 AS srank
-            FROM (SELECT DISTINCT source FROM pool)
-          ),
-          ordq AS (
-            SELECT p.id, p.source,
-              CAST(row_number() OVER (PARTITION BY p.source
-                ORDER BY ${h("ro:0", "p.id")}, p.id) AS BIGINT) - 1 AS r
-            FROM pool p
-          ),
-          eo AS MATERIALIZED (
-            SELECT o.id, o.source,
-              CAST(row_number() OVER (ORDER BY o.r, s.srank) AS BIGINT) - 1 AS pos
-            FROM ordq o JOIN srk s USING (source)
-          ),
-          slots(draw, pos, recipe, reason, a_mode, a_arg, p_mode, p_arg, n_mode, n_arg)
-            AS (VALUES ${composedSlotValues(bmxRecipes, BmSeed, BmBatch)}),
-          slotrec AS (
-            SELECT CAST(s.draw AS BIGINT) AS draw, s.recipe, s.reason,
-              s.a_mode, s.a_arg, s.p_mode, s.p_arg, s.n_mode, s.n_arg,
-              e.id AS record_id, e.source
-            FROM slots s JOIN eo e ON e.pos = s.pos
-          ),
-          -- anchor/positive chunk table: slot records only (first scan)
-          ${duckChunkDerive("WHERE doc_id IN (SELECT record_id FROM slotrec)", "s")},
-          ${duckSlot("a", "slotrec", "schunks")},
-          ${duckSlot("p", "slotrec", "schunks")},
-          -- BM25 scoring of the bm25 slots' same-source pools against the
-          -- anchor's SELECTED chunk text
-          qt AS (
-            SELECT a.draw, unnest(list_distinct(${TextFunctions.duckTokens("a.a_text")})) AS term
-            FROM pick_a a JOIN slotrec sl ON sl.draw = a.draw AND a.record_id = sl.record_id
-            WHERE sl.recipe IN ($bmNames)
-          ),
-          bsrc AS (SELECT DISTINCT source FROM slotrec WHERE recipe IN ($bmNames)),
-          candp AS (SELECT p.* FROM pool p JOIN bsrc USING (source)),
-          tfc AS (
-            SELECT source, id AS cand, dl, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT source, id, dl, unnest(btoks) AS term FROM candp) u
-            GROUP BY source, id, dl, term
-          ),
-          tfd AS (
-            SELECT *, CAST(count(*) OVER (PARTITION BY source, term) AS BIGINT) AS df
-            FROM tfc
-          ),
-          bstats AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-            FROM candp GROUP BY source
-          ),
-          wterm AS (
-            SELECT t.source, t.term, t.cand,
-              CAST(floor(1000000.0 *
-                ((s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-                ((t.tf * ${K1 + 1}) / (t.tf + $K1 * (${1 - B} + $B * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
-              ) AS BIGINT) AS term_e6
-            FROM tfd t JOIN bstats s USING (source)
-          ),
-          sc AS (
-            SELECT sl.draw, sl.record_id, w.cand, CAST(sum(w.term_e6) AS BIGINT) AS score_e6
-            FROM slotrec sl
-            JOIN qt q ON q.draw = sl.draw
-            JOIN wterm w ON w.source = sl.source AND w.term = q.term
-            WHERE w.cand <> sl.record_id
-            GROUP BY sl.draw, sl.record_id, w.cand
-          ),
-          top0 AS (
-            SELECT *, CAST(row_number() OVER (PARTITION BY draw
-              ORDER BY score_e6 DESC, cand) AS BIGINT) AS brnk
-            FROM sc
-          ),
-          top3 AS (
-            SELECT *, CAST(count(*) OVER (PARTITION BY draw) AS BIGINT) AS c3
-            FROM top0 WHERE brnk <= 3
-          ),
-          bmpick AS (
-            SELECT t.draw, t.cand AS nid FROM top3 t
-            WHERE t.brnk - 1 = $rot % t.c3
-          ),
-          srcrank AS (
-            SELECT id, source,
-              CAST(row_number() OVER (PARTITION BY source ORDER BY id) AS BIGINT) - 1 AS rn,
-              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
-            FROM pool
-          ),
-          -- default-backend slots + empty-intersection bm25 fallbacks share
-          -- the seeded rank pick (hash stream `neg:`)
-          negwa0 AS (
-            SELECT sl.draw, sl.source, a.rn AS a_rn,
-              ${dk("neg")} % GREATEST(a.nsrc - 1, 1) AS p0
-            FROM slotrec sl JOIN srcrank a ON sl.record_id = a.id
-            WHERE sl.reason = 'wrong_article'
-              AND (sl.recipe NOT IN ($bmNames)
-                   OR sl.draw NOT IN (SELECT draw FROM bmpick))
-          ),
-          negwa AS (
-            SELECT w.draw, n.id AS nid FROM negwa0 w
-            JOIN srcrank n ON n.source = w.source
-              AND n.rn = CASE WHEN w.p0 >= w.a_rn THEN w.p0 + 1 ELSE w.p0 END
-          ),
-          negrec AS MATERIALIZED (SELECT * FROM bmpick UNION ALL SELECT * FROM negwa),
-          -- negative chunk table: negative records only (second scan)
-          ${duckChunkDerive("WHERE doc_id IN (SELECT nid FROM negrec)", "n")},
-          ${duckSlot("n", "slotrec", "nchunks")},
-          f0 AS (
-            SELECT sl.draw, CAST(0 AS BIGINT) AS epoch, sl.recipe, sl.reason, sl.record_id,
-              CAST(a.a_widx AS BIGINT) AS a_widx, ${Determinism.duckHash("a.a_text")} AS a_hash,
-              CAST(p.p_widx AS BIGINT) AS p_widx, ${Determinism.duckHash("p.p_text")} AS p_hash,
-              g.nid, ${Determinism.duckHash("n.n_text")} AS n_hash
-            FROM slotrec sl
-            JOIN negrec g ON g.draw = sl.draw
-            JOIN pick_a a ON a.draw = sl.draw AND a.record_id = sl.record_id
-            JOIN pick_p p ON p.draw = sl.draw AND p.record_id = sl.record_id
-            JOIN pick_n n ON n.draw = sl.draw AND n.record_id = g.nid
-          )
-          SELECT * FROM f0 WHERE a_hash <> p_hash"""
-      }),
+      Some(s"$bmxTwinCtes SELECT * FROM f0 WHERE a_hash <> p_hash")),
+
+    QueryDef("q142_extended_metrics",
+      // the reference's `extended-metrics` per-batch counters
+      // (bm25_backend.rs:156-172: bm25-selected vs rank-fallback draws,
+      // cross-split fallback counts) surfaced as an oracle-gated report:
+      // the q58 batch aggregated by (recipe, reason, lane) with a
+      // negative-id checksum per cell. `lane` rides the composed core
+      // stream (src tier / sd / wd / fb / bm25 — Sampler.strategyPick and
+      // the bm25 dispatch), so the report is one aggregation over the
+      // rows a trainer already drew, exactly how the reference counts
+      // inside its backend. The twin re-derives the lane split from its
+      // own bmpick CTE — a Spark-side mislabel (e.g. counting an
+      // empty-intersection fallback as a bm25 hit) lands on different
+      // cells and fails the hash.
+      (s, dir) => {
+        val chunks = chunkTable(composedDocs(s, dir, BmxWhere))
+        val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "bmx", bmxPool(s, dir))
+        val bidx = ComposedIndexQueries.bm25Index(s, dir, bmxPool(s, dir))
+        val pool = ridx.select(col("id"), col("source"))
+        val out = Sampler.nextBatch(s, chunks, pool, bmxRecipes,
+          SamplerState(BmSeed, 0L, Map.empty), BmBatch,
+          bm25Index = Some(bidx), rankIndex = Some(ridx), srcStats = stats)
+        out.core.filter(col("a_hash") =!= col("p_hash"))
+          .groupBy(col("recipe"), col("reason"), col("lane"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("nid")).cast("long").as("nid_sum"))
+      },
+      Some(s"""$bmxTwinCtes
+        SELECT recipe, reason,
+          CASE WHEN draw IN (SELECT draw FROM bmpick) THEN 'bm25' ELSE 'src' END AS lane,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(nid) AS BIGINT) AS nid_sum
+        FROM f0 WHERE a_hash <> p_hash GROUP BY 1, 2, 3""")),
 
     QueryDef("q59_fallback_composed_batch",
       // cross-split fallback + date preference INSIDE the composed driver

@@ -54,4 +54,71 @@ class PrefetcherSpec extends AnyFunSuite {
       .anyMatch(t => t.getName == "graft-batch-prefetcher" && t.isAlive)
     assert(!alive)
   }
+
+  test("parallel producers deliver exactly the sequential sequence") {
+    val cfg = TripletConfig()
+    val docs = docsDf
+    val drawsPerBatch = 2L
+    def batch(i: Long): Seq[String] =
+      Triplets.textRowsRange(docs, cfg, i * drawsPerBatch, (i + 1) * drawsPerBatch)
+        .collect().map(_.toString).sorted.toSeq
+    val pf = new BatchPrefetcher[Seq[String]](capacity = 2, batch, parallelism = 3)
+    try {
+      val prefetched = (0 until 6).map(_ => pf.next())
+      val sequential = (0L until 6L).map(batch)
+      assert(prefetched == sequential)
+    } finally pf.close()
+  }
+
+  test("parallel composed serving == sequential state-threaded loop (advanceState law)") {
+    import graft.operators.{PoolRankIndex, Recipes, Sampler, SamplerState}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the serving-bench shape at spec scale: a staged rank index + stats,
+    // states derived arithmetically per batch index, `par` concurrent
+    // producers — the delivered stream must equal the sequential
+    // state-threaded loop row for row, and advanceState must equal the
+    // states nextBatch returns
+    val docs = (1 to 25).map(i =>
+      (i.toLong, (s"h$i t$i" +: (1 to 40).map(j => s"v${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.RecipeQueries.chunkTable(docs).cache()
+    val pool = (1 to 25).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfix").toString + "/ix"
+    PoolRankIndex.save(PoolRankIndex.build(pool), dir)
+    val ridx = PoolRankIndex.load(spark, dir)
+    val stats = PoolRankIndex.loadSrcStats(dir).get
+    val poolSize = stats.map(_._2).sum
+    val recipes = Recipes.resolve(Nil, Recipes.csvDefaults(roleMode = true))
+    val batchN = 8
+    val nBatches = 5 // 40 draws over 25 records: an epoch wrap inside the window
+    def rowsOf(b: graft.operators.SamplerBatch): Seq[String] =
+      b.rows.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    // sequential reference: thread the returned state
+    var st = SamplerState("pfx", 0L, Map.empty)
+    val seqStates = Seq.newBuilder[SamplerState]
+    val sequential = (0 until nBatches).map { _ =>
+      val b = Sampler.nextBatch(spark, chunks, pool, recipes, st, batchN,
+        rankIndex = Some(ridx), srcStats = Some(stats))
+      val out = rowsOf(b)
+      seqStates += b.state
+      st = b.state
+      out
+    }
+    // advanceState == the chained nextBatch states
+    val arith = Iterator.iterate(SamplerState("pfx", 0L, Map.empty))(
+      Sampler.advanceState(_, batchN, poolSize)).drop(1).take(nBatches).toSeq
+    assert(arith == seqStates.result(), "advanceState drifted from nextBatch states")
+    // parallel producers over arithmetic states
+    val states = SamplerState("pfx", 0L, Map.empty) +: arith
+    val pf = new BatchPrefetcher[Seq[String]](capacity = 2, { i =>
+      rowsOf(Sampler.nextBatch(spark, chunks, pool, recipes, states(i.toInt), batchN,
+        rankIndex = Some(ridx), srcStats = Some(stats)))
+    }, parallelism = 3)
+    try {
+      val parallel = (0 until nBatches).map(_ => pf.next())
+      assert(parallel == sequential,
+        "parallel production changed the delivered sequence")
+    } finally pf.close()
+  }
 }

@@ -687,10 +687,24 @@ object Sampler {
       val bmDraws = bmARecs.withColumn("slot", lit("a"))
         .join(broadcast(slotMeta.select(col("draw"),
           col("a_mode").as("mode"), col("a_arg").as("arg"))), Seq("draw"))
-      val qterms = Recipes.selectChunksBatchSlots(chunksAP, bmDraws)
+      // qterms materialized as a LocalRelation (one narrow window over
+      // the batch-restricted chunk leaf): the batch's DISTINCT TERM SET
+      // then becomes an isin PREDICATE on the weighted-term side — on
+      // the staged-index tier that pushes into the wterm parquet scan
+      // (sorted by (source, term), so row groups prune), on the derived
+      // tiers it shrinks the scoring join's input from every term the
+      // batch's sources ever used to the ~hundreds the batch actually
+      // asks about. This is the reference's per-term postings probe
+      // (bm25_backend.rs:120-174 probes its HashMap per query term)
+      // re-expressed as scan pruning; term weights are per-(source,term)
+      // constants fixed at build/derive time, so dropping never-joined
+      // terms cannot move a score.
+      val qterms = localize(Recipes.selectChunksBatchSlots(chunksAP, bmDraws)
         .select(col("draw"), explode(array_distinct(
-          graft.functions.TextFunctions.tokens(col("wtext")))).as("term"))
-      val wterm = wtermPre.get
+          graft.functions.TextFunctions.tokens(col("wtext")))).as("term")))
+      val termList = qterms.select(col("term")).collect()
+        .map(_.getString(0)).distinct.toSeq
+      val wterm = wtermPre.get.filter(col("term").isin(termList: _*))
       val scoredAll = broadcast(
           bmSlots.select(col("draw"), col("record_id"), col("source"), col("reason"))
             .join(qterms, "draw"))

@@ -160,6 +160,38 @@ object ComposedIndexQueries extends QueryModule {
     (PoolRankIndex.load(s, path.toString), PoolRankIndex.loadSrcStats(path.toString))
   }
 
+  /** The persisted CHUNK TABLE for a composed corpus slice — the last
+    * corpus-scale derivation left on the batch path. The serving lanes
+    * restrict the chunk table to the batch's record ids (an isin
+    * PREDICATE), but the table itself was still a tokenize→explode→
+    * window PLAN re-optimized and re-executed inside every batch's a/p/n
+    * pick jobs — per-batch work ∝ plan size, plus Catalyst time on a big
+    * subtree, twice per batch (chunksAP + chunksN). The window layout is
+    * a pure per-record function (reference: the sampler chunks records
+    * ONCE per refresh into its in-memory pool, src/sampler/mod.rs:
+    * 994-1151; chunking src/chunking.rs), so it stages exactly like the
+    * rank sidecar: built once per corpus generation, served as a parquet
+    * leaf. Written range-partitioned + sorted on `record_id` so the
+    * per-batch id restriction prunes row groups via min/max stats — the
+    * local analogue of the record-id-bucketed chunk store a 1000-executor
+    * deployment would use. Values are bit-identical by construction (the
+    * index IS the [[RecipeQueries.chunkTable]] plan executed once);
+    * ComposedPoolIndexSpec pins index ≡ derivation row for row. */
+  def chunkIndex(s: SparkSession, dir: String, tag: String,
+      chunks: => DataFrame): DataFrame = {
+    val path = cacheDir(dir).resolve(s"chunks_$tag")
+    ensure(path, corpusFingerprint(dir, s"chunks:$tag")) {
+      val tmp = graft.operators.Staging.stagingFor(path.toString)
+      graft.operators.Staging.rmTree(tmp)
+      chunks.repartitionByRange(8, col("record_id"))
+        .sortWithinPartitions("record_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.operators.Staging.rmTree(path)
+      Files.move(tmp, path)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** The persisted [[Bm25PoolIndex]] (postings + per-source stats) for
     * the bmx pool — same lifecycle as [[rankIndex]]. */
   def bm25Index(s: SparkSession, dir: String, pool: DataFrame): Bm25PoolIndex = {
@@ -210,6 +242,13 @@ object ComposedIndexQueries extends QueryModule {
         // refresh step covers BOTH sidecars (its postings/wterm values
         // stay pinned by q58's oracle and the InvariantsSpec round-trip)
         bm25Index(s, dir, RecipeQueries.bmxPool(s, dir))
+        // and the staged chunk tables — every lane's per-batch chunk
+        // source (values pinned by the lanes' own oracles + the
+        // ComposedPoolIndexSpec index≡derivation row equality)
+        Seq("bmx" -> RecipeQueries.BmxWhere, "fbk" -> RecipeQueries.FbWhere,
+          "mix" -> RecipeQueries.MixWhere, "prx" -> RecipeQueries.PrWhere,
+          "tmp" -> RecipeQueries.TmpWhere, "txx" -> RecipeQueries.TxWhere)
+          .foreach { case (tag, where) => RecipeQueries.stagedChunks(s, dir, tag, where) }
         rows.toDF("tag", "n_rows", "chk_rank", "chk_src", "chk_date")
       },
       Some {

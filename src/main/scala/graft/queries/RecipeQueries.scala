@@ -589,14 +589,24 @@ object RecipeQueries extends QueryModule {
     tokenFiltered(composedDocs(s, dir, MixWhere))
       .select(col("doc_id").as("id"), col("source"), day3Date(col("doc_id")).as("date"))
 
+  /** The staged chunk table for one composed lane
+    * ([[ComposedIndexQueries.chunkIndex]] over this lane's
+    * [[chunkTable]] plan): first touch per corpus generation executes
+    * the derivation once and persists; every batch afterwards reads the
+    * parquet leaf with its id restriction pruning row groups. */
+  private[queries] def stagedChunks(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String, where: String): DataFrame =
+    ComposedIndexQueries.chunkIndex(s, dir, tag,
+      chunkTable(composedDocs(s, dir, where)))
+
   /** The steady-state bench's serving bundle (graft.Bench): the mix
-    * lane's chunk table, index-reconstituted pool, recipes, and staged
-    * rank index + driver-side stats — exactly what a deployed trainer
-    * session holds between batches. */
+    * lane's staged chunk table, index-reconstituted pool, recipes, and
+    * staged rank index + driver-side stats — exactly what a deployed
+    * trainer session holds between batches. */
   def mixServing(s: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[TripletRecipe], DataFrame,
          Option[Seq[(String, Long)]]) = {
-    val chunks = chunkTable(composedDocs(s, dir, MixWhere))
+    val chunks = stagedChunks(s, dir, "mix", MixWhere)
     val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "mix", mixPool(s, dir))
     val pool = ridx.select(col("id"), col("source"), col("date"))
     (chunks, pool, mixRecipes, ridx, stats)
@@ -826,7 +836,7 @@ object RecipeQueries extends QueryModule {
       // corpus keeps the pool comfortably above one batch, so the pinned
       // slot schedule sees no mid-batch epoch wrap at any driver SF.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, MixWhere))
+        val chunks = stagedChunks(s, dir, "mix", MixWhere)
         // deployment lane: the pool itself comes from the persisted rank
         // index (no corpus tokenize on the batch path) — bit-identical to
         // the derived pool by construction (InvariantsSpec)
@@ -855,7 +865,7 @@ object RecipeQueries extends QueryModule {
       // ScalaTest golden matrix pins 45-batch sequences; this pins the
       // composition law in the DuckDB-gated lane too.)
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, MixWhere))
+        val chunks = stagedChunks(s, dir, "mix", MixWhere)
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "mix", mixPool(s, dir))
         val pool = ridx.select(col("id"), col("source"), col("date"))
         val half = MixBatch / 2
@@ -883,7 +893,7 @@ object RecipeQueries extends QueryModule {
       // argmin (with the deterministic |Δsec|·1e7 + id tiebreak), the
       // swapped chunk source for the anchor pick, and the rejection.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, TmpWhere))
+        val chunks = stagedChunks(s, dir, "tmp", TmpWhere)
         // sec/tax are id-pure, so the index-staged pool reattaches them
         // without a corpus pass (tmpAttach)
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "tmp", tmpPool(s, dir))
@@ -1009,7 +1019,7 @@ object RecipeQueries extends QueryModule {
       // epoch order, the anchor pick, the per-source tf/df/stats, the
       // rotation, and both negative lanes.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, BmxWhere))
+        val chunks = stagedChunks(s, dir, "bmx", BmxWhere)
         // both sidecars persisted: ranks AND the (source, term) postings
         // — the batch path never tokenizes the pool
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "bmx", bmxPool(s, dir))
@@ -1039,7 +1049,7 @@ object RecipeQueries extends QueryModule {
       // empty-intersection fallback as a bm25 hit) lands on different
       // cells and fails the hash.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, BmxWhere))
+        val chunks = stagedChunks(s, dir, "bmx", BmxWhere)
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "bmx", bmxPool(s, dir))
         val bidx = ComposedIndexQueries.bm25Index(s, dir, bmxPool(s, dir))
         val pool = ridx.select(col("id"), col("source"))
@@ -1067,7 +1077,7 @@ object RecipeQueries extends QueryModule {
       // fallback, wrong-date on it the single-date-group fallback, and
       // the dated src4 records exercise the same-date preference tiers.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, FbWhere))
+        val chunks = stagedChunks(s, dir, "fbk", FbWhere)
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "fbk", fbPool(s, dir))
         val pool = ridx.select(col("id"), col("source"), col("date"))
         val out = Sampler.nextBatch(s, chunks, pool, fbRecipes,
@@ -1256,7 +1266,7 @@ object RecipeQueries extends QueryModule {
       // the triplet driver. The oracle replays the triplet core and the
       // pair explosion.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, PrWhere))
+        val chunks = stagedChunks(s, dir, "prx", PrWhere)
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "prx", prPool(s, dir))
         val pool = ridx.select(col("id"), col("source"))
         val out = Sampler.nextPairBatch(s, chunks, pool, prRecipes,
@@ -1349,7 +1359,7 @@ object RecipeQueries extends QueryModule {
       // selector pick per draw (hash stream sel:t:). Emitted rows are the
       // pre-dedup core stream.
       (s, dir) => {
-        val chunks = chunkTable(composedDocs(s, dir, TxWhere))
+        val chunks = stagedChunks(s, dir, "txx", TxWhere)
         // Text batches have no negative dispatch, so nextTextBatch never
         // derives a rank sidecar — there is no in-plan derivation for an
         // index to replace (no double derivation to avoid). The index's

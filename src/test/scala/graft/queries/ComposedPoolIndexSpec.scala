@@ -95,4 +95,23 @@ class ComposedPoolIndexSpec extends AnyFunSuite {
     assert(rows(a) == rows(b))
     assert(rows(a) == rows(derived(pool)))
   }
+
+  test("all six lanes: staged chunk index == in-plan chunkTable derivation") {
+    Seq("mix" -> RecipeQueries.MixWhere, "tmp" -> RecipeQueries.TmpWhere,
+      "bmx" -> RecipeQueries.BmxWhere, "fbk" -> RecipeQueries.FbWhere,
+      "prx" -> RecipeQueries.PrWhere, "txx" -> RecipeQueries.TxWhere)
+      .foreach { case (tag, where) =>
+        val dv = RecipeQueries.chunkTable(
+          RecipeQueries.composedDocs(spark, sfDir, where))
+        val ix = RecipeQueries.stagedChunks(spark, sfDir, tag, where)
+        assert(ix.columns.sameElements(dv.columns), s"$tag chunk columns")
+        // parquet reads are nullable-by-default; names+types must match
+        assert(ix.schema.map(f => (f.name, f.dataType))
+          == dv.schema.map(f => (f.name, f.dataType)),
+          s"$tag chunk schema (types must round-trip)")
+        val got = rows(ix)
+        assert(got.nonEmpty, s"$tag chunk index empty")
+        assert(got == rows(dv), s"$tag staged chunks != derived chunk table")
+      }
+  }
 }

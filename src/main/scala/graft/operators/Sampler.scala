@@ -135,11 +135,16 @@ object Sampler {
     val bySrc = left.join(cand,
       col("a_source") === col("n_source") && col("record_id") =!= col("nbid"))
       .select(pairCols: _*)
+    // the two arms are DISJOINT by construction — the tax arm keeps only
+    // cross-source pairs (a same-source same-tax candidate already came
+    // out of the source arm) — so the union IS the set union and the
+    // former dropDuplicates exchange is deleted from the per-batch plan
     val pairs =
       if (!hasTax) bySrc
       else bySrc.unionByName(left.join(cand,
-          col("a_tax") === col("n_tax") && col("record_id") =!= col("nbid"))
-        .select(pairCols: _*)).dropDuplicates("record_id", "nbid")
+          col("a_tax") === col("n_tax") && col("a_source") =!= col("n_source") &&
+            col("record_id") =!= col("nbid"))
+        .select(pairCols: _*))
     pairs
       .withColumn("selkey",
         abs(col("n_sec") - (col("a_sec") + lit(days * 86400L))) * lit(10000000L) + col("nbid"))

@@ -183,7 +183,12 @@ object ComposedIndexQueries extends QueryModule {
     ensure(path, corpusFingerprint(dir, s"chunks:$tag")) {
       val tmp = graft.operators.Staging.stagingFor(path.toString)
       graft.operators.Staging.rmTree(tmp)
-      chunks.repartitionByRange(8, col("record_id"))
+      // file count follows the session's shuffle parallelism (the
+      // deployment dial) — a fixed count would cap read parallelism at
+      // cluster scale; range partitioning keeps per-file record_id
+      // min/max tight so the batch restriction skips whole files
+      val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+      chunks.repartitionByRange(nPart, col("record_id"))
         .sortWithinPartitions("record_id")
         .write.mode("overwrite").parquet(tmp.toString)
       graft.operators.Staging.rmTree(path)

@@ -247,9 +247,14 @@ object Bench {
     * "hand the batch to the trainer" step — and counted.
     */
   private def servingBench(sfDir: String, cpus: String): Option[String] = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_SERVING_N", "20").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_SERVING_N", "40").toInt
     if (n <= 0) return None
-    val par = sys.env.getOrElse("SPARK_GRAFT_SERVING_PAR", "4").toInt
+    // producer count: throughput scales near-linearly with concurrent
+    // batch plans until driver planning contends (~3/4 of the cores on
+    // this box: par=4 -> 1.8 b/s, 24 -> ~4.5-5.0, 32 -> ~3.5 at sf0.1);
+    // a trainer deployment sizes this to its driver like any fetch-ahead
+    val par = sys.env.get("SPARK_GRAFT_SERVING_PAR").map(_.toInt)
+      .getOrElse(math.max(4, scala.util.Try(cpus.toInt).getOrElse(4) * 3 / 4))
     val spark = newSession(cpus)
     try {
       val (chunks, pool, recipes, ridx, stats) =

@@ -309,6 +309,14 @@ object Bench {
     // it alone)
     val wantServing = only.forall(_.exists(tok => "serving".contains(tok)))
 
+    // trainer-facing steady-state serving loop FIRST, in its own fresh
+    // session: a 150-query suite leaves the shared JVM with GC/
+    // fragmentation state that graded the same serving loop 1.5
+    // batches/sec where a clean JVM grades ~5 — the product metric gets
+    // the clean measurement, the suite's own per-query warmups and
+    // session recycling absorb the (much milder) reverse direction
+    val serving = if (wantServing) servingBench(sfDir, cpus) else None
+
     val prevQ = if (only.isEmpty) prevArtifactQueries(sfNum) else Map.empty[String, Double]
     val (results1, retimes1) = measureSuite(names, sfDir, cpus, prevQ)
     val firstTotal = results1.map(_._2).sum
@@ -354,9 +362,6 @@ object Bench {
     val retimedDiag = retimesDiag.map { case (k, (suite, fresh)) =>
       s"\"" + k + "\":{\"suite\":" + suite + ",\"fresh\":" + fresh + "}"
     }.mkString("{", ",", "}")
-    // trainer-facing steady-state serving loop (fresh session, after the
-    // suite so neither measurement pollutes the other)
-    val serving = if (wantServing) servingBench(sfDir, cpus) else None
     val servingField = serving.map(j => s""","serving":$j""").getOrElse("")
     println(s"""{"metric":"total_diag","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"cold":$colds,"errors":$errs,"failed":$failed,"retimed":$retimedDiag$servingField,"sf":"$sfDir"}""")
     def r3(v: Double): String = f"$v%.3f"

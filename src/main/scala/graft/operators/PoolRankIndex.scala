@@ -47,7 +47,12 @@ object PoolRankIndex {
     Staging.sweepStale(Paths.get(dir))
     val tmp = Paths.get(dir + ".tmp-" + ProcessHandle.current().pid())
     rmTree(tmp)
-    ranks.repartition(col("source")).write.mode("overwrite").parquet(tmp.toString)
+    // sorted by (source, rn) within the source partitions so the
+    // per-batch pick filters (rn / rank-window targets) prune row groups
+    // via min/max stats once per-source row counts outgrow one group —
+    // the layout a position-addressed pool read needs at corpus scale
+    ranks.repartition(col("source")).sortWithinPartitions(col("source"), col("rn"))
+      .write.mode("overwrite").parquet(tmp.toString)
     // per-source stats as DRIVER-SIDE index metadata (`_`-prefixed files
     // are invisible to parquet readers, like `_SUCCESS`): serving batches
     // read them with zero Spark jobs — the per-batch pool-scan collect

@@ -19,6 +19,22 @@ import org.apache.spark.sql.expressions.Window
 final class SamplerBatch(val core: DataFrame, mkRows: () => DataFrame,
     val state: SamplerState) {
   lazy val rows: DataFrame = mkRows()
+
+  /** The reference's `extended-metrics` per-batch counter report
+    * (bm25_backend.rs:156-172: bm25-selected vs rank-fallback draws,
+    * cross-split fallback counts) over THIS batch's already-drawn core
+    * rows: one (recipe, reason, lane) aggregation — `lane` is the
+    * resolved negative tier (src/sd/wd/fb or bm25), cross-split
+    * fallbacks carry the `_fallback_same_split` recipe suffix. Lazy and
+    * optional, exactly like the reference's feature gate: a trainer that
+    * never asks pays nothing. Semantics oracle-pinned by q142. */
+  lazy val laneStats: DataFrame = {
+    require(core.columns.contains("lane"),
+      "laneStats is the triplet driver's report (pair/text cores carry no negative lane)")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    core.groupBy(col("recipe"), col("reason"), col("lane"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
 }
 object SamplerBatch {
   def apply(core: DataFrame, mkRows: () => DataFrame, state: SamplerState): SamplerBatch =

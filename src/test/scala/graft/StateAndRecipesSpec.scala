@@ -322,6 +322,33 @@ class StateAndRecipesSpec extends AnyFunSuite {
       != run(shared = true, NegativeBackend.Default))
   }
 
+  test("laneStats: the extended-metrics report aggregates the batch's own core rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (s"head$i topic$i overview" +: (1 to 40).map(j => s"w${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.RecipeQueries.chunkTable(docs)
+    val pool = (1 to 12).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "source")
+    val recipes = Seq(TripletRecipe("lm", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle))
+    val b = Sampler.nextBatch(spark, chunks, pool, recipes,
+      SamplerState("lm", 0L, Map.empty), batch = 8)
+    val stats = b.laneStats.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    // independent derivation from the same core rows
+    val want = b.core.collect()
+      .groupBy(r => (r.getAs[String]("recipe"), r.getAs[String]("reason"),
+        r.getAs[String]("lane")))
+      .view.mapValues(_.length.toLong).toMap
+    assert(stats == want)
+    assert(stats.values.sum == b.core.count())
+    // pair/text cores carry no lane — the report refuses loudly
+    val pb = Sampler.nextPairBatch(spark, chunks, pool, recipes,
+      SamplerState("lm", 0L, Map.empty), batch = 8)
+    assertThrows[IllegalArgumentException](pb.laneStats)
+  }
+
   test("composed temporal slots anchor on the neighbor's context chunk") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -35,7 +35,22 @@ final class BatchPrefetcher[T](capacity: Int, produce: Long => T,
   private val ready = scala.collection.mutable.Map[Long, Either[Throwable, T]]()
   private var nextOut = 0L // next index the consumer delivers
   private var nextIdx = 0L // next index a producer claims
+  private var produced = 0L // finished productions (success or error)
+  private var errors = 0L // error items produced
   @volatile private var open = true
+
+  /** Batches fully produced so far (delivered or still buffered),
+    * errors included — the reference's `produced_count`. */
+  def producedCount: Long = lock.synchronized(produced)
+
+  /** Items buffered ready for the consumer — the reference's
+    * `queue_len`. Under parallel production this counts only COMPLETED
+    * batches; claimed-but-in-flight indexes are not yet visible. */
+  def queueLen: Int = lock.synchronized(ready.size)
+
+  /** Productions that ended in an error value (delivered or pending) —
+    * the reference's `error_count`. */
+  def errorCount: Long = lock.synchronized(errors)
 
   private def producerLoop(): Unit =
     try {
@@ -55,7 +70,12 @@ final class BatchPrefetcher[T](capacity: Int, produce: Long => T,
             val item =
               try Right(produce(i))
               catch { case e: Exception => Left(e) }
-            lock.synchronized { ready(i) = item; lock.notifyAll() }
+            lock.synchronized {
+              ready(i) = item
+              produced += 1
+              if (item.isLeft) errors += 1
+              lock.notifyAll()
+            }
         }
       }
     } catch { case _: InterruptedException => () }

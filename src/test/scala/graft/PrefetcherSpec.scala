@@ -43,6 +43,12 @@ class PrefetcherSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](pf.next())
       assert(e.getMessage == "batch 1 failed")
       assert(pf.next() == 20L)
+      // introspection counters (the reference's produced_count /
+      // queue_len / error_count): three delivered — at least those
+      // produced, exactly one error, and the buffer is bounded
+      assert(pf.producedCount >= 3)
+      assert(pf.errorCount == 1)
+      assert(pf.queueLen >= 0 && pf.queueLen <= 2) // capacity + in-flight
     } finally pf.close()
   }
 

@@ -117,8 +117,8 @@ object Sampler {
     * in `forIds`, the pool candidate minimizing |sec − (record.sec +
     * days·86400)| among same-`source` candidates — or same leading-taxonomy
     * when the pool carries a `tax` column (the reference's source-or-key
-    * disjunction) — with the q61/q64 deterministic tiebreak
-    * (|Δsec|·1e7 + id) replacing the reference's map-order tie. Split
+    * disjunction) — with the q61/q64 deterministic tiebreak (smaller id
+    * on equal |Δsec|) replacing the reference's map-order tie. Split
     * isolation is structural: the composed driver's pool is per-split, so
     * a neighbor can never cross splits (the contract src/config.rs:131-137
     * re-checks inside the engine; here the pool IS the split).
@@ -128,7 +128,18 @@ object Sampler {
     * batch-rows × the record's source/taxonomy group — the bounded-group
     * pairwise form (q61); unbounded-cardinality callers use the q60
     * union+window as-of instead. The OR-disjunction is a UNION of two
-    * equi-joins (never a theta join). */
+    * DISJOINT equi-joins (never a theta join). Per batch this streams the
+    * narrow (id, source, sec[, tax]) pool projection once as the
+    * candidate side — already 40× the reference's serving shape, which
+    * probes its whole in-memory pool PER DRAW (select_temporal_neighbor,
+    * src/sampler/mod.rs:950-976) — and a refresh-staged
+    * [[temporalNeighborsFull]] map (the chunk/rank-index treatment)
+    * takes it to O(batch). The argmin key is the LEXICOGRAPHIC pair
+    * (|Δsec|, id) — a struct ordering, not the former |Δsec|·1e7 + id
+    * scalar, whose id term could outweigh a 1-second |Δ| gap once ids
+    * pass 1e7 (a latent wrong-neighbor hazard at corpus scale, and the
+    * obstacle to an O(n log n) staged build; the DuckDB twins replay the
+    * same pair via list comparison). */
   def temporalNeighbors(pool: DataFrame, days: Int, forIds: DataFrame): DataFrame = {
     require(pool.columns.contains("sec"),
       "TemporalOffset recipes need a `sec` (epoch seconds) column in the pool")
@@ -162,11 +173,91 @@ object Sampler {
             col("record_id") =!= col("nbid"))
         .select(pairCols: _*))
     pairs
-      .withColumn("selkey",
-        abs(col("n_sec") - (col("a_sec") + lit(days * 86400L))) * lit(10000000L) + col("nbid"))
+      .withColumn("selkey", struct(
+        abs(col("n_sec") - (col("a_sec") + lit(days * 86400L))).as("d"),
+        col("nbid").as("i")))
       .groupBy(col("record_id"))
       .agg(min_by(col("nbid"), col("selkey")).as("nbid"))
   }
+
+  /** [[temporalNeighbors]] for EVERY pool record — the refresh-time
+    * staged form (the chunk/rank-index treatment applied to the as-of
+    * neighbor map, persisted by
+    * [[graft.queries.ComposedIndexQueries.neighborIndex]]). O(n log n)
+    * per arm instead of the pairwise Σ|group|²: rank the DISTINCT
+    * candidate seconds per group, find each target's last candidate-sec
+    * at-or-below its target time with ONE ordered window over the
+    * interleaved union (the q60 as-of idiom), then probe ranks
+    * r−1 … r+2 carrying the two smallest ids per sec. That candidate
+    * superset always contains the argmin: the lexicographic
+    * (|Δsec|, id) key compares |Δsec| first, so a farther sec can never
+    * beat a nearer one on the same side (this is exactly why the scalar
+    * 1e7-key had to go), the nearest eligible sec per side is at rank
+    * r / r+1 — or r−1 / r+2 when self-exclusion empties it, and
+    * self-exclusion removes at most ONE id from at most ONE sec, so two
+    * ids per sec suffice. Pinned equal to the pairwise form over
+    * adversarial fixtures (ties, self-nearest, singleton groups,
+    * negative offsets) by StateAndRecipesSpec. Returns (record_id,
+    * nbid); records with no eligible neighbor are absent — the serving
+    * join then drops their slots (skip-not-contaminate). */
+  def temporalNeighborsFull(pool: DataFrame, days: Int): DataFrame = {
+    require(pool.columns.contains("sec"),
+      "TemporalOffset recipes need a `sec` (epoch seconds) column in the pool")
+    val offset = days * 86400L
+    def arm(key: String): DataFrame = {
+      val cands = pool.select(col(key).as("k"), col("sec").as("csec"), col("id"))
+      val first = cands.groupBy(col("k"), col("csec")).agg(min(col("id")).as("id1"))
+      val second = cands.join(first, Seq("k", "csec"))
+        .filter(col("id") =!= col("id1"))
+        .groupBy(col("k"), col("csec")).agg(min(col("id")).as("id2"))
+      val secTbl = first.join(second, Seq("k", "csec"), "left")
+        .withColumn("prnk", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("csec"))))
+      // rank lookup by interleaved union: candidate rows sort BEFORE
+      // target rows at equal time (tag), so a candidate exactly AT the
+      // target time lands on the ≤ side, matching abs() semantics
+      val candSide = secTbl.select(col("k"), col("csec").as("t"), lit(0).as("tag"),
+        col("prnk"), lit(null).cast("long").as("record_id"))
+      val tgtSide = pool.select(col(key).as("k"), (col("sec") + lit(offset)).as("t"),
+        lit(1).as("tag"), lit(null).cast("int").as("prnk"), col("id").as("record_id"))
+      val runW = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = candSide.unionByName(tgtSide)
+        .withColumn("r", last(col("prnk"), ignoreNulls = true).over(runW))
+        .filter(col("tag") === 1)
+        .select(col("k"), col("record_id"), col("t").as("tsec"),
+          coalesce(col("r"), lit(0)).as("r"))
+      ranked
+        .withColumn("prnk", explode(expr("sequence(r - 1, r + 2)")))
+        .join(secTbl, Seq("k", "prnk"))
+        .select(col("record_id"), col("tsec"), col("csec"),
+          explode(array(col("id1"), col("id2"))).as("nbid"))
+        .filter(col("nbid").isNotNull && col("nbid") =!= col("record_id"))
+        .select(col("record_id"), col("nbid"),
+          struct(abs(col("csec") - col("tsec")).as("d"), col("nbid").as("i")).as("selkey"))
+    }
+    // arm overlap is harmless here (min of mins over subsets whose union
+    // is the eligible set), so the tax arm keeps same-source candidates
+    val arms = if (pool.columns.contains("tax")) Seq("source", "tax") else Seq("source")
+    arms.map(arm).reduce(_ unionByName _)
+      .groupBy(col("record_id"))
+      .agg(min_by(col("nbid"), col("selkey")).as("nbid"))
+  }
+
+  /** Neighbor lookup for one temporal lane: the staged map when the
+    * caller passed one for this offset (per-batch cost = an id-pruned
+    * read of the record_id-sorted index — zero pool-scale work),
+    * otherwise the in-plan batch join. `forIds` is a LocalRelation
+    * projection, so the id collect schedules no job. */
+  private def neighborsFor(pool: DataFrame, d: Int, forIds: DataFrame,
+      neighborIndex: Map[Int, DataFrame]): DataFrame =
+    neighborIndex.get(d) match {
+      case Some(ix) =>
+        val ids = forIds.select(col("record_id")).collect()
+          .map(_.getLong(0)).distinct.toSeq
+        ix.filter(col("record_id").isin(ids: _*))
+      case None => temporalNeighbors(pool, d, forIds)
+    }
 
   /** Produce the next batch of `batch` triplets.
     *
@@ -321,10 +412,11 @@ object Sampler {
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       bm25Index: Option[Bm25PoolIndex] = None,
       rankIndex: Option[DataFrame] = None,
-      srcStats: Option[Seq[(String, Long)]] = None): SamplerBatch = {
+      srcStats: Option[Seq[(String, Long)]] = None,
+      neighborIndex: Map[Int, DataFrame] = Map.empty): SamplerBatch = {
     val (core, deduped, st2) =
       composed(spark, chunks, pool, recipes, st, batch, decoration, bm25Index,
-        rankIndex, srcStats)
+        rankIndex, srcStats, neighborIndex)
     def rows = Mixing.padToBatch(spark,
         deduped.select(col("draw").as("id")), batch, s"pad:${st.seed}:${st.counter("draw")}")
       .join(deduped.withColumnRenamed("draw", "id"), Seq("id"))
@@ -341,7 +433,8 @@ object Sampler {
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       bm25Index: Option[Bm25PoolIndex] = None,
       rankIndex: Option[DataFrame] = None,
-      srcStats: Option[Seq[(String, Long)]] = None)
+      srcStats: Option[Seq[(String, Long)]] = None,
+      neighborIndex: Map[Int, DataFrame] = Map.empty)
       : (DataFrame, DataFrame, SamplerState) = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
@@ -488,7 +581,7 @@ object Sampler {
         val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
           val forIds = base.filter(col("recipe").isin(forms(rs.map(_._1)): _*))
             .select(col("draw"), col("record_id"))
-          forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
+          forIds.join(neighborsFor(pool, d, forIds, neighborIndex), Seq("record_id"))
             .select(col("draw"), col("nbid").as("record_id"))
         }
         val plain =
@@ -952,10 +1045,11 @@ object Sampler {
       recipes: Seq[TripletRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
       rankIndex: Option[DataFrame] = None,
-      srcStats: Option[Seq[(String, Long)]] = None): SamplerBatch = {
+      srcStats: Option[Seq[(String, Long)]] = None,
+      neighborIndex: Map[Int, DataFrame] = Map.empty): SamplerBatch = {
     val nTrip = (batch + 1) / 2
     val (core, deduped, st2) = composed(spark, chunks, pool, recipes, st, nTrip,
-      decoration, None, rankIndex, srcStats)
+      decoration, None, rankIndex, srcStats, neighborIndex)
     def pairsOf(df: DataFrame): DataFrame = df
       .select(col("draw"), col("epoch"), col("recipe"), col("record_id"),
         col("nid"), col("a_hash"), col("reason").as("strategy"),
@@ -996,7 +1090,8 @@ object Sampler {
   def nextTextBatch(spark: SparkSession, chunks: DataFrame, poolArg: DataFrame,
       textRecipes: Seq[TextRecipe], st: SamplerState, batch: Int,
       decoration: Option[(graft.functions.KvpPrefixSampler, Int)] = None,
-      srcStats: Option[Seq[(String, Long)]] = None): SamplerBatch = {
+      srcStats: Option[Seq[(String, Long)]] = None,
+      neighborIndex: Map[Int, DataFrame] = Map.empty): SamplerBatch = {
     import spark.implicits._
     require(batch > 0, "batch must be > 0")
     val byName = textRecipes.map(r => r.name -> r).toMap
@@ -1035,7 +1130,7 @@ object Sampler {
         val lanes = temporal.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
           val forIds = slotRec.filter(col("recipe").isin(rs.map(_._1): _*))
             .select(col("draw"), col("record_id"))
-          forIds.join(temporalNeighbors(pool, d, forIds), Seq("record_id"))
+          forIds.join(neighborsFor(pool, d, forIds, neighborIndex), Seq("record_id"))
             .select(col("draw"), col("nbid").as("record_id"))
         }
         val plain =

@@ -197,6 +197,33 @@ object ComposedIndexQueries extends QueryModule {
     s.read.parquet(path.toString)
   }
 
+  /** The persisted as-of NEIGHBOR MAP for a temporal pool —
+    * [[graft.operators.Sampler.temporalNeighborsFull]] staged per
+    * (pool tag, day offset): the neighbor is a pure (pool, days)
+    * function, so a refresh computes every record's neighbor once with
+    * the O(n log n) sort-based build and serving batches read an
+    * id-pruned slice of the record_id-sorted parquet — the temporal
+    * lane's per-batch pool-wide candidate stream deleted, the same move
+    * as the rank/chunk staging. Values equal the in-plan batch join by
+    * the lexicographic-key law (StateAndRecipesSpec pins full == pairwise
+    * and index-backed batches == derived). */
+  def neighborIndex(s: SparkSession, dir: String, tag: String, days: Int,
+      pool: => DataFrame): DataFrame = {
+    val path = cacheDir(dir).resolve(s"nbr_${tag}_$days")
+    ensure(path, corpusFingerprint(dir, s"nbr:$tag:$days")) {
+      val tmp = graft.operators.Staging.stagingFor(path.toString)
+      graft.operators.Staging.rmTree(tmp)
+      val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+      graft.operators.Sampler.temporalNeighborsFull(pool, days)
+        .repartitionByRange(nPart, col("record_id"))
+        .sortWithinPartitions("record_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.operators.Staging.rmTree(path)
+      Files.move(tmp, path)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** The persisted [[Bm25PoolIndex]] (postings + per-source stats) for
     * the bmx pool — same lifecycle as [[rankIndex]]. */
   def bm25Index(s: SparkSession, dir: String, pool: DataFrame): Bm25PoolIndex = {
@@ -254,6 +281,8 @@ object ComposedIndexQueries extends QueryModule {
           "mix" -> RecipeQueries.MixWhere, "prx" -> RecipeQueries.PrWhere,
           "tmp" -> RecipeQueries.TmpWhere, "txx" -> RecipeQueries.TxWhere)
           .foreach { case (tag, where) => RecipeQueries.stagedChunks(s, dir, tag, where) }
+        // and the tmp lane's as-of neighbor map (nbr_tmp_<days>)
+        neighborIndex(s, dir, "tmp", RecipeQueries.TmpDays, RecipeQueries.tmpPool(s, dir))
         rows.toDF("tag", "n_rows", "chk_rank", "chk_src", "chk_date")
       },
       Some {

@@ -898,9 +898,12 @@ object RecipeQueries extends QueryModule {
         // without a corpus pass (tmpAttach)
         val (ridx, stats) = ComposedIndexQueries.rankIndexAndStats(s, dir, "tmp", tmpPool(s, dir))
         val pool = tmpAttach(ridx.select(col("id"), col("source")))
+        // the as-of neighbor map is staged too (nbr_tmp_3): the lane's
+        // last per-batch pool-wide stream becomes an id-pruned index read
+        val nbrs = ComposedIndexQueries.neighborIndex(s, dir, "tmp", TmpDays, tmpPool(s, dir))
         val out = Sampler.nextBatch(s, chunks, pool, tmpRecipes,
           SamplerState(TmpSeed, 0L, Map.empty), TmpBatch, rankIndex = Some(ridx),
-          srcStats = stats)
+          srcStats = stats, neighborIndex = Map(TmpDays -> nbrs))
         out.core.filter(col("a_hash") =!= col("p_hash"))
           .select(col("draw"), col("epoch"), col("recipe"), col("reason"),
             col("record_id"), col("a_widx"), col("a_hash"), col("p_widx"), col("p_hash"),
@@ -945,8 +948,9 @@ object RecipeQueries extends QueryModule {
             FROM slots s JOIN eo e ON e.pos = s.pos
           ),
           -- as-of neighbor for temporal-anchor slots: same source OR same
-          -- leading taxonomy, argmin over |Δsec|·1e7 + id (the engine's
-          -- deterministic tiebreak)
+          -- leading taxonomy, lexicographic argmin over (|Δsec|, id) —
+          -- the engine's deterministic tiebreak; a list compares
+          -- lexicographically in DuckDB exactly like Spark's struct
           nb0 AS (
             SELECT sl.draw, sl.record_id, a.sec AS a_sec, a.source AS a_source, a.tax AS a_tax
             FROM slotrec sl JOIN pool a ON a.id = sl.record_id
@@ -954,7 +958,7 @@ object RecipeQueries extends QueryModule {
           ),
           nbr AS (
             SELECT w.draw, w.record_id,
-              arg_min(c.id, abs(c.sec - (w.a_sec + ${TmpDays.toLong * 86400L})) * 10000000 + c.id) AS nbid
+              min([abs(c.sec - (w.a_sec + ${TmpDays.toLong * 86400L})), c.id])[2] AS nbid
             FROM nb0 w JOIN pool c ON c.id <> w.record_id
               AND (c.source = w.a_source OR c.tax = w.a_tax)
             GROUP BY w.draw, w.record_id

@@ -71,16 +71,15 @@ object TemporalQueries extends QueryModule {
         val base = o.select(col("o_orderkey").as("k1"), col("o_custkey").as("c1"), sec.as("s1"))
         val cand = o.select(col("o_orderkey").as("k2"), col("o_custkey").as("c2"), sec.as("s2"))
         base.join(cand, col("c1") === col("c2") && col("k1") =!= col("k2"))
-          .withColumn("selkey",
-            abs(col("s2") - (col("s1") + lit(2592000L))) * 10000000L + col("k2"))
+          .withColumn("dsec", abs(col("s2") - (col("s1") + lit(2592000L))))
           .groupBy(col("k1"))
-          .agg(min_by(col("k2"), col("selkey")).as("neighbor_key"),
-            min(col("selkey")).as("sel_key"))
+          .agg(min_by(col("k2"), struct(col("dsec"), col("k2"))).as("neighbor_key"),
+            min(col("dsec")).as("sel_dsec"))
       },
       Some("""WITH b AS (SELECT o_orderkey AS k, o_custkey AS c, CAST(epoch(o_orderdate) AS BIGINT) AS sec FROM orders)
         SELECT b1.k AS k1,
-          min_by(b2.k, abs(b2.sec - (b1.sec + 2592000)) * 10000000 + b2.k) AS neighbor_key,
-          CAST(min(abs(b2.sec - (b1.sec + 2592000)) * 10000000 + b2.k) AS BIGINT) AS sel_key
+          min([abs(b2.sec - (b1.sec + 2592000)), b2.k])[2] AS neighbor_key,
+          CAST(min(abs(b2.sec - (b1.sec + 2592000))) AS BIGINT) AS sel_dsec
         FROM b b1 JOIN b b2 ON b1.c = b2.c AND b1.k <> b2.k
         GROUP BY b1.k""")),
 
@@ -90,7 +89,7 @@ object TemporalQueries extends QueryModule {
       // comes from a DIFFERENT record — the same-(source, split) neighbor
       // nearest to created_at + offset_days — and is that neighbor's
       // hash-picked context window. Neighbor choice is q61's deterministic
-      // min_by (|time diff| scaled + id tiebreak, never an engine-arbitrary
+      // min_by (lexicographic (|time diff|, id), never an engine-arbitrary
       // tie); chunk pick is the selectChunk rank arithmetic on the
       // neighbor's windows. The corpus carries no created_at, so a
       // hash-derived day stands in (both engines derive it identically).
@@ -106,8 +105,8 @@ object TemporalQueries extends QueryModule {
           col("split").as("nsplit"), col("sec").as("nsec"))
         val nb = b.join(cand, col("source") === col("nsource") &&
             col("split") === col("nsplit") && col("doc_id") =!= col("nid"))
-          .withColumn("selkey",
-            abs(col("nsec") - (col("sec") + lit(offSec))) * 10000000L + col("nid"))
+          .withColumn("selkey", struct(
+            abs(col("nsec") - (col("sec") + lit(offSec))).as("d"), col("nid").as("i")))
           .groupBy(col("doc_id").as("aid"))
           .agg(min_by(col("nid"), col("selkey")).as("nid"))
         val w = Window.partitionBy(col("record_id"))
@@ -131,7 +130,7 @@ object TemporalQueries extends QueryModule {
           FROM d0
         ), nb AS (
           SELECT b1.doc_id AS aid,
-            min_by(b2.doc_id, abs(b2.sec - (b1.sec + 172800)) * 10000000 + b2.doc_id) AS nid
+            min([abs(b2.sec - (b1.sec + 172800)), b2.doc_id])[2] AS nid
           FROM b b1 JOIN b b2 ON b1.source = b2.source AND b1.split = b2.split
             AND b1.doc_id <> b2.doc_id
           GROUP BY b1.doc_id

@@ -283,6 +283,66 @@ class StateAndRecipesSpec extends AnyFunSuite {
     assert(gotSrc == Map(1L -> 2L))
   }
 
+  test("temporalNeighborsFull == pairwise batch form (adversarial fixtures, both arms)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    // adversarial shapes: clustered secs (duplicates => sec-group id2
+    // paths), self-nearest targets (a record's own sec closest to its
+    // target => self-exclusion must fall to the next rank), singleton
+    // sources (tax-arm-only neighbors), huge ids (the exact case the old
+    // 1e7-scalar key got wrong), negative offsets
+    for ((days, trial) <- Seq((2, 1), (-3, 2), (0, 3))) {
+      val n = 120
+      val rows = (1 to n).map { i =>
+        val id = if (i % 7 == 0) 20000000L + i else i.toLong // ids beyond 1e7
+        val src = if (i <= 3) s"solo$i" else s"s${i % 5}"
+        val sec = (rnd.nextInt(8) * 86400L) + (if (i % 11 == 0) days * 86400L else 0L)
+        (id, src, sec, s"t${i % 3}")
+      }
+      val pool = rows.toDF("id", "source", "sec", "tax")
+      val all = pool.select(col("id").as("record_id"))
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pairwise = toMap(Sampler.temporalNeighbors(pool, days, all))
+      val full = toMap(Sampler.temporalNeighborsFull(pool, days))
+      assert(full == pairwise, s"trial $trial (days=$days): staged map drifted")
+      // source-only pools too
+      val pw2 = toMap(Sampler.temporalNeighbors(pool.drop("tax"), days, all))
+      val fl2 = toMap(Sampler.temporalNeighborsFull(pool.drop("tax"), days))
+      assert(fl2 == pw2, s"trial $trial (days=$days, no tax)")
+    }
+  }
+
+  test("neighbor-index-backed composed batch == derived (temporal config)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 14).map(i =>
+      (i.toLong, (s"head$i topic$i overview" +: (1 to 40).map(j => s"w${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.RecipeQueries.chunkTable(docs).cache()
+    val pool = (1 to 14).map(i => (i.toLong, s"s${i % 3}",
+        1700000000L + (i % 6) * 43200L, s"t${i % 2}"))
+      .toDF("id", "source", "sec", "tax").cache()
+    val recipes = Seq(
+      TripletRecipe("tn_asof", Selector.TemporalOffset(2), Selector.RoleContext,
+        NegativeStrategy.WrongArticle, weight = 0.5f),
+      TripletRecipe("tn_plain", Selector.RoleAnchor, Selector.RoleContext,
+        NegativeStrategy.WrongArticle, weight = 0.5f))
+    def rowsOf(ni: Map[Int, org.apache.spark.sql.DataFrame]) =
+      Sampler.nextBatch(spark, chunks, pool, recipes,
+          SamplerState("tn", 0L, Map.empty), batch = 10, neighborIndex = ni)
+        .core.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    // parquet round-trip like the real staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbr").toString + "/ix"
+    Sampler.temporalNeighborsFull(pool, 2)
+      .repartitionByRange(4, col("record_id")).sortWithinPartitions("record_id")
+      .write.parquet(dir)
+    val staged = rowsOf(Map(2 -> spark.read.parquet(dir)))
+    val derived = rowsOf(Map.empty)
+    assert(staged.nonEmpty && staged == derived)
+  }
+
   test("composed bm25 backend: disjoint vocab falls back to the rank pick, shared vocab diverges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

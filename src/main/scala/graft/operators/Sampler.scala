@@ -628,9 +628,12 @@ object Sampler {
       *     no other source drop (src/sampler/mod.rs:1097-1151, 1391-1395)
       * — then each tier resolves through ONE direct keyed lookup into the
       * enriched sidecar: src by (source, rn), sd by (source, date, rn2),
-      * wd by (source, drnk) + the in-group rank filter, fb by (srnk) +
-      * the in-source rank filter (the filters read the TARGET row's own
-      * group size, so no intermediate group-table join is needed). Hash
+      * wd by (source, drnk) + the in-group rank filter (the filter reads
+      * the TARGET row's own group size — the match is bounded by one
+      * date-group, and the group sizes are not known driver-side), fb by
+      * the exact (source, rn) key (the srnk→source order and per-source
+      * counts ARE driver-side, so the target rank resolves before the
+      * sidecar join — one matched row per draw). Hash
       * streams, tier predicates, and delivered values are bit-identical
       * to the per-lane dispatch (golden matrix + q57/q58/q59/q66 oracles
       * pin this). */
@@ -687,13 +690,27 @@ object Sampler {
           Seq("source", "n_rn"))
         .select(negOut: _*)
       // fallback: the target source is the t_srnk-ranked one; the record
-      // inside it is `pmod(negc-key, ccnt)` where ccnt (== the target
-      // source's nsrc) is read off the TARGET rows themselves
-      val fbKeyed = t.filter(col("tier") === "fb")
-        .join(rankTbl.select(col("srnk").as("t_srnk"), col("rn").as("t_rn"),
-          col("nsrc").as("t_nsrc"), col("id").as("nid")), Seq("t_srnk"))
-        .filter(col("t_rn") === pmod(drawKey("negc"), col("t_nsrc")))
-        .select(negOut: _*)
+      // inside it is `pmod(negc-key, ccnt)`. Both the srnk→source order
+      // and the per-source counts are pure functions of `srcCounts`
+      // (exactly the values rankSidecar folds into the sidecar), so the
+      // target's (source, rn) key resolves against a #sources-row
+      // broadcast BEFORE the sidecar join — one matched row per fb draw,
+      // not one per record of the target source (which at corpus scale
+      // made the fb lane's join output grow with source size).
+      val fbKeyed = {
+        import spark.implicits._
+        val cnt = srcCounts.toMap
+        val fbOrd = srcCounts.map(_._1)
+          .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
+          .map { case (src, i) => (i.toLong, src, cnt(src)) }
+          .toDF("t_srnk", "t_source", "t_nsrc")
+        t.filter(col("tier") === "fb")
+          .join(broadcast(fbOrd), Seq("t_srnk"))
+          .withColumn("t_rn", pmod(drawKey("negc"), col("t_nsrc")))
+          .join(rankTbl.select(col("source").as("t_source"), col("rn").as("t_rn"),
+            col("id").as("nid")), Seq("t_source", "t_rn"))
+          .select(negOut: _*)
+      }
       val srcSide = srcKeyed.unionByName(fbKeyed)
       if (!hasDate) srcSide
       else {

@@ -213,6 +213,39 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(out.rows.count() == 32L)
   }
 
+  test("fallback tier completes at 50k single-record sources (exact-key probe)") {
+    import graft.operators.{NegativeStrategy, Sampler, SamplerState, Selector, TripletRecipe}
+    // every source holds ONE record, so every WrongArticle slot takes the
+    // cross-source fallback tier: the fb pick must resolve through the
+    // driver-side (srnk → source, count) order + an exact (source, rn)
+    // sidecar key — batch-bounded even when the source COUNT (not just
+    // the record count) is corpus-scale
+    import spark.implicits._
+    val docs = spark.range(50000).select(
+      col("id").as("doc_id"),
+      concat(lit("solo"), col("id").cast("string")).as("source"),
+      concat_ws(" ", (0 until 24).map(j =>
+        concat(lit("w"), pmod(col("id") * (j + 7) + j, lit(997)).cast("string"))): _*).as("text"))
+    val chunks = docs.select(col("doc_id").as("record_id"), lit(0).as("section_idx"),
+      lit("context").as("role"), lit("window").as("view_kind"),
+      lit(0).as("window_index"), lit(0).as("overlap"), col("text").as("wtext"))
+      .unionByName(docs.select(col("doc_id").as("record_id"), lit(0).as("section_idx"),
+        lit("anchor").as("role"), lit("full").as("view_kind"),
+        lit(0).as("window_index"), lit(0).as("overlap"),
+        substring(col("text"), 1, 40).as("wtext")))
+    val pool = docs.select(col("doc_id").as("id"), col("source"))
+    val recipes = Seq(TripletRecipe("wa", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle, weight = 1.0f))
+    val out = Sampler.nextBatch(spark, chunks, pool, recipes,
+      SamplerState("fbstress", 0L, Map.empty), batch = 32)
+    val core = out.core.collect()
+    assert(core.length == 32)
+    // single-record sources ⇒ the lane is fb for every slot, and the
+    // negative always comes from a DIFFERENT source than the anchor
+    assert(core.forall(_.getAs[String]("lane") == "fb"))
+    assert(core.forall(r => r.getAs[Long]("nid") != r.getAs[Long]("record_id")))
+  }
+
   test("smooth-WRR drain stays counter-arithmetic at 10k sources x 5k slots") {
     // the drain loop is O(slots x sources) driver work over #sources
     // state — no Spark job at all; 50M steps must complete in seconds

@@ -57,8 +57,13 @@ object ComposedIndexQueries extends QueryModule {
 
   /** Corpus generation id: the documents parquet's file listing — cheap
     * filesystem metadata, no data scan on the validation path. */
-  private def corpusFingerprint(dir: String, tag: String): String = {
-    val root = Paths.get(dir).resolve("documents.parquet")
+  private def corpusFingerprint(dir: String, tag: String): String =
+    tableFingerprint(dir, "documents", tag)
+
+  /** [[corpusFingerprint]] generalized to any testdata table (the ANN
+    * indexes derive from `embeddings`, not `documents`). */
+  private def tableFingerprint(dir: String, table: String, tag: String): String = {
+    val root = Paths.get(dir).resolve(s"$table.parquet")
     import scala.jdk.CollectionConverters._
     val entries: Seq[String] =
       if (Files.isDirectory(root)) {
@@ -232,6 +237,43 @@ object ComposedIndexQueries extends QueryModule {
       Bm25PoolIndex.save(Bm25PoolIndex.fromPool(pool), path.toString)
     }
     Bm25PoolIndex.load(s, path.toString)
+  }
+
+  /** The persisted IVFADC index over the embeddings corpus — the FAISS
+    * "train once, search many" lifecycle for the ANN lanes: coarse
+    * centroids, the residual PQ codebook, and the per-vector codes
+    * (carrying each vector's coarse cell) publish as ONE unit (single
+    * staging dir, one move — a mixed-generation index would score
+    * silently wrong, the Bm25PoolIndex discipline). A search session
+    * loads three parquet leaves and runs only the query-side work
+    * (probes + ADC tables + candidate scoring); training reruns only
+    * when the embeddings generation moves. Values are bit-identical to
+    * the in-plan derivation by construction (floats round-trip parquet
+    * exactly; the training picks are seeded-hash deterministic) —
+    * AnnIndexSpec pins index-backed == derived. */
+  def ivfadcIndex(s: SparkSession, dir: String, tag: String)
+      (train: => (DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val path = cacheDir(dir).resolve(s"ivfadc_$tag")
+    ensure(path, tableFingerprint(dir, "embeddings", s"ivfadc:$tag")) {
+      val tmp = graft.operators.Staging.stagingFor(path.toString)
+      graft.operators.Staging.rmTree(tmp)
+      val (cents, cb, codes) = train
+      // cents/cb are broadcast-sized (K and M·Ks rows): one file each.
+      // codes are corpus-scale: range-partitioned + sorted on id so a
+      // restricted search (or a shard rebuild) prunes row groups.
+      cents.coalesce(1).write.parquet(tmp.resolve("cents").toString)
+      cb.coalesce(1).write.parquet(tmp.resolve("cb").toString)
+      val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+      codes.repartitionByRange(nPart, col("id"))
+        .sortWithinPartitions("id")
+        .write.parquet(tmp.resolve("codes").toString)
+      graft.operators.Staging.rmTree(path)
+      Files.move(tmp, path)
+    }
+    (s.read.parquet(path.resolve("cents").toString),
+      s.read.parquet(path.resolve("cb").toString),
+      s.read.parquet(path.resolve("codes").toString))
   }
 
   // ---- q145: the index-build row ----

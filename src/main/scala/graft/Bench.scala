@@ -270,27 +270,41 @@ object Bench {
         "staged mix index lacks per-source stats")).map(_._2).sum
       val st0 = graft.operators.SamplerState(
         graft.queries.RecipeQueries.MixSeed, 0L, Map.empty)
-      val states = scala.collection.mutable.ArrayBuffer(st0)
-      def stateFor(i: Long): graft.operators.SamplerState = states.synchronized {
-        while (states.size <= i)
-          states += graft.operators.Sampler.advanceState(states.last, batchSize, poolSize)
-        states(i.toInt)
+      def loop(bs: Int, nb: Int, warm: Int): (Double, Double, Double) = {
+        val states = scala.collection.mutable.ArrayBuffer(st0)
+        def stFor(i: Long): graft.operators.SamplerState = states.synchronized {
+          while (states.size <= i)
+            states += graft.operators.Sampler.advanceState(states.last, bs, poolSize)
+          states(i.toInt)
+        }
+        val pf = new graft.operators.BatchPrefetcher[Int](capacity = 2, { i =>
+          val b = graft.operators.Sampler.nextBatch(spark, chunks, pool, recipes,
+            stFor(i), bs, rankIndex = Some(ridx), srcStats = stats)
+          b.rows.collect().length
+        }, parallelism = par)
+        try {
+          (0 until warm).foreach(_ => pf.next()) // warmup: index validation + codegen
+          val t0 = System.nanoTime()
+          var delivered = 0L
+          (0 until nb).foreach(_ => delivered += pf.next())
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(delivered == nb.toLong * bs,
+            s"serving bench under-delivered: $delivered rows for $nb batches of $bs")
+          (nb / dt, delivered / dt, dt)
+        } finally pf.close()
       }
-      val pf = new graft.operators.BatchPrefetcher[Int](capacity = 2, { i =>
-        val b = graft.operators.Sampler.nextBatch(spark, chunks, pool, recipes,
-          stateFor(i), batchSize, rankIndex = Some(ridx), srcStats = stats)
-        b.rows.collect().length
-      }, parallelism = par)
-      try {
-        (0 until 2).foreach(_ => pf.next()) // warmup: index validation + codegen
-        val t0 = System.nanoTime()
-        var delivered = 0L
-        (0 until n).foreach(_ => delivered += pf.next())
-        val dt = (System.nanoTime() - t0) / 1e9
-        require(delivered == n.toLong * batchSize,
-          s"serving bench under-delivered: $delivered rows for $n batches of $batchSize")
-        Some(f"""{"batches_per_sec":${n / dt}%.3f,"triplets_per_sec":${delivered / dt}%.1f,"n_batches":$n,"batch":$batchSize,"parallelism":$par,"sec":$dt%.3f}""")
-      } finally pf.close()
+      val (bps, tps, dt) = loop(batchSize, n, warm = 2)
+      // the reference's own operating point (SamplerConfig::default
+      // batch_size = 128, src/config.rs:312) over the SAME staged bundle
+      // — pool here is the full corpus-scale mix pool, not the
+      // reference's 2048-record candidate cache, so the number is the
+      // conservative side of the comparison. Codegen/index warmth carries
+      // over from the first loop; one warm batch absorbs the new plan
+      // shapes. The measured count must exceed the production window
+      // (capacity + parallelism) by a healthy margin, else the timer sees
+      // only the drain of already-claimed batches.
+      val (rBps, rTps, rDt) = loop(128, math.max(2 * (2 + par), n), warm = 1)
+      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"n_batches":$n,"batch":$batchSize,"parallelism":$par,"sec":$dt%.3f,"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":$rTps%.1f,"batch":128,"sec":$rDt%.3f}}""")
     } finally spark.stop()
   }
 

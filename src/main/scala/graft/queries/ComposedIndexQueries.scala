@@ -239,41 +239,34 @@ object ComposedIndexQueries extends QueryModule {
     Bm25PoolIndex.load(s, path.toString)
   }
 
-  /** The persisted IVFADC index over the embeddings corpus — the FAISS
-    * "train once, search many" lifecycle for the ANN lanes: coarse
-    * centroids, the residual PQ codebook, and the per-vector codes
-    * (carrying each vector's coarse cell) publish as ONE unit (single
-    * staging dir, one move — a mixed-generation index would score
-    * silently wrong, the Bm25PoolIndex discipline). A search session
-    * loads three parquet leaves and runs only the query-side work
-    * (probes + ADC tables + candidate scoring); training reruns only
-    * when the embeddings generation moves. Values are bit-identical to
-    * the in-plan derivation by construction (floats round-trip parquet
-    * exactly; the training picks are seeded-hash deterministic) —
-    * AnnIndexSpec pins index-backed == derived. */
-  def ivfadcIndex(s: SparkSession, dir: String, tag: String)
-      (train: => (DataFrame, DataFrame, DataFrame))
-      : (DataFrame, DataFrame, DataFrame) = {
-    val path = cacheDir(dir).resolve(s"ivfadc_$tag")
-    ensure(path, tableFingerprint(dir, "embeddings", s"ivfadc:$tag")) {
+  /** The persisted trained-ANN relations over the embeddings corpus —
+    * the FAISS "train once, search many" lifecycle for the ANN lanes
+    * (IVFADC's centroids / residual codebook / cell-carrying codes,
+    * PQ-ADC's codebook / codes). All of one index's relations publish as
+    * ONE unit (single staging dir, one move — a mixed-generation index
+    * would score silently wrong, the Bm25PoolIndex discipline). A search
+    * session loads the parquet leaves and runs only the query-side work;
+    * training reruns only when the embeddings generation moves. The
+    * `train` closure picks each relation's on-disk layout (coalesce the
+    * broadcast-sized tables, range-partition + sort the corpus-scale
+    * code tables so restricted reads prune row groups). Values are
+    * bit-identical to the in-plan derivation by construction (floats
+    * round-trip parquet exactly; the training picks are seeded-hash
+    * deterministic) — AnnIndexSpec pins index-backed == derived. */
+  def annRelations(s: SparkSession, dir: String, tag: String,
+      names: Seq[String])(train: => Seq[DataFrame]): Seq[DataFrame] = {
+    val path = cacheDir(dir).resolve(s"ann_$tag")
+    ensure(path, tableFingerprint(dir, "embeddings", s"ann:$tag")) {
       val tmp = graft.operators.Staging.stagingFor(path.toString)
       graft.operators.Staging.rmTree(tmp)
-      val (cents, cb, codes) = train
-      // cents/cb are broadcast-sized (K and M·Ks rows): one file each.
-      // codes are corpus-scale: range-partitioned + sorted on id so a
-      // restricted search (or a shard rebuild) prunes row groups.
-      cents.coalesce(1).write.parquet(tmp.resolve("cents").toString)
-      cb.coalesce(1).write.parquet(tmp.resolve("cb").toString)
-      val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
-      codes.repartitionByRange(nPart, col("id"))
-        .sortWithinPartitions("id")
-        .write.parquet(tmp.resolve("codes").toString)
+      val rels = train
+      require(rels.size == names.size, "annRelations: names/relations arity mismatch")
+      names.zip(rels).foreach { case (n, df) =>
+        df.write.parquet(tmp.resolve(n).toString) }
       graft.operators.Staging.rmTree(path)
       Files.move(tmp, path)
     }
-    (s.read.parquet(path.resolve("cents").toString),
-      s.read.parquet(path.resolve("cb").toString),
-      s.read.parquet(path.resolve("codes").toString))
+    names.map(n => s.read.parquet(path.resolve(n).toString))
   }
 
   // ---- q145: the index-build row ----

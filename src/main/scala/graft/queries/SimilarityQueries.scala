@@ -95,8 +95,9 @@ object SimilarityQueries extends QueryModule {
     // per embeddings generation; a warm session runs ONLY the query-side
     // work below. The train closure is the exact former in-plan
     // derivation (AnnIndexSpec pins index-backed == derived).
-    val (cents, cb, codes) =
-      ComposedIndexQueries.ivfadcIndex(s, dir, "e3") {
+    val Seq(cents, cb, codes) =
+      ComposedIndexQueries.annRelations(s, dir, "ivfadc",
+          Seq("cents", "cb", "codes")) {
         val tcents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
           .localCheckpoint()
         // (vec_id, cell) — narrow; checkpointed because both the residual
@@ -113,7 +114,12 @@ object SimilarityQueries extends QueryModule {
           .localCheckpoint()
         val tcodes = Pq.encode(resid, "vec_id", "resid", Dim, PqM, tcb)
           .join(resid.select(col("vec_id").as("id"), col("cell")), "id")
-        (tcents, tcb, tcodes)
+        // cents/cb are broadcast-sized (K and M·Ks rows): one file each.
+        // codes are corpus-scale: range-partitioned + sorted on id so a
+        // restricted search (or a shard rebuild) prunes row groups.
+        val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+        Seq(tcents.coalesce(1), tcb.coalesce(1),
+          tcodes.repartitionByRange(nPart, col("id")).sortWithinPartitions("id"))
       }
     val q = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
@@ -651,12 +657,20 @@ object SimilarityQueries extends QueryModule {
       // query time. See [[graft.operators.Pq]].
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        // the 64-row codebook feeds BOTH the encode and the ADC tables —
-        // checkpoint it so the M TakeOrdered picks run once and downstream
-        // plans see a LocalTableScan-sized leaf
-        val cb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
-          .localCheckpoint()
-        val codes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, cb)
+        // train-once/search-many (the q122 lifecycle on the raw-embedding
+        // PQ): the codebook and the corpus codes persist per embeddings
+        // generation; a warm search builds only the query-side ADC tables
+        val Seq(cb, codes) =
+          ComposedIndexQueries.annRelations(s, dir, "pq", Seq("cb", "codes")) {
+            // the 64-row codebook feeds BOTH the encode and the ADC
+            // tables — checkpoint it so the M TakeOrdered picks run once
+            val tcb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
+              .localCheckpoint()
+            val tcodes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, tcb)
+            val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+            Seq(tcb.coalesce(1),
+              tcodes.repartitionByRange(nPart, col("id")).sortWithinPartitions("id"))
+          }
         val adc = Pq.adcTables(
           emb.filter(col("vec_id") < NQueries), "vec_id", "embedding",
           Dim, PqM, cb)

@@ -21,11 +21,14 @@ import scala.jdk.CollectionConverters._
   * Degradation guard: the round-9 artifact overstated the suite ~20% — a
   * uniformly degraded session shifts the outlier-detection median itself,
   * so mid-band queries keep inflated numbers and only the heavy tail is
-  * re-timed. Defense: after the first full pass, read the PREVIOUS round's
-  * committed `BENCH_r*.json` for the same SF; if the new steady total
-  * drifts >15% above it, run the ENTIRE suite a second time (all sessions
-  * recycled — block-manager/broadcast/GC state reset; janino's JVM-static
-  * codegen cache persisting across passes is exactly the warm state the
+  * re-timed. Defense: after the first full pass, compare against the Σ of
+  * per-query committed minima over the current suite (the same reference
+  * the per-query retimes use — a whole-artifact total is incomparable
+  * once the query set grows, and the compact line's truncation had left
+  * only stale artifacts parseable); if the new steady total drifts >15%
+  * above it, run the ENTIRE suite a second time (all sessions recycled —
+  * block-manager/broadcast/GC state reset; janino's JVM-static codegen
+  * cache persisting across passes is exactly the warm state the
   * steady-state methodology wants) and keep each query's best of the two
   * passes. Both totals land in the artifact (`prev_total`, `first_total`,
   * `rerun_total`) so the selection is auditable.
@@ -178,29 +181,6 @@ object Bench {
     (results, retimes.map { case (k, v) => k -> (suiteDt(k), v) })
   }
 
-  /** Steady total of the newest committed `BENCH_r*.json` whose compact
-    * line ran at the same SF. The artifact is the driver's wrapper JSON
-    * with our stdout embedded (quotes escaped), so extraction is regex
-    * over the raw text — the compact line is last, so the LAST match of
-    * each pattern is the number we printed.
-    */
-  private def prevArtifactTotal(sfNum: String): Option[Double] = {
-    val dir = new java.io.File(".")
-    val arts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-    val totalRe = """\\?"metric\\?":\\?"total\\?",\\?"value\\?":([0-9.]+)""".r
-    val sfRe = """\\?"sf\\?":([0-9.]+)""".r
-    arts.reverseIterator.flatMap { f =>
-      val text =
-        try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        catch { case _: Throwable => "" }
-      val sfOk = sfRe.findAllMatchIn(text).toSeq.lastOption.exists(_.group(1) == sfNum)
-      val tot = totalRe.findAllMatchIn(text).toSeq.lastOption.map(_.group(1).toDouble)
-      if (sfOk) tot else None
-    }.nextOption()
-  }
-
   /** Per-query steady seconds from committed bench artifacts at the same
     * SF, keyed by SHORT name (`qNN`), keeping each query's MINIMUM across
     * rounds — the best number this box has ever graded a query is the
@@ -336,7 +316,20 @@ object Bench {
     val firstTotal = results1.map(_._2).sum
     // degradation guard (only when running the full suite — a filtered
     // subset's total is not comparable to any committed artifact)
-    val prevTotal = if (only.isEmpty) prevArtifactTotal(sfNum) else None
+    // drift-guard baseline: Σ of the per-query committed minima over the
+    // CURRENT suite (prevQ — the same reference the per-query retimes
+    // use). The old whole-artifact total was parsed from the newest
+    // BENCH_r*.json tail whose truncation still kept the "metric":"total"
+    // prefix — by round 14 that was a five-round-old artifact with a
+    // different query set, so the >15% rerun trigger was comparing
+    // against a stale, incomparable number. Guard only when the
+    // committed artifacts cover (nearly) the whole current suite — a
+    // round that adds many queries must not compare against a smaller
+    // reference sum.
+    val prevTotal = if (only.isEmpty) {
+      val shared = names.flatMap(n => prevQ.get(n.takeWhile(_ != '_')))
+      if (shared.size >= names.size * 9 / 10) Some(shared.sum) else None
+    } else None
     val drifted = prevTotal.exists(p => firstTotal > p * 1.15)
     val (results, retimesDiag, rerunTotal) =
       if (!drifted) (results1, retimes1, None)

@@ -335,11 +335,17 @@ object Bench {
     // committed artifacts cover (nearly) the whole current suite — a
     // round that adds many queries must not compare against a smaller
     // reference sum.
-    val prevTotal = if (only.isEmpty) {
-      val shared = names.flatMap(n => prevQ.get(n.takeWhile(_ != '_')))
-      if (shared.size >= names.size * 9 / 10) Some(shared.sum) else None
-    } else None
-    val drifted = prevTotal.exists(p => firstTotal > p * 1.15)
+    // the comparison must run over the SAME query set on both sides:
+    // the baseline is Σ committed minima over covered queries, so the
+    // new total is summed over exactly those queries too (a round's new
+    // queries would otherwise count as pure "drift")
+    val sharedNames = names.filter(n => prevQ.contains(n.takeWhile(_ != '_'))).toSet
+    val prevTotal = if (only.isEmpty && sharedNames.size >= names.size * 9 / 10)
+      Some(sharedNames.toSeq.map(n => prevQ(n.takeWhile(_ != '_'))).sum)
+    else None
+    val sharedFirstTotal = results1
+      .filter(r => sharedNames.contains(r._1)).map(_._2).sum
+    val drifted = prevTotal.exists(p => sharedFirstTotal > p * 1.15)
     val (results, retimesDiag, rerunTotal) =
       if (!drifted) (results1, retimes1, None)
       else {

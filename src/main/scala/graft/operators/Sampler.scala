@@ -370,6 +370,21 @@ object Sampler {
     * refresh, not per batch). `srcCounts` is the caller's per-source
     * stats collect (the epochPick identity — jvmHash ≡ the seeded
     * column hash). */
+  /** The seeded fallback source order as (source, srnk, nsrc) — the ONE
+    * derivation both the sidecar build ([[rankSidecar]]'s srnk/scnt
+    * columns, persisted at refresh) and the serving-time fallback
+    * resolution (strategyPick's exact-key probe) must share: a staged
+    * deployment resolves REFRESH-time srnk values through SERVING-time
+    * order, so the two copies drifting apart would silently retarget
+    * every fallback draw. */
+  private[operators] def fallbackOrder(srcCounts: Seq[(String, Long)])
+      : Seq[(String, Long, Long)] = {
+    val cnt = srcCounts.toMap
+    srcCounts.map(_._1)
+      .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
+      .map { case (src, i) => (src, i.toLong, cnt(src)) }
+  }
+
   def rankSidecar(pool: DataFrame, srcCounts: Seq[(String, Long)]): DataFrame = {
     val spark = pool.sparkSession
     import spark.implicits._
@@ -395,10 +410,8 @@ object Sampler {
     // seeded fallback source order, folded in per-row (replaces the sG
     // side table) — a driver-side sort of the already-collected source
     // stats, shipped as a LocalRelation so the broadcast costs no job
-    val sOrdSeq = srcCounts.map(_._1)
-      .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
-    val sOrd = sOrdSeq
-      .map { case (src, i) => (src, i.toLong, sOrdSeq.size.toLong) }
+    val sOrd = fallbackOrder(srcCounts)
+      .map { case (src, srnk, _) => (src, srnk, srcCounts.size.toLong) }
       .toDF("source", "srnk", "scnt")
     val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
       col("srnk"), col("scnt")) ++
@@ -611,6 +624,16 @@ object Sampler {
     // and oracle that selects named columns is untouched
     val negOut = Seq("draw", "epoch", "recipe", "reason", "record_id", "nid").map(col) :+
       col("tier").as("lane")
+    // the fallback lane's (srnk → source, count) resolution table — the
+    // SAME derivation rankSidecar folds into the persisted sidecar
+    // ([[fallbackOrder]]), built once per batch (strategyPick can run
+    // twice — Default and BM25 backends) as a #sources-row LocalRelation
+    lazy val fbOrd = {
+      import spark.implicits._
+      fallbackOrder(srcCounts)
+        .map { case (src, srnk, n) => (srnk, src, n) }
+        .toDF("t_srnk", "t_source", "t_nsrc")
+    }
     val waR = NegativeStrategy.WrongArticle.reason
     val qaR = NegativeStrategy.QuestionAnswerMismatch.reason
     val wdR = NegativeStrategy.WrongPublicationDate.reason
@@ -697,20 +720,12 @@ object Sampler {
       // broadcast BEFORE the sidecar join — one matched row per fb draw,
       // not one per record of the target source (which at corpus scale
       // made the fb lane's join output grow with source size).
-      val fbKeyed = {
-        import spark.implicits._
-        val cnt = srcCounts.toMap
-        val fbOrd = srcCounts.map(_._1)
-          .sortBy(src => (Determinism.jvmHash(s"fsord:$src"), src)).zipWithIndex
-          .map { case (src, i) => (i.toLong, src, cnt(src)) }
-          .toDF("t_srnk", "t_source", "t_nsrc")
-        t.filter(col("tier") === "fb")
-          .join(broadcast(fbOrd), Seq("t_srnk"))
-          .withColumn("t_rn", pmod(drawKey("negc"), col("t_nsrc")))
-          .join(rankTbl.select(col("source").as("t_source"), col("rn").as("t_rn"),
-            col("id").as("nid")), Seq("t_source", "t_rn"))
-          .select(negOut: _*)
-      }
+      val fbKeyed = t.filter(col("tier") === "fb")
+        .join(broadcast(fbOrd), Seq("t_srnk"))
+        .withColumn("t_rn", pmod(drawKey("negc"), col("t_nsrc")))
+        .join(rankTbl.select(col("source").as("t_source"), col("rn").as("t_rn"),
+          col("id").as("nid")), Seq("t_source", "t_rn"))
+        .select(negOut: _*)
       val srcSide = srcKeyed.unionByName(fbKeyed)
       if (!hasDate) srcSide
       else {

@@ -318,6 +318,12 @@ object ComposedIndexQueries extends QueryModule {
           .foreach { case (tag, where) => RecipeQueries.stagedChunks(s, dir, tag, where) }
         // and the tmp lane's as-of neighbor map (nbr_tmp_<days>)
         neighborIndex(s, dir, "tmp", RecipeQueries.TmpDays, RecipeQueries.tmpPool(s, dir))
+        // and the ANN serving indexes (embeddings-generation keyed): the
+        // refresh step fronts their training too, so a serving session's
+        // first search after a generation move is query-side only
+        // (values pinned by the q118/q122 oracles + AnnIndexSpec)
+        SimilarityQueries.ivfadcRelations(s, dir)
+        SimilarityQueries.pqRelations(s, dir)
         rows.toDF("tag", "n_rows", "chk_rank", "chk_src", "chk_date")
       },
       Some {

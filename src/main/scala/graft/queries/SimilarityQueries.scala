@@ -84,43 +84,80 @@ object SimilarityQueries extends QueryModule {
     * replay the assign join (in production it IS the persisted index).
     * Emits (qid, id, cell, adist, rank) for ALL ranks — callers cut at
     * their k. */
+  private def residOf(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    zip_with(a.cast("array<double>"), c.cast("array<double>"),
+      (x, y) => x - y).cast("array<float>")
+
+  /** The IVFADC training derivation — coarse centroids, the residual PQ
+    * codebook, and the per-vector codes carrying their coarse cell. ONE
+    * definition serves both the staged build (ivfadcApprox's train
+    * closure) and AnnIndexSpec's in-plan reference side, so the
+    * index-backed == derived pin compares the persisted index against
+    * this exact derivation rather than against its own round-trip. */
+  private[queries] def ivfadcTrain(emb: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.DataFrame] = {
+    val tcents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+      .localCheckpoint()
+    // (vec_id, cell) — narrow; checkpointed because both the residual
+    // build and the code table read it (the argmin plan is a corpus ×
+    // centroids cross join that must not replay)
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", tcents)
+      .localCheckpoint()
+    val resid = emb.join(assign, "vec_id")
+      .join(broadcast(tcents.select(col("cid").as("cell"), col("cemb"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        residOf(col("embedding"), col("cemb")).as("resid"))
+      .localCheckpoint()
+    val tcb = Pq.codebook(resid, "vec_id", "resid", Dim, PqM, PqKs)
+      .localCheckpoint()
+    val tcodes = Pq.encode(resid, "vec_id", "resid", Dim, PqM, tcb)
+      .join(resid.select(col("vec_id").as("id"), col("cell")), "id")
+    Seq(tcents, tcb, tcodes)
+  }
+
+  /** Load-or-build of the staged IVFADC index (cents, cb, codes) — the
+    * train-once/search-many half of [[ivfadcApprox]], separated so
+    * AnnIndexSpec can compare the loaded relations against
+    * [[ivfadcTrain]]'s in-plan derivation. The tag carries every
+    * training hyperparameter the persisted relations bake in — a
+    * constant change re-stages instead of serving an index trained
+    * under the old geometry. */
+  private[queries] def ivfadcRelations(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    ComposedIndexQueries.annRelations(s, dir, s"ivfadc-$IvfK-$Dim-$PqM-$PqKs",
+        Seq("cents", "cb", "codes")) {
+      val Seq(tcents, tcb, tcodes) = ivfadcTrain(Tables.load(s, dir, "embeddings"))
+      // cents/cb are broadcast-sized (K and M·Ks rows): one file each.
+      // codes are corpus-scale: range-partitioned + sorted on id so a
+      // restricted search (or a shard rebuild) prunes row groups.
+      val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+      Seq(tcents.coalesce(1), tcb.coalesce(1),
+        tcodes.repartitionByRange(nPart, col("id")).sortWithinPartitions("id"))
+    }
+
+  /** Load-or-build of the staged raw-embedding PQ index (cb, codes) —
+    * the [[ivfadcRelations]] contract on the PQ-ADC lane; the tag
+    * carries the PQ geometry. */
+  private[queries] def pqRelations(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    ComposedIndexQueries.annRelations(s, dir, s"pq-$Dim-$PqM-$PqKs",
+        Seq("cb", "codes")) {
+      val emb = Tables.load(s, dir, "embeddings")
+      // the 64-row codebook feeds BOTH the encode and the ADC tables —
+      // checkpoint it so the M TakeOrdered picks run once
+      val tcb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
+        .localCheckpoint()
+      val tcodes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, tcb)
+      val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
+      Seq(tcb.coalesce(1),
+        tcodes.repartitionByRange(nPart, col("id")).sortWithinPartitions("id"))
+    }
+
   private def ivfadcApprox(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    def residOf(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      zip_with(a.cast("array<double>"), c.cast("array<double>"),
-        (x, y) => x - y).cast("array<float>")
-    // train-once/search-many: the trained index (coarse centroids,
-    // residual PQ codebook, per-vector codes carrying their cell) stages
-    // per embeddings generation; a warm session runs ONLY the query-side
-    // work below. The train closure is the exact former in-plan
-    // derivation (AnnIndexSpec pins index-backed == derived).
-    val Seq(cents, cb, codes) =
-      ComposedIndexQueries.annRelations(s, dir, "ivfadc",
-          Seq("cents", "cb", "codes")) {
-        val tcents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
-          .localCheckpoint()
-        // (vec_id, cell) — narrow; checkpointed because both the residual
-        // build and the code table read it (the argmin plan is a corpus ×
-        // centroids cross join that must not replay)
-        val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", tcents)
-          .localCheckpoint()
-        val resid = emb.join(assign, "vec_id")
-          .join(broadcast(tcents.select(col("cid").as("cell"), col("cemb"))), "cell")
-          .select(col("vec_id"), col("cell"),
-            residOf(col("embedding"), col("cemb")).as("resid"))
-          .localCheckpoint()
-        val tcb = Pq.codebook(resid, "vec_id", "resid", Dim, PqM, PqKs)
-          .localCheckpoint()
-        val tcodes = Pq.encode(resid, "vec_id", "resid", Dim, PqM, tcb)
-          .join(resid.select(col("vec_id").as("id"), col("cell")), "id")
-        // cents/cb are broadcast-sized (K and M·Ks rows): one file each.
-        // codes are corpus-scale: range-partitioned + sorted on id so a
-        // restricted search (or a shard rebuild) prunes row groups.
-        val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
-        Seq(tcents.coalesce(1), tcb.coalesce(1),
-          tcodes.repartitionByRange(nPart, col("id")).sortWithinPartitions("id"))
-      }
+    // a warm session runs ONLY the query-side work below
+    val Seq(cents, cb, codes) = ivfadcRelations(s, dir)
     val q = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val probes = Similarity.ivfProbes(q, "qid", "qemb", cents, IvfProbe)
@@ -660,17 +697,7 @@ object SimilarityQueries extends QueryModule {
         // train-once/search-many (the q122 lifecycle on the raw-embedding
         // PQ): the codebook and the corpus codes persist per embeddings
         // generation; a warm search builds only the query-side ADC tables
-        val Seq(cb, codes) =
-          ComposedIndexQueries.annRelations(s, dir, "pq", Seq("cb", "codes")) {
-            // the 64-row codebook feeds BOTH the encode and the ADC
-            // tables — checkpoint it so the M TakeOrdered picks run once
-            val tcb = Pq.codebook(emb, "vec_id", "embedding", Dim, PqM, PqKs)
-              .localCheckpoint()
-            val tcodes = Pq.encode(emb, "vec_id", "embedding", Dim, PqM, tcb)
-            val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
-            Seq(tcb.coalesce(1),
-              tcodes.repartitionByRange(nPart, col("id")).sortWithinPartitions("id"))
-          }
+        val Seq(cb, codes) = pqRelations(s, dir)
         val adc = Pq.adcTables(
           emb.filter(col("vec_id") < NQueries), "vec_id", "embedding",
           Dim, PqM, cb)

@@ -26,10 +26,12 @@ class AnnIndexSpec extends AnyFunSuite {
       case x => String.valueOf(x)
     }.mkString("|")).sorted.toSeq
 
-  test("ivfadc search: cold build == warm index-backed load, row for row") {
+  test("staged ivfadc relations == the in-plan training derivation, row for row") {
     // a fresh corpus dir (embeddings copied under a new path) lands in a
-    // fresh cache namespace, so the FIRST call provably trains and
-    // publishes while the SECOND serves the parquet round-trip
+    // fresh cache namespace, so the load-or-build provably trains and
+    // publishes here; the reference side is the SAME derivation run
+    // in-plan, never persisted — a lossy write, a torn multi-relation
+    // publish, or nondeterministic training breaks the comparison
     val tmp = java.nio.file.Files.createTempDirectory("graft_annc")
     val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
     val dst = tmp.resolve("embeddings.parquet")
@@ -38,11 +40,19 @@ class AnnIndexSpec extends AnyFunSuite {
       java.nio.file.Files.list(src).forEach(p =>
         java.nio.file.Files.copy(p, dst.resolve(p.getFileName)))
     } else java.nio.file.Files.copy(src, dst)
+    val loaded = SimilarityQueries.ivfadcRelations(spark, tmp.toString)
+    val derived = SimilarityQueries.ivfadcTrain(
+      graft.core.Tables.load(spark, tmp.toString, "embeddings"))
+    loaded.zip(derived).zipWithIndex.foreach { case ((ix, dv), i) =>
+      assert(ix.columns.sorted.sameElements(dv.columns.sorted), s"relation $i columns")
+      val got = rows(ix.select(dv.columns.map(col).toSeq: _*))
+      val want = rows(dv)
+      assert(got.nonEmpty, s"relation $i empty")
+      assert(got == want, s"staged relation $i != in-plan derivation")
+    }
+    // and the search itself is stable across cold build and warm load
     val q = graft.SparkEntry.queries("q122_ivfadc_search")
-    val cold = rows(q(spark, tmp.toString))
-    val warm = rows(q(spark, tmp.toString))
-    assert(cold.nonEmpty, "empty ivfadc search result")
-    assert(cold == warm, "index-backed search drifted from the cold build")
+    assert(rows(q(spark, tmp.toString)) == rows(q(spark, tmp.toString)))
   }
 
   test("trained relations survive the parquet round-trip bit-exactly") {

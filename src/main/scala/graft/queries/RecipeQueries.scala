@@ -949,19 +949,28 @@ object RecipeQueries extends QueryModule {
           ),
           -- as-of neighbor for temporal-anchor slots: same source OR same
           -- leading taxonomy, lexicographic argmin over (|Δsec|, id) —
-          -- the engine's deterministic tiebreak; a list compares
-          -- lexicographically in DuckDB exactly like Spark's struct
+          -- the engine's deterministic tiebreak, as a two-pass min (min Δ
+          -- then min id among ties; the per-pair LIST min executed
+          -- pathologically in DuckDB 1.0 — see the q61 twin)
           nb0 AS (
             SELECT sl.draw, sl.record_id, a.sec AS a_sec, a.source AS a_source, a.tax AS a_tax
             FROM slotrec sl JOIN pool a ON a.id = sl.record_id
             WHERE sl.recipe IN ($temporalNames)
           ),
-          nbr AS (
-            SELECT w.draw, w.record_id,
-              min([abs(c.sec - (w.a_sec + ${TmpDays.toLong * 86400L})), c.id])[2] AS nbid
+          nbp AS MATERIALIZED (
+            SELECT w.draw, w.record_id, c.id AS cid,
+              abs(c.sec - (w.a_sec + ${TmpDays.toLong * 86400L})) AS d
             FROM nb0 w JOIN pool c ON c.id <> w.record_id
               AND (c.source = w.a_source OR c.tax = w.a_tax)
-            GROUP BY w.draw, w.record_id
+          ),
+          nbm AS (
+            SELECT draw, record_id, min(d) AS md FROM nbp GROUP BY draw, record_id
+          ),
+          nbr AS (
+            SELECT p.draw, p.record_id, min(p.cid) AS nbid
+            FROM nbp p JOIN nbm t ON p.draw = t.draw
+              AND p.record_id = t.record_id AND p.d = t.md
+            GROUP BY p.draw, p.record_id
           ),
           -- per-slot chunk-source record for the anchor pick: the neighbor
           -- for temporal recipes, the scheduled record otherwise

@@ -76,12 +76,21 @@ object TemporalQueries extends QueryModule {
           .agg(min_by(col("k2"), struct(col("dsec"), col("k2"))).as("neighbor_key"),
             min(col("dsec")).as("sel_dsec"))
       },
-      Some("""WITH b AS (SELECT o_orderkey AS k, o_custkey AS c, CAST(epoch(o_orderdate) AS BIGINT) AS sec FROM orders)
-        SELECT b1.k AS k1,
-          min([abs(b2.sec - (b1.sec + 2592000)), b2.k])[2] AS neighbor_key,
-          CAST(min(abs(b2.sec - (b1.sec + 2592000))) AS BIGINT) AS sel_dsec
-        FROM b b1 JOIN b b2 ON b1.c = b2.c AND b1.k <> b2.k
-        GROUP BY b1.k""")),
+      // two-pass lexicographic argmin (min Δ, then min key among ties):
+      // DuckDB 1.0 executes a per-pair LIST min pathologically (447 s at
+      // sf0.1 for ~1.3M pairs vs 0.8 s for this form — the list
+      // allocation per row dominated the whole oracle suite), and its
+      // arg_min has no composite-key overload
+      Some("""WITH b AS (SELECT o_orderkey AS k, o_custkey AS c, CAST(epoch(o_orderdate) AS BIGINT) AS sec FROM orders),
+        pairs AS MATERIALIZED (
+          SELECT b1.k AS k1, b2.k AS k2, abs(b2.sec - (b1.sec + 2592000)) AS d
+          FROM b b1 JOIN b b2 ON b1.c = b2.c AND b1.k <> b2.k
+        ),
+        best AS (SELECT k1, min(d) AS md FROM pairs GROUP BY k1)
+        SELECT p.k1, CAST(min(p.k2) AS BIGINT) AS neighbor_key,
+          CAST(min(p.d) AS BIGINT) AS sel_dsec
+        FROM pairs p JOIN best t ON p.k1 = t.k1 AND p.d = t.md
+        GROUP BY p.k1""")),
 
     QueryDef("q64_temporal_selector",
       // Selector::TemporalOffset executed through the recipe engine
@@ -128,12 +137,19 @@ object TemporalQueries extends QueryModule {
           SELECT doc_id, source, ${Splits.duckSplitSql("doc_id", "42")} AS split,
             (${Determinism.duckSeeded("ct", "doc_id")} % 30) * 86400 AS sec
           FROM d0
-        ), nb AS (
-          SELECT b1.doc_id AS aid,
-            min([abs(b2.sec - (b1.sec + 172800)), b2.doc_id])[2] AS nid
+        ), nbp AS MATERIALIZED (
+          -- two-pass lexicographic argmin, not a per-pair LIST min (the
+          -- q61 twin's list form was pathological in DuckDB 1.0)
+          SELECT b1.doc_id AS aid, b2.doc_id AS cid,
+            abs(b2.sec - (b1.sec + 172800)) AS d
           FROM b b1 JOIN b b2 ON b1.source = b2.source AND b1.split = b2.split
             AND b1.doc_id <> b2.doc_id
-          GROUP BY b1.doc_id
+        ), nbb AS (
+          SELECT aid, min(d) AS md FROM nbp GROUP BY aid
+        ), nb AS (
+          SELECT p.aid, min(p.cid) AS nid
+          FROM nbp p JOIN nbb t ON p.aid = t.aid AND p.d = t.md
+          GROUP BY p.aid
         ), base AS (
           SELECT doc_id, toks, len(toks) AS n FROM d0 WHERE len(toks) >= ${RecipeQueries.MinToks}
         ), cq AS (

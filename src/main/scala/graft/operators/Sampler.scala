@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
   * access builds the plan once; values are identical to the former eager
   * field (the pad is a pure function of the deduped stream + counters). */
 final class SamplerBatch(val core: DataFrame, mkRows: () => DataFrame,
-    val state: SamplerState) {
+    val state: SamplerState, statsCore: Option[DataFrame] = None) {
   lazy val rows: DataFrame = mkRows()
 
   /** The reference's `extended-metrics` per-batch counter report
@@ -27,18 +27,49 @@ final class SamplerBatch(val core: DataFrame, mkRows: () => DataFrame,
     * resolved negative tier (src/sd/wd/fb or bm25), cross-split
     * fallbacks carry the `_fallback_same_split` recipe suffix. Lazy and
     * optional, exactly like the reference's feature gate: a trainer that
-    * never asks pays nothing. Semantics oracle-pinned by q142. */
+    * never asks pays nothing. The PAIR lane reports through its triplet
+    * core (`statsCore` — each pair draw derives from exactly one triplet
+    * draw, so the negative-tier counters are the triplet core's); text
+    * cores carry no negative lane. Semantics oracle-pinned by q142. */
   lazy val laneStats: DataFrame = {
-    require(core.columns.contains("lane"),
-      "laneStats is the triplet driver's report (pair/text cores carry no negative lane)")
+    val src = statsCore.getOrElse(core)
+    require(src.columns.contains("lane"),
+      "laneStats is the triplet driver's report (text cores carry no negative lane)")
     import org.apache.spark.sql.functions.{col, count, lit}
-    core.groupBy(col("recipe"), col("reason"), col("lane"))
+    src.groupBy(col("recipe"), col("reason"), col("lane"))
       .agg(count(lit(1)).cast("long").as("n"))
   }
 }
 object SamplerBatch {
   def apply(core: DataFrame, mkRows: () => DataFrame, state: SamplerState): SamplerBatch =
     new SamplerBatch(core, mkRows, state)
+  def apply(core: DataFrame, mkRows: () => DataFrame, state: SamplerState,
+      statsCore: Option[DataFrame]): SamplerBatch =
+    new SamplerBatch(core, mkRows, state, statsCore)
+}
+
+/** Running extended-metrics totals across a sampler session — the
+  * reference's counters are LIFETIME sums, not per-batch snapshots
+  * (bm25_backend.rs:156-172 increments running totals as batches are
+  * drawn). A trainer `add`s each [[SamplerBatch]] it consumed and reads
+  * `totals` at any point; per-batch reports are (recipe, reason, lane)-
+  * bounded handfuls of rows, so accumulation is a driver-side fold over
+  * already-drawn data — no corpus work, no re-draw. Additivity (two
+  * resumed half-batches sum to the one-shot batch's report) follows from
+  * the stateless-draw law q143 pins; MetricsSpec asserts it directly. */
+final class ExtendedMetrics {
+  private val acc =
+    scala.collection.mutable.Map.empty[(String, String, String), Long]
+  /** Fold one drawn batch's lane report into the running totals. */
+  def add(b: SamplerBatch): this.type = synchronized {
+    b.laneStats.collect().foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getString(2))
+      acc(k) = acc.getOrElse(k, 0L) + r.getLong(3)
+    }
+    this
+  }
+  /** Lifetime totals keyed by (recipe, reason, lane). */
+  def totals: Map[(String, String, String), Long] = synchronized(acc.toMap)
 }
 
 /** The composed batch driver — the reference's `next_triplet_batch` loop
@@ -519,6 +550,23 @@ object Sampler {
         "the same pool (date column presence differs)"))
     val rankTbl = rankIndex.getOrElse(
       lap("rankTbl")(rankSidecar(pool, srcCounts).localCheckpoint(eager = false)))
+    if (rankIndex.nonEmpty && srcStats.isEmpty) {
+      // persisted sidecar WITHOUT its persisted stats: the fallback tier
+      // resolves its (srnk → source, rn) target against the SERVING-TIME
+      // srcCounts while the sidecar's srnk/scnt were baked at build — a
+      // pool that drifted since the index build would silently drop (or
+      // retarget) fallback draws through the inner (t_source, t_rn)
+      // join. One #sources-bounded aggregate over the sidecar fails
+      // loudly instead; staged deployments pass srcStats (the same
+      // persisted generation) and never pay this scan.
+      val idxCounts = rankTbl.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      require(idxCounts == srcCounts,
+        s"rank index / pool drift: per-source counts differ between the " +
+          s"persisted sidecar (${idxCounts.take(3)}…) and the serving pool " +
+          s"(${srcCounts.take(3)}…); rebuild the index or pass its srcStats")
+    }
     // Overlap (DERIVATION path only): the sidecar depends only on `pool`,
     // whose blocks the srcCounts collect above already materialized —
     // force it on a background thread so its window stages run
@@ -826,30 +874,9 @@ object Sampler {
       * MATERIALIZED batch-restricted chunk checkpoint, so the re-pick
       * costs one narrow window over a tiny leaf, not a second chunk
       * derivation. */
-    def bm25Lanes(apPrep: (DataFrame, DataFrame, DataFrame)): DataFrame = {
-      val (aRecsAll, _, chunksAP) = apPrep
+    def bm25Lanes(qtermsPre: (DataFrame, Seq[String])): DataFrame = {
       val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
-      val bmARecs = aRecsAll.join(broadcast(bmSlots.select(col("draw"))), Seq("draw"))
-      val bmDraws = bmARecs.withColumn("slot", lit("a"))
-        .join(broadcast(slotMeta.select(col("draw"),
-          col("a_mode").as("mode"), col("a_arg").as("arg"))), Seq("draw"))
-      // qterms materialized as a LocalRelation (one narrow window over
-      // the batch-restricted chunk leaf): the batch's DISTINCT TERM SET
-      // then becomes an isin PREDICATE on the weighted-term side — on
-      // the staged-index tier that pushes into the wterm parquet scan
-      // (sorted by (source, term), so row groups prune), on the derived
-      // tiers it shrinks the scoring join's input from every term the
-      // batch's sources ever used to the ~hundreds the batch actually
-      // asks about. This is the reference's per-term postings probe
-      // (bm25_backend.rs:120-174 probes its HashMap per query term)
-      // re-expressed as scan pruning; term weights are per-(source,term)
-      // constants fixed at build/derive time, so dropping never-joined
-      // terms cannot move a score.
-      val qterms = localize(Recipes.selectChunksBatchSlots(chunksAP, bmDraws)
-        .select(col("draw"), explode(array_distinct(
-          graft.functions.TextFunctions.tokens(col("wtext")))).as("term")))
-      val termList = qterms.select(col("term")).collect()
-        .map(_.getString(0)).distinct.toSeq
+      val (qterms, termList) = qtermsPre
       val wterm = wtermPre.get.filter(col("term").isin(termList: _*))
       val scoredAll = broadcast(
           bmSlots.select(col("draw"), col("record_id"), col("source"), col("reason"))
@@ -986,9 +1013,45 @@ object Sampler {
         max(when(col("slot") === "p", col("widx"))).as("p_widx"),
         max(when(col("slot") === "p", col("thash"))).as("p_hash")))
     })
+    // qterms for the bm25 scoring lane, on the SAME background thread
+    // right after the prep (and BEFORE the a/p pick collect — the
+    // negative dispatch needs qterms on its critical path, the core
+    // join needs apPicks only later): one narrow window over the
+    // batch-restricted chunk leaf, materialized as a LocalRelation. The
+    // batch's DISTINCT TERM SET then becomes an isin PREDICATE on the
+    // weighted-term side — on the staged-index tier that pushes into the
+    // wterm parquet scan (sorted by (source, term), so row groups
+    // prune), on the derived tiers it shrinks the scoring join's input
+    // from every term the batch's sources ever used to the ~hundreds the
+    // batch actually asks about. This is the reference's per-term
+    // postings probe (bm25_backend.rs:120-174 probes its HashMap per
+    // query term) re-expressed as scan pruning; term weights are
+    // per-(source,term) constants fixed at build/derive time, so
+    // dropping never-joined terms cannot move a score. Formerly this
+    // collect ran serially inside the negative dispatch; moving it here
+    // overlaps it with the slot schedule / sidecar work on the main
+    // thread — values untouched (the qterms frame is a pure function of
+    // the prep outputs).
+    val qtermsTask = new java.util.concurrent.FutureTask(() => {
+      val (aRecsAll, _, chunksAP) = apPrepTask.get()
+      val bmSlots = slotRec.filter(col("recipe").isin(bmNames: _*))
+      val bmARecs = aRecsAll.join(broadcast(bmSlots.select(col("draw"))), Seq("draw"))
+      val bmDraws = bmARecs.withColumn("slot", lit("a"))
+        .join(broadcast(slotMeta.select(col("draw"),
+          col("a_mode").as("mode"), col("a_arg").as("arg"))), Seq("draw"))
+      val qterms = localize(Recipes.selectChunksBatchSlots(chunksAP, bmDraws)
+        .select(col("draw"), explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("wtext")))).as("term")))
+      val termList = qterms.select(col("term")).collect()
+        .map(_.getString(0)).distinct.toSeq
+      (qterms, termList)
+    })
     locally {
-      val t = new Thread(() => { apPrepTask.run(); apPicksTask.run() },
-        "graft-ap-pick-chain")
+      val t = new Thread(() => {
+        apPrepTask.run()
+        if (bmNames.nonEmpty) qtermsTask.run()
+        apPicksTask.run()
+      }, "graft-ap-pick-chain")
       t.setDaemon(true); t.start()
     }
 
@@ -1000,7 +1063,7 @@ object Sampler {
         if (bmNames.isEmpty) slotRec else slotRec.filter(!col("recipe").isin(bmNames: _*)),
         strategiesOf(NegativeBackend.Default))
       lap("negRec")(localize(
-        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes(apPrepTask.get()))))
+        if (bmNames.isEmpty) dflt else dflt.unionByName(bm25Lanes(qtermsTask.get()))))
     }
 
     // ---- n-slot pick: the only selector window that has to FOLLOW the
@@ -1094,8 +1157,9 @@ object Sampler {
         col("epoch"), col("recipe"), col("record_id"), col("nid"),
         col("pr.label").as("label"), col("a_hash").as("l_hash"),
         col("pr.r_hash").as("r_hash"), col("pr.reason").as("reason"))
-    val pairCore = pairsOf(core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
-      .drop("allow_same"))
+    val tripCore = core.filter(col("allow_same") || col("a_hash") =!= col("p_hash"))
+      .drop("allow_same")
+    val pairCore = pairsOf(tripCore)
     def rows = {
       val pairDeduped = pairsOf(deduped)
       Mixing.padToBatch(spark,
@@ -1104,7 +1168,10 @@ object Sampler {
         .join(pairDeduped.withColumnRenamed("pair_id", "id"), Seq("id"))
         .withColumnRenamed("id", "pair_id").withColumnRenamed("i", "slot")
     }
-    SamplerBatch(pairCore, () => rows, st2)
+    // extended metrics ride the TRIPLET core the pairs derive from (one
+    // negative dispatch per triplet draw, regardless of the 2-row pair
+    // explosion)
+    SamplerBatch(pairCore, () => rows, st2, Some(tripCore))
   }
 
   /** The composed text batch (reference `next_text_batch`,

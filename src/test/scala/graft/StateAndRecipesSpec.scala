@@ -403,10 +403,40 @@ class StateAndRecipesSpec extends AnyFunSuite {
       .view.mapValues(_.length.toLong).toMap
     assert(stats == want)
     assert(stats.values.sum == b.core.count())
-    // pair/text cores carry no lane — the report refuses loudly
+    // the PAIR lane reports through its triplet core: one negative
+    // dispatch per triplet draw, regardless of the 2-row pair explosion —
+    // the same per-(recipe, reason, lane) counts as the triplet report
+    // over the same seed/counters
     val pb = Sampler.nextPairBatch(spark, chunks, pool, recipes,
       SamplerState("lm", 0L, Map.empty), batch = 8)
-    assertThrows[IllegalArgumentException](pb.laneStats)
+    val pairStats = pb.laneStats.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(pairStats.nonEmpty)
+    assert(pairStats.values.sum * 2 == pb.core.count(),
+      "each reported triplet draw expands to exactly two pair rows")
+  }
+
+  test("ExtendedMetrics accumulates lifetime totals: two resumed half-batches == one batch") {
+    import spark.implicits._
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (s"head$i topic$i overview" +: (1 to 40).map(j => s"w${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.RecipeQueries.chunkTable(docs)
+    val pool = (1 to 12).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "source")
+    val recipes = Seq(TripletRecipe("xm", Selector.RoleAnchor, Selector.RoleContext,
+      NegativeStrategy.WrongArticle))
+    // one 8-draw batch vs two resumed 4-draw batches (the q143 law
+    // applied to the counters): the reference's running totals
+    // (bm25_backend.rs:156-172) accumulate exactly like this
+    val one = Sampler.nextBatch(spark, chunks, pool, recipes,
+      SamplerState("xm", 0L, Map.empty), batch = 8)
+    val oneTotals = new ExtendedMetrics().add(one).totals
+    val h1 = Sampler.nextBatch(spark, chunks, pool, recipes,
+      SamplerState("xm", 0L, Map.empty), batch = 4)
+    val h2 = Sampler.nextBatch(spark, chunks, pool, recipes, h1.state, batch = 4)
+    val m = new ExtendedMetrics().add(h1).add(h2)
+    assert(m.totals == oneTotals)
+    assert(m.totals.values.sum == one.core.count())
   }
 
   test("composed temporal slots anchor on the neighbor's context chunk") {

@@ -243,11 +243,16 @@ object Bench {
     *      re-pacing: a sustained pace probes 15% above its realized rate,
     *      an unsustained one backs off 10% below — the four averages
     *      bracket the sustainable capacity;
-    *   4. the artifact's `batches_per_sec` is the MEDIAN of all four loop
-    *      averages, `runs` carries every average, `run_spread` their
-    *      max/min, and `accepted` is the reproducibility bound
-    *      (spread ≤ 1.25). Window rates/blocked_sec/max_gap_sec are
-    *      smoothness diagnostics per loop.
+    *   4. the artifact's `batches_per_sec` is the MEDIAN of the three
+    *      PACED loop averages (`runs`; the open-loop calibration
+    *      average stays as `cal_bps` — bursts borrow momentary
+    *      parallelism a sustained loop cannot, so it informs the pace
+    *      but does not grade), `run_spread` is their max/min, and
+    *      `accepted` is the reproducibility bound (spread ≤ 1.25).
+    *      Window rates/blocked_sec/max_gap_sec are smoothness
+    *      diagnostics per loop; the consumer paces RELATIVE to its last
+    *      take (an absolute schedule banks catch-up debt during the
+    *      transient and later drains it as an open-loop burst).
     * The absolute level tracks ambient host contention (observed 1–5
     * b/s across sessions on the shared box); the in-artifact spread is
     * the quantity this protocol pins.
@@ -362,14 +367,19 @@ object Bench {
           val t0 = System.nanoTime()
           var delivered = 0L
           var blockedNs = 0L
+          var prevTake = t0
           val t = new Array[Long](nb)
           (0 until nb).foreach { i =>
             paceBps.foreach { r =>
-              // trainer step: consume batch i no earlier than its paced
-              // due time (measured from loop start, so pacing also holds
-              // through the transient — the fetch-ahead must not drain
-              // in one gulp and re-bunch the producers)
-              val due = t0 + (i * 1e9 / r).toLong
+              // trainer step: consume no earlier than 1/r after the
+              // PREVIOUS take. Pacing from the last step (not an
+              // absolute t0 schedule) is what a training loop does and
+              // it accrues no catch-up debt: an absolute schedule let a
+              // slow transient bank missed due times and the consumer
+              // later drained the backlog in an open-loop burst —
+              // realized window rates read ABOVE the pace (observed 7
+              // b/s windows under a 2.8 pace; ref128 read 130–890)
+              val due = prevTake + (1e9 / r).toLong
               var wait = due - System.nanoTime()
               while (wait > 0) {
                 java.util.concurrent.locks.LockSupport.parkNanos(wait)
@@ -379,6 +389,7 @@ object Bench {
             val tTake = System.nanoTime()
             delivered += pf.next()
             t(i) = System.nanoTime()
+            prevTake = t(i)
             // time the trainer visibly waited past the due point —
             // "queue momentarily empty" during a healthy just-in-time
             // handoff costs ~0; a production shortfall costs real time
@@ -451,7 +462,12 @@ object Bench {
         pace = if (sustainedLoop(attempts.head)) 1.15 * attempts.head._5
                else 0.9 * attempts.head._5
       }
-      val runs = calBps +: attempts.reverse.map(_._5)
+      // the grade pool is the PACED loops only: the open-loop
+      // calibration average legitimately reads above the sustainable
+      // rate (bursts borrow momentary parallelism a steady closed loop
+      // cannot), so it informs the pace but does not grade — it stays
+      // visible as cal_bps
+      val runs = attempts.reverse.map(_._5)
       val bps = median(runs)
       val tps = bps * batchSize
       val accepted = disp(runs) <= 1.25

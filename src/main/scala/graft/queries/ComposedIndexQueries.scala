@@ -96,6 +96,26 @@ object ComposedIndexQueries extends QueryModule {
   private val pathMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Loaded staged relations per (session, path, generation). A serving
+    * deployment loads its relations ONCE and holds them for the session
+    * (exactly what `RecipeQueries.mixServing` hands the trainer), but
+    * the standalone query surface re-called `spark.read.parquet` per
+    * invocation — a schema/footer job per staged relation per call,
+    * 4–6 pure-overhead jobs on every composed batch query. DataFrames
+    * are immutable plans, so sharing one per (session, path,
+    * generation) changes no value; the generation in the key reloads on
+    * corpus regeneration, and the WeakHashMap drops entries with their
+    * stopped sessions. */
+  private val loadedBySession =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+  private def loaded[T <: AnyRef](s: SparkSession, path: Path, fp: String)(load: => T): T = {
+    val m = loadedBySession.synchronized {
+      loadedBySession.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+    }
+    m.computeIfAbsent(s"$path#$fp", _ => load).asInstanceOf[T]
+  }
+
   private def ensure(path: Path, fp: String)(build: => Unit): Unit = {
     val key = s"$path#$fp"
     if (validated.contains(key)) return
@@ -159,10 +179,12 @@ object ComposedIndexQueries extends QueryModule {
   def rankIndexAndStats(s: SparkSession, dir: String, tag: String,
       pool: DataFrame): (DataFrame, Option[Seq[(String, Long)]]) = {
     val path = cacheDir(dir).resolve(s"rank_$tag")
-    ensure(path, corpusFingerprint(dir, s"rank:$tag")) {
+    val fp = corpusFingerprint(dir, s"rank:$tag")
+    ensure(path, fp) {
       PoolRankIndex.save(PoolRankIndex.build(pool), path.toString)
     }
-    (PoolRankIndex.load(s, path.toString), PoolRankIndex.loadSrcStats(path.toString))
+    loaded(s, path, fp)(
+      (PoolRankIndex.load(s, path.toString), PoolRankIndex.loadSrcStats(path.toString)))
   }
 
   /** The persisted CHUNK TABLE for a composed corpus slice — the last
@@ -185,7 +207,8 @@ object ComposedIndexQueries extends QueryModule {
   def chunkIndex(s: SparkSession, dir: String, tag: String,
       chunks: => DataFrame): DataFrame = {
     val path = cacheDir(dir).resolve(s"chunks_$tag")
-    ensure(path, corpusFingerprint(dir, s"chunks:$tag")) {
+    val fp = corpusFingerprint(dir, s"chunks:$tag")
+    ensure(path, fp) {
       val tmp = graft.operators.Staging.stagingFor(path.toString)
       graft.operators.Staging.rmTree(tmp)
       // file count follows the session's shuffle parallelism (the
@@ -199,7 +222,7 @@ object ComposedIndexQueries extends QueryModule {
       graft.operators.Staging.rmTree(path)
       Files.move(tmp, path)
     }
-    s.read.parquet(path.toString)
+    loaded(s, path, fp)(s.read.parquet(path.toString))
   }
 
   /** The persisted as-of NEIGHBOR MAP for a temporal pool —
@@ -215,7 +238,8 @@ object ComposedIndexQueries extends QueryModule {
   def neighborIndex(s: SparkSession, dir: String, tag: String, days: Int,
       pool: => DataFrame): DataFrame = {
     val path = cacheDir(dir).resolve(s"nbr_${tag}_$days")
-    ensure(path, corpusFingerprint(dir, s"nbr:$tag:$days")) {
+    val fp = corpusFingerprint(dir, s"nbr:$tag:$days")
+    ensure(path, fp) {
       val tmp = graft.operators.Staging.stagingFor(path.toString)
       graft.operators.Staging.rmTree(tmp)
       val nPart = math.max(8, s.sessionState.conf.numShufflePartitions)
@@ -226,17 +250,18 @@ object ComposedIndexQueries extends QueryModule {
       graft.operators.Staging.rmTree(path)
       Files.move(tmp, path)
     }
-    s.read.parquet(path.toString)
+    loaded(s, path, fp)(s.read.parquet(path.toString))
   }
 
   /** The persisted [[Bm25PoolIndex]] (postings + per-source stats) for
     * the bmx pool — same lifecycle as [[rankIndex]]. */
   def bm25Index(s: SparkSession, dir: String, pool: DataFrame): Bm25PoolIndex = {
     val path = cacheDir(dir).resolve("bm25_bmx")
-    ensure(path, corpusFingerprint(dir, "bm25:bmx")) {
+    val fp = corpusFingerprint(dir, "bm25:bmx")
+    ensure(path, fp) {
       Bm25PoolIndex.save(Bm25PoolIndex.fromPool(pool), path.toString)
     }
-    Bm25PoolIndex.load(s, path.toString)
+    loaded(s, path, fp)(Bm25PoolIndex.load(s, path.toString))
   }
 
   /** The persisted trained-ANN relations over the embeddings corpus —
@@ -256,7 +281,8 @@ object ComposedIndexQueries extends QueryModule {
   def annRelations(s: SparkSession, dir: String, tag: String,
       names: Seq[String])(train: => Seq[DataFrame]): Seq[DataFrame] = {
     val path = cacheDir(dir).resolve(s"ann_$tag")
-    ensure(path, tableFingerprint(dir, "embeddings", s"ann:$tag")) {
+    val fp = tableFingerprint(dir, "embeddings", s"ann:$tag")
+    ensure(path, fp) {
       val tmp = graft.operators.Staging.stagingFor(path.toString)
       graft.operators.Staging.rmTree(tmp)
       val rels = train
@@ -266,7 +292,7 @@ object ComposedIndexQueries extends QueryModule {
       graft.operators.Staging.rmTree(path)
       Files.move(tmp, path)
     }
-    names.map(n => s.read.parquet(path.resolve(n).toString))
+    loaded(s, path, fp)(names.map(n => s.read.parquet(path.resolve(n).toString)))
   }
 
   // ---- q145: the index-build row ----

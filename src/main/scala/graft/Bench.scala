@@ -414,7 +414,9 @@ object Bench {
         } finally pf.close()
       }
       def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted; s(s.size / 2)
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // true midpoint, not the optimistic upper
       }
       def disp(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
       def fmt(xs: Seq[Double]): String =

@@ -533,7 +533,14 @@ object Bench {
     // batches/sec where a clean JVM grades ~5 — the product metric gets
     // the clean measurement, the suite's own per-query warmups and
     // session recycling absorb the (much milder) reverse direction
-    val serving = if (wantServing) servingBench(sfDir, cpus) else None
+    // a serving-bench failure must not take the 150-query suite grade
+    // down with it: record the exception as the serving value instead
+    val serving = if (!wantServing) None
+      else try servingBench(sfDir, cpus)
+      catch { case t: Throwable =>
+        Some(s"""{"error":"${t.getClass.getName}: ${
+          Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n]", " ").take(160)}"}""")
+      }
 
     val prevQ = if (only.isEmpty) prevArtifactQueries(sfNum)
       else Map.empty[String, (Double, Double)]

@@ -96,6 +96,38 @@ class ComposedPoolIndexSpec extends AnyFunSuite {
     assert(rows(a) == rows(derived(pool)))
   }
 
+  test("rank index without srcStats fails loudly on pool drift") {
+    import spark.implicits._
+    // sidecar baked from a 12-record pool; the serving pool then drifts
+    // (two records gone). Without the persisted stats, the fallback tier
+    // would resolve (srnk, rn) targets against the SERVING pool's counts
+    // while the sidecar's ranks were baked at build — the guard must
+    // surface the mismatch instead of silently dropping fallback draws.
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (s"head$i topic$i overview" +: (1 to 40).map(j => s"w${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = RecipeQueries.chunkTable(docs)
+    val pool = (1 to 12).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "source")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_drift").toString + "/idx"
+    PoolRankIndex.save(PoolRankIndex.build(pool), idxDir)
+    val ridx = PoolRankIndex.load(spark, idxDir)
+    val drifted = pool.filter(col("id") <= 10)
+    val recipes = Seq(graft.operators.TripletRecipe("dg",
+      graft.operators.Selector.RoleAnchor, graft.operators.Selector.RoleContext,
+      graft.operators.NegativeStrategy.WrongArticle))
+    val e = intercept[IllegalArgumentException] {
+      Sampler.nextBatch(spark, chunks, drifted, recipes,
+        graft.operators.SamplerState("dg", 0L, Map.empty), batch = 4,
+        rankIndex = Some(ridx))
+    }
+    assert(e.getMessage.contains("drift"))
+    // the same index over the UNDRIFTED pool passes the guard and serves
+    val ok = Sampler.nextBatch(spark, chunks, pool, recipes,
+      graft.operators.SamplerState("dg", 0L, Map.empty), batch = 4,
+      rankIndex = Some(ridx))
+    assert(ok.core.count() > 0)
+  }
+
   test("all six lanes: staged chunk index == in-plan chunkTable derivation") {
     Seq("mix" -> RecipeQueries.MixWhere, "tmp" -> RecipeQueries.TmpWhere,
       "bmx" -> RecipeQueries.BmxWhere, "fbk" -> RecipeQueries.FbWhere,

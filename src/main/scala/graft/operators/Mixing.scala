@@ -211,7 +211,8 @@ object Mixing {
     * stats collect across pool size, epoch pick, and fallback order) —
     * values identical to the internal groupBy, input order irrelevant. */
   def epochPick(pool: DataFrame, epoch: Long, positions: Seq[Long],
-      stats: Option[Seq[(String, Long)]] = None): DataFrame = {
+      stats: Option[Seq[(String, Long)]] = None,
+      preRanked: Option[DataFrame] = None): DataFrame = {
     val spark = pool.sparkSession
     import spark.implicits._
     val srcs = stats.map(_.toArray).getOrElse(
@@ -245,9 +246,18 @@ object Mixing {
       (srcs(si)._1, r, p)
     }
     val needed = wanted.map(_._1).distinct
-    val ranked = pool.filter(col("source").isin(needed: _*))
-      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
-        .orderBy(Determinism.seeded(s"ro:$epoch", col("id")), col("id"))).cast("long") - 1)
+    // `preRanked` carries this epoch's per-source seeded rank PRE-STAGED
+    // (the rank sidecar's `er0` column for epoch 0 — same orderBy, same
+    // tiebreak, persisted at pool refresh): a filter+join on the sorted
+    // sidecar leaf replaces the per-batch rank window. Callers may pass
+    // it ONLY for the epoch whose order it bakes in.
+    val ranked = preRanked match {
+      case Some(pr) => pr.filter(col("source").isin(needed: _*))
+        .select(col("source"), col("r"), col("id"))
+      case None => pool.filter(col("source").isin(needed: _*))
+        .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(Determinism.seeded(s"ro:$epoch", col("id")), col("id"))).cast("long") - 1)
+    }
     ranked.join(broadcast(wanted.toDF("source", "r", "pos")), Seq("source", "r"))
       .select(col("pos"), col("id"), col("source"))
   }

@@ -424,6 +424,15 @@ object Sampler {
     val base0 = pool
       .withColumn("rn", row_number().over(wSrc.orderBy(col("id"))).cast("long") - 1)
       .withColumn("nsrc", count(lit(1)).over(wSrc).cast("long"))
+      // the EPOCH-0 interleave rank (Mixing.epochPick's per-source
+      // seeded order for epoch 0, identical orderBy + tiebreak): a pure
+      // pool function, so it stages with the sidecar and the first
+      // epoch's batches — the overwhelming share of a long pool's
+      // serving life (epoch advances only after a full pool cycle) —
+      // skip the per-batch rank window entirely; later epochs derive
+      // their reshuffled order in-plan as before
+      .withColumn("er0", row_number().over(wSrc.orderBy(
+        Determinism.seeded("ro:0", col("id")), col("id"))).cast("long") - 1)
     // per-row date-group attrs replace the former dG side table:
     //   drnk — the record's date-group rank within its source
     //          (dense_rank over rows ≡ row_number over distinct dates);
@@ -445,7 +454,7 @@ object Sampler {
       .map { case (src, srnk, _) => (src, srnk, srcCounts.size.toLong) }
       .toDF("source", "srnk", "scnt")
     val cols0 = Seq(col("id"), col("source"), col("rn"), col("nsrc"),
-      col("srnk"), col("scnt")) ++
+      col("er0"), col("srnk"), col("scnt")) ++
       (if (hasDate) Seq(col("date"), col("rn2"), col("dgs"), col("drnk"), col("dcnt"))
        else Nil)
     base.join(broadcast(sOrd), Seq("source")).select(cols0: _*)
@@ -601,8 +610,18 @@ object Sampler {
       val sdf = ss.map(s => (s._1, s._3, s._4, byName(s._4).negative.reason))
         .toDF("draw", "pos", "recipe", "reason")
       // bounded-position pick: invert the dense order analytically instead
-      // of materializing a corpus-wide position column per batch
-      Mixing.epochPick(pool, ep, ss.map(_._3), Some(srcCounts)).join(broadcast(sdf), "pos")
+      // of materializing a corpus-wide position column per batch. On the
+      // staged path, epoch 0's per-source seeded rank is the sidecar's
+      // persisted `er0` column — the per-batch rank window disappears
+      // for the entire first epoch (derivation-path batches keep the
+      // window: reading the lazily-checkpointed in-plan sidecar here
+      // would serialize slotRec behind its materialization)
+      val pre = if (ep == 0)
+        rankIndex.filter(_.columns.contains("er0"))
+          .map(_.select(col("source"), col("er0").as("r"), col("id")))
+      else None
+      Mixing.epochPick(pool, ep, ss.map(_._3), Some(srcCounts), pre)
+        .join(broadcast(sdf), "pos")
         .select(col("draw"), lit(ep).as("epoch"), col("recipe"), col("reason"),
           col("id").as("record_id"), col("source"))
     }.reduce(_ unionByName _))

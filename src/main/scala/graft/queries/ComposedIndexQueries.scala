@@ -44,7 +44,10 @@ object ComposedIndexQueries extends QueryModule {
   // v3: PoolRankIndex persists driver-side per-source stats (contents of
   //     the rank table unchanged; bumped so pre-v3 caches regenerate with
   //     the stats sidecar present)
-  private val DefVersion = "v3"
+  // v4: rank sidecar gains `er0` — the epoch-0 interleave rank staged at
+  //     refresh (the per-batch epochPick rank window disappears for the
+  //     whole first epoch); pre-v4 caches lack the column
+  private val DefVersion = "v4"
 
   private val CacheRoot: Path = Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_composed_index"))

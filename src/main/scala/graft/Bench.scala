@@ -217,8 +217,9 @@ object Bench {
       }
     (fromArtifacts ++ fromDetail).groupBy(_._1)
       .map { case (k, vs) =>
-        val s = vs.map(_._2).sorted
-        k -> (s.min, s(s.size / 2))
+        // true-midpoint median: the upper-middle pick inflated even-sized
+        // medians, loosening the drift-retime and full-rerun triggers
+        k -> (vs.map(_._2).min, median(vs.map(_._2)))
       }
   }
 
@@ -231,41 +232,62 @@ object Bench {
     * prefetch, src/sampler/mod.rs:173-199, 2911-2930) while the trainer
     * drains.
     *
-    * Measurement protocol (round 15 — the round-14 whole-loop best-of-two
-    * disagreed 6× between its own two runs):
+    * Measurement protocol (round 16 — round 15's "verify the calibration
+    * pace" protocol never probed where sustainability ENDS, so a
+    * calibration absorbed into a degraded moment shipped a 10×-low grade
+    * with every voter at blocked_sec≈0):
     *   1. sequential warm batch (staged-index validation + codegen) and a
     *      latency probe that seeds the producer start stagger;
     *   2. CALIBRATE: one open-loop run; its steady-region average spans
     *      many producer cycles and reads aggregate throughput even when
-    *      an instant consumer bunches the fleet into delivery convoys;
-    *   3. GRADE: three paced closed-loop runs (the consumer takes one
-    *      batch per 1/pace seconds — a training step), adaptively
-    *      re-pacing: a sustained pace probes 15% above its realized rate,
-    *      an unsustained one backs off 10% below — the four averages
-    *      bracket the sustainable capacity;
-    *   4. the artifact's `batches_per_sec` is the MEDIAN of the paced
-    *      loops that passed their own sustained-verification (smooth
-    *      windows + ~no blocked wait; a loop that verifiably hit a
-    *      box-state event reports in `runs` but does not vote — its
-    *      failure is proven by its own diagnostics). The open-loop
-    *      calibration average stays as `cal_bps` — bursts borrow
-    *      momentary parallelism a sustained loop cannot, so it informs
-    *      the pace but does not grade. `run_spread` is max/min over all
-    *      paced runs, `sustained` counts the voters, and `accepted`
-    *      requires ≥2 sustained loops agreeing within 1.25×.
-    *      Window rates/blocked_sec/max_gap_sec are smoothness
-    *      diagnostics per loop; the consumer paces RELATIVE to its last
-    *      take (an absolute schedule banks catch-up debt during the
+    *      an instant consumer bunches the fleet into delivery convoys —
+    *      it seeds the search but never grades;
+    *   3. CEILING SEARCH: paced closed-loop runs (the consumer takes one
+    *      batch per 1/pace seconds — a training step) that CLIMB while
+    *      sustained (×1.3 per rung; ×1.6 while glass-flat with zero
+    *      blocked wait) until a loop FAILS its own sustained check, or
+    *      DESCEND from an unsustainable start until one sustains — either
+    *      way the ceiling ends up bracketed: a sustained rate below, a
+    *      failing pace above. Once bracketed, the top rung re-runs until
+    *      ≥2 loops there agree. A wall-clock budget
+    *      (SPARK_GRAFT_SERVING_BUDGET) bounds the search on a degraded
+    *      host — running out before the bracket exists ships
+    *      `ceiling_not_found:true`, never an unprobed grade;
+    *   4. the artifact's `batches_per_sec` is the MEDIAN of the voters —
+    *      sustained loops on the top rung. `ceiling_bps` is the highest
+    *      sustained rate, `unsustained_at` the lowest failing pace above
+    *      the grade, `cal_bps` the open-loop burst: three numbers that
+    *      tell what a burst gives, what is sustainable, where it breaks.
+    *      `accepted` requires ≥2 voters within 1.25× AND the bracket —
+    *      "sustained the first pace we tried" can no longer ship as an
+    *      accepted capacity. Window rates/blocked_sec/max_gap_sec are
+    *      per-loop smoothness diagnostics; `gc_secs` attributes a slow
+    *      loop to collector state; the consumer paces RELATIVE to its
+    *      last take (an absolute schedule banks catch-up debt during the
     *      transient and later drains it as an open-loop burst).
-    * The absolute level tracks ambient host contention (observed 1–5
-    * b/s across sessions on the shared box); the in-artifact spread is
-    * the quantity this protocol pins.
+    * The absolute level tracks ambient host contention; the in-artifact
+    * bracket and spread are the quantities this protocol pins.
     */
   /** Prefetch queue depth for the serving loop — passed to
     * [[graft.operators.BatchPrefetcher]], whose `productionWindow`
     * (capacity + parallelism) then drives the steady-rate timer split,
     * so the two can never desync. */
   private val ServingCapacity = 2
+
+  /** One serving loop's measurement: per-window steady rates, wall
+    * seconds, max inter-delivery gap, total batches, steady-region
+    * average rate, consumer blocked-wait seconds past paced due times,
+    * steady delivery count, GC seconds during the loop, and the pace it
+    * ran at (None = open loop). */
+  private final case class LoopRes(rates: Seq[Double], sec: Double,
+      maxGap: Double, nb: Int, avg: Double, blockedSec: Double,
+      steadyM: Int, gcSec: Double, pace: Option[Double])
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // true midpoint, not the optimistic upper
+  }
 
   /** Steady windows per measured loop: the grade is the MEDIAN of this
     * many disjoint window rates, so one GC pause / stage stall taxes one
@@ -327,9 +349,12 @@ object Bench {
       val tProbe = System.nanoTime(); produceMix(1L)
       val latMs = math.max(1L, ((System.nanoTime() - tProbe) / 1e6).toLong)
       /** One measured loop: window+steady deliveries, per-delivery
-        * timestamps. Returns (per-window steady rates, total sec,
-        * max inter-delivery gap sec, nb, whole-steady-region average
-        * rate, deliveries the consumer had to wait for).
+        * timestamps. Returns per-window steady rates, wall seconds, max
+        * inter-delivery gap, batch count, steady-region average rate,
+        * consumer blocked-wait past due times, the steady delivery count
+        * (single source of truth for the sustained-check threshold —
+        * derived HERE from the same productionWindow the rate split
+        * uses, never re-derived by callers), and the loop's GC bill.
         *
         * `paceBps = None` is OPEN LOOP — the consumer drains instantly.
         * An instant consumer is the degenerate trainer: producers
@@ -351,9 +376,9 @@ object Bench {
         * element returned is the total seconds the consumer spent
         * blocked in take() PAST each batch's paced due time. */
       def loop(bs: Int, steady: Int, staggerMs: Long,
-          paceBps: Option[Double] = None)
-          : (Seq[Double], Double, Double, Int, Double, Double) = {
+          paceBps: Option[Double] = None): LoopRes = {
         val produce = if (bs == batchSize) produceMix else mkProduce(bs)
+        val gcStart = gcMillis
         val pf = new graft.operators.BatchPrefetcher[Int](capacity = ServingCapacity,
           produce, parallelism = par, startStaggerMs = staggerMs)
         try {
@@ -410,90 +435,154 @@ object Bench {
           }
           val maxGap = (1 until nb).map(i => t(i) - t(i - 1)).max / 1e9
           val avg = m / ((t(nb - 1) - t(window - 1)) / 1e9)
-          (rates, dt, maxGap, nb, avg, blockedNs / 1e9)
+          LoopRes(rates, dt, maxGap, nb, avg, blockedNs / 1e9, m,
+            (gcMillis - gcStart) / 1e3, paceBps)
         } finally pf.close()
-      }
-      def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // true midpoint, not the optimistic upper
       }
       def disp(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
       def fmt(xs: Seq[Double]): String =
         xs.map(r => f"$r%.3f").mkString("[", ",", "]")
-      // acceptance bound: if the window rates inside one loop spread
-      // more than DispBound, the loop saw a box-state event (GC storm,
-      // competing process) — rerun once after a GC breather and keep the
-      // better-dispersed loop. Both loops' windows land in the JSON so
-      // the selection is auditable; `accepted:false` marks a grade that
-      // never met the bound.
+      // smoothness bound: window rates inside one loop spreading more
+      // than DispBound means the loop saw a box-state event (GC storm,
+      // competing process) — that loop is not SUSTAINED and cannot vote
       val DispBound = 1.5
-      // CALIBRATE open-loop: the steady-region average spans many convoy
-      // cycles, so it reads the true aggregate throughput even though
-      // the delivery stream is bursty; its reciprocal is the trainer
-      // step interval the paced loop verifies
-      val cal = loop(batchSize, steadyN, math.max(1L, latMs / par))
-      val calBps = cal._5
-      val staggerMs = math.max(1L, (1000.0 / math.max(calBps, 0.01)).toLong)
-      // GRADE closed-loop: a trainer consuming one batch per 1/calBps
-      // seconds — sustained-rate verification, not a burst snapshot. The
-      // calibration loop (first in the session) consistently reads ABOVE
-      // the session's long-run plateau (GC/broadcast state accumulates to
-      // a steady level), so if the paced loop cannot sustain calBps (the
-      // consumer found an empty queue on >10% of takes, or the window
-      // spread breaks the bound), re-pace once at 0.9× the realized
-      // average — the plateau estimate — and grade THAT sustained rate;
-      // `accepted:false` marks a grade that never met the bound.
-      // three paced loops, each re-pacing toward the realized plateau;
-      // every loop's steady-region average lands in `runs` alongside the
-      // calibration's, the GRADE is the median of those averages
-      // (median-of-k at the loop level — one degraded loop cannot move
-      // it), and `accepted` is the artifact's own reproducibility bound:
-      // all runs within ±25% of each other (max/min ≤ 1.25)
       // a loop SUSTAINED its pace when its windows held together and the
       // consumer's blocked-wait past due times stayed under 5% of the
-      // steady wall (~m/avg seconds)
-      def sustainedLoop(l: (Seq[Double], Double, Double, Int, Double, Double)): Boolean =
-        disp(l._1) <= DispBound && l._6 <= 0.05 * (l._4 - ServingCapacity - par) / l._5
+      // steady wall (steadyM/avg seconds — steadyM comes from the loop
+      // itself, the same productionWindow-derived count its rate split
+      // uses, so the threshold can never desync from the window split)
+      def sustainedLoop(l: LoopRes): Boolean =
+        disp(l.rates) <= DispBound && l.blockedSec <= 0.05 * l.steadyM / l.avg
+      // CALIBRATE open-loop: the steady-region average spans many convoy
+      // cycles, so it reads the true aggregate throughput even though
+      // the delivery stream is bursty; its reciprocal seeds the paced
+      // search — it never grades
+      val cal = loop(batchSize, steadyN, math.max(1L, latMs / par))
+      val calBps = cal.avg
+      val staggerMs = math.max(1L, (1000.0 / math.max(calBps, 0.01)).toLong)
+      // CEILING SEARCH (round 16): the round-15 protocol verified that a
+      // pace was sustainable but never probed where sustainability ENDS —
+      // its shipped artifact had blocked_sec≈0 on every voter (the
+      // consumer never waited), so it graded the first number it tried:
+      // the open-loop calibration, which a degraded moment (one 60 s
+      // stall absorbed into the open loop) could lock 10× low with
+      // `accepted:true`. "Can sustain X, cannot sustain ~1.3X" is a
+      // capacity measurement; "sustained the first pace we tried" is a
+      // lower bound. The search:
+      //   CLIMB — paced loops starting at cal_bps; each sustained loop
+      //   raises the pace ×1.3 (×1.6 while glass-flat with blocked≈0 —
+      //   nowhere near the ceiling, so climb faster and escape a
+      //   poisoned low calibration in few loops); the first UNSUSTAINED
+      //   loop above a sustained one closes the bracket.
+      //   DESCEND — if even cal_bps is unsustained, back off to 0.85× of
+      //   each realized rate until a loop sustains; the bracket then
+      //   exists by construction (the failing pace sits above it).
+      //   CONFIRM — once bracketed, re-run the top sustained rung until
+      //   ≥2 loops there agree: the reproducibility voters.
+      // Probe loops (pre-bracket) run a shorter steady region — they
+      // only decide direction; confirm loops run the full steadyN. A
+      // wall-clock budget bounds the search on a degraded host: running
+      // out before the bracket exists ships `ceiling_not_found:true` +
+      // `accepted:false`, never an unprobed number dressed as a grade.
+      val budgetSec = sys.env.get("SPARK_GRAFT_SERVING_BUDGET")
+        .map(_.toDouble).getOrElse(1500.0)
+      val maxLoops = sys.env.get("SPARK_GRAFT_SERVING_MAXLOOPS")
+        .map(_.toInt).getOrElse(10)
+      val probeN = math.max(2 * ServingWindows, steadyN / 3)
+      val tSearch0 = System.nanoTime()
+      def elapsed: Double = (System.nanoTime() - tSearch0) / 1e9
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[LoopRes]
+      def sustSet = attempts.filter(sustainedLoop).toSeq
+      def unsSet = attempts.filterNot(sustainedLoop).toSeq
+      def topSust: Option[LoopRes] =
+        sustSet.sortBy(_.avg).lastOption
+      // bracket: an unsustained loop paced ABOVE the best sustained rate
+      // — the two sides pin the ceiling between them
+      def bracketed: Boolean = topSust.exists(t =>
+        unsSet.exists(_.pace.exists(_ > t.avg)))
+      // voters: sustained loops on the top rung (within the 1.25×
+      // reproducibility band of the best sustained rate)
+      def voters: Seq[LoopRes] = topSust.toSeq.flatMap(t =>
+        sustSet.filter(_.avg >= t.avg / 1.25))
       var pace = calBps
-      var attempts = List.empty[(Seq[Double], Double, Double, Int, Double, Double)]
-      while (attempts.size < 3) {
-        System.gc(); Thread.sleep(500)
-        attempts ::= loop(batchSize, steadyN,
-          math.max(1L, (1000.0 / pace).toLong), Some(pace))
-        // adaptive pace search: a sustained pace probes 15% above the
-        // realized rate (the pipeline may have headroom the calibration
-        // missed); an unsustained one backs off below it — the runs
-        // bracket the true capacity instead of decaying away from it
-        pace = if (sustainedLoop(attempts.head)) 1.15 * attempts.head._5
-               else 0.9 * attempts.head._5
+      var stop = false
+      while (!stop && attempts.size < maxLoops) {
+        val nextSteady = if (bracketed) steadyN else probeN
+        val nextNb = ServingCapacity + par +
+          math.max(nextSteady, 2 * ServingWindows)
+        // never start a loop the budget can't afford (nb/pace is the
+        // paced loop's wall-clock lower bound)
+        if (attempts.nonEmpty && elapsed + nextNb / pace > budgetSec) stop = true
+        else {
+          System.gc(); Thread.sleep(500)
+          val l = loop(batchSize, nextSteady,
+            math.max(1L, (1000.0 / pace).toLong), Some(pace))
+          attempts += l
+          if (bracketed && voters.size >= 2) stop = true
+          else if (sustainedLoop(l)) {
+            pace =
+              if (bracketed) topSust.get.avg // confirm the top rung
+              else if (disp(l.rates) <= 1.05 &&
+                l.blockedSec <= 0.01 * l.steadyM / l.avg)
+                math.max(l.avg, pace) * 1.6 // glass-flat: far from the ceiling
+              else math.max(l.avg, pace) * 1.3 // climbing
+          } else {
+            pace =
+              if (sustSet.nonEmpty)
+                // approach from above: the failing loop's REALIZED rate is
+                // the best capacity estimate (production-limited), so probe
+                // just under it — never below the known-good rung. A
+                // sustained probe here RAISES the rung and tightens the
+                // bracket toward the true ceiling instead of retreating to
+                // the first number that ever worked.
+                math.max(0.95 * l.avg, topSust.get.avg)
+              else 0.85 * math.max(l.avg, 1e-3) // descend toward a sustainable floor
+          }
+        }
       }
-      // the grade pool is the PACED loops that passed their own
-      // sustained-verification (smooth windows AND ~no blocked wait):
-      // a loop that verifiably hit a box-state event (GC storm, host
-      // contention dip) reports its realized rate in `runs` but does
-      // not vote — its failure is already proven by its own
-      // diagnostics, and letting it drag the median would grade the
-      // host, not the pipeline. The open-loop calibration average
-      // likewise informs the pace but does not grade (bursts borrow
-      // momentary parallelism a steady closed loop cannot); it stays
-      // visible as cal_bps. If NO loop sustained, all vote and
-      // `accepted` stays false.
-      val ordered = attempts.reverse
-      val sustainedSet = ordered.filter(sustainedLoop)
-      val gradePool = if (sustainedSet.nonEmpty) sustainedSet else ordered
-      val runs = ordered.map(_._5)
-      val bps = median(gradePool.map(_._5))
+      // GRADE: median of the voters — sustained loops on the top rung.
+      // A loop that verifiably hit a box-state event reports its rate in
+      // `runs` but does not vote. If NO loop ever sustained, all vote
+      // and `accepted` stays false.
+      val ordered = attempts.toSeq
+      val sustainedSet = sustSet
+      val voterSet = voters
+      val gradePool = if (voterSet.nonEmpty) voterSet else ordered
+      val runs = ordered.map(_.avg)
+      val bps = median(gradePool.map(_.avg))
       val tps = bps * batchSize
-      val accepted = sustainedSet.size >= 2 &&
-        disp(sustainedSet.map(_._5)) <= 1.25
+      // `ceiling_bps` = the highest SUSTAINED rate (what the pipeline
+      // provably delivers); `unsustained_at` = the lowest pace above the
+      // grade that FAILED (where it provably breaks). Three numbers tell
+      // the whole story: cal_bps (burst), ceiling_bps (sustainable),
+      // unsustained_at (the wall).
+      val ceilingBps = topSust.map(_.avg)
+      val unsustainedAt = {
+        val above = unsSet.flatMap(_.pace).filter(_ > bps)
+        if (above.nonEmpty) Some(above.min) else None
+      }
+      val ceilingNotFound = unsustainedAt.isEmpty
+      // acceptance now REQUIRES the bracket: ≥2 voters within 1.25× AND
+      // a failing pace on record above the grade — a grade whose every
+      // voter never waited (blocked≈0) with no unsustained bracket is a
+      // lower bound and must not ship as accepted
+      val accepted = voterSet.size >= 2 &&
+        disp(voterSet.map(_.avg)) <= 1.25 && !ceilingNotFound
       // the displayed windows come from the grading loop with the
       // tightest internal spread — the smoothness exhibit
-      val chosen = gradePool.minBy(l => disp(l._1))
+      val chosen = gradePool.minBy(l => disp(l.rates))
       val loops = 1 + attempts.size
-      val (rates, dt, maxGap, nb, _, blocked) = chosen
+      def optF(v: Option[Double]): String =
+        v.map(x => f"$x%.3f").getOrElse("null")
       val rejField =
-        s""","runs":${fmt(runs)},"sustained":${sustainedSet.size}"""
+        s""","runs":${fmt(runs)},"paces":${fmt(ordered.flatMap(_.pace))}""" +
+        s""","gc_secs":${fmt(ordered.map(_.gcSec))}""" +
+        s""","steady_ns":${ordered.map(_.steadyM).mkString("[", ",", "]")}""" +
+        s""","sustained":${sustainedSet.size},"voters":${voterSet.size}""" +
+        s""","ceiling_bps":${optF(ceilingBps)}""" +
+        s""","unsustained_at":${optF(unsustainedAt)}""" +
+        s""","ceiling_not_found":$ceilingNotFound""" +
+        f""","search_sec":$elapsed%.1f,"probe_latency_sec":${latMs / 1000.0}%.3f"""
       // the reference's own operating point (SamplerConfig::default
       // batch_size = 128, src/config.rs:312) over the SAME staged bundle
       // — pool here is the full corpus-scale mix pool, not the
@@ -504,11 +593,10 @@ object Bench {
       // graded TRIPLET rate (same rows/sec, bigger batches) — sustained
       // verification like the headline loop.
       val rPace = math.max(tps / 128.0, 0.05)
-      val (rRates, rDt, rMaxGap, rNb, rAvg, rBlocked) = loop(128,
-        math.max(steadyN / 2, 2 * ServingWindows),
+      val r = loop(128, math.max(steadyN / 2, 2 * ServingWindows),
         math.max(1L, (1000.0 / rPace).toLong), Some(rPace))
-      val rBps = median(rRates)
-      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"run_spread":${disp(runs)}%.2f,"accepted":$accepted,"n_batches":$nb,"batch":$batchSize,"parallelism":$par,"loops":$loops,"sec":$dt%.3f,"windows":${fmt(rates)},"window_spread":${disp(rates)}%.2f,"blocked_sec":$blocked%.3f,"max_gap_sec":$maxGap%.3f,"cal_bps":$calBps%.3f,"stagger_ms":$staggerMs$rejField,"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":${rBps * 128}%.1f,"avg_bps":$rAvg%.3f,"batch":128,"n_batches":$rNb,"sec":$rDt%.3f,"windows":${fmt(rRates)},"window_spread":${disp(rRates)}%.2f,"blocked_sec":$rBlocked%.3f,"max_gap_sec":$rMaxGap%.3f}}""")
+      val rBps = median(r.rates)
+      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"run_spread":${disp(runs)}%.2f,"accepted":$accepted,"n_batches":${chosen.nb},"batch":$batchSize,"parallelism":$par,"loops":$loops,"sec":${chosen.sec}%.3f,"windows":${fmt(chosen.rates)},"window_spread":${disp(chosen.rates)}%.2f,"blocked_sec":${chosen.blockedSec}%.3f,"max_gap_sec":${chosen.maxGap}%.3f,"cal_bps":$calBps%.3f,"stagger_ms":$staggerMs$rejField,"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":${rBps * 128}%.1f,"avg_bps":${r.avg}%.3f,"batch":128,"n_batches":${r.nb},"sec":${r.sec}%.3f,"windows":${fmt(r.rates)},"window_spread":${disp(r.rates)}%.2f,"blocked_sec":${r.blockedSec}%.3f,"max_gap_sec":${r.maxGap}%.3f}}""")
     } finally spark.stop()
   }
 
@@ -539,7 +627,8 @@ object Bench {
       else try servingBench(sfDir, cpus)
       catch { case t: Throwable =>
         Some(s"""{"error":"${t.getClass.getName}: ${
-          Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n]", " ").take(160)}"}""")
+          Option(t.getMessage).getOrElse("")
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)}"}""")
       }
 
     val prevQ = if (only.isEmpty) prevArtifactQueries(sfNum)

@@ -60,11 +60,18 @@ object SamplerBatch {
 final class ExtendedMetrics {
   private val acc =
     scala.collection.mutable.Map.empty[(String, String, String), Long]
-  /** Fold one drawn batch's lane report into the running totals. */
-  def add(b: SamplerBatch): this.type = synchronized {
-    b.laneStats.collect().foreach { r =>
-      val k = (r.getString(0), r.getString(1), r.getString(2))
-      acc(k) = acc.getOrElse(k, 0L) + r.getLong(3)
+  /** Fold one drawn batch's lane report into the running totals. The
+    * lane-report collect is a full Spark job, so it runs OUTSIDE the
+    * monitor — a concurrent `totals` reader (or another `add`) must not
+    * block for the duration of a job; only the driver-side fold of the
+    * already-collected handful of rows is serialized. */
+  def add(b: SamplerBatch): this.type = {
+    val rows = b.laneStats.collect()
+    synchronized {
+      rows.foreach { r =>
+        val k = (r.getString(0), r.getString(1), r.getString(2))
+        acc(k) = acc.getOrElse(k, 0L) + r.getLong(3)
+      }
     }
     this
   }

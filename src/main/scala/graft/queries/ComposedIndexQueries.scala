@@ -295,7 +295,10 @@ object ComposedIndexQueries extends QueryModule {
       graft.operators.Staging.rmTree(path)
       Files.move(tmp, path)
     }
-    loaded(s, path, fp)(names.map(n => s.read.parquet(path.resolve(n).toString)))
+    // fold the names list into the memo key: two callers sharing a tag
+    // but asking for different relation lists must not alias each other
+    loaded(s, path, s"$fp#${names.mkString(",")}")(
+      names.map(n => s.read.parquet(path.resolve(n).toString)))
   }
 
   // ---- q145: the index-build row ----

@@ -14,9 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Env-gated (`GRAFT_CLUSTER_TESTS=1`) because local-cluster forks
   * executor JVMs from a full Spark distribution (`SPARK_HOME` must point
-  * at one) and must own the JVM's single SparkContext — run it alone:
+  * at one) and must own the JVM's single SparkContext — run it alone.
+  * `SPARK_SCALA_VERSION` is required too: the binary dist normally sets
+  * it in load-spark-env.sh, which an in-JVM worker never runs — without
+  * it the executor launcher dies with "Cannot find any build
+  * directories":
   *
-  *   GRAFT_CLUSTER_TESTS=1 SPARK_HOME=/opt/spark \
+  *   GRAFT_CLUSTER_TESTS=1 SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   *     sbt "testOnly graft.ClusterGoldenSpec"
   *
   * The recorded run lives in COVERAGE.md (local-cluster row).

@@ -112,13 +112,17 @@ object ScaleSmoke {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val d = size(col("embedding"))
+    // rotate k (mod dim) positions: norm-preserving dimension permutation
+    // (modulo keeps slice bounds valid at factors above the dimension;
+    // replicas at k ≡ 0 (mod dim) repeat the base orientation, which just
+    // hands the near-dup lanes a few genuine clusters to chew on)
+    val rot = pmod(col("k"), d)
     emb.select(col("*"), reps)
       .select(
         (col("vec_id") + col("k") * maxVec).as("vec_id"),
-        // rotate k positions: norm-preserving dimension permutation
-        when(col("k") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), col("k") + 1, d - col("k")),
-          slice(col("embedding"), lit(1), col("k")))).as("embedding"),
+        when(rot === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), rot + 1, d - rot),
+          slice(col("embedding"), lit(1), rot))).as("embedding"),
         col("label"))
       .repartition(8)
       .write.parquet(s"$outDir/embeddings.parquet")

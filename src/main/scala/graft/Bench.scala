@@ -274,20 +274,11 @@ object Bench {
     * so the two can never desync. */
   private val ServingCapacity = 2
 
-  /** One serving loop's measurement: per-window steady rates, wall
-    * seconds, max inter-delivery gap, total batches, steady-region
-    * average rate, consumer blocked-wait seconds past paced due times,
-    * steady delivery count, GC seconds during the loop, and the pace it
-    * ran at (None = open loop). */
-  private final case class LoopRes(rates: Seq[Double], sec: Double,
-      maxGap: Double, nb: Int, avg: Double, blockedSec: Double,
-      steadyM: Int, gcSec: Double, pace: Option[Double])
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2)
-    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // true midpoint, not the optimistic upper
-  }
+  // LoopRes (one loop's measurement) and the ceiling-search logic live in
+  // [[ServingSearch]] — a pure function over an injected loop runner, so
+  // the protocol's laws are unit-spec'd (ServingSearchSpec) on the same
+  // code path the shipped grade uses
+  private def median(xs: Seq[Double]): Double = ServingSearch.median(xs)
 
   /** Steady windows per measured loop: the grade is the MEDIAN of this
     * many disjoint window rates, so one GC pause / stage stall taxes one
@@ -439,20 +430,9 @@ object Bench {
             (gcMillis - gcStart) / 1e3, paceBps)
         } finally pf.close()
       }
-      def disp(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
+      import ServingSearch.{disp, sustained}
       def fmt(xs: Seq[Double]): String =
         xs.map(r => f"$r%.3f").mkString("[", ",", "]")
-      // smoothness bound: window rates inside one loop spreading more
-      // than DispBound means the loop saw a box-state event (GC storm,
-      // competing process) — that loop is not SUSTAINED and cannot vote
-      val DispBound = 1.5
-      // a loop SUSTAINED its pace when its windows held together and the
-      // consumer's blocked-wait past due times stayed under 5% of the
-      // steady wall (steadyM/avg seconds — steadyM comes from the loop
-      // itself, the same productionWindow-derived count its rate split
-      // uses, so the threshold can never desync from the window split)
-      def sustainedLoop(l: LoopRes): Boolean =
-        disp(l.rates) <= DispBound && l.blockedSec <= 0.05 * l.steadyM / l.avg
       // CALIBRATE open-loop: the steady-region average spans many convoy
       // cycles, so it reads the true aggregate throughput even though
       // the delivery stream is bursty; its reciprocal seeds the paced
@@ -460,129 +440,44 @@ object Bench {
       val cal = loop(batchSize, steadyN, math.max(1L, latMs / par))
       val calBps = cal.avg
       val staggerMs = math.max(1L, (1000.0 / math.max(calBps, 0.01)).toLong)
-      // CEILING SEARCH (round 16): the round-15 protocol verified that a
-      // pace was sustainable but never probed where sustainability ENDS —
-      // its shipped artifact had blocked_sec≈0 on every voter (the
-      // consumer never waited), so it graded the first number it tried:
-      // the open-loop calibration, which a degraded moment (one 60 s
-      // stall absorbed into the open loop) could lock 10× low with
-      // `accepted:true`. "Can sustain X, cannot sustain ~1.3X" is a
-      // capacity measurement; "sustained the first pace we tried" is a
-      // lower bound. The search:
-      //   CLIMB — paced loops starting at cal_bps; each sustained loop
-      //   raises the pace ×1.3 (×1.6 while glass-flat with blocked≈0 —
-      //   nowhere near the ceiling, so climb faster and escape a
-      //   poisoned low calibration in few loops); the first UNSUSTAINED
-      //   loop above a sustained one closes the bracket.
-      //   DESCEND — if even cal_bps is unsustained, back off to 0.85× of
-      //   each realized rate until a loop sustains; the bracket then
-      //   exists by construction (the failing pace sits above it).
-      //   CONFIRM — once bracketed, re-run the top sustained rung until
-      //   ≥2 loops there agree: the reproducibility voters.
+      // CEILING SEARCH — see [[ServingSearch]] (the protocol rationale
+      // and the climb/descend/confirm rules live there; its laws are
+      // unit-spec'd in ServingSearchSpec on this exact code path).
       // Probe loops (pre-bracket) run a shorter steady region — they
-      // only decide direction; confirm loops run the full steadyN. A
-      // wall-clock budget bounds the search on a degraded host: running
-      // out before the bracket exists ships `ceiling_not_found:true` +
-      // `accepted:false`, never an unprobed number dressed as a grade.
+      // only decide direction; confirm loops run the full steadyN. The
+      // wall-clock budget bounds the search on a degraded host.
       val budgetSec = sys.env.get("SPARK_GRAFT_SERVING_BUDGET")
         .map(_.toDouble).getOrElse(1500.0)
       val maxLoops = sys.env.get("SPARK_GRAFT_SERVING_MAXLOOPS")
         .map(_.toInt).getOrElse(10)
       val probeN = math.max(2 * ServingWindows, steadyN / 3)
       val tSearch0 = System.nanoTime()
-      def elapsed: Double = (System.nanoTime() - tSearch0) / 1e9
-      val attempts = scala.collection.mutable.ArrayBuffer.empty[LoopRes]
-      def sustSet = attempts.filter(sustainedLoop).toSeq
-      def unsSet = attempts.filterNot(sustainedLoop).toSeq
-      def topSust: Option[LoopRes] =
-        sustSet.sortBy(_.avg).lastOption
-      // bracket: an unsustained loop paced ABOVE the best sustained rate
-      // — the two sides pin the ceiling between them
-      def bracketed: Boolean = topSust.exists(t =>
-        unsSet.exists(_.pace.exists(_ > t.avg)))
-      // voters: sustained loops on the top rung (within the 1.25×
-      // reproducibility band of the best sustained rate)
-      def voters: Seq[LoopRes] = topSust.toSeq.flatMap(t =>
-        sustSet.filter(_.avg >= t.avg / 1.25))
-      var pace = calBps
-      var stop = false
-      while (!stop && attempts.size < maxLoops) {
-        val nextSteady = if (bracketed) steadyN else probeN
-        val nextNb = ServingCapacity + par +
-          math.max(nextSteady, 2 * ServingWindows)
-        // never start a loop the budget can't afford (nb/pace is the
-        // paced loop's wall-clock lower bound)
-        if (attempts.nonEmpty && elapsed + nextNb / pace > budgetSec) stop = true
-        else {
+      val res = ServingSearch.search(calBps,
+        ServingSearch.Cfg(budgetSec, maxLoops, steadyN, probeN,
+          ServingCapacity + par, 2 * ServingWindows),
+        () => (System.nanoTime() - tSearch0) / 1e9,
+        (p, n) => {
           System.gc(); Thread.sleep(500)
-          val l = loop(batchSize, nextSteady,
-            math.max(1L, (1000.0 / pace).toLong), Some(pace))
-          attempts += l
-          if (bracketed && voters.size >= 2) stop = true
-          else if (sustainedLoop(l)) {
-            pace =
-              if (bracketed) topSust.get.avg // confirm the top rung
-              else if (disp(l.rates) <= 1.05 &&
-                l.blockedSec <= 0.01 * l.steadyM / l.avg)
-                math.max(l.avg, pace) * 1.6 // glass-flat: far from the ceiling
-              else math.max(l.avg, pace) * 1.3 // climbing
-          } else {
-            pace =
-              if (sustSet.nonEmpty)
-                // approach from above: the failing loop's REALIZED rate is
-                // the best capacity estimate (production-limited), so probe
-                // just under it — never below the known-good rung. A
-                // sustained probe here RAISES the rung and tightens the
-                // bracket toward the true ceiling instead of retreating to
-                // the first number that ever worked.
-                math.max(0.95 * l.avg, topSust.get.avg)
-              else 0.85 * math.max(l.avg, 1e-3) // descend toward a sustainable floor
-          }
-        }
-      }
-      // GRADE: median of the voters — sustained loops on the top rung.
-      // A loop that verifiably hit a box-state event reports its rate in
-      // `runs` but does not vote. If NO loop ever sustained, all vote
-      // and `accepted` stays false.
-      val ordered = attempts.toSeq
-      val sustainedSet = sustSet
-      val voterSet = voters
-      val gradePool = if (voterSet.nonEmpty) voterSet else ordered
+          loop(batchSize, n, math.max(1L, (1000.0 / p).toLong), Some(p))
+        })
+      val searchSec = (System.nanoTime() - tSearch0) / 1e9
+      val ordered = res.attempts
       val runs = ordered.map(_.avg)
-      val bps = median(gradePool.map(_.avg))
+      val bps = res.grade
       val tps = bps * batchSize
-      // `ceiling_bps` = the highest SUSTAINED rate (what the pipeline
-      // provably delivers); `unsustained_at` = the lowest pace above the
-      // grade that FAILED (where it provably breaks). Three numbers tell
-      // the whole story: cal_bps (burst), ceiling_bps (sustainable),
-      // unsustained_at (the wall).
-      val ceilingBps = topSust.map(_.avg)
-      val unsustainedAt = {
-        val above = unsSet.flatMap(_.pace).filter(_ > bps)
-        if (above.nonEmpty) Some(above.min) else None
-      }
-      val ceilingNotFound = unsustainedAt.isEmpty
-      // acceptance now REQUIRES the bracket: ≥2 voters within 1.25× AND
-      // a failing pace on record above the grade — a grade whose every
-      // voter never waited (blocked≈0) with no unsustained bracket is a
-      // lower bound and must not ship as accepted
-      val accepted = voterSet.size >= 2 &&
-        disp(voterSet.map(_.avg)) <= 1.25 && !ceilingNotFound
-      // the displayed windows come from the grading loop with the
-      // tightest internal spread — the smoothness exhibit
-      val chosen = gradePool.minBy(l => disp(l.rates))
-      val loops = 1 + attempts.size
+      val chosen = res.chosen
+      val loops = 1 + ordered.size
       def optF(v: Option[Double]): String =
         v.map(x => f"$x%.3f").getOrElse("null")
       val rejField =
         s""","runs":${fmt(runs)},"paces":${fmt(ordered.flatMap(_.pace))}""" +
         s""","gc_secs":${fmt(ordered.map(_.gcSec))}""" +
         s""","steady_ns":${ordered.map(_.steadyM).mkString("[", ",", "]")}""" +
-        s""","sustained":${sustainedSet.size},"voters":${voterSet.size}""" +
-        s""","ceiling_bps":${optF(ceilingBps)}""" +
-        s""","unsustained_at":${optF(unsustainedAt)}""" +
-        s""","ceiling_not_found":$ceilingNotFound""" +
-        f""","search_sec":$elapsed%.1f,"probe_latency_sec":${latMs / 1000.0}%.3f"""
+        s""","sustained":${ordered.count(sustained)},"voters":${res.voters.size}""" +
+        s""","ceiling_bps":${optF(res.ceilingBps)}""" +
+        s""","unsustained_at":${optF(res.unsustainedAt)}""" +
+        s""","ceiling_not_found":${res.ceilingNotFound}""" +
+        f""","search_sec":$searchSec%.1f,"probe_latency_sec":${latMs / 1000.0}%.3f"""
       // the reference's own operating point (SamplerConfig::default
       // batch_size = 128, src/config.rs:312) over the SAME staged bundle
       // — pool here is the full corpus-scale mix pool, not the
@@ -596,7 +491,7 @@ object Bench {
       val r = loop(128, math.max(steadyN / 2, 2 * ServingWindows),
         math.max(1L, (1000.0 / rPace).toLong), Some(rPace))
       val rBps = median(r.rates)
-      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"run_spread":${disp(runs)}%.2f,"accepted":$accepted,"n_batches":${chosen.nb},"batch":$batchSize,"parallelism":$par,"loops":$loops,"sec":${chosen.sec}%.3f,"windows":${fmt(chosen.rates)},"window_spread":${disp(chosen.rates)}%.2f,"blocked_sec":${chosen.blockedSec}%.3f,"max_gap_sec":${chosen.maxGap}%.3f,"cal_bps":$calBps%.3f,"stagger_ms":$staggerMs$rejField,"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":${rBps * 128}%.1f,"avg_bps":${r.avg}%.3f,"batch":128,"n_batches":${r.nb},"sec":${r.sec}%.3f,"windows":${fmt(r.rates)},"window_spread":${disp(r.rates)}%.2f,"blocked_sec":${r.blockedSec}%.3f,"max_gap_sec":${r.maxGap}%.3f}}""")
+      Some(f"""{"batches_per_sec":$bps%.3f,"triplets_per_sec":$tps%.1f,"run_spread":${disp(runs)}%.2f,"accepted":${res.accepted},"n_batches":${chosen.nb},"batch":$batchSize,"parallelism":$par,"loops":$loops,"sec":${chosen.sec}%.3f,"windows":${fmt(chosen.rates)},"window_spread":${disp(chosen.rates)}%.2f,"blocked_sec":${chosen.blockedSec}%.3f,"max_gap_sec":${chosen.maxGap}%.3f,"cal_bps":$calBps%.3f,"stagger_ms":$staggerMs$rejField,"ref128":{"batches_per_sec":$rBps%.3f,"triplets_per_sec":${rBps * 128}%.1f,"avg_bps":${r.avg}%.3f,"batch":128,"n_batches":${r.nb},"sec":${r.sec}%.3f,"windows":${fmt(r.rates)},"window_spread":${disp(r.rates)}%.2f,"blocked_sec":${r.blockedSec}%.3f,"max_gap_sec":${r.maxGap}%.3f}}""")
     } finally spark.stop()
   }
 

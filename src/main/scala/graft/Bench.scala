@@ -141,8 +141,8 @@ object Bench {
     // isolated). Both numbers land in the diagnostics line so the
     // selection is auditable.
     val medianSteady = {
-      val s = rawResults.map(_._2).sorted
-      if (s.isEmpty) 0.0 else s(s.size / 2)
+      val s = rawResults.map(_._2)
+      if (s.isEmpty) 0.0 else median(s)
     }
     val outlierSuspects = rawResults.filter { case (_, dt, _, err, _) =>
       err.isEmpty && dt > math.max(2.0, 2 * medianSteady)
@@ -474,6 +474,13 @@ object Bench {
         s""","gc_secs":${fmt(ordered.map(_.gcSec))}""" +
         s""","steady_ns":${ordered.map(_.steadyM).mkString("[", ",", "]")}""" +
         s""","sustained":${ordered.count(sustained)},"voters":${res.voters.size}""" +
+        // voter_spread is the grade's OWN reproducibility (max/min over
+        // the voters); run_spread spans the whole climb and is expected
+        // to be wide — read voter_spread for agreement. null when nothing
+        // ever sustained (accepted is false there anyway)
+        s""","voter_spread":${
+          if (res.voters.isEmpty) "null"
+          else f"${disp(res.voters.map(_.avg))}%.2f"}""" +
         s""","ceiling_bps":${optF(res.ceilingBps)}""" +
         s""","unsustained_at":${optF(res.unsustainedAt)}""" +
         s""","ceiling_not_found":${res.ceilingNotFound}""" +

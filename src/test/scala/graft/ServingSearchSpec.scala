@@ -122,6 +122,27 @@ class ServingSearchSpec extends AnyFunSuite {
     assert(res.unsustainedAt.exists(_ > res.grade))
   }
 
+  test("a host that degrades MID-SEARCH still converges to an honest bracketed grade") {
+    // observed live at sf0.1: one pace sustained early, credibly failed
+    // at the same pace later (the host moved down mid-session); the
+    // search must descend and re-anchor instead of looping or accepting
+    // the stale rung
+    var call = 0
+    def drifting(pace: Double, steady: Int): LoopRes = {
+      call += 1
+      val capNow = math.max(1.5, 3.0 - 0.3 * call) // decays 2.7 → 1.5
+      pipeline(capNow)(pace, steady)
+    }
+    val res = search(calBps = 2.6, cfg, () => 0.0, drifting)
+    assert(res.grade <= 3.0, s"grade ${res.grade} above any capacity seen")
+    assert(res.grade >= 1.0, s"grade ${res.grade} collapsed below the floor")
+    // whatever it graded, the evidence rules held
+    if (res.accepted) {
+      assert(res.unsustainedAt.isDefined && res.voters.size >= 2)
+      assert(res.unsustainedAt.get > res.grade)
+    }
+  }
+
   test("law: accepted implies a bracketed grade (randomized capacities/calibrations)") {
     val rnd = new scala.util.Random(42)
     (1 to 60).foreach { i =>

@@ -31,10 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  /** Every member reads ONLY documents/embeddings (the tables `generate`
+    * scales); the rest of the corpus passes through unchanged, so a query
+    * touching e.g. lineitem would measure nothing. Spans the distinct
+    * heavy plan shapes: MinHash+LSH clustering, curation funnel,
+    * embedding near-dup, duplicate-span scan, end-to-end pipeline,
+    * composed index build, prefix-sum sentence split, BM25 postings
+    * build+refresh, link-graph centrality iteration, banding recall
+    * audit (shingle-inverted truth join), and IVF-bounded SemDeDup. */
   private val Family = Seq(
     "q93_dedup_clusters", "q94_corpus_curation",
     "q95_embedding_dedup_clusters", "q106_duplicate_spans",
-    "q111_pretraining_pipeline", "q145_composed_index_build")
+    "q111_pretraining_pipeline", "q145_composed_index_build",
+    "q47_sentence_split", "q116_bm25_index_refresh",
+    "q134_domain_centrality", "q149_banded_dedup_recall",
+    "q152_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

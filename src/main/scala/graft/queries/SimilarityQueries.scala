@@ -54,6 +54,28 @@ object SimilarityQueries extends QueryModule {
         length(printf('%b', GREATEST(1, (count(*) + ${TargetOcc95 - 1}) // $TargetOcc95 - 1)))))
         FROM $table)"""
   private val CosMin = 350000L
+  // q152 cell count SCALES WITH CORPUS SIZE: k(n) = 2^ceil(ceil_log2(n)/2)
+  // ≈ √n (power-of-two), clamped to [8, 4096] — so cell size AND cell
+  // count both grow ~√n, putting assignment (n·k dots) and in-cell pair
+  // work (n·cellsize/2) at n^1.5 instead of the n² a fixed cell count
+  // degenerates to (the 10× decade smoke caught exactly that: fixed k=8
+  // meant 10× rows → ~100× in-cell pairs). Same FAISS-style √n dial real
+  // IVF deployments use; pure integer bit arithmetic so the DuckDB twin
+  // lands on the identical k from the identical n. The search-family
+  // queries (q29/q65/q118/q122/q128) keep the fixed demo dial — their
+  // pair work is query×probe-bounded, not corpus×corpus.
+  private val MinCells152 = 8
+  private val MaxCells152 = 4096
+  private[graft] def cells152(n: Long): Int = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(MaxCells152, math.max(MinCells152, 1 << ((bits + 1) / 2)))
+  }
+  /** The twin's cell count — [[cells152]] as DuckDB integer SQL over the
+    * live corpus count (same bit-length idiom as [[duckPlanes95]]). */
+  private def duckCells152(table: String): String =
+    s"""(SELECT LEAST($MaxCells152, GREATEST($MinCells152,
+        1 << ((length(printf('%b', GREATEST(1, count(*) - 1))) + 1) // 2)))
+        FROM $table)"""
   // q118 product quantization: 64 dims → M=8 subspaces × 8 dims, Ks=8
   // codewords each — 8 small codes per vector (the ~32× compression dial;
   // production uses M=8..64, Ks=256 — same plans, bigger broadcast)
@@ -453,7 +475,10 @@ object SimilarityQueries extends QueryModule {
       // degree, and the kept flag.
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfK)
+        // cell count from the live corpus size (metadata-only count-star
+        // against the parquet footers — refresh-time cost, not batch-path)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+            cells152(emb.count()))
           .withColumn("cnrm", Similarity.normE3(col("cemb")))
         val e = emb
           .withColumn("nrm", Similarity.normE3(col("embedding")))
@@ -495,9 +520,16 @@ object SimilarityQueries extends QueryModule {
         def dist(a: String, b: String) =
           s"(${Similarity.duckDotE3(a, a, Dim)} + ${Similarity.duckDotE3(b, b, Dim)}" +
             s" - 2 * ${Similarity.duckDotE3(a, b, Dim)})"
-        s"""WITH picked AS (
-          SELECT vec_id, embedding, ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
-          FROM embeddings ORDER BY sk, vec_id LIMIT $IvfK
+        // cell count derived from the live count (duckCells152), so the
+        // seeded-rank pick filters on a rank, not a constant LIMIT
+        s"""WITH cand AS (
+          SELECT vec_id, embedding,
+            ${graft.core.Determinism.duckSeeded("ivf-cent", "vec_id")} AS sk
+          FROM embeddings
+        ), picked AS (
+          SELECT vec_id, embedding, sk FROM (
+            SELECT *, row_number() OVER (ORDER BY sk, vec_id) AS crn FROM cand) t
+          WHERE crn <= ${duckCells152("embeddings")}
         ), cents AS (
           SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS BIGINT) - 1 AS cid,
             embedding AS cemb

@@ -493,20 +493,29 @@ class ScaleStressSpec extends AnyFunSuite {
       s"candidate pairs grew superlinearly under the dial: $small -> $big")
   }
 
-  test("q152 SemDeDup shape: IVF-cell pairs grow near-linearly when K scales with n") {
+  test("q152 SemDeDup shape: the √n cell dial keeps pair AND assignment work at n^1.5") {
     import graft.operators.Similarity
+    // the PRODUCTION dial (queries.SimilarityQueries.cells152): k ≈ √n
+    // power-of-two balances assignment (n·k dots) against in-cell pairs
+    // (n·cellsize/2) — both grow n^1.5, so a decade of rows costs ~31.6×
+    // the pair work, never the ~100× a fixed cell count degenerates to
+    // (q152 ran k=8 fixed until the round-16 decade smoke widened)
     def cellPairs(n: Int): Long = {
-      val k = math.max(8, n / 256) // K ∝ n: the SemDeDup deployment dial
+      val k = graft.queries.SimilarityQueries.cells152(n)
       val cents = Similarity.ivfCentroids(synthEmb(n), "vec_id", "embedding", k)
       Similarity.ivfAssign(synthEmb(n), "vec_id", "embedding", cents)
         .groupBy(col("cell")).agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) DIV 2")).cast("long")).collect()(0).getLong(0)
     }
-    val small = cellPairs(2000)
-    val big = cellPairs(20000)
+    val small = cellPairs(2000)  // cells152 = 64
+    val big = cellPairs(20000)   // cells152 = 256
     assert(small > 0 && big > 0)
-    assert(big < small * 20L,
-      s"in-cell pairs grew superlinearly under K ∝ n: $small -> $big")
+    // n^1.5 envelope: ideal 31.6×, slack for assignment skew; a fixed
+    // cell count reads ~100× here and must fail
+    assert(big < small * 45L,
+      s"in-cell pairs grew past the n^1.5 envelope of the √n dial: $small -> $big")
+    assert(big > small * 10L,
+      s"pair growth implausibly sub-linear — is the dial still scale-derived? $small -> $big")
   }
 
   test("q124/q126 fingerprint band join: 16-bit band keys keep 10x candidates bounded") {

@@ -26,6 +26,26 @@ object DedupQueries extends QueryModule {
   // the testdata) and the selection budget (half the surviving tokens)
   private val LmMaxE6 = 3600000L
   private val SelFracE6 = 500000L
+  // q28 simhash WIDTH scales with the corpus: with hamming≤1 near-dup
+  // semantics over a W-bit signature, the 2-band OR-blocking keys are
+  // W/2 bits each — under a FIXED W the in-band pair space (and, by
+  // pigeonhole on 2^W possible signatures, the hamming≤1 OUTPUT itself)
+  // degenerates to ~n²/2^(W/2). half28(n) keeps expected band-key
+  // occupancy ~TargetOcc28, so candidates grow ~n·occupancy; the oracle
+  // unrolls the vote columns to the 32-bit ceiling and MASKS to the
+  // derived width (bit i of a simhash is width-independent), the same
+  // full-width-then-mask idiom as the q95 plane dial. The floor keeps
+  // small corpora on the historical 16-bit demo signature; production
+  // at 100 TB raises MaxHalf28 (64-bit signatures, hamming≤3, 4 bands)
+  // without changing the plan shape.
+  private val TargetOcc28 = 16L
+  private val MinHalf28 = 8
+  private val MaxHalf28 = 16
+  private[graft] def half28(n: Long): Int =
+    graft.core.ScaleDials.occupancyBits(n, TargetOcc28, MinHalf28, MaxHalf28)
+  private def duckHalf28(table: String): String =
+    graft.core.ScaleDials.duckOccupancyBits(
+      table, TargetOcc28, MinHalf28, MaxHalf28)
 
   // Shared DuckDB fragments (kept in lock-step with operators.Dedup).
   private val duckToks = TextFunctions.duckTokens("text")
@@ -158,16 +178,22 @@ object DedupQueries extends QueryModule {
         // near-dups = signatures within hamming distance 1. Blocking is
         // 2-band OR-blocking (the standard k+1-bands-for-hamming-k scheme):
         // a pair differing in at most 1 bit differs in at most one of the
-        // two 8-bit bands, so it MUST collide on the other band — recall is
-        // guaranteed by construction. (Top-byte-only blocking silently
-        // dropped pairs whose flipped bit was in the top byte.) Join stays
-        // bucketed — pair space = in-bucket collisions; a tiny-vocabulary
-        // corpus collapsing into few buckets is re-split by AQE skew-join.
-        val sig = Dedup.simhashSignature(
-          Tables.load(s, dir, "documents"), "doc_id", "text", 16).cache()
+        // two half-width bands, so it MUST collide on the other band —
+        // recall is guaranteed by construction. (Top-byte-only blocking
+        // silently dropped pairs whose flipped bit was in the top byte.)
+        // The signature WIDTH derives from the live corpus (half28 — a
+        // fixed width degenerates the in-band pair space to n²/2^(W/2));
+        // a tiny-vocabulary corpus collapsing into few buckets is
+        // re-split by AQE skew-join.
+        val docs = Tables.load(s, dir, "documents")
+        val half = half28(docs.count())
+        val sig = Dedup.simhashSignature(docs, "doc_id", "text", 2 * half)
+          .cache()
         val banded = sig.select(col("doc_id"), col("simhash"), explode(array(
-            struct(lit(0).as("band"), expr("simhash div 256").as("key")),
-            struct(lit(1).as("band"), expr("simhash % 256").as("key")))).as("bk"))
+            struct(lit(0).as("band"),
+              expr(s"simhash div ${1L << half}").as("key")),
+            struct(lit(1).as("band"),
+              expr(s"simhash % ${1L << half}").as("key")))).as("bk"))
           .select(col("doc_id"), col("simhash"),
             col("bk.band").as("band"), col("bk.key").as("key"))
         val l = banded.as("l"); val r = banded.as("r")
@@ -179,19 +205,30 @@ object DedupQueries extends QueryModule {
           .distinct()
       },
       Some {
-        val votes = (0 until 16).map(i =>
+        // full-width-then-mask (the q95 plane-dial idiom): unroll votes to
+        // the 32-bit ceiling, mask the signature to the derived width —
+        // bit i of a simhash is width-independent, so the masked 32-bit
+        // signature IS the 2·half28(n)-bit signature
+        val maxBits = 2 * MaxHalf28
+        val votes = (0 until maxBits).map(i =>
           s"${Dedup.duckSimhashBitVote("hs", i)} AS v$i").mkString(", ")
-        val sig = (0 until 16).map(i =>
+        val sig = (0 until maxBits).map(i =>
           s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+        val halfSub = duckHalf28("documents")
         s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
           h AS (SELECT doc_id, list_transform(toks, tk -> ${graft.core.Determinism.duckHash("'sh:' || tk")}) AS hs
                 FROM t WHERE len(toks) > 0),
           v AS (SELECT doc_id, $votes FROM h),
-          sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+          sg AS MATERIALIZED (
+            SELECT doc_id,
+              CAST($sig AS BIGINT) % (CAST(1 AS BIGINT) << (2 * $halfSub)) AS simhash
+            FROM v),
           b AS (
-            SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM sg
+            SELECT doc_id, simhash, 0 AS band,
+              simhash // (CAST(1 AS BIGINT) << $halfSub) AS key FROM sg
             UNION ALL
-            SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM sg
+            SELECT doc_id, simhash, 1 AS band,
+              simhash % (CAST(1 AS BIGINT) << $halfSub) AS key FROM sg
           )
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
             CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming

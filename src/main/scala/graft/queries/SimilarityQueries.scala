@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityQueries extends QueryModule {
 
   private val Dim = 64
-  private val Planes = 8
+  // (the fixed 8-plane demo dial retired round 16; q26/q27 derive planes95)
   private val TopK = 5
   private val NQueries = 10
   private val IvfK = 8
@@ -41,18 +41,13 @@ object SimilarityQueries extends QueryModule {
   private val TargetOcc95 = 16L
   private val MinPlanes95 = 5
   private val MaxPlanes95 = 16
-  private[graft] def planes95(n: Long): Int = {
-    val m = math.max(1L, (n + TargetOcc95 - 1) / TargetOcc95)
-    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1))
-    math.min(MaxPlanes95, math.max(MinPlanes95, bits))
-  }
+  private[graft] def planes95(n: Long): Int =
+    graft.core.ScaleDials.occupancyBits(n, TargetOcc95, MinPlanes95, MaxPlanes95)
   /** The twin's plane count — [[planes95]] as DuckDB integer SQL over
-    * the live corpus count (`length(printf('%b', x))` is the exact bit
-    * length, DuckDB's integer mirror of `64 - numberOfLeadingZeros`). */
+    * the live corpus count (core.ScaleDials — the one shared formula). */
   private def duckPlanes95(table: String): String =
-    s"""(SELECT LEAST($MaxPlanes95, GREATEST($MinPlanes95,
-        length(printf('%b', GREATEST(1, (count(*) + ${TargetOcc95 - 1}) // $TargetOcc95 - 1)))))
-        FROM $table)"""
+    graft.core.ScaleDials.duckOccupancyBits(
+      table, TargetOcc95, MinPlanes95, MaxPlanes95)
   private val CosMin = 350000L
   // q152 cell count SCALES WITH CORPUS SIZE: k(n) = 2^ceil(ceil_log2(n)/2)
   // ≈ √n (power-of-two), clamped to [8, 4096] — so cell size AND cell
@@ -67,15 +62,15 @@ object SimilarityQueries extends QueryModule {
   private val MinCells152 = 8
   private val MaxCells152 = 4096
   private[graft] def cells152(n: Long): Int = {
-    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    // occ=1 ⇒ the clamp-free inner value is ceil(log2(n))
+    val bits = graft.core.ScaleDials.occupancyBits(n, 1L, 0, 64)
     math.min(MaxCells152, math.max(MinCells152, 1 << ((bits + 1) / 2)))
   }
   /** The twin's cell count — [[cells152]] as DuckDB integer SQL over the
-    * live corpus count (same bit-length idiom as [[duckPlanes95]]). */
+    * live corpus count (same core.ScaleDials bit-length idiom). */
   private def duckCells152(table: String): String =
     s"""(SELECT LEAST($MaxCells152, GREATEST($MinCells152,
-        1 << ((length(printf('%b', GREATEST(1, count(*) - 1))) + 1) // 2)))
-        FROM $table)"""
+        1 << ((${graft.core.ScaleDials.duckOccupancyBits(table, 1L, 0, 64)} + 1) // 2))))"""
   // q118 product quantization: 64 dims → M=8 subspaces × 8 dims, Ks=8
   // codewords each — 8 small codes per vector (the ~32× compression dial;
   // production uses M=8..64, Ks=256 — same plans, bigger broadcast)
@@ -296,17 +291,28 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, vec_id, cos_e6, rank FROM ranked WHERE rank <= $TopK""")),
 
     QueryDef("q26_ann_lsh_buckets",
-      (s, dir) => Similarity.lshBucketTable(
-        s, Tables.load(s, dir, "embeddings"), "vec_id", "embedding", Dim, Planes),
-      Some(s"""SELECT vec_id, ${Similarity.duckLshBucket("embedding", Dim, Planes)} AS bucket
+      // bucket assignment on the SAME occupancy-stable dial as q95: the
+      // plane count derives from the live corpus size (planes95 — round
+      // 16 retired the fixed 8-plane demo dial, under which the q27
+      // same-bucket pair join degenerates to n²/256 at any corpus size)
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.lshBucketTable(
+          s, emb, "vec_id", "embedding", Dim, planes95(emb.count()))
+      },
+      Some(s"""SELECT vec_id,
+          ${Similarity.duckLshBucket("embedding", Dim, MaxPlanes95)}
+            % (CAST(1 AS BIGINT) << ${duckPlanes95("embeddings")}) AS bucket
         FROM embeddings""")),
 
     QueryDef("q27_neardup_same_bucket",
       (s, dir) => {
         // materialize the (small) bucketed table once: both self-join sides
-        // would otherwise re-evaluate the bucket plan
+        // would otherwise re-evaluate the bucket plan. Plane count is
+        // scale-derived (planes95) so in-bucket pairs stay ~n·occupancy
         val base = Tables.load(s, dir, "embeddings")
-        val buckets = Similarity.lshBucketTable(s, base, "vec_id", "embedding", Dim, Planes)
+        val buckets = Similarity.lshBucketTable(
+          s, base, "vec_id", "embedding", Dim, planes95(base.count()))
         val emb = base
           .select(col("vec_id"), col("embedding"),
             Similarity.normE3(col("embedding")).as("nrm"))
@@ -320,7 +326,8 @@ object SimilarityQueries extends QueryModule {
               col("l.nrm"), col("r.nrm")).as("cos_e6"))
       },
       Some(s"""WITH b AS (SELECT vec_id, embedding,
-          ${Similarity.duckLshBucket("embedding", Dim, Planes)} AS bucket,
+          ${Similarity.duckLshBucket("embedding", Dim, MaxPlanes95)}
+            % (CAST(1 AS BIGINT) << ${duckPlanes95("embeddings")}) AS bucket,
           ${Similarity.duckDotE3("embedding", "embedding", Dim)} AS nrm
           FROM embeddings)
         SELECT l.vec_id AS a, r.vec_id AS b,

@@ -30,6 +30,31 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(Dedup.simhashSignature(docs, "doc_id", "text", 16).count() == 200000L)
   }
 
+  test("q28 simhash band dial: derived width keeps in-band candidates near-linear") {
+    // the PRODUCTION dial (queries.DedupQueries.half28): band keys are
+    // half28(n) bits, so expected band-key occupancy stays ~constant; a
+    // fixed 8-bit band key (the pre-round-16 dial) grows in-band pairs
+    // ~n²/256 — at this 10× step it reads ~100× the small count
+    def bandPairs(n: Int): Long = {
+      val half = graft.queries.DedupQueries.half28(n)
+      val sig = Dedup.simhashSignature(corpus(n), "doc_id", "text", 2 * half)
+      sig.select(explode(array(
+          expr(s"struct(0L AS band, simhash div ${1L << half} AS key)"),
+          expr(s"struct(1L AS band, simhash % ${1L << half} AS key)"))).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).cast("long")).collect()(0).getLong(0)
+    }
+    val small = bandPairs(5000)   // half28 = 9
+    val big = bandPairs(50000)    // half28 = 12
+    assert(small > 0 && big > 0)
+    // simhash keys cluster (similar docs converge by construction), so
+    // the envelope is looser than a uniform-hash dial's; the fixed-width
+    // failure mode reads ~100× and must stay out
+    assert(big < small * 40L,
+      s"in-band candidates grew past the derived-width envelope: $small -> $big")
+  }
+
   test("flagship triplet batch completes at 200k docs, split isolation holds") {
     val docs = corpus(200000)
     val t = Triplets.triplets(docs, TripletConfig()).cache()

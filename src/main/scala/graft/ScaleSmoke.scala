@@ -45,7 +45,8 @@ object ScaleSmoke {
     "q111_pretraining_pipeline", "q145_composed_index_build",
     "q47_sentence_split", "q116_bm25_index_refresh",
     "q134_domain_centrality", "q149_banded_dedup_recall",
-    "q152_semdedup")
+    "q152_semdedup", "q27_neardup_same_bucket",
+    "q28_simhash_neardup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

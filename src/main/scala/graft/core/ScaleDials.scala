@@ -22,7 +22,11 @@ package graft.core
 object ScaleDials {
 
   /** Bits b such that 2^b buckets hold ~`occ` items each for a corpus of
-    * `n`: ceil(log2(ceil(n / occ))), clamped to [min, max]. */
+    * `n`: ceil(log2(ceil(n / occ))), clamped to [min, max]. One edge:
+    * when a single bucket would suffice (ceil(n/occ) ≤ 1) the bit-length
+    * form returns 1, not 0 — two buckets where one would do; every
+    * production clamp floor is ≥ 1 and the DuckDB twin lands on the same
+    * value, so the edge is documented rather than special-cased. */
   def occupancyBits(n: Long, occ: Long, min: Int, max: Int): Int = {
     val m = math.max(1L, (n + occ - 1) / occ)
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1))

@@ -46,7 +46,15 @@ object ScaleSmoke {
     "q47_sentence_split", "q116_bm25_index_refresh",
     "q134_domain_centrality", "q149_banded_dedup_recall",
     "q152_semdedup", "q27_neardup_same_bucket",
-    "q28_simhash_neardup_pairs")
+    "q28_simhash_neardup_pairs",
+    // round-16 second widening: winnowing, packing, budget mixing,
+    // incremental span dedup, perceptual image dedup (the 16-bit band
+    // dial rides toward its documented ~1M cliff here — watch its
+    // ratio), DSIR, hybrid RRF (BM25 + ANN fused), bitext margin mining
+    "q36_winnowing_fingerprints", "q99_sequence_packing",
+    "q108_budget_selection", "q109_incremental_span_dedup",
+    "q124_image_dhash_neardup", "q147_dsir_importance_resampling",
+    "q119_rrf_hybrid_fusion", "q138_margin_mining")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -202,13 +202,19 @@ object Dedup {
   def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
     // symmetrized edges, lineage cut once: every round walks them, and an
-    // uncut plan would replay the full candidate generation per round
+    // uncut plan would replay the full candidate generation per round.
+    // All checkpoints in this loop are LAZY (eager = false): each round
+    // has exactly one consuming job — the convergence count — which
+    // materializes the round's frame as a side effect, so the loop costs
+    // one driver job per round instead of two (checkpoint job + count
+    // job). Values are unchanged; only the job count drops.
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v"))).localCheckpoint()
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
     // active set = nodes touching any edge (every such node appears as u
     // in the symmetrized list)
     var labels = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster")).localCheckpoint()
+      .select(col("id"), col("id").as("cluster")).localCheckpoint(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -231,7 +237,7 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster"))).as("cluster"),
           col("x.prev").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next.filter(col("cluster") =!= col("prev")).count()
       labels = next.select(col("id"), col("cluster"))
       iter += 1

@@ -151,19 +151,31 @@ object TextQueries extends QueryModule {
           .select(col("doc_id"),
             array_join(expr("slice(tk, 1, 8)"), " ").as("ltext"),
             array_join(expr("slice(tk, 9, size(tk) - 8)"), " ").as("rtext"))
-        def byteCounts(c: org.apache.spark.sql.Column, side: String) = base
-          .select(col("doc_id"),
-            explode(regexp_extract_all(hex(c), lit(".."), lit(0))).as("ch"))
-          .groupBy(col("doc_id"), col("ch"))
-          .agg(count(lit(1)).as(s"cnt_$side"))
-        val merged = byteCounts(col("ltext"), "l")
-          .join(byteCounts(col("rtext"), "r"), Seq("doc_id", "ch"), "full_outer")
+        // ONE corpus pass for both sides: tag each side's byte stream and
+        // count with a conditional aggregate keyed by (doc, byte). The
+        // former shape ran the tokenize+hex+explode chain TWICE (once per
+        // side) and full-outer-merged two per-byte tables — the single
+        // (doc_id, ch) aggregate below produces the identical merged rows
+        // (absent side = count 0, exactly what the old coalesce read from
+        // the outer join's NULLs; `inter`/`uni` translate to >0 tests and
+        // the group count). Guide §1.2/§2.4: one pass instead of two,
+        // the join's exchange+sort deleted outright.
+        val tagged = base
+          .select(col("doc_id"), explode(array(
+            struct(lit("l").as("side"), col("ltext").as("t")),
+            struct(lit("r").as("side"), col("rtext").as("t")))).as("st"))
+          .select(col("doc_id"), col("st.side").as("side"),
+            explode(regexp_extract_all(hex(col("st.t")), lit(".."), lit(0))).as("ch"))
+        val merged = tagged.groupBy(col("doc_id"), col("ch"))
+          .agg(
+            sum(when(col("side") === "l", 1L).otherwise(0L)).as("cnt_l"),
+            sum(when(col("side") === "r", 1L).otherwise(0L)).as("cnt_r"))
         merged.groupBy(col("doc_id"))
           .agg(
-            sum(coalesce(col("cnt_l"), lit(0L)) * coalesce(col("cnt_r"), lit(0L))).as("dot"),
-            sum(coalesce(col("cnt_l"), lit(0L)) * coalesce(col("cnt_l"), lit(0L))).as("nl"),
-            sum(coalesce(col("cnt_r"), lit(0L)) * coalesce(col("cnt_r"), lit(0L))).as("nr"),
-            sum(when(col("cnt_l").isNotNull && col("cnt_r").isNotNull, 1L).otherwise(0L)).as("inter"),
+            sum(col("cnt_l") * col("cnt_r")).as("dot"),
+            sum(col("cnt_l") * col("cnt_l")).as("nl"),
+            sum(col("cnt_r") * col("cnt_r")).as("nr"),
+            sum(when(col("cnt_l") > 0L && col("cnt_r") > 0L, 1L).otherwise(0L)).as("inter"),
             count(lit(1)).as("uni"))
           .select(col("doc_id"),
             floor(lit(1000000.0) * col("inter") / col("uni")).cast("long").as("jaccard_e6"),

@@ -66,26 +66,30 @@ object Sentences {
   private def isTickerChar(ch: Char): Boolean =
     (ch >= 'A' && ch <= 'Z') || ch.isDigit
 
-  /** Per-block character cap for the prefix-sum lane of [[sentenceRows]].
-    * The prefix-sum plan explodes one row per CHARACTER and windows on
-    * (doc, block) — per-key work is bounded by the block length, and
-    * per-(doc,block) keys cannot subdivide, so a multi-MB single-block
-    * document would serialize ~25× its size onto one task. Blocks above
-    * this cap instead take the pure-function lane ([[blockSentences]] as
-    * a one-row-in/array-out UDF — linear, no explosion); both lanes
-    * implement the identical boundary rule, so the union is
-    * lane-invisible to callers and to the q47 oracle. */
+  /** Per-block character cap for the declarative lane of [[sentenceRows]].
+    * Historically the lane exploded one row per CHARACTER through a
+    * (doc, block)-keyed window (per-(doc,block) keys cannot subdivide, so
+    * a multi-MB single-block document serialized ~25× its size onto one
+    * task); the lane is now a single regex boundary-split (below), which
+    * is linear per block with no explosion — but the cap STAYS as the
+    * lane-membership boundary because the two lanes' digit classes differ
+    * outside ASCII (the declarative lane tests `[0-9]`, the pure scanner
+    * `Char.isDigit` — Unicode digits land differently), and moving a
+    * block across lanes could change its boundaries. Same cap, same lane
+    * per block, same rows as every previous round. */
   val MaxPrefixSumBlockChars = 4096
 
   /** Distributed column form of [[sentences]] — the boundary rule only
-    * looks one character left and right, so the per-character scan is a
-    * prefix-sum, not a loop: explode characters, flag boundaries from
-    * lag/lead, running-sum the flags into sentence ids, reassemble per
-    * (doc, block, sentence). Fully declarative (no UDF) for blocks up to
-    * [[MaxPrefixSumBlockChars]]; oversized blocks take the pure-function
-    * UDF lane (see the cap's scaladoc for the scale rationale). Exactly
-    * replayed by the DuckDB oracle (q47); pinned equal to the pure path
-    * in SourcesSpec.
+    * looks one character left and right, so a boundary position is
+    * exactly expressible as a zero-width regex (lookbehind on the
+    * boundary char, lookarounds for the decimal/ticker/ellipsis guards):
+    * ONE `split` per block replaces the former per-character explode +
+    * lag/lead window + running-sum + collect_list reassembly (five
+    * corpus-width operators deleted; pieces are per-SENTENCE rows, not
+    * per-character). Blocks above [[MaxPrefixSumBlockChars]] take the
+    * pure-function UDF lane (see the cap's scaladoc). Exactly replayed by
+    * the DuckDB oracle (q47); pinned equal to the pure path in
+    * SourcesSpec (fixtures + 150-text fuzz).
     *
     * Returns `(doc_id, sent_idx, sentence)` with `sent_idx` the 0-based
     * document-wide sentence position. */
@@ -102,29 +106,22 @@ object Sentences {
       .withColumn("n", TextFunctions.normalizeWs(col("block")))
       .filter(col("n") =!= "")
     val oversized = blocks.filter(length(col("n")) > maxBlockChars)
-    val chars = blocks.filter(length(col("n")) <= maxBlockChars)
-      .select(col("doc_id"), col("bidx"), posexplode(split(col("n"), "")))
-      .toDF("doc_id", "bidx", "pos", "c")
-      .filter(col("c") =!= "")
-    val wOrd = Window.partitionBy(col("doc_id"), col("bidx")).orderBy(col("pos"))
-    def ticker(c: org.apache.spark.sql.Column) = coalesce(c.rlike("^[A-Z0-9]$"), lit(false))
-    def digit(c: org.apache.spark.sql.Column) = coalesce(c.rlike("^[0-9]$"), lit(false))
-    val flagged = chars
-      .withColumn("pc", lag(col("c"), 1).over(wOrd))
-      .withColumn("nc", lead(col("c"), 1).over(wOrd))
-      .withColumn("bnd",
-        col("c").isin("!", "?") ||
-          (col("c") === "." &&
-            !(digit(col("pc")) && digit(col("nc"))) &&
-            !(ticker(col("pc")) && ticker(col("nc"))) &&
-            coalesce(col("nc") =!= ".", lit(true))))
-      .withColumn("sid", coalesce(sum(when(col("bnd"), 1L).otherwise(0L))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val prefixSumLane = flagged
-      .groupBy(col("doc_id"), col("bidx"), col("sid"))
-      .agg(trim(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")),
-        "")).as("sentence"))
+    // zero-width boundary positions, the exact column-lane rule the old
+    // per-character window computed: after `!`/`?` always; after `.` when
+    // the next char is not `.` (ellipsis guard) AND NOT(digit.digit)
+    // (decimal guard, `¬(a∧b)` as a lookaround alternation) AND
+    // NOT(ticker.ticker). Pieces between boundaries ARE the sentences
+    // (trimmed, empties dropped — the scanner's buffer-flush semantics).
+    val boundaryRe = "(?<=[!?])" +
+      "|(?<=\\.)(?!\\.)" +
+      "(?:(?<![0-9]\\.)|(?![0-9]))" +
+      "(?:(?<![A-Z0-9]\\.)|(?![A-Z0-9]))"
+    val prefixSumLane = blocks.filter(length(col("n")) <= maxBlockChars)
+      .select(col("doc_id"), col("bidx"),
+        posexplode(split(col("n"), boundaryRe, -1)))
+      .toDF("doc_id", "bidx", "sid", "piece")
+      .select(col("doc_id"), col("bidx"), col("sid").cast("long").as("sid"),
+        trim(col("piece")).as("sentence"))
       .filter(col("sentence") =!= "")
     val blockUdf = udf((s: String) => blockSentences(s))
     val pureLane = oversized
